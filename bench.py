@@ -1,0 +1,104 @@
+# bench.py
+"""Benchmark: EncoderMap train throughput + backmap throughput on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Headline metric: train samples/sec at batch 256 with the full EncoderMap loss
+stack (all-pairs sigmoid distance + auto + center + regularization), the
+BASELINE.md target being >= 1e5 samples/sec on one chip. The same line also
+reports backmap conformations/sec (456-atom diUbi-sized chains, target 1e5/s).
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import json
+import time
+
+import numpy as np
+
+
+def bench_train(n_warm_chunks: int = 2, n_chunks: int = 10) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from encodermap_tpu import EncoderMap, Parameters, create_n_cube
+
+    steps_per_scan = 200
+    p = Parameters(
+        n_neurons=[128, 128, 2],
+        periodicity=float("inf"),
+        batch_size=256,
+        n_steps=10**9,  # irrelevant; we drive chunks manually
+        steps_per_scan=steps_per_scan,
+        seed=0,
+    )
+    data, _ = create_n_cube(3, points_along_edge=500, seed=0)
+    emap = EncoderMap(p, data.astype(np.float32), read_only=True)
+    trainer = emap._get_trainer()
+    dev_data = jnp.asarray(emap.train_data)
+
+    state = emap.state
+    for _ in range(n_warm_chunks):
+        state, metrics = trainer(state, dev_data)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, metrics = trainer(state, dev_data)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps = n_chunks * steps_per_scan
+    return steps * p.batch_size / dt
+
+
+def bench_backmap(batch: int = 256, n_atoms: int = 456, iters: int = 50) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from encodermap_tpu.ops.backmap import backmap
+
+    rng = np.random.default_rng(0)
+    dist = jnp.asarray(rng.uniform(0.1, 0.2, (batch, n_atoms - 1)), jnp.float32)
+    ang = jnp.asarray(rng.uniform(0.5, np.pi - 0.5, (batch, n_atoms - 2)), jnp.float32)
+    di = jnp.asarray(rng.uniform(-np.pi, np.pi, (batch, n_atoms - 3)), jnp.float32)
+
+    fn = jax.jit(backmap)
+    out = fn(dist, ang, di)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(dist, ang, di)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return iters * batch / dt
+
+
+def main() -> None:
+    train_sps = bench_train()
+    backmap_cps = bench_backmap()
+    target = 1e5
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_batch256_sigmoid_loss",
+                "value": round(train_sps, 1),
+                "unit": "samples/sec",
+                "vs_baseline": round(train_sps / target, 3),
+                "backmap_conformations_per_sec_456atoms": round(backmap_cps, 1),
+                "backmap_vs_baseline": round(backmap_cps / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+# encodermap_tpu/__init__.py
+"""EncoderMap-TPU: a TPU-native (JAX/XLA/Pallas/pjit) re-design of EncoderMap.
+
+Dimensionality reduction + conformation generation for molecular-dynamics
+data (Lemke & Peter, JCTC 2019), built from scratch for TPU hardware:
+
+* the full train step (MLP autoencoder forward, sketch-map sigmoid distance
+  cost, auto/center/regularization losses, backward, Adam) compiles to one
+  XLA program and runs in on-device ``lax.scan`` chunks,
+* the AngleDihedralCartesian backmapping (chain-in-plane + dihedral rotation
+  chain) is an O(log n)-depth associative scan instead of the reference's
+  sequential per-bond loop,
+* scale-out is data-parallel sharding over a ``jax.sharding.Mesh``.
+
+Public API mirrors the reference (``/root/reference/encodermap/__init__.py``):
+``EncoderMap``, ``AngleDihedralCartesianEncoderMap``, ``Parameters``,
+``ADCParameters``, ``load``, plus the ops/features/plot subpackages.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+from . import losses, nn, ops
+from .misc.misc import create_n_cube
+from .parameters import ADCParameters, Parameters
+from .train.autoencoder import Autoencoder, EncoderMap
+
+__all__ = [
+    "Autoencoder",
+    "EncoderMap",
+    "Parameters",
+    "ADCParameters",
+    "create_n_cube",
+    "losses",
+    "ops",
+    "nn",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # Lazy imports for heavier subsystems so `import encodermap_tpu` stays fast.
+    if name == "AngleDihedralCartesianEncoderMap":
+        from .train.adc_autoencoder import AngleDihedralCartesianEncoderMap
+
+        return AngleDihedralCartesianEncoderMap
+    if name == "DihedralEncoderMap":
+        from .train.autoencoder import DihedralEncoderMap
+
+        return DihedralEncoderMap
+    if name == "load":
+        from .data.api import load
+
+        return load
+    if name == "SingleTraj":
+        from .data.trajectory import SingleTraj
+
+        return SingleTraj
+    if name == "TrajEnsemble":
+        from .data.trajectory import TrajEnsemble
+
+        return TrajEnsemble
+    if name == "Featurizer":
+        from .loading.featurizer import Featurizer
+
+        return Featurizer
+    if name == "plot":
+        from . import plot
+
+        return plot
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

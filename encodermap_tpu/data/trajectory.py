@@ -1,0 +1,487 @@
+# encodermap_tpu/data/trajectory.py
+"""SingleTraj / TrajEnsemble: lazy MD trajectory containers with a CV store.
+
+Self-contained re-design of the reference's trajinfo layer
+(``/root/reference/encodermap/trajinfo/info_single.py:206``,
+``info_all.py:790``): lazy loading (paths + frame indices only until
+coordinates are touched), frame fancy-indexing that composes lazily, CV
+loading by name shortcut / array / Feature, HDF5 round-trip, ensemble
+stacking with NaN-padding across different topologies, and a
+``batch_iterator``/``tf_dataset`` replacement that feeds the device.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Iterator, Optional, Sequence, Union
+
+import numpy as np
+
+from .cvstore import CVCollection
+from .pdb import load_pdb, write_pdb
+from .topology import Topology
+
+__all__ = ["SingleTraj", "TrajEnsemble"]
+
+CV_SHORTCUTS = (
+    "central_angles",
+    "central_dihedrals",
+    "central_cartesians",
+    "central_distances",
+    "side_dihedrals",
+    "all",
+)
+
+
+class SingleTraj:
+    """One trajectory: (traj_file, top_file) pair (or a single PDB/H5),
+    loaded lazily, with frame indexing composing before any IO happens."""
+
+    def __init__(
+        self,
+        traj_file: Union[str, Path],
+        top_file: Optional[Union[str, Path]] = None,
+        index: Optional[Any] = None,
+        traj_num: Optional[int] = None,
+        common_str: str = "",
+        basename_fn=None,
+    ) -> None:
+        self.traj_file = str(traj_file)
+        self.top_file = str(top_file) if top_file is not None else self.traj_file
+        self.index = index  # None = all frames; else np index into file frames
+        self.traj_num = traj_num
+        self.common_str = common_str
+        self.basename_fn = basename_fn or (lambda p: Path(p).stem)
+        self._top: Optional[Topology] = None
+        self._xyz: Optional[np.ndarray] = None
+        self._time: Optional[np.ndarray] = None
+        self._unitcell: Optional[np.ndarray] = None
+        self._n_frames_file: Optional[int] = None
+        self._CVs = CVCollection()
+
+    # ------------------------------------------------------------------ lazy IO
+    @property
+    def basename(self) -> str:
+        return self.basename_fn(self.traj_file)
+
+    @property
+    def extension(self) -> str:
+        return Path(self.traj_file).suffix
+
+    @property
+    def top(self) -> Topology:
+        if self._top is None:
+            if self.top_file.endswith(".pdb"):
+                self._top, xyz, cell = load_pdb(self.top_file)
+                if self.traj_file == self.top_file:
+                    self._file_xyz = xyz
+            elif self.top_file.endswith((".h5", ".hdf5")):
+                self._load_h5(top_only=True)
+            else:
+                raise ValueError(f"unsupported topology file {self.top_file}")
+        return self._top
+
+    @property
+    def _frame_index(self) -> np.ndarray:
+        n = self.n_frames_file
+        idx = np.arange(n)
+        if self.index is not None:
+            idx = idx[self.index]
+        return np.atleast_1d(idx)
+
+    @property
+    def n_frames_file(self) -> int:
+        if self._n_frames_file is None:
+            if self.traj_file.endswith(".xtc"):
+                from .xtc import XTCReader
+
+                self._reader = XTCReader(self.traj_file)
+                self._n_frames_file = self._reader.n_frames
+            elif self.traj_file.endswith(".pdb"):
+                _, xyz, _ = load_pdb(self.traj_file)
+                self._file_xyz = xyz
+                self._n_frames_file = len(xyz)
+            elif self.traj_file.endswith((".h5", ".hdf5")):
+                self._load_h5(top_only=False, lazy_count=True)
+            else:
+                raise ValueError(f"unsupported trajectory file {self.traj_file}")
+        return self._n_frames_file
+
+    def _load_h5(self, top_only: bool = False, lazy_count: bool = False) -> None:
+        import h5py
+
+        with h5py.File(self.top_file, "r") as f:
+            if self._top is None and "topology" in f:
+                from .mdtraj_h5 import topology_from_json
+
+                self._top = topology_from_json(f["topology"][0].decode())
+            if top_only:
+                return
+            with h5py.File(self.traj_file, "r") as ft:
+                self._n_frames_file = ft["coordinates"].shape[0]
+
+    def load(self) -> None:
+        """Materialize coordinates for the (composed) frame index."""
+        if self._xyz is not None:
+            return
+        idx = self._frame_index
+        if self.traj_file.endswith(".xtc"):
+            from .xtc import XTCReader
+
+            reader = getattr(self, "_reader", None) or XTCReader(self.traj_file)
+            xyz, box, time, _ = reader.read(idx)
+            self._xyz = xyz
+            self._time = time
+            self._unitcell = box
+        elif self.traj_file.endswith(".pdb"):
+            if not hasattr(self, "_file_xyz"):
+                _, self._file_xyz, _ = load_pdb(self.traj_file)
+            self._xyz = self._file_xyz[idx]
+            self._time = np.arange(len(idx), dtype=np.float32)
+            self._unitcell = None
+        elif self.traj_file.endswith((".h5", ".hdf5")):
+            import h5py
+
+            with h5py.File(self.traj_file, "r") as f:
+                sorted_idx = np.sort(idx)
+                xyz = f["coordinates"][sorted_idx]
+                undo = np.argsort(np.argsort(idx))
+                self._xyz = xyz[undo]
+                self._time = (
+                    f["time"][sorted_idx][undo] if "time" in f
+                    else np.arange(len(idx), dtype=np.float32)
+                )
+                if "cell_lengths" in f:
+                    cl = f["cell_lengths"][sorted_idx][undo]
+                    self._unitcell = np.stack([np.diag(v) for v in cl])
+                else:
+                    self._unitcell = None
+        else:
+            raise ValueError(f"unsupported trajectory file {self.traj_file}")
+
+    @property
+    def xyz(self) -> np.ndarray:
+        self.load()
+        return self._xyz
+
+    @property
+    def time(self) -> np.ndarray:
+        self.load()
+        return self._time
+
+    @property
+    def unitcell_vectors(self) -> Optional[np.ndarray]:
+        self.load()
+        return self._unitcell
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frame_index)
+
+    @property
+    def n_atoms(self) -> int:
+        return self.top.n_atoms
+
+    @property
+    def n_residues(self) -> int:
+        return self.top.n_residues
+
+    # ------------------------------------------------------------------ indexing
+    def __getitem__(self, item) -> "SingleTraj":
+        new_index = self._frame_index[item]
+        out = SingleTraj(
+            self.traj_file, self.top_file, index=np.atleast_1d(new_index),
+            traj_num=self.traj_num, common_str=self.common_str,
+        )
+        out._top = self._top
+        if len(self._CVs):
+            out._CVs = self._CVs.index_frames(item)
+        return out
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+    # ------------------------------------------------------------------ dihedral indices
+    @property
+    def indices_phi(self) -> np.ndarray:
+        return self.top.indices_phi
+
+    @property
+    def indices_psi(self) -> np.ndarray:
+        return self.top.indices_psi
+
+    @property
+    def indices_omega(self) -> np.ndarray:
+        return self.top.indices_omega
+
+    @property
+    def indices_chi1(self) -> np.ndarray:
+        return self.top.indices_chi1
+
+    @property
+    def indices_chi2(self) -> np.ndarray:
+        return self.top.indices_chi2
+
+    @property
+    def indices_chi3(self) -> np.ndarray:
+        return self.top.indices_chi3
+
+    @property
+    def indices_chi4(self) -> np.ndarray:
+        return self.top.indices_chi4
+
+    @property
+    def indices_chi5(self) -> np.ndarray:
+        return self.top.indices_chi5
+
+    # ------------------------------------------------------------------ CVs
+    @property
+    def CVs(self) -> dict[str, np.ndarray]:
+        return {k: self._CVs[k] for k in self._CVs}
+
+    def load_CV(
+        self,
+        data: Any,
+        attr_name: Optional[str] = None,
+        labels: Optional[list[str]] = None,
+    ) -> None:
+        """Load a CV: by name shortcut ("central_dihedrals", ..., "all"), from
+        a numpy array, or from a Feature instance
+        (reference: ``info_single.py:1475-1665``)."""
+        if isinstance(data, str):
+            from ..loading.featurizer import SingleTrajFeaturizer
+
+            feat = SingleTrajFeaturizer(self)
+            if data == "all":
+                feat.add_list_of_feats("all")
+            else:
+                feat.add_list_of_feats([data])
+            results = feat.get_output()
+            for name, entry in results._entries.items():
+                self._CVs.add(name, entry.data, entry.labels, entry.indices)
+            return
+        if isinstance(data, np.ndarray):
+            assert attr_name is not None, "attr_name required for raw arrays"
+            if len(data) != self.n_frames:
+                raise ValueError(
+                    f"CV length {len(data)} != n_frames {self.n_frames}"
+                )
+            self._CVs.add(attr_name, data, labels)
+            return
+        if hasattr(data, "transform") and hasattr(data, "describe"):
+            from ..loading.featurizer import SingleTrajFeaturizer
+
+            feat = SingleTrajFeaturizer(self)
+            feat.add_custom_feature(data)
+            results = feat.get_output()
+            for name, entry in results._entries.items():
+                self._CVs.add(name, entry.data, entry.labels, entry.indices)
+            return
+        raise TypeError(f"cannot load CV from {type(data)}")
+
+    def __getattr__(self, name: str):
+        # CV access as attributes (reference behavior)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        cvs = self.__dict__.get("_CVs")
+        if cvs is not None and name in cvs:
+            return cvs[name]
+        raise AttributeError(name)
+
+    # ------------------------------------------------------------------ save
+    def save(self, path: Union[str, Path]) -> None:
+        """Write trajectory + CVs to one HDF5 file (mdtraj-compatible layout
+        plus a CVs group, like ``TrajEnsemble.save``)."""
+        import h5py
+
+        from .mdtraj_h5 import topology_to_json
+
+        self.load()
+        with h5py.File(path, "w") as f:
+            f.create_dataset("coordinates", data=self.xyz)
+            f.create_dataset("time", data=self.time)
+            if self._unitcell is not None:
+                f.create_dataset(
+                    "cell_lengths",
+                    data=np.stack([np.diag(b) for b in self._unitcell]),
+                )
+                f.create_dataset(
+                    "cell_angles",
+                    data=np.full((self.n_frames, 3), 90.0, np.float32),
+                )
+            f.create_dataset(
+                "topology",
+                data=np.asarray([topology_to_json(self.top).encode()]),
+            )
+        if len(self._CVs):
+            self._CVs.to_hdf5(path)
+
+    def save_pdb(self, path: Union[str, Path]) -> None:
+        write_pdb(path, self.top, self.xyz, None)
+
+    def __repr__(self) -> str:
+        return (
+            f"<SingleTraj {self.basename}: {self.n_frames} frames, "
+            f"{self.top.n_atoms if self._top else '?'} atoms, "
+            f"CVs: {list(self._CVs.keys())}>"
+        )
+
+
+class TrajEnsemble:
+    """Ordered collection of SingleTrajs, possibly with different topologies."""
+
+    def __init__(
+        self,
+        trajs: Sequence[Union[str, Path, SingleTraj]],
+        tops: Optional[Sequence[Union[str, Path]]] = None,
+        common_str: Optional[Sequence[str]] = None,
+    ) -> None:
+        self.trajs: list[SingleTraj] = []
+        if tops is not None and len(tops) not in (1, len(trajs)):
+            raise ValueError("tops must have length 1 or len(trajs)")
+        for i, t in enumerate(trajs):
+            if isinstance(t, SingleTraj):
+                t.traj_num = i
+                self.trajs.append(t)
+            else:
+                top = None
+                if tops is not None:
+                    top = tops[0] if len(tops) == 1 else tops[i]
+                cs = ""
+                if common_str:
+                    matches = [c for c in common_str if c in str(t)]
+                    cs = max(matches, key=len) if matches else ""
+                self.trajs.append(
+                    SingleTraj(t, top, traj_num=i, common_str=cs)
+                )
+
+    # ------------------------------------------------------------------ basic
+    @property
+    def n_trajs(self) -> int:
+        return len(self.trajs)
+
+    @property
+    def n_frames(self) -> int:
+        return sum(t.n_frames for t in self.trajs)
+
+    @property
+    def common_str(self) -> list[str]:
+        return sorted({t.common_str for t in self.trajs})
+
+    def __iter__(self) -> Iterator[SingleTraj]:
+        return iter(self.trajs)
+
+    def __len__(self) -> int:
+        return self.n_trajs
+
+    def __getitem__(self, item):
+        if isinstance(item, int):
+            return self.trajs[item]
+        if isinstance(item, slice):
+            return TrajEnsemble(self.trajs[item])
+        item = np.asarray(item)
+        if item.ndim == 2 and item.shape[1] == 2:
+            # (traj, frame) pair array -> frame-indexed sub-ensemble
+            out = []
+            for tn in np.unique(item[:, 0]):
+                frames = item[item[:, 0] == tn, 1]
+                out.append(self.trajs[int(tn)][frames])
+            return TrajEnsemble(out)
+        return TrajEnsemble([self.trajs[int(i)] for i in item])
+
+    # ------------------------------------------------------------------ CVs
+    @property
+    def CVs(self) -> dict[str, np.ndarray]:
+        """CVs stacked along frames across trajs (only keys every traj has)."""
+        if not self.trajs:
+            return {}
+        common = set(self.trajs[0]._CVs.keys())
+        for t in self.trajs[1:]:
+            common &= set(t._CVs.keys())
+        out = {}
+        for k in sorted(common):
+            arrays = [t._CVs[k] for t in self.trajs]
+            widths = {a.shape[1:] for a in arrays}
+            if len(widths) > 1:
+                arrays = _nan_pad(arrays)
+            out[k] = np.concatenate(arrays, axis=0)
+        return out
+
+    def load_CVs(
+        self,
+        data: Any = "all",
+        ensemble: bool = False,
+    ) -> None:
+        """Featurize all trajectories.
+
+        With ``ensemble=True`` mixed topologies get NaN-padded feature
+        alignment via generic labels (reference:
+        ``trajinfo_utils.py:2357-2415``)."""
+        if isinstance(data, str):
+            data = [data]
+        if isinstance(data, (list, tuple)) and all(isinstance(d, str) for d in data):
+            from ..loading.featurizer import EnsembleFeaturizer
+
+            feat = EnsembleFeaturizer(self)
+            for name in data:
+                feat.add_list_of_feats([name] if name != "all" else "all")
+            feat.apply(ensemble=ensemble)
+            return
+        raise TypeError(f"cannot load CVs from {type(data)}")
+
+    # ------------------------------------------------------------------ batching
+    def batch_iterator(
+        self, batch_size: int, cv_names: Sequence[str], seed: Optional[int] = None
+    ) -> Iterator[tuple[np.ndarray, ...]]:
+        """Infinite random-batch iterator over stacked CVs (host side),
+        replacing the reference's HDF5-generator `tf.data` pipeline
+        (``info_all.py:2870-3154``)."""
+        cvs = self.CVs
+        arrays = [cvs[name] for name in cv_names]
+        n = len(arrays[0])
+        rng = np.random.default_rng(seed)
+        while True:
+            idx = rng.integers(0, n, batch_size)
+            yield tuple(a[idx] for a in arrays)
+
+    # ------------------------------------------------------------------ save
+    def save(self, path: Union[str, Path]) -> None:
+        import h5py
+
+        from .mdtraj_h5 import topology_to_json
+
+        with h5py.File(path, "w") as f:
+            for t in self.trajs:
+                t.load()
+                g = f.create_group(f"traj_{t.traj_num}")
+                g.create_dataset("coordinates", data=t.xyz)
+                g.create_dataset("time", data=t.time)
+                g.create_dataset(
+                    "topology",
+                    data=np.asarray([topology_to_json(t.top).encode()]),
+                )
+                g.attrs["traj_file"] = t.traj_file
+                g.attrs["common_str"] = t.common_str
+        for t in self.trajs:
+            if len(t._CVs):
+                t._CVs.to_hdf5(path, group=f"traj_{t.traj_num}/CVs")
+
+    def __repr__(self) -> str:
+        return (
+            f"<TrajEnsemble: {self.n_trajs} trajs, common_str "
+            f"{self.common_str}>"
+        )
+
+
+def _nan_pad(arrays: list[np.ndarray]) -> list[np.ndarray]:
+    """Pad feature axes with NaN to the max width (ensemble alignment)."""
+    max_shape = tuple(
+        max(a.shape[i] for a in arrays) for i in range(1, arrays[0].ndim)
+    )
+    out = []
+    for a in arrays:
+        pad = [(0, 0)] + [
+            (0, m - s) for m, s in zip(max_shape, a.shape[1:])
+        ]
+        out.append(np.pad(a, pad, constant_values=np.nan))
+    return out

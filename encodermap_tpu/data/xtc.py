@@ -1,0 +1,105 @@
+# encodermap_tpu/data/xtc.py
+"""XTC trajectory reading: native C++ decoder with ctypes binding.
+
+Replaces the mdtraj XTC path the reference uses for trajectory IO
+(``/root/reference/encodermap/trajinfo/load_traj.py:184``). Offsets are
+scanned once (cheap, no decompression) enabling lazy frame-indexed reads —
+the same lazy-loading UX as the reference's ``no_load`` backend.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from .native.build import load_library
+
+__all__ = ["XTCReader", "read_xtc"]
+
+
+class XTCReader:
+    """Lazy XTC file reader. ``reader[10:20]`` decodes only those frames."""
+
+    def __init__(self, path: Union[str, Path]) -> None:
+        self.path = str(path)
+        self._lib = load_library("xdr_xtc")
+        if self._lib is None:
+            raise RuntimeError(
+                "native XTC decoder unavailable (g++ missing?) — cannot read "
+                f"{path}"
+            )
+        self._lib.xtc_scan.restype = ctypes.c_int
+        self._lib.xtc_read_frames.restype = ctypes.c_int
+
+        # first pass: count frames
+        n_frames = ctypes.c_int64(0)
+        n_atoms = ctypes.c_int32(0)
+        rc = self._lib.xtc_scan(
+            self.path.encode(), ctypes.byref(n_frames), ctypes.byref(n_atoms),
+            None, ctypes.c_int64(0),
+        )
+        if rc != 0:
+            raise IOError(f"xtc_scan failed with code {rc} for {path}")
+        self.n_frames = int(n_frames.value)
+        self.n_atoms = int(n_atoms.value)
+
+        # second pass: record offsets
+        self._offsets = np.zeros(self.n_frames, np.int64)
+        rc = self._lib.xtc_scan(
+            self.path.encode(), ctypes.byref(n_frames), ctypes.byref(n_atoms),
+            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(self.n_frames),
+        )
+        if rc != 0:
+            raise IOError(f"xtc_scan (offsets) failed with code {rc} for {path}")
+
+    def read(
+        self, indices: Optional[Union[Sequence[int], slice]] = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Decode selected frames.
+
+        Returns:
+            (xyz (n, n_atoms, 3) nm, box (n, 3, 3) nm, time (n,), step (n,)).
+        """
+        if indices is None:
+            idx = np.arange(self.n_frames)
+        elif isinstance(indices, slice):
+            idx = np.arange(self.n_frames)[indices]
+        else:
+            idx = np.asarray(indices, np.int64)
+            idx = np.where(idx < 0, idx + self.n_frames, idx)
+        offsets = np.ascontiguousarray(self._offsets[idx])
+        n = len(idx)
+        xyz = np.empty((n, self.n_atoms, 3), np.float32)
+        box = np.empty((n, 9), np.float32)
+        time = np.empty(n, np.float32)
+        step = np.empty(n, np.int32)
+        rc = self._lib.xtc_read_frames(
+            self.path.encode(),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+            ctypes.c_int32(self.n_atoms),
+            xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            box.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            time.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            step.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise IOError(f"xtc_read_frames failed with code {rc} for {self.path}")
+        return xyz, box.reshape(n, 3, 3), time, step
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+    def __getitem__(self, item) -> np.ndarray:
+        if isinstance(item, int):
+            return self.read([item])[0][0]
+        return self.read(item)[0]
+
+
+def read_xtc(path: Union[str, Path]):
+    """Read a whole XTC file: (xyz, box, time, step)."""
+    return XTCReader(path).read()

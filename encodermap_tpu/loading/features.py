@@ -1,0 +1,879 @@
+# encodermap_tpu/loading/features.py
+"""Feature classes: CV definitions computed from trajectory coordinates.
+
+Re-designs the reference's feature zoo
+(``/root/reference/encodermap/loading/features.py:410-4522``, itself derived
+from PyEMMA) for TPU: every feature is (static index tables computed on host
+from the topology) + (a pure JAX transform over device-resident xyz). The
+mdtraj C kernels the reference calls (``features.py:153-157``) are replaced
+by the vmapped kernels in ``encodermap_tpu.ops.geometry``.
+
+Feature inventory (matching reference names):
+    SelectionFeature, DistanceFeature, InverseDistanceFeature,
+    ContactFeature, AngleFeature, DihedralFeature, BackboneTorsionFeature,
+    ResidueMinDistanceFeature, GroupCOMFeature, ResidueCOMFeature,
+    SideChainTorsions, MinRmsdFeature, AlignFeature,
+    CentralDihedrals, SideChainDihedrals, AllCartesians, CentralCartesians,
+    SideChainCartesians, AllBondDistances, CentralBondDistances,
+    SideChainBondDistances, CentralAngles, SideChainAngles, CustomFeature.
+
+Each feature exposes ``describe()`` (specific labels) and
+``generic_describe()`` (topology-agnostic labels used for NaN-padded
+ensemble alignment, reference ``features.py:3162-3238``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry as geom
+from ..ops.kabsch import rmsd as rmsd_op
+from ..data.topology import CHI_ATOMS, Topology
+
+__all__ = [
+    "Feature",
+    "CustomFeature",
+    "SelectionFeature",
+    "DistanceFeature",
+    "InverseDistanceFeature",
+    "ContactFeature",
+    "AngleFeature",
+    "DihedralFeature",
+    "BackboneTorsionFeature",
+    "ResidueMinDistanceFeature",
+    "GroupCOMFeature",
+    "ResidueCOMFeature",
+    "SideChainTorsions",
+    "MinRmsdFeature",
+    "AlignFeature",
+    "CentralDihedrals",
+    "SideChainDihedrals",
+    "AllCartesians",
+    "CentralCartesians",
+    "SideChainCartesians",
+    "AllBondDistances",
+    "CentralBondDistances",
+    "SideChainBondDistances",
+    "CentralAngles",
+    "SideChainAngles",
+    "ADC_FEATURES",
+]
+
+
+class Feature:
+    """Base feature: name, index table, labels, pure transform."""
+
+    name: str = "Feature"
+    #: whether values live in a periodic (angular) space
+    periodic: bool = False
+
+    def __init__(self, top: Topology) -> None:
+        self.top = top
+
+    @property
+    def indices(self) -> Optional[np.ndarray]:
+        return getattr(self, "_indices", None)
+
+    def describe(self) -> list[str]:
+        raise NotImplementedError
+
+    def generic_describe(self) -> list[str]:
+        return self.describe()
+
+    @property
+    def dimension(self) -> int:
+        return len(self.describe())
+
+    def transform(self, xyz, unitcell=None):
+        """(n_frames, n_atoms, 3) -> (n_frames, dimension) feature values."""
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return f"<{type(self).__name__}: dim {self.dimension}>"
+
+
+class CustomFeature(Feature):
+    """Wraps a user function (reference ``features.py:647``)."""
+
+    name = "CustomFeature"
+
+    def __init__(
+        self,
+        fun: Callable,
+        dim: int,
+        top: Optional[Topology] = None,
+        description: Optional[list[str]] = None,
+    ) -> None:
+        self.fun = fun
+        self._dim = dim
+        self.top = top
+        self._description = description
+
+    def describe(self) -> list[str]:
+        if self._description:
+            return self._description
+        return [f"CustomFeature_{i}" for i in range(self._dim)]
+
+    def transform(self, xyz, unitcell=None):
+        return self.fun(xyz)
+
+
+# ----------------------------------------------------------------------------
+# generic (PyEMMA-style) features
+# ----------------------------------------------------------------------------
+
+
+class SelectionFeature(Feature):
+    """Flattened xyz of selected atoms (reference ``features.py:834``)."""
+
+    name = "SelectionFeature"
+
+    def __init__(self, top: Topology, indexes: Sequence[int]) -> None:
+        super().__init__(top)
+        self._indices = np.asarray(indexes, np.int64)
+
+    def describe(self) -> list[str]:
+        out = []
+        for i in self._indices:
+            for ax in "XYZ":
+                out.append(f"{ax} SELECTION ATOM {self.top.atom(int(i))} {i}")
+        return out
+
+    def transform(self, xyz, unitcell=None):
+        sel = xyz[:, self._indices]
+        return sel.reshape(sel.shape[0], -1)
+
+
+class DistanceFeature(Feature):
+    """Distances between atom pairs (reference ``features.py:1490``)."""
+
+    name = "DistanceFeature"
+
+    def __init__(self, top: Topology, pairs: Sequence, periodic: bool = True) -> None:
+        super().__init__(top)
+        self._indices = np.asarray(pairs, np.int64).reshape(-1, 2)
+        self.mic = periodic
+
+    def describe(self) -> list[str]:
+        return [
+            f"DIST: {self.top.atom(int(a))} - {self.top.atom(int(b))}"
+            for a, b in self._indices
+        ]
+
+    def transform(self, xyz, unitcell=None):
+        box = unitcell if self.mic else None
+        return geom.compute_distances(xyz, self._indices, box)
+
+
+class InverseDistanceFeature(DistanceFeature):
+    """1/r of atom pairs (reference ``features.py:1763``)."""
+
+    name = "InverseDistanceFeature"
+
+    def describe(self) -> list[str]:
+        return [
+            f"INVDIST: {self.top.atom(int(a))} - {self.top.atom(int(b))}"
+            for a, b in self._indices
+        ]
+
+    def transform(self, xyz, unitcell=None):
+        return 1.0 / super().transform(xyz, unitcell)
+
+
+class ContactFeature(DistanceFeature):
+    """Binary contacts dist < threshold (reference ``features.py:1909``)."""
+
+    name = "ContactFeature"
+
+    def __init__(
+        self, top: Topology, pairs: Sequence, threshold: float = 0.45,
+        periodic: bool = True, count_contacts: bool = False,
+    ) -> None:
+        super().__init__(top, pairs, periodic)
+        self.threshold = threshold
+        self.count_contacts = count_contacts
+
+    def describe(self) -> list[str]:
+        if self.count_contacts:
+            return ["CONTACT COUNT"]
+        return [
+            f"CONTACT: {self.top.atom(int(a))} - {self.top.atom(int(b))}"
+            for a, b in self._indices
+        ]
+
+    def transform(self, xyz, unitcell=None):
+        box = unitcell if self.mic else None
+        c = geom.compute_contacts(xyz, self._indices, self.threshold, box)
+        if self.count_contacts:
+            return jnp.sum(c, axis=1, keepdims=True)
+        return c
+
+
+class AngleFeature(Feature):
+    """Angles over atom triplets (reference ``features.py:966``)."""
+
+    name = "AngleFeature"
+    periodic = True
+
+    def __init__(
+        self, top: Topology, indexes: Sequence, deg: bool = False,
+        cossin: bool = False, periodic: bool = True,
+    ) -> None:
+        super().__init__(top)
+        self._indices = np.asarray(indexes, np.int64).reshape(-1, 3)
+        self.deg = deg
+        self.cossin = cossin
+        self.mic = periodic
+
+    def describe(self) -> list[str]:
+        base = [
+            f"ANGLE: {self.top.atom(int(a))} - {self.top.atom(int(b))} - "
+            f"{self.top.atom(int(c))}"
+            for a, b, c in self._indices
+        ]
+        if self.cossin:
+            return [f"{f}({lbl})" for lbl in base for f in ("COS", "SIN")]
+        return base
+
+    def transform(self, xyz, unitcell=None):
+        box = unitcell if self.mic else None
+        ang = geom.compute_angles(xyz, self._indices, box)
+        if self.cossin:
+            ang = jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1).reshape(
+                ang.shape[0], -1
+            )
+        if self.deg:
+            ang = jnp.rad2deg(ang)
+        return ang
+
+
+class DihedralFeature(Feature):
+    """Dihedrals over atom quadruplets (reference ``features.py:1222``)."""
+
+    name = "DihedralFeature"
+    periodic = True
+
+    def __init__(
+        self, top: Topology, dih_indexes: Sequence, deg: bool = False,
+        cossin: bool = False, periodic: bool = True,
+    ) -> None:
+        super().__init__(top)
+        self._indices = np.asarray(dih_indexes, np.int64).reshape(-1, 4)
+        self.deg = deg
+        self.cossin = cossin
+        self.mic = periodic
+
+    def describe(self) -> list[str]:
+        base = [
+            "DIH: " + " - ".join(str(self.top.atom(int(i))) for i in quad)
+            for quad in self._indices
+        ]
+        if self.cossin:
+            return [f"{f}({lbl})" for lbl in base for f in ("COS", "SIN")]
+        return base
+
+    def transform(self, xyz, unitcell=None):
+        box = unitcell if self.mic else None
+        dih = geom.compute_dihedrals(xyz, self._indices, box)
+        if self.cossin:
+            dih = jnp.stack([jnp.cos(dih), jnp.sin(dih)], -1).reshape(
+                dih.shape[0], -1
+            )
+        if self.deg:
+            dih = jnp.rad2deg(dih)
+        return dih
+
+
+class BackboneTorsionFeature(DihedralFeature):
+    """phi+psi torsions (reference ``features.py:2116``)."""
+
+    name = "BackboneTorsionFeature"
+
+    def __init__(
+        self, top: Topology, deg: bool = False, cossin: bool = False,
+        periodic: bool = True,
+    ) -> None:
+        phi = top.indices_phi
+        psi = top.indices_psi
+        self._labels = [f"PHI {i}" for i in range(len(phi))] + [
+            f"PSI {i}" for i in range(len(psi))
+        ]
+        idx = np.vstack([phi, psi]) if len(phi) or len(psi) else np.zeros((0, 4))
+        super().__init__(top, idx, deg, cossin, periodic)
+
+
+class ResidueMinDistanceFeature(Feature):
+    """Min distance between residue pairs (reference ``features.py:2223``)."""
+
+    name = "ResidueMinDistanceFeature"
+
+    def __init__(
+        self, top: Topology, contacts: Sequence, scheme: str = "closest-heavy",
+        threshold: Optional[float] = None, periodic: bool = True,
+    ) -> None:
+        super().__init__(top)
+        self.contacts = np.asarray(contacts, np.int64).reshape(-1, 2)
+        self.scheme = scheme
+        self.threshold = threshold
+        self.mic = periodic
+        # per residue-pair: all heavy-atom cross pairs, reduced by min
+        self._pair_blocks = []
+        for r0, r1 in self.contacts:
+            a0 = [a.index for a in top.residue(int(r0)).atoms
+                  if scheme != "closest-heavy" or a.element != "H"]
+            a1 = [a.index for a in top.residue(int(r1)).atoms
+                  if scheme != "closest-heavy" or a.element != "H"]
+            if scheme == "ca":
+                ca0 = top.residue(int(r0)).atom("CA")
+                ca1 = top.residue(int(r1)).atom("CA")
+                a0 = [ca0.index] if ca0 else a0
+                a1 = [ca1.index] if ca1 else a1
+            block = np.array([(i, j) for i in a0 for j in a1], np.int64)
+            self._pair_blocks.append(block)
+
+    def describe(self) -> list[str]:
+        return [
+            f"RES_MINDIST: {self.top.residue(int(a))} - {self.top.residue(int(b))}"
+            for a, b in self.contacts
+        ]
+
+    def transform(self, xyz, unitcell=None):
+        box = unitcell if self.mic else None
+        outs = []
+        for block in self._pair_blocks:
+            d = geom.compute_distances(xyz, block, box)
+            outs.append(jnp.min(d, axis=1))
+        out = jnp.stack(outs, axis=1)
+        if self.threshold is not None:
+            out = (out < self.threshold).astype(jnp.float32)
+        return out
+
+
+class GroupCOMFeature(Feature):
+    """Center of mass of atom groups (reference ``features.py:2457``)."""
+
+    name = "GroupCOMFeature"
+
+    def __init__(
+        self, top: Topology, group_definitions: Sequence[Sequence[int]],
+        mass_weighted: bool = True,
+    ) -> None:
+        super().__init__(top)
+        self.groups = [np.asarray(g, np.int64) for g in group_definitions]
+        self.masses = [
+            np.asarray(
+                [top.atom(int(i)).mass if mass_weighted else 1.0 for i in g],
+                np.float32,
+            )
+            for g in self.groups
+        ]
+
+    def describe(self) -> list[str]:
+        out = []
+        for gi in range(len(self.groups)):
+            for ax in "xyz":
+                out.append(f"COM-{ax} of group {gi}")
+        return out
+
+    def transform(self, xyz, unitcell=None):
+        outs = [
+            geom.compute_center_of_mass(xyz, g, jnp.asarray(m))
+            for g, m in zip(self.groups, self.masses)
+        ]
+        return jnp.concatenate(outs, axis=1)
+
+
+class ResidueCOMFeature(GroupCOMFeature):
+    """Center of mass per residue (reference ``features.py:2731``)."""
+
+    name = "ResidueCOMFeature"
+
+    def __init__(
+        self, top: Topology, residue_indices: Sequence[int],
+        scheme: str = "all", mass_weighted: bool = True,
+    ) -> None:
+        self.residue_indices = list(residue_indices)
+        groups = []
+        for ri in residue_indices:
+            res = top.residue(int(ri))
+            atoms = res.atoms
+            if scheme == "backbone":
+                atoms = [a for a in atoms if a.name in ("N", "CA", "C", "O")]
+            elif scheme == "sidechain":
+                atoms = [a for a in atoms if a.name not in ("N", "CA", "C", "O")]
+            groups.append([a.index for a in atoms])
+        super().__init__(top, groups, mass_weighted)
+
+    def describe(self) -> list[str]:
+        out = []
+        for ri in self.residue_indices:
+            for ax in "xyz":
+                out.append(f"COM-{ax} of residue {self.top.residue(int(ri))}")
+        return out
+
+
+class SideChainTorsions(DihedralFeature):
+    """chi1-5 over all residues (reference ``features.py:2775``)."""
+
+    name = "SideChainTorsions"
+
+    def __init__(
+        self, top: Topology, deg: bool = False, cossin: bool = False,
+        periodic: bool = True, which: str = "all",
+    ) -> None:
+        idx = []
+        labels = []
+        chis = range(1, 6) if which == "all" else [int(which[-1])]
+        for n in chis:
+            table = top.indices_chi(n)
+            for quad in table:
+                idx.append(quad)
+                res = top.atom(int(quad[1])).residue
+                labels.append(f"CHI{n} {res.name} {res.resSeq}")
+        self._labels = labels
+        idx = np.asarray(idx, np.int64).reshape(-1, 4)
+        super().__init__(top, idx, deg, cossin, periodic)
+
+    def describe(self) -> list[str]:
+        return list(self._labels)
+
+
+class MinRmsdFeature(Feature):
+    """Kabsch-minimal RMSD to a reference frame (reference ``features.py:2884``)."""
+
+    name = "MinRmsdFeature"
+
+    def __init__(
+        self, top: Topology, ref_xyz: np.ndarray,
+        atom_indices: Optional[Sequence[int]] = None,
+    ) -> None:
+        super().__init__(top)
+        self.atom_indices = (
+            np.arange(top.n_atoms) if atom_indices is None
+            else np.asarray(atom_indices, np.int64)
+        )
+        ref_xyz = np.asarray(ref_xyz)
+        if ref_xyz.ndim == 3:
+            ref_xyz = ref_xyz[0]
+        self.ref = jnp.asarray(ref_xyz[self.atom_indices], jnp.float32)
+
+    def describe(self) -> list[str]:
+        return ["MinRMSD to reference"]
+
+    def transform(self, xyz, unitcell=None):
+        sel = jnp.asarray(xyz)[:, self.atom_indices]
+        ref = jnp.broadcast_to(self.ref, sel.shape)
+        return rmsd_op(sel, ref)[:, None]
+
+
+class AlignFeature(SelectionFeature):
+    """Superposed xyz of selected atoms (reference ``features.py:1721``)."""
+
+    name = "AlignFeature"
+
+    def __init__(
+        self, top: Topology, ref_xyz: np.ndarray, indexes: Sequence[int],
+        atom_indices: Optional[Sequence[int]] = None,
+    ) -> None:
+        super().__init__(top, indexes)
+        ref_xyz = np.asarray(ref_xyz)
+        if ref_xyz.ndim == 3:
+            ref_xyz = ref_xyz[0]
+        self.align_indices = (
+            self._indices if atom_indices is None
+            else np.asarray(atom_indices, np.int64)
+        )
+        self.ref = jnp.asarray(ref_xyz, jnp.float32)
+
+    def transform(self, xyz, unitcell=None):
+        from ..ops.kabsch import kabsch_weighted
+        import jax
+
+        xyz = jnp.asarray(xyz)
+
+        def align_one(frame):
+            _, R, t = kabsch_weighted(
+                frame[self.align_indices], self.ref[self.align_indices]
+            )
+            return frame @ R.T + t
+
+        aligned = jax.vmap(align_one)(xyz)
+        sel = aligned[:, self._indices]
+        return sel.reshape(sel.shape[0], -1)
+
+
+# ----------------------------------------------------------------------------
+# EncoderMap ADC features
+# ----------------------------------------------------------------------------
+
+
+def _central_chain(top: Topology) -> np.ndarray:
+    """Flat N-CA-C atom index chain."""
+    return top.central_atom_indices()
+
+
+class CentralCartesians(Feature):
+    """xyz of the central N-CA-C chain (reference ``features.py:3697``)."""
+
+    name = "CentralCartesians"
+
+    def __init__(self, top: Topology, generic_labels: bool = False,
+                 periodic: bool = True) -> None:
+        super().__init__(top)
+        self._indices = _central_chain(top)
+        self.generic_labels = generic_labels
+
+    def describe(self) -> list[str]:
+        out = []
+        for i in self._indices:
+            for ax in "XYZ":
+                out.append(f"CENTERPOS {ax} ATOM {self.top.atom(int(i))}")
+        return out
+
+    def generic_describe(self) -> list[str]:
+        out = []
+        for k in range(len(self._indices)):
+            for ax in "XYZ":
+                out.append(f"CENTERPOS {ax} {k}")
+        return out
+
+    def transform(self, xyz, unitcell=None):
+        return jnp.asarray(xyz)[:, self._indices]  # (frames, n_central, 3)
+
+
+class AllCartesians(CentralCartesians):
+    """xyz of central + sidechain atoms (reference ``features.py:3566``)."""
+
+    name = "AllCartesians"
+
+    def __init__(self, top: Topology, generic_labels: bool = False,
+                 periodic: bool = True) -> None:
+        Feature.__init__(self, top)
+        central = list(_central_chain(top))
+        side = []
+        for r in top.residues:
+            for a in r.atoms:
+                if a.index not in central and a.element != "H":
+                    side.append(a.index)
+        self._indices = np.asarray(central + sorted(side), np.int64)
+        self.generic_labels = generic_labels
+
+    def describe(self) -> list[str]:
+        out = []
+        for i in self._indices:
+            for ax in "XYZ":
+                out.append(f"ALLPOS {ax} ATOM {self.top.atom(int(i))}")
+        return out
+
+    def generic_describe(self) -> list[str]:
+        out = []
+        for k in range(len(self._indices)):
+            for ax in "XYZ":
+                out.append(f"ALLPOS {ax} {k}")
+        return out
+
+
+class CentralBondDistances(DistanceFeature):
+    """Consecutive central-chain bond lengths (reference ``features.py:4068``)."""
+
+    name = "CentralBondDistances"
+
+    def __init__(
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+    ) -> None:
+        chain = _central_chain(top)
+        pairs = np.stack([chain[:-1], chain[1:]], axis=1)
+        super().__init__(top, pairs, periodic=periodic)
+        self.generic_labels = generic_labels
+
+    def describe(self) -> list[str]:
+        return [
+            f"CENTERDISTANCE: {self.top.atom(int(a))} - {self.top.atom(int(b))}"
+            for a, b in self._indices
+        ]
+
+    def generic_describe(self) -> list[str]:
+        return [f"CENTERDISTANCE {k}" for k in range(len(self._indices))]
+
+
+class SideChainBondDistances(DistanceFeature):
+    """Bond lengths along each sidechain path (reference ``features.py:4148``)."""
+
+    name = "SideChainBondDistances"
+
+    _SIDE_PATHS = {
+        # heavy-atom chain out of CA, per residue type
+        "ALA": ["CA", "CB"],
+        "ARG": ["CA", "CB", "CG", "CD", "NE", "CZ"],
+        "ASN": ["CA", "CB", "CG"],
+        "ASP": ["CA", "CB", "CG"],
+        "CYS": ["CA", "CB", "SG"],
+        "GLN": ["CA", "CB", "CG", "CD"],
+        "GLU": ["CA", "CB", "CG", "CD"],
+        "HIS": ["CA", "CB", "CG"],
+        "ILE": ["CA", "CB", "CG1", "CD1"],
+        "LEU": ["CA", "CB", "CG", "CD1"],
+        "LYS": ["CA", "CB", "CG", "CD", "CE", "NZ"],
+        "MET": ["CA", "CB", "CG", "SD", "CE"],
+        "PHE": ["CA", "CB", "CG"],
+        "PRO": ["CA", "CB", "CG", "CD"],
+        "SER": ["CA", "CB", "OG"],
+        "THR": ["CA", "CB", "OG1"],
+        "TRP": ["CA", "CB", "CG"],
+        "TYR": ["CA", "CB", "CG"],
+        "VAL": ["CA", "CB", "CG1"],
+    }
+
+    def __init__(
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+    ) -> None:
+        pairs = []
+        for r in top.residues:
+            path = self._SIDE_PATHS.get(r.name)
+            if not path:
+                continue
+            atoms = [r.atom(nm) for nm in path]
+            for a, b in zip(atoms[:-1], atoms[1:]):
+                if a is not None and b is not None:
+                    pairs.append((a.index, b.index))
+        pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
+        super().__init__(top, pairs, periodic=periodic)
+        self.generic_labels = generic_labels
+
+    def describe(self) -> list[str]:
+        return [
+            f"SIDECHDISTANCE: {self.top.atom(int(a))} - {self.top.atom(int(b))}"
+            for a, b in self._indices
+        ]
+
+    def generic_describe(self) -> list[str]:
+        return [f"SIDECHDISTANCE {k}" for k in range(len(self._indices))]
+
+
+class SideChainCartesians(Feature):
+    """xyz of heavy sidechain atoms (reference ``features.py:3855``)."""
+
+    name = "SideChainCartesians"
+
+    def __init__(self, top: Topology, generic_labels: bool = False,
+                 periodic: bool = True) -> None:
+        super().__init__(top)
+        central = set(_central_chain(top).tolist())
+        side = [
+            a.index
+            for r in top.residues
+            for a in r.atoms
+            if a.index not in central and a.element != "H"
+        ]
+        self._indices = np.asarray(side, np.int64)
+
+    def describe(self) -> list[str]:
+        out = []
+        for i in self._indices:
+            for ax in "XYZ":
+                out.append(f"SIDECHPOS {ax} ATOM {self.top.atom(int(i))}")
+        return out
+
+    def generic_describe(self) -> list[str]:
+        out = []
+        for k in range(len(self._indices)):
+            for ax in "XYZ":
+                out.append(f"SIDECHPOS {ax} {k}")
+        return out
+
+    def transform(self, xyz, unitcell=None):
+        return jnp.asarray(xyz)[:, self._indices]
+
+
+class CentralAngles(AngleFeature):
+    """Consecutive central-chain bond angles (reference ``features.py:4253``)."""
+
+    name = "CentralAngles"
+
+    def __init__(
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+    ) -> None:
+        chain = _central_chain(top)
+        triplets = np.stack([chain[:-2], chain[1:-1], chain[2:]], axis=1)
+        super().__init__(top, triplets, periodic=periodic)
+        self.generic_labels = generic_labels
+
+    def describe(self) -> list[str]:
+        return [
+            "CENTERANGLE: " + " - ".join(
+                str(self.top.atom(int(i))) for i in t
+            )
+            for t in self._indices
+        ]
+
+    def generic_describe(self) -> list[str]:
+        return [f"CENTERANGLE {k}" for k in range(len(self._indices))]
+
+
+class SideChainAngles(AngleFeature):
+    """Angles along each sidechain path (reference ``features.py:4400``)."""
+
+    name = "SideChainAngles"
+
+    def __init__(
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+    ) -> None:
+        triplets = []
+        for r in top.residues:
+            path = SideChainBondDistances._SIDE_PATHS.get(r.name)
+            if not path or len(path) < 3:
+                continue
+            atoms = [r.atom(nm) for nm in path]
+            for a, b, c in zip(atoms[:-2], atoms[1:-1], atoms[2:]):
+                if a is not None and b is not None and c is not None:
+                    triplets.append((a.index, b.index, c.index))
+        triplets = np.asarray(triplets, np.int64).reshape(-1, 3)
+        super().__init__(top, triplets, periodic=periodic)
+
+    def describe(self) -> list[str]:
+        return [
+            "SIDECHANGLE: " + " - ".join(
+                str(self.top.atom(int(i))) for i in t
+            )
+            for t in self._indices
+        ]
+
+    def generic_describe(self) -> list[str]:
+        return [f"SIDECHANGLE {k}" for k in range(len(self._indices))]
+
+
+class CentralDihedrals(DihedralFeature):
+    """Consecutive central-chain dihedrals: PSI, OMEGA, PHI per residue
+    (reference ``features.py:3059``)."""
+
+    name = "CentralDihedrals"
+
+    def __init__(
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True,
+        omega: bool = True,
+    ) -> None:
+        chain = _central_chain(top)
+        quads = np.stack(
+            [chain[:-3], chain[1:-2], chain[2:-1], chain[3:]], axis=1
+        )
+        if not omega:
+            keep = [k for k in range(len(quads)) if k % 3 != 1]
+            quads = quads[keep]
+        self.omega = omega
+        super().__init__(top, quads, periodic=periodic)
+
+    def _angle_names(self) -> list[str]:
+        # window k starting at chain position k: (N,CA,C,N)=PSI,
+        # (CA,C,N,CA)=OMEGA, (C,N,CA,C)=PHI
+        kinds = ["PSI", "OMEGA", "PHI"]
+        names = []
+        k_eff = 0
+        for k in range(len(self._indices)):
+            names.append(kinds[k_eff % 3])
+            k_eff += 1 if self.omega else (2 if k_eff % 3 == 0 else 1)
+        return names
+
+    def describe(self) -> list[str]:
+        out = []
+        for quad in self._indices:
+            a1 = self.top.atom(int(quad[1]))
+            res = a1.residue
+            kind = {"N": "PSI", "CA": "OMEGA", "C": "PHI"}.get(
+                self.top.atom(int(quad[0])).name, "DIH"
+            )
+            out.append(
+                f"CENTERDIH {kind}   RESID  {res.name}: {res.resSeq:4d} CHAIN "
+                f"{res.chain_index}"
+            )
+        return out
+
+    def generic_describe(self) -> list[str]:
+        out = []
+        for k, quad in enumerate(self._indices):
+            kind = {"N": "PSI", "CA": "OMEGA", "C": "PHI"}.get(
+                self.top.atom(int(quad[0])).name, "DIH"
+            )
+            resnum = k // 3 + 1
+            out.append(f"CENTERDIH {kind} {resnum}")
+        return out
+
+
+class SideChainDihedrals(DihedralFeature):
+    """chi1-5 per residue, ordered by (residue, chi)
+    (reference ``features.py:3332``)."""
+
+    name = "SideChainDihedrals"
+
+    def __init__(
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+    ) -> None:
+        quads = []
+        labels = []
+        generic = []
+        prot = [r for r in top.residues if r.is_protein]
+        for ri, r in enumerate(prot, start=1):
+            for n in range(1, 6):
+                names = CHI_ATOMS[f"chi{n}"].get(r.name)
+                if not names:
+                    continue
+                atoms = [r.atom(nm) for nm in names]
+                if any(a is None for a in atoms):
+                    continue
+                quads.append([a.index for a in atoms])
+                labels.append(
+                    f"SIDECHDIH CHI{n}  RESID  {r.name}: {r.resSeq:4d} CHAIN "
+                    f"{r.chain_index}"
+                )
+                generic.append(f"SIDECHDIH CHI{n} {ri}")
+        self._labels = labels
+        self._generic = generic
+        quads = np.asarray(quads, np.int64).reshape(-1, 4)
+        super().__init__(top, quads, periodic=periodic)
+
+    def describe(self) -> list[str]:
+        return list(self._labels)
+
+    def generic_describe(self) -> list[str]:
+        return list(self._generic)
+
+
+class AllBondDistances(DistanceFeature):
+    """Central + sidechain bond distances (reference ``features.py:3964``)."""
+
+    name = "AllBondDistances"
+
+    def __init__(
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+    ) -> None:
+        chain = _central_chain(top)
+        pairs = np.stack([chain[:-1], chain[1:]], axis=1).tolist()
+        side = SideChainBondDistances(top, periodic=periodic)
+        pairs += side._indices.tolist()
+        super().__init__(top, np.asarray(pairs, np.int64), periodic=periodic)
+
+    def describe(self) -> list[str]:
+        return [
+            f"ALLDISTANCE: {self.top.atom(int(a))} - {self.top.atom(int(b))}"
+            for a, b in self._indices
+        ]
+
+    def generic_describe(self) -> list[str]:
+        return [f"ALLDISTANCE {k}" for k in range(len(self._indices))]
+
+
+#: name -> class for the `add_list_of_feats` shortcuts; ADC set first
+ADC_FEATURES = {
+    "central_angles": CentralAngles,
+    "central_dihedrals": CentralDihedrals,
+    "central_cartesians": CentralCartesians,
+    "central_distances": CentralBondDistances,
+    "side_dihedrals": SideChainDihedrals,
+    "all_cartesians": AllCartesians,
+    "all_distances": AllBondDistances,
+    "side_cartesians": SideChainCartesians,
+    "side_distances": SideChainBondDistances,
+    "side_angles": SideChainAngles,
+}

@@ -1,0 +1,230 @@
+# encodermap_tpu/losses.py
+"""EncoderMap loss functions as pure, jittable scalar functions.
+
+Re-implements the closure factories of
+``/root/reference/encodermap/loss_functions/loss_functions.py:200-1067`` as
+plain functions of arrays + static parameters. The TensorBoard-gating
+``tf.cond(write_bool, ...)`` wrappers of the reference are unnecessary here:
+the jitted train step returns every individual cost as a metric, and the host
+decides what/when to log.
+
+Loss inventory (names and formulas match the reference):
+
+* ``sigmoid_loss``            — sketch-map cost between high-D and latent pairwise dists
+* ``distance_loss``           — sigmoid_loss * distance_cost_scale
+* ``cartesian_distance_loss`` — sigmoid_loss (non-periodic) on CA pairwise dists vs latent
+* ``cartesian_loss``          — mean-abs/square/norm between in/out pairwise dists with soft-start scale
+* ``auto_loss``               — periodic distance between input and reconstruction
+* ``dihedral/angle/side_dihedral_loss`` — periodic mean-abs family with /reference *scale
+* ``center_loss``             — mean(latent**2) * scale
+* ``regularization_loss``     — l2_reg_constant * sum of squared kernels
+"""
+
+from __future__ import annotations
+
+from math import pi
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .ops.distances import pairwise_dist, pairwise_dist_periodic, sigmoid
+from .parameters import ADCParameters, Parameters
+
+__all__ = [
+    "sigmoid_loss",
+    "distance_loss",
+    "cartesian_distance_loss",
+    "cartesian_loss",
+    "auto_loss",
+    "angle_loss",
+    "dihedral_loss",
+    "side_dihedral_loss",
+    "center_loss",
+    "regularization_loss",
+    "periodic_diff_cost",
+    "soft_start_scale",
+]
+
+Array = jax.Array
+
+
+def _periodic_distance(a: Array, b: Array, periodicity: float) -> Array:
+    d = jnp.abs(b - a)
+    if periodicity == float("inf"):
+        return d
+    return jnp.minimum(d, periodicity - d)
+
+
+def periodic_diff_cost(
+    y_true: Array, y_pred: Array, periodicity: float, variant: str
+) -> Array:
+    """The mean_abs/mean_square/mean_norm family over periodic differences.
+
+    Reference: e.g. ``loss_functions.py:596-610``.
+    """
+    d = _periodic_distance(y_true, y_pred, periodicity)
+    if variant == "mean_square":
+        return jnp.mean(jnp.square(d))
+    if variant == "mean_abs":
+        return jnp.mean(jnp.abs(d))
+    if variant == "mean_norm":
+        return jnp.mean(jnp.linalg.norm(d, axis=1))
+    raise ValueError(f"cost variant {variant!r} not available")
+
+
+def sigmoid_loss(
+    y_true: Array,
+    y_pred: Array,
+    dist_sig_parameters: tuple,
+    periodicity: float,
+) -> Array:
+    """Sketch-map sigmoid cost between all-pairs distances of ``y_true``
+    (high-D, optionally periodic) and ``y_pred`` (latent, Euclidean).
+
+    Reference: ``loss_functions.py:301-369``.
+    """
+    sig_h, a_h, b_h, sig_l, a_l, b_l = dist_sig_parameters
+    if periodicity == float("inf"):
+        dist_h = pairwise_dist(y_true)
+    else:
+        dist_h = pairwise_dist_periodic(y_true, periodicity)
+    dist_l = pairwise_dist(y_pred)
+    sig_h_v = sigmoid(sig_h, a_h, b_h)(dist_h)
+    sig_l_v = sigmoid(sig_l, a_l, b_l)(dist_l)
+    return jnp.mean(jnp.square(sig_h_v - sig_l_v))
+
+
+def distance_loss(y_true: Array, latent: Array, p: Parameters) -> Array:
+    """``sigmoid_loss * distance_cost_scale``; 0 if the scale is None.
+
+    Reference: ``loss_functions.py:200-298``.
+    """
+    if p.distance_cost_scale is None:
+        return jnp.asarray(0.0, jnp.float32)
+    cost = sigmoid_loss(y_true, latent, p.dist_sig_parameters, p.periodicity)
+    return cost * p.distance_cost_scale
+
+
+def cartesian_distance_loss(
+    inp_pairwise: Array, latent: Array, p: ADCParameters
+) -> Array:
+    """Sigmoid loss between CA pairwise distances (non-periodic) and latent.
+
+    Reference: ``loss_functions.py:873-944``.
+    """
+    if p.cartesian_distance_cost_scale is None:
+        return jnp.asarray(0.0, jnp.float32)
+    cost = sigmoid_loss(
+        inp_pairwise, latent, p.cartesian_dist_sig_parameters, float("inf")
+    )
+    return cost * p.cartesian_distance_cost_scale
+
+
+def soft_start_scale(p: ADCParameters, step: Array) -> Array:
+    """The soft-start cartesian cost scale as a pure function of the global
+    step (the reference drives this with the ``IncreaseCartesianCost``
+    callback mutating a Keras variable, ``callbacks/callbacks.py:532-606``):
+
+    * step <  a: 0
+    * a <= step <= b: cartesian_cost_scale * (step - a) / (b - a)
+    * step >  b: cartesian_cost_scale
+    """
+    scale = p.cartesian_cost_scale if p.cartesian_cost_scale is not None else 0.0
+    a, b = p.cartesian_cost_scale_soft_start
+    if a is None or b is None:
+        return jnp.asarray(scale, jnp.float32)
+    step_f = step.astype(jnp.float32)
+    frac = jnp.clip((step_f - a) / float(b - a), 0.0, 1.0)
+    return jnp.asarray(scale, jnp.float32) * frac
+
+
+def cartesian_loss(
+    inp_pairwise: Array,
+    out_pairwise: Array,
+    p: ADCParameters,
+    scale: Union[Array, float, None] = None,
+) -> Array:
+    """Mean-abs/square/norm between input and backmapped pairwise distances,
+    divided by the reference constant and multiplied by the (possibly
+    soft-started) scale.
+
+    Reference: ``loss_functions.py:947-1067``.
+    """
+    if p.cartesian_cost_variant == "mean_square":
+        cost = jnp.mean(jnp.square(inp_pairwise - out_pairwise))
+    elif p.cartesian_cost_variant == "mean_abs":
+        cost = jnp.mean(jnp.abs(inp_pairwise - out_pairwise))
+    elif p.cartesian_cost_variant == "mean_norm":
+        cost = jnp.mean(jnp.linalg.norm(inp_pairwise - out_pairwise, axis=1))
+    else:
+        raise ValueError(
+            f"cartesian_cost_variant {p.cartesian_cost_variant!r} not available"
+        )
+    cost = cost / p.cartesian_cost_reference
+    if scale is None:
+        scale = p.cartesian_cost_scale if p.cartesian_cost_scale is not None else 0.0
+    return cost * scale
+
+
+def auto_loss(y_true: Array, y_pred: Array, p: Parameters) -> Array:
+    """Autoencoding cost over periodic distances. Reference:
+    ``loss_functions.py:553-628``."""
+    if p.auto_cost_scale is None:
+        return jnp.asarray(0.0, jnp.float32)
+    cost = periodic_diff_cost(y_true, y_pred, p.periodicity, p.auto_cost_variant)
+    return cost * p.auto_cost_scale
+
+
+def _angle_family(
+    y_true: Array,
+    y_pred: Array,
+    p: ADCParameters,
+    scale: Optional[float],
+    variant: str,
+    reference: float,
+) -> Array:
+    if scale is None:
+        return jnp.asarray(0.0, jnp.float32)
+    cost = periodic_diff_cost(y_true, y_pred, p.periodicity, variant)
+    return cost / reference * scale
+
+
+def dihedral_loss(y_true: Array, y_pred: Array, p: ADCParameters) -> Array:
+    """Reference: ``loss_functions.py:631-712``."""
+    return _angle_family(
+        y_true, y_pred, p,
+        p.dihedral_cost_scale, p.dihedral_cost_variant, p.dihedral_cost_reference,
+    )
+
+
+def angle_loss(y_true: Array, y_pred: Array, p: ADCParameters) -> Array:
+    """Reference: ``loss_functions.py:790-870``."""
+    return _angle_family(
+        y_true, y_pred, p,
+        p.angle_cost_scale, p.angle_cost_variant, p.angle_cost_reference,
+    )
+
+
+def side_dihedral_loss(y_true: Array, y_pred: Array, p: ADCParameters) -> Array:
+    """Reference: ``loss_functions.py:715-787``."""
+    return _angle_family(
+        y_true, y_pred, p,
+        p.side_dihedral_cost_scale, p.side_dihedral_cost_variant,
+        p.side_dihedral_cost_reference,
+    )
+
+
+def center_loss(latent: Array, p: Parameters) -> Array:
+    """``mean(latent**2) * center_cost_scale``. Reference:
+    ``loss_functions.py:372-451``."""
+    if p.center_cost_scale is None:
+        return jnp.asarray(0.0, jnp.float32)
+    return jnp.mean(jnp.square(latent)) * p.center_cost_scale
+
+
+def regularization_loss(l2_kernel_sum: Array, p: Parameters) -> Array:
+    """Keras ``regularizers.l2`` semantics: ``const * sum(w**2)`` summed over
+    all kernel matrices. Reference: ``loss_functions.py:454-508`` (via
+    ``model.losses``)."""
+    return p.l2_reg_constant * l2_kernel_sum

@@ -1,0 +1,182 @@
+# encodermap_tpu/misc/saving.py
+"""Checkpointing: pytree <-> npz files, plus parameters.json sidecar.
+
+Functional replacement for the reference's Keras ``.keras`` checkpoints
+(``/root/reference/encodermap/misc/saving_loading_models.py:201-628``):
+a checkpoint directory contains
+
+* ``saved_model_{step}.npz``  — flattened model params (path-keyed arrays)
+* ``saved_model_{step}.opt.npz`` — optimizer state (optional but written by
+  default so resume continues Adam moments exactly)
+* ``parameters.json``         — the Parameters sidecar with
+  ``current_training_step`` updated, mirroring the reference's resume logic.
+
+No pickle anywhere: keys are JSON-encoded pytree paths, values are arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Optional, Union
+
+import jax
+import numpy as np
+
+__all__ = [
+    "save_pytree",
+    "load_pytree",
+    "save_checkpoint",
+    "latest_checkpoint",
+    "load_checkpoint",
+]
+
+
+def _flatten(tree: Any) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = json.dumps([_path_elem(p) for p in path])
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_elem(p: Any):
+    if isinstance(p, jax.tree_util.DictKey):
+        return ["d", p.key]
+    if isinstance(p, jax.tree_util.SequenceKey):
+        return ["s", p.idx]
+    if isinstance(p, jax.tree_util.GetAttrKey):
+        return ["a", p.name]
+    return ["r", repr(p)]
+
+
+def save_pytree(tree: Any, path: Union[str, Path]) -> str:
+    """Save an arbitrary (dict/list/array) pytree to one .npz file."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **_flatten(tree))
+    return str(path)
+
+
+def load_pytree(path: Union[str, Path]) -> Any:
+    """Rebuild the nested dict/list structure from a .npz written by
+    :func:`save_pytree`."""
+    data = np.load(path, allow_pickle=False)
+    root: Any = None
+
+    def ensure(container, elem, nxt_container):
+        kind, key = elem
+        if kind == "d" or kind == "a":
+            if key not in container:
+                container[key] = nxt_container
+            return container[key]
+        if kind == "s":
+            while len(container) <= key:
+                container.append(None)
+            if container[key] is None:
+                container[key] = nxt_container
+            return container[key]
+        raise ValueError(f"unsupported path element {elem}")
+
+    entries = []
+    for key in data.files:
+        path_elems = json.loads(key)
+        entries.append((path_elems, data[key]))
+
+    def make_container(elem):
+        kind, _ = elem
+        return [] if kind == "s" else {}
+
+    if not entries:
+        return {}
+    root = make_container(entries[0][0][0]) if entries[0][0] else None
+    for path_elems, value in entries:
+        if not path_elems:
+            return value
+        node = root
+        for i, elem in enumerate(path_elems[:-1]):
+            node = ensure(node, elem, make_container(path_elems[i + 1]))
+        kind, key = path_elems[-1]
+        if kind == "s":
+            while len(node) <= key:
+                node.append(None)
+            node[key] = value
+        else:
+            node[key] = value
+    return root
+
+
+def save_checkpoint(
+    main_path: Union[str, Path],
+    params: Any,
+    step: int,
+    opt_state: Any = None,
+    parameters: Any = None,
+    prefix: str = "saved_model",
+) -> str:
+    """Write ``{prefix}_{step}.npz`` (+ ``.opt.npz``) and refresh
+    ``parameters.json`` with the current step."""
+    main_path = Path(main_path)
+    main_path.mkdir(parents=True, exist_ok=True)
+    ckpt = main_path / f"{prefix}_{step}.npz"
+    save_pytree(params, ckpt)
+    if opt_state is not None:
+        save_pytree(opt_state, main_path / f"{prefix}_{step}.opt.npz")
+    if parameters is not None:
+        parameters.current_training_step = int(step)
+        parameters.save(main_path / "parameters.json")
+    return str(ckpt)
+
+
+def latest_checkpoint(
+    main_path: Union[str, Path], prefix: str = "saved_model"
+) -> Optional[tuple[str, int]]:
+    """Find the newest checkpoint by step number, like the reference's
+    ``load_model`` checkpoint sorting (``saving_loading_models.py:333-430``)."""
+    main_path = Path(main_path)
+    best = None
+    pattern = re.compile(rf"{re.escape(prefix)}_(\d+)\.npz$")
+    for f in main_path.glob(f"{prefix}_*.npz"):
+        m = pattern.match(f.name)
+        if m:
+            step = int(m.group(1))
+            if best is None or step > best[1]:
+                best = (str(f), step)
+    return best
+
+
+def load_checkpoint(
+    path: Union[str, Path], prefix: str = "saved_model"
+) -> tuple[Any, Optional[Any], int]:
+    """Load (params, opt_state_or_None, step) from a checkpoint file or the
+    newest checkpoint in a directory."""
+    path = Path(path)
+    if path.is_dir():
+        found = latest_checkpoint(path, prefix)
+        if found is None:
+            raise FileNotFoundError(f"no {prefix}_*.npz checkpoints in {path}")
+        path = Path(found[0])
+    m = re.match(rf"{re.escape(prefix)}_(\d+)\.npz$", path.name)
+    step = int(m.group(1)) if m else 0
+    params = load_pytree(path)
+    opt_file = Path(str(path)[: -len(".npz")] + ".opt.npz")
+    opt_state = str(opt_file) if opt_file.exists() else None
+    return params, opt_state, step
+
+
+def load_pytree_into(template: Any, path: Union[str, Path]) -> Any:
+    """Load leaves from a .npz into the *structure* of ``template``.
+
+    Needed for optax optimizer states, whose NamedTuple node types can't be
+    reconstructed from paths alone. The leaf count and order must match the
+    saved file (guaranteed when the template is a freshly-initialized state of
+    the same model)."""
+    data = np.load(path, allow_pickle=False)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    saved = [data[k] for k in data.files]
+    if len(saved) != len(leaves):
+        raise ValueError(
+            f"checkpoint {path} has {len(saved)} leaves, template has {len(leaves)}"
+        )
+    return jax.tree_util.tree_unflatten(treedef, saved)

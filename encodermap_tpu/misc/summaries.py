@@ -1,0 +1,137 @@
+# encodermap_tpu/misc/summaries.py
+"""Training observability: scalar metrics + latent-space images.
+
+The reference writes gated TensorBoard scalars per loss, layer histograms,
+and latent scatter/density images
+(``/root/reference/encodermap/misc/summaries.py:73-696``). Here the jitted
+train step returns *all* per-step costs as arrays (no graph-side gating
+needed), and this module handles the host side:
+
+* ``MetricsWriter`` appends JSONL rows (always) and optionally mirrors to
+  TensorBoard via ``tf.summary`` when TensorFlow is importable and
+  ``tensorboard=True``.
+* ``image_summary`` renders the latent scatter + density with matplotlib to a
+  PNG (and to TensorBoard when enabled), with the reference's NaN-placeholder
+  behavior.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Union
+
+import numpy as np
+
+__all__ = ["MetricsWriter", "image_summary", "histogram_summary"]
+
+
+class MetricsWriter:
+    """Append-only scalar metrics log with optional TensorBoard mirror."""
+
+    def __init__(
+        self,
+        main_path: Union[str, Path],
+        tensorboard: bool = False,
+        filename: str = "train_metrics.jsonl",
+    ) -> None:
+        self.main_path = Path(main_path)
+        self.main_path.mkdir(parents=True, exist_ok=True)
+        self.path = self.main_path / filename
+        self._fh = open(self.path, "a")
+        self._tb_writer = None
+        if tensorboard:
+            try:
+                import tensorflow as tf  # noqa: deferred heavy import
+
+                logdir = str(self.main_path / "train")
+                self._tb_writer = tf.summary.create_file_writer(logdir)
+            except Exception as e:  # pragma: no cover - TF optional
+                print(f"TensorBoard writer unavailable ({e}); JSONL only.")
+
+    def write_scalars(self, step: int, scalars: dict[str, Any]) -> None:
+        row = {"step": int(step)}
+        for k, v in scalars.items():
+            row[k] = float(np.asarray(v))
+        self._fh.write(json.dumps(row) + "\n")
+        self._fh.flush()
+        if self._tb_writer is not None:
+            import tensorflow as tf
+
+            with self._tb_writer.as_default(step=int(step)):
+                for k, v in scalars.items():
+                    tf.summary.scalar(k, float(np.asarray(v)))
+            self._tb_writer.flush()
+
+    def write_image(self, step: int, name: str, png_bytes: bytes) -> None:
+        if self._tb_writer is not None:
+            import tensorflow as tf
+
+            img = tf.image.decode_png(png_bytes, channels=4)[None]
+            with self._tb_writer.as_default(step=int(step)):
+                tf.summary.image(name, img)
+            self._tb_writer.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+def histogram_summary(writer: MetricsWriter, step: int, params: Any) -> None:
+    """Log weight/bias summary statistics per layer (the TPU-side stand-in
+    for the reference's per-layer histograms, ``summaries.py:73-98``)."""
+    import jax
+
+    stats = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        arr = np.asarray(leaf)
+        stats[f"weights/{name}/mean"] = float(arr.mean())
+        stats[f"weights/{name}/std"] = float(arr.std())
+    writer.write_scalars(step, stats)
+
+
+def image_summary(
+    latent: np.ndarray,
+    step: int,
+    main_path: Union[str, Path],
+    writer: Optional[MetricsWriter] = None,
+    max_points: int = 10000,
+    name: str = "latent",
+) -> Optional[str]:
+    """Latent scatter + 2D histogram density image, saved as PNG.
+
+    Mirrors ``misc/summaries.py:424-497`` including the NaN placeholder: if
+    the latent contains NaNs, a text placeholder image is written instead.
+    """
+    import io
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    latent = np.asarray(latent)
+    if latent.shape[0] > max_points:
+        idx = np.random.default_rng(0).choice(latent.shape[0], max_points, False)
+        latent = latent[idx]
+
+    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    if np.any(np.isnan(latent)):
+        for ax in axes:
+            ax.text(0.5, 0.5, "NaN in latent", ha="center", va="center")
+            ax.set_axis_off()
+    else:
+        axes[0].scatter(latent[:, 0], latent[:, 1], s=2)
+        axes[0].set_title("latent scatter")
+        axes[1].hist2d(latent[:, 0], latent[:, 1], bins=50)
+        axes[1].set_title("latent density")
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=100)
+    plt.close(fig)
+    png = buf.getvalue()
+
+    out = Path(main_path) / f"{name}_{step}.png"
+    out.write_bytes(png)
+    if writer is not None:
+        writer.write_image(step, name, png)
+    return str(out)

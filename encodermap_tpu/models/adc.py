@@ -1,0 +1,209 @@
+# encodermap_tpu/models/adc.py
+"""The AngleDihedralCartesian (ADC) model: internal-coordinate autoencoder
+with in-graph backmapping.
+
+Functional re-design of the reference's functional-API graph
+(``/root/reference/encodermap/models/models.py:385-1060``, class at
+``:2152-2523``). Input order is always (angles, central_dihedrals,
+cartesians, distances[, side_dihedrals]); the forward pass produces
+(out_angles, out_dihedrals[, out_side_dihedrals], back_cartesians,
+inp_pairwise, out_pairwise) exactly like the reference so the loss assembly
+(``models.py:2260-2459``) carries over one-to-one.
+
+Architecture (non-sidechain-reconstruction path):
+
+  per-group unit-circle projection (sin||cos)  [PeriodicInput, layers.py:175]
+        -> concat -> encoder MLP -> latent
+        -> decoder MLP -> split by group -> atan2   [PeriodicOutput, :1094]
+  out_angles = batch-mean of input angles when not trained  [MeanAngles, :1129]
+  BackMap: mean bond lengths -> chain_in_plane -> dihedrals+pi -> 3D scan
+  PairwiseDistances of the CA slice of input and backmapped cartesians
+
+Everything is a pure function of (params, inputs) with static Parameters.
+"""
+
+from __future__ import annotations
+
+from math import pi
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import ACTIVATIONS, l2_sum, mlp_apply, mlp_init
+from ..ops.backmap import backmap as backmap_op
+from ..ops.distances import pairwise_dist
+from ..parameters import ADCParameters
+
+__all__ = ["ADCShapes", "init_params", "encode", "decode", "forward",
+           "cartesian_pwd_slice", "regularization_sum"]
+
+Array = jax.Array
+
+
+class ADCShapes(NamedTuple):
+    """Static input dims: n angles, n dihedrals, n cartesian atoms,
+    n distances, n side dihedrals (0 = no sidechain training)."""
+
+    n_angles: int
+    n_dihedrals: int
+    n_cartesians: int
+    n_distances: int
+    n_side_dihedrals: int = 0
+
+    @classmethod
+    def from_data(cls, angles, dihedrals, cartesians, distances,
+                  side_dihedrals=None) -> "ADCShapes":
+        return cls(
+            n_angles=angles.shape[1],
+            n_dihedrals=dihedrals.shape[1],
+            n_cartesians=cartesians.shape[1],
+            n_distances=distances.shape[1],
+            n_side_dihedrals=0 if side_dihedrals is None else side_dihedrals.shape[1],
+        )
+
+
+def _encoder_in_dim(p: ADCParameters, shapes: ADCShapes) -> int:
+    dim = 2 * shapes.n_dihedrals
+    if p.use_backbone_angles:
+        dim += 2 * shapes.n_angles
+    if p.use_sidechains:
+        dim += 2 * shapes.n_side_dihedrals
+    return dim
+
+
+def decoder_splits(p: ADCParameters, shapes: ADCShapes) -> list[int]:
+    """Sizes of the decoder-output groups (in unit-circle space), following
+    ``_concatenate_inputs`` (``models.py:1942-2025``)."""
+    if not p.use_backbone_angles:
+        return [2 * shapes.n_dihedrals]
+    splits = [2 * shapes.n_angles, 2 * shapes.n_dihedrals]
+    if p.use_sidechains:
+        splits.append(2 * shapes.n_side_dihedrals)
+    return splits
+
+
+def init_params(
+    key: jax.Array, p: ADCParameters, shapes: ADCShapes, dtype: Any = jnp.float32
+) -> dict:
+    in_dim = _encoder_in_dim(p, shapes)
+    out_dim = sum(decoder_splits(p, shapes))
+    k_enc, k_dec = jax.random.split(key)
+    enc_dims = [in_dim] + list(p.n_neurons)
+    dec_dims = [p.n_neurons[-1]] + list(p.n_neurons[-2::-1]) + [out_dim]
+    return {
+        "encoder": mlp_init(k_enc, enc_dims, dtype),
+        "decoder": mlp_init(k_dec, dec_dims, dtype),
+    }
+
+
+def _encoder_activations(p: ADCParameters) -> list:
+    return [ACTIVATIONS[a] for a in p.activation_functions[1:]]
+
+
+def _decoder_activations(p: ADCParameters) -> list:
+    # mirrored activations; the final entry ("") maps to a linear output
+    return [ACTIVATIONS[a] for a in p.activation_functions[-2::-1]]
+
+
+def _unit_circle(x: Array, periodicity: float) -> Array:
+    """PeriodicInput: rescale to 2*pi, emit sin||cos (``layers.py:203-215``)."""
+    if periodicity != 2 * pi:
+        x = x / periodicity * 2 * pi
+    return jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=1)
+
+
+def _from_unit_circle(x: Array, periodicity: float) -> Array:
+    """PeriodicOutput: atan2 halving, rescale back (``layers.py:1117-1126``)."""
+    s, c = jnp.split(x, 2, axis=1)
+    out = jnp.arctan2(s, c)
+    if periodicity != 2 * pi:
+        out = out / (2 * pi) * periodicity
+    return out
+
+
+def encode(params: dict, p: ADCParameters, inputs: tuple) -> Array:
+    """Encoder: unit-circle projections of the trained groups, concatenated
+    in (angles, dihedrals, side_dihedrals) order, through the MLP."""
+    angles, dihedrals = inputs[0], inputs[1]
+    side = inputs[4] if len(inputs) >= 5 else None
+    groups = []
+    if p.use_backbone_angles:
+        groups.append(_unit_circle(angles, p.periodicity))
+    groups.append(_unit_circle(dihedrals, p.periodicity))
+    if p.use_sidechains:
+        assert side is not None, "use_sidechains=True requires side_dihedrals input"
+        groups.append(_unit_circle(side, p.periodicity))
+    x = jnp.concatenate(groups, axis=1) if len(groups) > 1 else groups[0]
+    compute_dtype = jnp.bfloat16 if p.compute_dtype == "bfloat16" else None
+    return mlp_apply(params["encoder"], x, _encoder_activations(p), compute_dtype)
+
+
+def decode(
+    params: dict, p: ADCParameters, latent: Array, shapes: ADCShapes
+) -> tuple:
+    """Decoder MLP + per-group PeriodicOutput. Returns (angles_or_None,
+    dihedrals, side_dihedrals_or_None)."""
+    compute_dtype = jnp.bfloat16 if p.compute_dtype == "bfloat16" else None
+    out = mlp_apply(params["decoder"], latent, _decoder_activations(p), compute_dtype)
+    splits = decoder_splits(p, shapes)
+    if not p.use_backbone_angles:
+        return None, _from_unit_circle(out, p.periodicity), None
+    offsets = np.cumsum(splits)[:-1].tolist()
+    parts = jnp.split(out, offsets, axis=1)
+    out_angles = _from_unit_circle(parts[0], p.periodicity)
+    out_dihedrals = _from_unit_circle(parts[1], p.periodicity)
+    out_side = (
+        _from_unit_circle(parts[2], p.periodicity) if p.use_sidechains else None
+    )
+    return out_angles, out_dihedrals, out_side
+
+
+def cartesian_pwd_slice(p: ADCParameters, cartesians: Array) -> Array:
+    """Slice the atoms used for the pairwise-distance costs (default: CA
+    atoms of an N-CA-C backbone, i.e. ``1::3``), then flat pairwise dists
+    (``models/layers.py:1252-1266``)."""
+    start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
+    stop = p.cartesian_pwd_stop
+    step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
+    sliced = cartesians[:, start:stop:step]
+    return pairwise_dist(sliced, flat=True)
+
+
+def forward(params: dict, p: ADCParameters, inputs: tuple, shapes: ADCShapes
+            ) -> tuple:
+    """Full ADC forward pass.
+
+    Args:
+        inputs: (angles, dihedrals, cartesians, distances[, side_dihedrals]).
+
+    Returns:
+        (out_angles, out_dihedrals, out_side_dihedrals_or_None,
+         back_cartesians, inp_pairwise, out_pairwise, latent)
+    """
+    angles, dihedrals, cartesians, distances = inputs[:4]
+
+    latent = encode(params, p, inputs)
+    out_angles, out_dihedrals, out_side = decode(params, p, latent, shapes)
+    if not p.use_backbone_angles:
+        # MeanAngles: tile the batch mean (``layers.py:1152-1160``)
+        mean = jnp.mean(angles, axis=0, keepdims=True)
+        out_angles = jnp.broadcast_to(mean, angles.shape)
+
+    back_cartesians = backmap_op(distances, out_angles, out_dihedrals)
+    inp_pair = cartesian_pwd_slice(p, cartesians)
+    out_pair = cartesian_pwd_slice(p, back_cartesians)
+    return (
+        out_angles,
+        out_dihedrals,
+        out_side,
+        back_cartesians,
+        inp_pair,
+        out_pair,
+        latent,
+    )
+
+
+def regularization_sum(params: dict) -> Array:
+    return l2_sum(params)

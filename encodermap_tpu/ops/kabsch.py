@@ -1,0 +1,72 @@
+# encodermap_tpu/ops/kabsch.py
+"""Weighted Kabsch superposition + batched RMSD.
+
+Re-implements the reference's metric kernels
+(``/root/reference/encodermap/callbacks/metrics.py:71-246``) as batched JAX
+(vmapped SVD on device). Used by the ADCRMSDMetric equivalent and available
+as a public op.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["kabsch_weighted", "rmsd"]
+
+Array = jax.Array
+
+
+def kabsch_weighted(
+    P: Array, Q: Array, W: Optional[Array] = None
+) -> tuple[Array, Array, Array]:
+    """Optimal rotation R and translation t minimizing the weighted RMSD of
+    ``P`` onto ``Q`` plus the resulting RMSD.
+
+    Args:
+        P: ``(n, 3)`` coordinates.
+        Q: ``(n, 3)`` coordinates.
+        W: optional ``(n,)`` weights (default: uniform).
+
+    Returns:
+        (rmsd, R, t) with ``P_aligned = P @ R.T + t``.
+    """
+    n = P.shape[0]
+    if W is None:
+        W = jnp.full((n,), 1.0 / n, P.dtype)
+    else:
+        W = W / jnp.sum(W)
+    p_bar = jnp.sum(P * W[:, None], axis=0)
+    q_bar = jnp.sum(Q * W[:, None], axis=0)
+    Pc = P - p_bar
+    Qc = Q - q_bar
+    C = jnp.einsum(
+        "ni,n,nj->ij", Qc, W, Pc, precision=jax.lax.Precision.HIGHEST
+    )
+    U, S, Vt = jnp.linalg.svd(C, full_matrices=False)
+    det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], P.dtype)).at[2, 2].set(det)
+    R = U @ D @ Vt
+    t = q_bar - R @ p_bar
+    P_aligned = Pc @ R.T + q_bar
+    msd = jnp.sum(W[:, None] * jnp.square(P_aligned - Q))
+    return jnp.sqrt(jnp.maximum(msd, 0.0)), R, t
+
+
+def rmsd(P: Array, Q: Array, W: Optional[Array] = None) -> Array:
+    """Batched minimal RMSD after optimal superposition.
+
+    Args:
+        P, Q: ``(batch, n, 3)`` coordinate sets.
+        W: optional ``(n,)`` weights.
+
+    Returns:
+        ``(batch,)`` RMSD values.
+    """
+
+    def one(p, q):
+        return kabsch_weighted(p, q, W)[0]
+
+    return jax.vmap(one)(P, Q)

@@ -1,0 +1,462 @@
+# encodermap_tpu/train/adc_autoencoder.py
+"""AngleDihedralCartesianEncoderMap: internal-coordinate training with
+in-graph backmapping.
+
+Mirrors the reference class
+(``/root/reference/encodermap/autoencoder/autoencoder.py:1403-2576``):
+5 CVs (central_angles, central_dihedrals, central_cartesians,
+central_distances, side_dihedrals), the 7/8-loss assembly of
+``models/models.py:2260-2459``, the soft-start cartesian schedule,
+``train_for_references`` cost normalization, and
+``encode/decode/generate/save/from_checkpoint``.
+
+TPU-native: one jitted XLA program per train step (including the
+associative-scan backmapping), scan-chunked stepping, device-resident CVs.
+Accepts either a ``TrajEnsemble`` (its ``.CVs`` dict is used) or a plain dict
+of numpy arrays keyed by CV name.
+"""
+
+from __future__ import annotations
+
+from math import pi
+from pathlib import Path
+from typing import Any, Mapping, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import losses as L
+from ..misc.saving import load_checkpoint, load_pytree_into, save_checkpoint
+from ..misc.summaries import MetricsWriter
+from ..models import adc
+from ..ops.backmap import backmap as backmap_op
+from ..ops.distances import pairwise_dist
+from ..ops.kabsch import rmsd as rmsd_op
+from ..parameters import ADCParameters
+from .autoencoder import Autoencoder, _tree_to_jax
+from .callbacks import Callback, CheckpointSaver, NaNInterrupt, ProgressBar
+from .core import TrainState, make_optimizer, make_scan_trainer
+
+__all__ = ["AngleDihedralCartesianEncoderMap"]
+
+Array = jax.Array
+
+CV_ORDER = (
+    "central_angles",
+    "central_dihedrals",
+    "central_cartesians",
+    "central_distances",
+    "side_dihedrals",
+)
+
+
+def _extract_cvs(trajs: Any, p: ADCParameters) -> tuple[np.ndarray, ...]:
+    """Pull the 5 CV arrays out of a TrajEnsemble-like object or a mapping."""
+    if isinstance(trajs, Mapping):
+        cvs = trajs
+    elif hasattr(trajs, "CVs"):
+        cvs = trajs.CVs
+    else:
+        raise TypeError(
+            f"Expected a TrajEnsemble or a dict of CV arrays, got {type(trajs)}"
+        )
+    needed = list(CV_ORDER[:4])
+    if p.use_sidechains:
+        needed.append("side_dihedrals")
+    missing = [k for k in needed if k not in cvs]
+    if missing:
+        raise ValueError(
+            f"CVs {missing} not found. Load them with trajs.load_CVs(...) or "
+            f"provide them in the dict."
+        )
+    out = []
+    for k in needed:
+        arr = np.asarray(cvs[k], np.float32)
+        if k == "central_cartesians" and arr.ndim == 2:
+            arr = arr.reshape(len(arr), -1, 3)
+        out.append(arr)
+    return tuple(out)
+
+
+class AngleDihedralCartesianEncoderMap:
+    """Train on backbone internal coordinates; generate new conformations by
+    decoding + in-graph backmapping."""
+
+    def __init__(
+        self,
+        trajs: Any = None,
+        parameters: Optional[ADCParameters] = None,
+        model_params: Optional[dict] = None,
+        read_only: bool = False,
+        dataset: Optional[tuple] = None,
+    ) -> None:
+        self.p = parameters if parameters is not None else ADCParameters()
+        self.read_only = read_only
+        self.trajs = trajs
+        self._metrics_writer: Optional[MetricsWriter] = None
+        self.history: dict[str, list] = {}
+        self.callbacks: list[Callback] = []
+
+        if dataset is not None:
+            self.train_data = tuple(np.asarray(d, np.float32) for d in dataset)
+        else:
+            self.train_data = _extract_cvs(trajs, self.p)
+        (angles, dihedrals, cartesians, distances) = self.train_data[:4]
+        side = self.train_data[4] if len(self.train_data) == 5 else None
+        self.shapes = adc.ADCShapes.from_data(
+            angles, dihedrals, cartesians, distances, side
+        )
+
+        if not read_only:
+            Path(self.p.main_path).mkdir(parents=True, exist_ok=True)
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+
+        seed = self.p.seed if self.p.seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+        k_model, k_train = jax.random.split(key)
+        if model_params is None:
+            model_params = adc.init_params(k_model, self.p, self.shapes)
+        self.optimizer = make_optimizer(self.p.learning_rate)
+        self.state = TrainState.create(
+            model_params, self.optimizer, k_train,
+            step=self.p.current_training_step,
+        )
+        self._trainer = None
+
+    # ------------------------------------------------------------------ losses
+    def _loss_terms(
+        self, params: dict, batch: tuple, step: Array
+    ) -> dict[str, Array]:
+        """The reference's get_loss assembly (``models.py:2260-2459``)."""
+        p = self.p
+        inp_angles, inp_dihedrals, inp_cartesians, inp_distances = batch[:4]
+        inp_side = batch[4] if len(batch) == 5 else None
+
+        (out_angles, out_dihedrals, out_side, back_cartesians,
+         inp_pair, out_pair, latent) = adc.forward(params, p, batch, self.shapes)
+
+        # encoder input for the distance/center costs: the concatenation of
+        # the *raw* trained groups (``loss_functions.py:279-281``)
+        groups = [inp_dihedrals]
+        if p.use_backbone_angles:
+            groups = [inp_angles, inp_dihedrals]
+        if p.use_sidechains:
+            groups = groups + [inp_side]
+        enc_inp = jnp.concatenate(groups, axis=1) if len(groups) > 1 else groups[0]
+
+        scale = L.soft_start_scale(p, step)
+        terms = {
+            "dihedral_loss": L.dihedral_loss(inp_dihedrals, out_dihedrals, p),
+            "angle_loss": L.angle_loss(inp_angles, out_angles, p),
+            "cartesian_loss": L.cartesian_loss(inp_pair, out_pair, p, scale=scale),
+            "distance_loss": L.distance_loss(enc_inp, latent, p),
+            "cartesian_distance_loss": L.cartesian_distance_loss(
+                inp_pair, latent, p
+            ),
+            "center_loss": L.center_loss(latent, p),
+            "regularization_loss": L.regularization_loss(
+                adc.regularization_sum(params), p
+            ),
+        }
+        if p.use_sidechains:
+            terms["side_dihedral_loss"] = L.side_dihedral_loss(
+                inp_side, out_side, p
+            )
+        terms["cartesian_cost_scale"] = scale
+        return terms
+
+    def _metric_terms(self, params: dict, batch: tuple) -> dict[str, Array]:
+        """Optional clash / RMSD metrics (``callbacks/metrics.py:470-581``)."""
+        p = self.p
+        out = {}
+        if not (p.track_clashes or p.track_RMSD):
+            return out
+        (_, _, _, back_cartesians, _, _, _) = adc.forward(
+            params, p, batch, self.shapes
+        )
+        if p.track_clashes:
+            d = pairwise_dist(back_cartesians, flat=True)
+            out["clashes"] = jnp.mean(jnp.sum(d < 1.0, axis=-1).astype(jnp.float32))
+        if p.track_RMSD:
+            out["rmsd"] = jnp.mean(
+                rmsd_op(back_cartesians, batch[2])
+            )
+        return out
+
+    # ------------------------------------------------------------------ training
+    def _make_train_step(self):
+        def train_step(state: TrainState, batch):
+            def total(params):
+                terms = self._loss_terms(params, batch, state.step)
+                loss = jnp.asarray(0.0, jnp.float32)
+                for k, v in terms.items():
+                    if k != "cartesian_cost_scale":
+                        loss = loss + v
+                return loss, terms
+
+            (loss, terms), grads = jax.value_and_grad(total, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = jax.tree_util.tree_map(
+                lambda p_, u: p_ + u, state.params, updates
+            )
+            metrics = dict(terms)
+            metrics["loss"] = loss
+            metrics.update(self._metric_terms(params, batch))
+            return (
+                state.replace(
+                    params=params, opt_state=opt_state, step=state.step + 1
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    def _get_trainer(self):
+        if self._trainer is None:
+            steps_per_scan = max(1, min(self.p.steps_per_scan, self.p.n_steps))
+            self._trainer = make_scan_trainer(
+                self._make_train_step(), self.p.batch_size, steps_per_scan
+            )
+        return self._trainer
+
+    def _device_data(self) -> tuple:
+        return tuple(
+            jnp.asarray(np.nan_to_num(d, nan=0.0)) for d in self.train_data
+        )
+
+    def train(self) -> dict[str, np.ndarray]:
+        start = int(self.state.step)
+        remaining = self.p.n_steps - start
+        if remaining <= 0:
+            print(
+                f"This model has already been trained for {start} steps. "
+                f"Increase p.n_steps to train further."
+            )
+            return self.history
+
+        trainer = self._get_trainer()
+        data = self._device_data()
+        cbs: list[Callback] = [ProgressBar(self.p.n_steps), NaNInterrupt()]
+        if not self.read_only:
+            cbs.append(CheckpointSaver(self, self.p.checkpoint_step))
+            self._metrics_writer = MetricsWriter(
+                self.p.main_path, tensorboard=self.p.tensorboard
+            )
+        cbs += self.callbacks
+        for cb in cbs:
+            cb.on_train_begin(self)
+
+        history: dict[str, list] = {}
+        stop = False
+        done = 0
+        while done < remaining and not stop:
+            first_step = int(self.state.step)
+            self.state, metrics = trainer(self.state, data)
+            metrics = jax.device_get(metrics)
+            n = len(next(iter(metrics.values())))
+            overshoot = max(0, (done + n) - remaining)
+            if overshoot:
+                metrics = {k: v[: n - overshoot] for k, v in metrics.items()}
+                n -= overshoot
+            for k, v in metrics.items():
+                history.setdefault(k, []).append(v)
+            if self._metrics_writer is not None:
+                stride = max(1, self.p.summary_step)
+                for i in range(n):
+                    step_i = first_step + i + 1
+                    if step_i % stride == 0:
+                        self._metrics_writer.write_scalars(
+                            step_i, {k: v[i] for k, v in metrics.items()}
+                        )
+            for cb in cbs:
+                if cb.on_chunk_end(first_step, metrics) is False:
+                    stop = True
+            done += n
+
+        for cb in cbs:
+            cb.on_train_end(self)
+        self.history = {k: np.concatenate(v) for k, v in history.items()}
+        self.p.current_training_step = int(self.state.step)
+        if not self.read_only:
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+            self.save()
+        return self.history
+
+    def train_for_references(self, subsample: int = 100, maxiter: int = 500
+                             ) -> dict[str, float]:
+        """Normalize angle/dihedral/cartesian costs against a dummy model
+        that always predicts the dataset mean
+        (reference: ``autoencoder.py:1816-1938``)."""
+        p_ref = ADCParameters(
+            cartesian_cost_scale=1, angle_cost_scale=1, dihedral_cost_scale=1
+        )
+        angles, dihedrals, cartesians, distances = self.train_data[:4]
+        n = len(angles)
+        nsteps = min(maxiter, max(1, n // self.p.batch_size))
+
+        mean_angles = jnp.asarray(angles.mean(0, keepdims=True))
+        mean_dihedrals = jnp.asarray(dihedrals.mean(0, keepdims=True))
+        mean_lengths = jnp.asarray(distances.mean(0, keepdims=True))
+        gen_cartesians = backmap_op(
+            mean_lengths,
+            mean_angles,
+            mean_dihedrals,
+        )
+        gen_pd = adc.cartesian_pwd_slice(self.p, gen_cartesians)
+
+        @jax.jit
+        def refs(batch_angles, batch_dihedrals, batch_cartesians):
+            B = batch_angles.shape[0]
+            tiled_ang = jnp.broadcast_to(mean_angles, (B,) + mean_angles.shape[1:])
+            tiled_di = jnp.broadcast_to(
+                mean_dihedrals, (B,) + mean_dihedrals.shape[1:]
+            )
+            a = L.angle_loss(batch_angles, tiled_ang, p_ref)
+            d = L.dihedral_loss(batch_dihedrals, tiled_di, p_ref)
+            pd = adc.cartesian_pwd_slice(self.p, batch_cartesians)
+            gen = jnp.broadcast_to(gen_pd, (B,) + gen_pd.shape[1:]).reshape(
+                B, -1
+            )
+            c = L.cartesian_loss(pd, gen, p_ref, scale=1.0)
+            return a, d, c
+
+        rng = np.random.default_rng(self.p.seed if self.p.seed is not None else 0)
+        acc = {"angle_cost": [], "dihedral_cost": [], "cartesian_cost": []}
+        for _ in range(nsteps):
+            idx = rng.integers(0, n, self.p.batch_size)
+            a, d, c = refs(
+                jnp.asarray(angles[idx]),
+                jnp.asarray(dihedrals[idx]),
+                jnp.asarray(cartesians[idx]),
+            )
+            acc["angle_cost"].append(float(a))
+            acc["dihedral_cost"].append(float(d))
+            acc["cartesian_cost"].append(float(c))
+        means = {k: float(np.mean(v)) for k, v in acc.items()}
+        print(f"After {nsteps} steps setting cost references: {means}.")
+        self.p.angle_cost_reference = means["angle_cost"]
+        self.p.dihedral_cost_reference = means["dihedral_cost"]
+        self.p.cartesian_cost_reference = means["cartesian_cost"]
+        if not self.read_only:
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+        return means
+
+    # ------------------------------------------------------------------ inference
+    def encode(self, data: Optional[Any] = None) -> np.ndarray:
+        """Latent projection of (angles, dihedrals[, side_dihedrals]) tuples,
+        a stacked feature matrix, or the training CVs."""
+        if data is None:
+            data = self.train_data
+        if isinstance(data, np.ndarray):
+            data = self._split_stacked(data)
+        arrs = tuple(jnp.asarray(np.asarray(d, np.float32)) for d in data)
+
+        fn = jax.jit(lambda inputs: adc.encode(self.state.params, self.p, inputs))
+        # encode() only consumes the trained groups; pad tuple to 5 slots
+        if len(arrs) < 5:
+            arrs = arrs + tuple([jnp.zeros((arrs[0].shape[0], 0))] * (5 - len(arrs)))
+        return np.asarray(fn(arrs))
+
+    def _split_stacked(self, data: np.ndarray) -> tuple:
+        """Split a stacked (angles|dihedrals|side) matrix by the known dims."""
+        s = self.shapes
+        if not self.p.use_backbone_angles:
+            return (np.zeros((len(data), s.n_angles), np.float32), data)
+        cols = [s.n_angles, s.n_dihedrals]
+        if self.p.use_sidechains:
+            cols.append(s.n_side_dihedrals)
+        assert data.shape[1] == sum(cols), (data.shape, cols)
+        parts = np.split(data, np.cumsum(cols)[:-1], axis=1)
+        if self.p.use_sidechains:
+            a, d, sd = parts
+            return (a, d, np.zeros((len(a), 0)), np.zeros((len(a), 0)), sd)
+        a, d = parts
+        return (a, d)
+
+    def decode(self, latent: np.ndarray) -> tuple:
+        """Decode latent -> (angles, dihedrals[, side_dihedrals]); mean
+        angles are substituted when angles aren't trained
+        (``autoencoder.py:2502``)."""
+        latent = jnp.asarray(np.asarray(latent, np.float32))
+        fn = jax.jit(
+            lambda z: adc.decode(self.state.params, self.p, z, self.shapes)
+        )
+        out_angles, out_dihedrals, out_side = fn(latent)
+        if out_angles is None:
+            mean = self.train_data[0].mean(0, keepdims=True)
+            out_angles = np.broadcast_to(mean, (len(latent), mean.shape[1]))
+        outs = (np.asarray(out_angles), np.asarray(out_dihedrals))
+        if out_side is not None:
+            outs = outs + (np.asarray(out_side),)
+        return outs
+
+    def generate(
+        self, points: np.ndarray, backend: str = "scan", top: Any = None
+    ) -> Any:
+        """Decode latent points and backmap to 3-D coordinates.
+
+        ``backend="scan"`` uses the in-graph associative-scan backmapping
+        with the training set's mean bond lengths — the on-chip equivalent of
+        the reference's in-graph path. ``backend="mdtraj"``-style topology-
+        aware backmapping arrives with the data layer.
+
+        Returns ``(n_points, n_atoms, 3)`` coordinates.
+        """
+        points = np.asarray(points, np.float32)
+        decoded = self.decode(points)
+        out_angles, out_dihedrals = decoded[0], decoded[1]
+        distances = self.train_data[3]
+        mean_lengths = np.broadcast_to(
+            distances.mean(0, keepdims=True),
+            (len(points), distances.shape[1]),
+        )
+        fn = jax.jit(backmap_op)
+        xyz = fn(
+            jnp.asarray(mean_lengths),
+            jnp.asarray(out_angles, jnp.float32),
+            jnp.asarray(out_dihedrals, jnp.float32),
+        )
+        return np.asarray(xyz)
+
+    # ------------------------------------------------------------------ persistence
+    def save(self, step: Optional[int] = None) -> Optional[str]:
+        if self.read_only:
+            return None
+        step = int(self.state.step) if step is None else int(step)
+        return save_checkpoint(
+            self.p.main_path, self.state.params, step,
+            opt_state=self.state.opt_state, parameters=self.p,
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        trajs: Any,
+        checkpoint_path: Union[str, Path],
+        use_previous_model: bool = False,
+        dataset: Optional[tuple] = None,
+        **kwargs: Any,
+    ) -> "AngleDihedralCartesianEncoderMap":
+        ckpt_path = Path(checkpoint_path)
+        directory = ckpt_path if ckpt_path.is_dir() else ckpt_path.parent
+        p = ADCParameters.from_file(directory / "parameters.json")
+        model_params, opt_npz, step = load_checkpoint(ckpt_path)
+        if step != p.current_training_step and not use_previous_model:
+            raise ValueError(
+                f"Checkpoint step {step} disagrees with parameters.json "
+                f"({p.current_training_step}). Pass use_previous_model=True "
+                f"to load this intermediate checkpoint anyway."
+            )
+        out = cls(trajs, parameters=p, model_params=_tree_to_jax(model_params),
+                  dataset=dataset, **kwargs)
+        out.state = out.state.replace(step=jnp.asarray(step, jnp.int32))
+        if opt_npz is not None:
+            out.state = out.state.replace(
+                opt_state=load_pytree_into(out.state.opt_state, opt_npz)
+            )
+        return out

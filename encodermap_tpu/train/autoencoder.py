@@ -1,0 +1,338 @@
+# encodermap_tpu/train/autoencoder.py
+"""User-facing autoencoder classes: Autoencoder, EncoderMap.
+
+API surface mirrors the reference
+(``/root/reference/encodermap/autoencoder/autoencoder.py:573-1307``):
+``train() / encode() / decode() / generate() / save() / from_checkpoint()``,
+hypercube fallback data, loss selection by ``p.loss``.
+
+TPU-native differences:
+
+* the train loop runs as jitted scan chunks (see ``train/core.py``) with the
+  dataset resident on device,
+* data parallelism comes from a ``jax.sharding.Mesh``: the dataset and every
+  sampled batch are sharded over the ``dp`` axis, parameters are replicated,
+  and XLA inserts the all-gathers the all-pairs distance loss needs,
+* losses and the optimizer update compile into the same XLA program.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import losses as L
+from ..misc.misc import create_n_cube
+from ..misc.saving import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_pytree_into,
+    save_checkpoint,
+)
+from ..misc.summaries import MetricsWriter
+from ..models import sequential as seq
+from ..parameters import Parameters
+from .callbacks import Callback, CheckpointSaver, NaNInterrupt, ProgressBar
+from .core import TrainState, make_optimizer, make_scan_trainer
+
+__all__ = ["Autoencoder", "EncoderMap"]
+
+Array = jax.Array
+
+
+class Autoencoder:
+    """Base autoencoder: auto + center + regularization losses.
+
+    Args:
+        parameters: a :class:`Parameters` instance (defaults used if None).
+        train_data: ``(n_samples, n_features)`` array. If None, hypercube toy
+            data is generated, as the reference does
+            (``autoencoder.py:791-795``).
+        model_params: pre-initialized parameter pytree (for reloads).
+        read_only: skip writing parameters/main_path artifacts.
+    """
+
+    _loss_names = ("auto_loss", "center_loss", "regularization_loss")
+
+    def __init__(
+        self,
+        parameters: Optional[Parameters] = None,
+        train_data: Optional[np.ndarray] = None,
+        model_params: Optional[dict] = None,
+        read_only: bool = False,
+        sparse: bool = False,
+    ) -> None:
+        self.p = parameters if parameters is not None else Parameters()
+        self.read_only = read_only
+        self.sparse = sparse
+        self._metrics_writer: Optional[MetricsWriter] = None
+        self.history: dict[str, list] = {}
+
+        if train_data is None:
+            train_data, _ = create_n_cube(seed=self.p.seed)
+            self.p.using_hypercube = True
+        train_data = np.asarray(train_data, np.float32)
+        # NaN inputs mark ragged multi-topology ensembles; keep the mask so
+        # losses can ignore missing values (the reference reroutes these into
+        # tf.sparse tensors; masked-dense is the TPU-friendly equivalent).
+        self._nan_mask = np.isnan(train_data)
+        if self._nan_mask.any():
+            self.sparse = True
+        self.train_data = train_data
+        self.input_dim = train_data.shape[1]
+
+        if not read_only:
+            Path(self.p.main_path).mkdir(parents=True, exist_ok=True)
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+
+        seed = self.p.seed if self.p.seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+        k_model, k_train = jax.random.split(key)
+        if model_params is None:
+            model_params = seq.init_params(k_model, self.p, self.input_dim)
+        self.optimizer = make_optimizer(self.p.learning_rate)
+        self.state = TrainState.create(
+            model_params, self.optimizer, k_train, step=self.p.current_training_step
+        )
+        self._trainer = None  # built lazily (jit cache)
+        self.callbacks: list[Callback] = []
+
+    # ------------------------------------------------------------------ losses
+    def _loss_terms(self, params: dict, batch: Array) -> dict[str, Array]:
+        """All loss contributions for one batch; subclasses extend."""
+        p = self.p
+        latent = seq.encode(params, p, batch)
+        out = seq.decode(params, p, latent)
+        terms = {
+            "auto_loss": L.auto_loss(batch, out, p),
+            "center_loss": L.center_loss(latent, p),
+            "regularization_loss": L.regularization_loss(
+                seq.regularization_sum(params), p
+            ),
+        }
+        return terms
+
+    # ------------------------------------------------------------------ train
+    def _make_train_step(self):
+        def train_step(state: TrainState, batch):
+            def total(params):
+                terms = self._loss_terms(params, batch)
+                loss = jnp.asarray(0.0, jnp.float32)
+                for v in terms.values():
+                    loss = loss + v
+                return loss, terms
+
+            (loss, terms), grads = jax.value_and_grad(total, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = jax.tree_util.tree_map(
+                lambda p_, u: p_ + u, state.params, updates
+            )
+            metrics = dict(terms)
+            metrics["loss"] = loss
+            return (
+                state.replace(
+                    params=params, opt_state=opt_state, step=state.step + 1
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    def _get_trainer(self):
+        if self._trainer is None:
+            steps_per_scan = max(1, min(self.p.steps_per_scan, self.p.n_steps))
+            self._trainer = make_scan_trainer(
+                self._make_train_step(), self.p.batch_size, steps_per_scan,
+                donate=True,
+            )
+            self._steps_per_scan = steps_per_scan
+        return self._trainer
+
+    def _setup_callbacks(self) -> list[Callback]:
+        cbs: list[Callback] = [ProgressBar(self.p.n_steps), NaNInterrupt()]
+        if not self.read_only:
+            cbs.append(CheckpointSaver(self, self.p.checkpoint_step))
+        return cbs + self.callbacks
+
+    def _device_data(self):
+        data = self.train_data
+        if self._nan_mask.any():
+            data = np.nan_to_num(data, nan=0.0)
+        return jnp.asarray(data)
+
+    def train(self) -> dict[str, np.ndarray]:
+        """Run ``n_steps - current_training_step`` optimizer steps.
+
+        Returns the metric history (dict of per-step arrays), and as the
+        reference does, persists parameters + a final checkpoint.
+        """
+        start = int(self.state.step)
+        remaining = self.p.n_steps - start
+        if remaining <= 0:
+            print(
+                f"This model has already been trained for {start} steps. "
+                f"Increase p.n_steps to train further."
+            )
+            return self.history
+
+        trainer = self._get_trainer()
+        data = self._device_data()
+        cbs = self._setup_callbacks()
+        if not self.read_only:
+            self._metrics_writer = MetricsWriter(
+                self.p.main_path, tensorboard=self.p.tensorboard
+            )
+        for cb in cbs:
+            cb.on_train_begin(self)
+
+        history: dict[str, list] = {}
+        stop = False
+        done = 0
+        while done < remaining and not stop:
+            first_step = int(self.state.step)
+            self.state, metrics = trainer(self.state, data)
+            metrics = jax.device_get(metrics)
+            n = len(next(iter(metrics.values())))
+            # trim overshoot of the final chunk
+            overshoot = max(0, (done + n) - remaining)
+            if overshoot:
+                metrics = {k: v[: n - overshoot] for k, v in metrics.items()}
+                n -= overshoot
+            for k, v in metrics.items():
+                history.setdefault(k, []).append(v)
+            if self._metrics_writer is not None:
+                stride = max(1, self.p.summary_step)
+                for i in range(n):
+                    step_i = first_step + i + 1
+                    if step_i % stride == 0:
+                        self._metrics_writer.write_scalars(
+                            step_i, {k: v[i] for k, v in metrics.items()}
+                        )
+            for cb in cbs:
+                if cb.on_chunk_end(first_step, metrics) is False:
+                    stop = True
+            done += n
+
+        for cb in cbs:
+            cb.on_train_end(self)
+        self.history = {k: np.concatenate(v) for k, v in history.items()}
+        self.p.current_training_step = int(self.state.step)
+        if not self.read_only:
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+            self.save()
+        return self.history
+
+    # ------------------------------------------------------------------ inference
+    def _batched_apply(self, fn, data: np.ndarray, max_batch: int = 8192) -> np.ndarray:
+        data = np.asarray(data, np.float32)
+        single = data.ndim == 1
+        if single:
+            data = data[None]
+        outs = []
+        for i in range(0, len(data), max_batch):
+            outs.append(np.asarray(fn(jnp.asarray(data[i : i + max_batch]))))
+        out = np.concatenate(outs, axis=0)
+        return out[0] if single else out
+
+    def encode(self, data: Optional[np.ndarray] = None) -> np.ndarray:
+        """Project data to the latent space (reference: ``autoencoder.py:1110``)."""
+        if data is None:
+            data = self.train_data
+        fn = jax.jit(lambda x: seq.encode(self.state.params, self.p, x))
+        return self._batched_apply(fn, data)
+
+    def decode(self, latent: np.ndarray) -> np.ndarray:
+        """Decode latent points back to input space (``autoencoder.py:1147``)."""
+        fn = jax.jit(lambda z: seq.decode(self.state.params, self.p, z))
+        return self._batched_apply(fn, latent)
+
+    def generate(self, latent: np.ndarray) -> np.ndarray:
+        """Alias of :meth:`decode` for the base class (``autoencoder.py:1177``)."""
+        return self.decode(latent)
+
+    # ------------------------------------------------------------------ persistence
+    @property
+    def model_params(self) -> dict:
+        return self.state.params
+
+    def save(self, step: Optional[int] = None) -> Optional[str]:
+        """Checkpoint model + optimizer + step (``autoencoder.py:1197``)."""
+        if self.read_only:
+            return None
+        step = int(self.state.step) if step is None else int(step)
+        return save_checkpoint(
+            self.p.main_path,
+            self.state.params,
+            step,
+            opt_state=self.state.opt_state,
+            parameters=self.p,
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_path: Union[str, Path],
+        train_data: Optional[np.ndarray] = None,
+        sparse: bool = False,
+        use_previous_model: bool = False,
+        **kwargs: Any,
+    ) -> "Autoencoder":
+        """Rebuild from a checkpoint directory or file
+        (reference: ``autoencoder.py:889-931`` + ``saving_loading_models.py:333``).
+        """
+        ckpt_path = Path(checkpoint_path)
+        directory = ckpt_path if ckpt_path.is_dir() else ckpt_path.parent
+        params_cls = cls._parameters_class()
+        p = params_cls.from_file(directory / "parameters.json")
+        model_params, opt_npz, step = load_checkpoint(ckpt_path)
+        if step != p.current_training_step and not use_previous_model:
+            raise ValueError(
+                f"Checkpoint step {step} disagrees with parameters.json "
+                f"({p.current_training_step}). Pass use_previous_model=True to "
+                f"load this intermediate checkpoint anyway."
+            )
+        if train_data is None and p.using_hypercube:
+            train_data = None  # hypercube is regenerated in __init__
+        out = cls(parameters=p, train_data=train_data,
+                  model_params=_tree_to_jax(model_params), sparse=sparse, **kwargs)
+        out.state = out.state.replace(step=jnp.asarray(step, jnp.int32))
+        if opt_npz is not None:
+            out.state = out.state.replace(
+                opt_state=load_pytree_into(out.state.opt_state, opt_npz)
+            )
+        return out
+
+    @classmethod
+    def _parameters_class(cls):
+        return Parameters
+
+    def close(self) -> None:
+        if self._metrics_writer is not None:
+            self._metrics_writer.close()
+
+
+def _tree_to_jax(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+class EncoderMap(Autoencoder):
+    """Adds the sketch-map sigmoid distance loss
+    (reference: ``autoencoder.py:1232-1307``)."""
+
+    _loss_names = (
+        "auto_loss", "center_loss", "regularization_loss", "distance_loss",
+    )
+
+    def _loss_terms(self, params: dict, batch: Array) -> dict[str, Array]:
+        terms = super()._loss_terms(params, batch)
+        latent = seq.encode(params, self.p, batch)
+        terms["distance_loss"] = L.distance_loss(batch, latent, self.p)
+        return terms

@@ -1,0 +1,166 @@
+# encodermap_tpu/train/callbacks.py
+"""Host-side training callbacks.
+
+The reference drives per-step behavior with Keras callbacks
+(``/root/reference/encodermap/callbacks/callbacks.py``): ProgressBar,
+CheckpointSaver, EarlyStop, NoneInterruptCallback (NaN abort),
+TensorboardWriteBool, IncreaseCartesianCost, ImageCallback.
+
+In the TPU design the hot loop is an on-device ``lax.scan``, so callbacks run
+at *chunk* granularity: after every ``steps_per_scan`` steps the host receives
+the stacked per-step metrics and dispatches them here. Two reference
+callbacks disappear by construction:
+
+* ``IncreaseCartesianCost`` — the soft-start scale is computed in-graph from
+  the step counter (:func:`encodermap_tpu.losses.soft_start_scale`).
+* ``TensorboardWriteBool`` — the writer simply subsamples rows on host.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Optional
+
+import numpy as np
+
+__all__ = [
+    "Callback",
+    "ProgressBar",
+    "CheckpointSaver",
+    "EarlyStop",
+    "NaNInterrupt",
+    "ImageCallback",
+]
+
+
+class Callback:
+    """Base callback; receives per-step metric rows after each scan chunk.
+
+    ``on_chunk_end(first_step, metrics)`` gets ``metrics`` as a dict of
+    1-D arrays of length ``steps_per_scan`` where row i belongs to global
+    step ``first_step + i``. Return ``False`` to stop training.
+    """
+
+    def on_train_begin(self, autoencoder: Any) -> None: ...
+
+    def on_chunk_end(self, first_step: int, metrics: dict) -> Optional[bool]: ...
+
+    def on_train_end(self, autoencoder: Any) -> None: ...
+
+
+class ProgressBar(Callback):
+    """tqdm progress bar (falls back to line prints), showing the current
+    combined loss like the reference's ProgressBar (``callbacks.py:272-330``)."""
+
+    def __init__(self, n_steps: int) -> None:
+        self.n_steps = n_steps
+        self._bar = None
+
+    def on_train_begin(self, autoencoder: Any) -> None:
+        try:
+            from tqdm import tqdm  # type: ignore
+
+            self._bar = tqdm(total=self.n_steps, unit="step", file=sys.stdout)
+        except ImportError:
+            self._bar = None
+
+    def on_chunk_end(self, first_step: int, metrics: dict) -> None:
+        n = len(next(iter(metrics.values())))
+        loss = float(np.asarray(metrics.get("loss", [np.nan])[-1]))
+        if self._bar is not None:
+            self._bar.update(n)
+            self._bar.set_postfix(loss=f"{loss:.4f}")
+        else:
+            print(f"step {first_step + n}: loss={loss:.4f}", flush=True)
+
+    def on_train_end(self, autoencoder: Any) -> None:
+        if self._bar is not None:
+            self._bar.close()
+
+
+class CheckpointSaver(Callback):
+    """Save a checkpoint every ``checkpoint_step`` steps
+    (reference: ``callbacks.py:519-529``)."""
+
+    def __init__(self, autoencoder: Any, checkpoint_step: int) -> None:
+        self.autoencoder = autoencoder
+        self.checkpoint_step = checkpoint_step
+        self._last_saved = -1
+
+    def on_chunk_end(self, first_step: int, metrics: dict) -> None:
+        n = len(next(iter(metrics.values())))
+        last = first_step + n
+        due = (last // self.checkpoint_step) * self.checkpoint_step
+        if due > self._last_saved and due > first_step:
+            self.autoencoder.save(step=last)
+            self._last_saved = due
+
+
+class EarlyStop(Callback):
+    """Stop when the monitored loss hasn't improved for ``patience`` steps
+    (reference: ``callbacks.py:219-269``)."""
+
+    def __init__(self, monitor: str = "loss", patience: int = 1000,
+                 min_delta: float = 0.0) -> None:
+        self.monitor = monitor
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = np.inf
+        self.best_step = 0
+
+    def on_chunk_end(self, first_step: int, metrics: dict) -> Optional[bool]:
+        vals = np.asarray(metrics[self.monitor])
+        i = int(vals.argmin())
+        if vals[i] < self.best - self.min_delta:
+            self.best = float(vals[i])
+            self.best_step = first_step + i
+        elif first_step + len(vals) - self.best_step > self.patience:
+            print(f"EarlyStop: no {self.monitor} improvement for "
+                  f"{self.patience} steps (best {self.best:.6f}).")
+            return False
+        return None
+
+
+class NaNInterrupt(Callback):
+    """Abort when the loss goes NaN — the reference's NoneInterruptCallback
+    (``callbacks.py:87-109``) checks weights; checking the loss catches the
+    same divergence one step earlier without pulling params to host."""
+
+    def on_chunk_end(self, first_step: int, metrics: dict) -> Optional[bool]:
+        loss = np.asarray(metrics.get("loss"))
+        if loss is not None and not np.all(np.isfinite(loss)):
+            bad = int(np.argmax(~np.isfinite(loss)))
+            print(f"NaN/Inf loss at step {first_step + bad}; stopping training.")
+            return False
+        return None
+
+
+class ImageCallback(Callback):
+    """Write latent scatter/density images every ``image_step`` steps
+    (reference: ``callbacks.py:333-516``)."""
+
+    def __init__(self, autoencoder: Any, image_step: int,
+                 data: Optional[np.ndarray] = None, max_points: int = 10000) -> None:
+        self.autoencoder = autoencoder
+        self.image_step = image_step
+        self.data = data
+        self.max_points = max_points
+        self._last = -1
+
+    def on_chunk_end(self, first_step: int, metrics: dict) -> None:
+        n = len(next(iter(metrics.values())))
+        last = first_step + n
+        due = (last // self.image_step) * self.image_step
+        if due > self._last and due > first_step:
+            from ..misc.summaries import image_summary
+
+            data = self.data
+            if data is None:
+                data = self.autoencoder.train_data
+            latent = self.autoencoder.encode(np.asarray(data)[: self.max_points])
+            image_summary(
+                latent, last, self.autoencoder.p.main_path,
+                writer=getattr(self.autoencoder, "_metrics_writer", None),
+                max_points=self.max_points,
+            )
+            self._last = due

@@ -1,0 +1,111 @@
+# encodermap_tpu/train/core.py
+"""The jitted training core: TrainState, optimizer, scan-chunked train loop.
+
+TPU-first design decisions (vs the reference's Keras ``model.fit(epochs=n,
+steps_per_epoch=1)`` loop, ``/root/reference/encodermap/autoencoder/
+autoencoder.py:967-1029``):
+
+* The *whole* step — forward, all losses, backward, Adam update — is one XLA
+  computation (the reference's per-step Python dispatch would cap throughput
+  at host speed).
+* ``steps_per_scan`` optimizer steps run inside one ``jax.lax.scan`` per host
+  call, with batches sampled *on device* from the device-resident dataset.
+  One host→device sync per chunk instead of per step: this is what makes
+  >1e5 samples/sec possible for a small MLP at batch 256.
+* The global step and the RNG live in the (checkpointed) TrainState, so the
+  soft-start cartesian schedule and batch sampling reproduce exactly across
+  save/restore (the reference keeps the step in ``parameters.json`` for the
+  same reason).
+* Optimizer matches the reference: Adam with per-element gradient clipping to
+  [-1, 1] (Keras ``clipvalue=1.0``, ``autoencoder.py:741``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["TrainState", "make_optimizer", "make_scan_trainer", "sample_batch"]
+
+Array = jax.Array
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Everything that evolves during training, as one checkpointable pytree."""
+
+    params: Any
+    opt_state: Any
+    step: Array  # int32 scalar, global optimizer step
+    rng: Array  # jax PRNG key
+
+    @classmethod
+    def create(cls, params: Any, optimizer: optax.GradientTransformation,
+               rng: Array, step: int = 0) -> "TrainState":
+        return cls(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.asarray(step, jnp.int32),
+            rng=rng,
+        )
+
+
+def make_optimizer(learning_rate: float, clip_value: float = 1.0
+                   ) -> optax.GradientTransformation:
+    """Adam with element-wise gradient clipping, matching the reference's
+    ``Adam(lr, clipvalue=1.0)``."""
+    return optax.chain(
+        optax.clip(clip_value),
+        optax.adam(learning_rate),
+    )
+
+
+def sample_batch(key: Array, data: Any, n: int, batch_size: int) -> Any:
+    """Draw a uniform random batch (with replacement) from device-resident
+    data. ``data`` may be a single array or a tuple of aligned arrays.
+
+    Statistically equivalent to the reference's shuffle+repeat+batch
+    ``tf.data`` pipeline for training purposes, but computable inside a
+    ``lax.scan`` without host round-trips.
+    """
+    idx = jax.random.randint(key, (batch_size,), 0, n)
+    if isinstance(data, (tuple, list)):
+        return tuple(jnp.take(d, idx, axis=0) for d in data)
+    return jnp.take(data, idx, axis=0)
+
+
+def make_scan_trainer(
+    train_step: Callable[[TrainState, Any], tuple[TrainState, dict]],
+    batch_size: int,
+    steps_per_scan: int,
+    donate: bool = True,
+) -> Callable[[TrainState, Any], tuple[TrainState, dict]]:
+    """Wrap a single-step function into a jitted multi-step scan.
+
+    Args:
+        train_step: ``(state, batch) -> (state, metrics_dict)``; must be pure.
+        batch_size: per-step batch size.
+        steps_per_scan: optimizer steps per host call.
+        donate: donate the input state buffers (halves HBM traffic).
+
+    Returns:
+        A jitted ``(state, data) -> (state, metrics)`` where each metrics leaf
+        is stacked along a leading ``steps_per_scan`` axis.
+    """
+
+    def chunk(state: TrainState, data: Any) -> tuple[TrainState, dict]:
+        n = (data[0] if isinstance(data, (tuple, list)) else data).shape[0]
+
+        def body(st: TrainState, _):
+            rng, sub = jax.random.split(st.rng)
+            batch = sample_batch(sub, data, n, batch_size)
+            st, metrics = train_step(st.replace(rng=rng), batch)
+            return st, metrics
+
+        return jax.lax.scan(body, state, None, length=steps_per_scan)
+
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())

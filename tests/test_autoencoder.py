@@ -1,0 +1,170 @@
+# tests/test_autoencoder.py
+"""End-to-end EncoderMap training on the hypercube toy set.
+
+Mirrors the core of the reference's ``tests/test_autoencoder.py``: losses
+decrease, encode/decode round-trips have the right shapes, save -> reload ->
+continue-training works, parameters JSON round-trips."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from encodermap_tpu import EncoderMap, Parameters, create_n_cube
+from encodermap_tpu.parameters import ADCParameters
+
+
+@pytest.fixture(scope="module")
+def cube_data():
+    data, _ = create_n_cube(3, points_along_edge=50, seed=0)
+    return data.astype(np.float32)
+
+
+class TestParameters:
+    def test_defaults(self):
+        p = Parameters()
+        assert p.n_neurons == [128, 128, 2]
+        assert p.batch_size == 256
+        assert p.dist_sig_parameters == (4.5, 12, 6, 1, 2, 6)
+        assert p.learning_rate == 0.001
+
+    def test_adc_defaults(self):
+        p = ADCParameters()
+        assert p.auto_cost_scale is None
+        assert p.distance_cost_scale is None
+        assert p.cartesian_cost_scale == 1
+        assert p.model_api == "functional"
+
+    def test_json_roundtrip(self, tmp_path):
+        p = Parameters(n_neurons=[16, 16, 2], learning_rate=0.01)
+        path = p.save(tmp_path / "parameters.json")
+        p2 = Parameters.from_file(path)
+        assert p2.n_neurons == [16, 16, 2]
+        assert p2.learning_rate == 0.01
+
+    def test_inf_periodicity_roundtrip(self, tmp_path):
+        p = Parameters(periodicity=float("inf"))
+        path = p.save(tmp_path / "parameters.json")
+        p2 = Parameters.from_file(path)
+        assert p2.periodicity == float("inf")
+
+    def test_unknown_keys_dropped(self):
+        p = Parameters.from_dict({"n_neurons": [4, 2], "bogus_key": 1})
+        assert p.n_neurons == [4, 2]
+        assert not hasattr(p, "bogus_key")
+
+    def test_main_path_relocation_repair(self, tmp_path):
+        p = Parameters(main_path=str(tmp_path / "origin"))
+        (tmp_path / "moved").mkdir()
+        path = tmp_path / "moved" / "parameters.json"
+        p.save(path)
+        p2 = Parameters.from_file(path)
+        assert p2.main_path == str((tmp_path / "moved").resolve())
+
+
+def _small_params(tmp_path, **kw):
+    defaults = dict(
+        main_path=str(tmp_path),
+        n_neurons=[16, 16, 2],
+        n_steps=30,
+        batch_size=64,
+        periodicity=float("inf"),
+        steps_per_scan=10,
+        summary_step=10,
+        checkpoint_step=1000,
+        seed=1,
+    )
+    defaults.update(kw)
+    return Parameters(**defaults)
+
+
+class TestEncoderMapEndToEnd:
+    def test_training_decreases_loss(self, cube_data, tmp_path):
+        p = _small_params(tmp_path)
+        emap = EncoderMap(p, cube_data)
+        history = emap.train()
+        assert "loss" in history and len(history["loss"]) == 30
+        first, last = history["loss"][:5].mean(), history["loss"][-5:].mean()
+        assert np.isfinite(history["loss"]).all()
+        assert last < first, f"loss did not decrease: {first} -> {last}"
+
+    def test_all_loss_components_logged(self, cube_data, tmp_path):
+        p = _small_params(tmp_path)
+        emap = EncoderMap(p, cube_data)
+        history = emap.train()
+        for name in ("auto_loss", "center_loss", "regularization_loss",
+                     "distance_loss", "loss"):
+            assert name in history
+
+    def test_encode_decode_shapes(self, cube_data, tmp_path):
+        p = _small_params(tmp_path, n_steps=5, steps_per_scan=5)
+        emap = EncoderMap(p, cube_data)
+        emap.train()
+        latent = emap.encode(cube_data[:100])
+        assert latent.shape == (100, 2)
+        back = emap.decode(latent)
+        assert back.shape == (100, 3)
+        gen = emap.generate(np.zeros((7, 2), np.float32))
+        assert gen.shape == (7, 3)
+
+    def test_single_sample_encode(self, cube_data, tmp_path):
+        p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
+        emap = EncoderMap(p, cube_data)
+        latent = emap.encode(cube_data[0])
+        assert latent.shape == (2,)
+
+    def test_periodic_model(self, rng, tmp_path):
+        """Dihedral-like periodic data trains with sin/cos fold-in."""
+        data = rng.uniform(-np.pi, np.pi, (500, 8)).astype(np.float32)
+        p = _small_params(tmp_path, periodicity=2 * np.pi, n_steps=20,
+                          steps_per_scan=10)
+        emap = EncoderMap(p, data)
+        history = emap.train()
+        assert np.isfinite(history["loss"]).all()
+        out = emap.decode(emap.encode(data[:10]))
+        assert out.shape == (10, 8)
+        assert np.all(out >= -np.pi - 1e-5) and np.all(out <= np.pi + 1e-5)
+
+    def test_hypercube_fallback(self, tmp_path):
+        p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
+        emap = EncoderMap(p, train_data=None)
+        assert emap.p.using_hypercube
+        assert emap.train_data.shape[1] == 3
+
+    def test_deterministic_with_seed(self, cube_data, tmp_path):
+        p1 = _small_params(tmp_path / "a", n_steps=10, steps_per_scan=10, seed=7)
+        p2 = _small_params(tmp_path / "b", n_steps=10, steps_per_scan=10, seed=7)
+        h1 = EncoderMap(p1, cube_data).train()
+        h2 = EncoderMap(p2, cube_data).train()
+        np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-6)
+
+
+class TestSaveLoad:
+    def test_checkpoint_roundtrip(self, cube_data, tmp_path):
+        p = _small_params(tmp_path, n_steps=10, steps_per_scan=10)
+        emap = EncoderMap(p, cube_data)
+        emap.train()
+        latent_before = emap.encode(cube_data[:50])
+
+        emap2 = EncoderMap.from_checkpoint(tmp_path, train_data=cube_data)
+        latent_after = emap2.encode(cube_data[:50])
+        np.testing.assert_allclose(latent_before, latent_after, atol=1e-6)
+        assert int(emap2.state.step) == 10
+
+    def test_resume_training(self, cube_data, tmp_path):
+        p = _small_params(tmp_path, n_steps=10, steps_per_scan=10)
+        emap = EncoderMap(p, cube_data)
+        emap.train()
+
+        emap2 = EncoderMap.from_checkpoint(tmp_path, train_data=cube_data)
+        emap2.p.n_steps = 20
+        history = emap2.train()
+        assert len(history["loss"]) == 10  # only the remaining steps
+        assert int(emap2.state.step) == 20
+
+    def test_already_trained_message(self, cube_data, tmp_path, capsys):
+        p = _small_params(tmp_path, n_steps=5, steps_per_scan=5)
+        emap = EncoderMap(p, cube_data)
+        emap.train()
+        emap.train()
+        assert "already been trained" in capsys.readouterr().out

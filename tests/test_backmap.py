@@ -1,0 +1,191 @@
+# tests/test_backmap.py
+"""Backmapping kernels vs the sequential float64 oracle.
+
+Mirrors the reference's ``tests/test_dihedral_to_cartesian.py`` and the
+random-shape split parity of ``tests/test_backmapping_em1_em2.py:2116``.
+The parallel associative-scan formulation must agree with the sequential
+rotation loop; additionally the *internal coordinates* of the generated
+geometry must equal the requested dihedrals/angles/lengths.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from encodermap_tpu.ops.backmap import (
+    backmap,
+    chain_in_plane,
+    dihedral_to_cartesian_one_way,
+    dihedrals_to_cartesian,
+    guess_amide_H,
+    guess_amide_O,
+    merge_cartesians,
+    split_and_reverse_cartesians,
+    split_and_reverse_dihedrals,
+)
+from tests import reference_impl as ref
+
+
+def _random_chain(rng, batch, n_atoms):
+    lengths = rng.uniform(0.1, 0.2, (batch, n_atoms - 1))
+    angles = rng.uniform(0.5, np.pi - 0.5, (batch, n_atoms - 2))
+    return lengths, angles
+
+
+class TestChainInPlane:
+    @pytest.mark.parametrize("n_atoms", [4, 9, 12, 31])
+    def test_matches_sequential(self, rng, n_atoms):
+        lengths, angles = _random_chain(rng, 3, n_atoms)
+        out = np.asarray(
+            chain_in_plane(jnp.asarray(lengths, jnp.float32), jnp.asarray(angles, jnp.float32))
+        )
+        expected = ref.chain_in_plane_np(lengths, angles)
+        np.testing.assert_allclose(out, expected, atol=5e-6)
+
+    def test_bond_lengths_and_angles_realized(self, rng):
+        """The generated chain must have the requested internal coordinates."""
+        lengths, angles = _random_chain(rng, 2, 15)
+        out = np.asarray(
+            chain_in_plane(jnp.asarray(lengths, jnp.float32), jnp.asarray(angles, jnp.float32))
+        ).astype(np.float64)
+        got_lengths = np.linalg.norm(np.diff(out, axis=1), axis=-1)
+        np.testing.assert_allclose(got_lengths, lengths, atol=1e-5)
+        got_angles = ref.angle_from_xyz_np(out[:, :-2], out[:, 1:-1], out[:, 2:])
+        np.testing.assert_allclose(got_angles, angles, atol=1e-4)
+
+    def test_broadcast_mean_lengths(self, rng):
+        """(1, n_bonds) lengths broadcast over the batch like the reference's
+        batch-mean distances."""
+        lengths, angles = _random_chain(rng, 4, 10)
+        out = np.asarray(
+            chain_in_plane(
+                jnp.asarray(lengths[:1], jnp.float32), jnp.asarray(angles, jnp.float32)
+            )
+        )
+        assert out.shape == (4, 10, 3)
+
+
+class TestSplits:
+    @pytest.mark.parametrize("n", [4, 5, 6, 9, 453])
+    def test_dihedral_split_parity(self, rng, n):
+        x = rng.standard_normal((2, n))
+        l_j, r_j = split_and_reverse_dihedrals(jnp.asarray(x))
+        l_n, r_n = ref.split_and_reverse_dihedrals_np(x)
+        np.testing.assert_allclose(np.asarray(l_j), l_n)
+        np.testing.assert_allclose(np.asarray(r_j), r_n)
+
+    @pytest.mark.parametrize("n", [7, 8, 9, 456])
+    def test_cartesian_split_shares_three_atoms(self, rng, n):
+        x = rng.standard_normal((2, n, 3))
+        left, right = split_and_reverse_cartesians(jnp.asarray(x))
+        left, right = np.asarray(left), np.asarray(right)
+        np.testing.assert_allclose(left[:, 0], right[:, 2])
+        np.testing.assert_allclose(left[:, 1], right[:, 1])
+        np.testing.assert_allclose(left[:, 2], right[:, 0])
+
+
+class TestDihedralChain:
+    @pytest.mark.parametrize("n_di", [1, 2, 5, 20])
+    def test_one_way_matches_sequential(self, rng, n_di):
+        n_atoms = n_di + 3
+        lengths, angles = _random_chain(rng, 2, n_atoms)
+        cart = ref.chain_in_plane_np(lengths, angles).astype(np.float32)
+        di = rng.uniform(-np.pi, np.pi, (2, n_di)).astype(np.float32)
+        out = np.asarray(dihedral_to_cartesian_one_way(jnp.asarray(di), jnp.asarray(cart)))
+        expected = ref.dihedral_one_way_np(di, cart)
+        np.testing.assert_allclose(out, expected, atol=5e-5)
+
+    @pytest.mark.parametrize("n_atoms", [9, 12, 13])
+    def test_both_ways_matches_sequential(self, rng, n_atoms):
+        lengths, angles = _random_chain(rng, 2, n_atoms)
+        cart = ref.chain_in_plane_np(lengths, angles).astype(np.float32)
+        di = rng.uniform(-np.pi, np.pi, (2, n_atoms - 3)).astype(np.float32)
+        out = np.asarray(dihedrals_to_cartesian(jnp.asarray(di), jnp.asarray(cart)))
+        expected = ref.dihedrals_to_cartesian_np(di, cart)
+        np.testing.assert_allclose(out, expected, atol=1e-4)
+
+    def test_long_chain_diubi_size(self, rng):
+        """456-atom (diUbi-sized) chain: f32 scan must stay close to the f64
+        sequential oracle (it is in fact *more* accurate than a sequential
+        f32 loop)."""
+        n_atoms = 456
+        lengths, angles = _random_chain(rng, 2, n_atoms)
+        cart = ref.chain_in_plane_np(lengths, angles).astype(np.float32)
+        di = rng.uniform(-np.pi, np.pi, (2, n_atoms - 3)).astype(np.float32)
+        out = np.asarray(dihedrals_to_cartesian(jnp.asarray(di), jnp.asarray(cart)))
+        expected = ref.dihedrals_to_cartesian_np(di, cart)
+        np.testing.assert_allclose(out, expected, atol=5e-4)
+
+
+class TestBackmapPipeline:
+    def test_matches_oracle(self, rng):
+        B, n_atoms = 8, 24
+        dist = rng.uniform(0.1, 0.2, (B, n_atoms - 1)).astype(np.float32)
+        ang = rng.uniform(0.5, np.pi - 0.5, (B, n_atoms - 2)).astype(np.float32)
+        di = rng.uniform(-np.pi, np.pi, (B, n_atoms - 3)).astype(np.float32)
+        out = np.asarray(backmap(jnp.asarray(dist), jnp.asarray(ang), jnp.asarray(di)))
+        expected = ref.backmap_np(dist, ang, di)
+        np.testing.assert_allclose(out, expected, atol=2e-4)
+
+    def test_requested_dihedrals_are_realized(self, rng):
+        """Feeding dihedrals through backmap must produce geometry whose
+        measured dihedrals equal the requested ones (up to the +pi offset
+        semantics of the BackMapLayer)."""
+        B, n_atoms = 4, 20
+        dist = rng.uniform(0.1, 0.2, (B, n_atoms - 1)).astype(np.float32)
+        ang = rng.uniform(1.5, 2.5, (B, n_atoms - 2)).astype(np.float32)
+        di = rng.uniform(-np.pi + 0.1, np.pi - 0.1, (B, n_atoms - 3)).astype(np.float32)
+        out = np.asarray(
+            backmap(jnp.asarray(dist), jnp.asarray(ang), jnp.asarray(di))
+        ).astype(np.float64)
+        measured = ref.dihedral_from_xyz_np(
+            out[:, :-3], out[:, 1:-2], out[:, 2:-1], out[:, 3:]
+        )
+        # oracle comparison: the same measurement on the oracle's geometry
+        oracle = ref.backmap_np(dist, ang, di)
+        measured_oracle = ref.dihedral_from_xyz_np(
+            oracle[:, :-3], oracle[:, 1:-2], oracle[:, 2:-1], oracle[:, 3:]
+        )
+        np.testing.assert_allclose(measured, measured_oracle, atol=1e-3)
+
+    def test_negative_distances_replaced(self, rng):
+        B, n_atoms = 3, 10
+        dist = rng.uniform(0.1, 0.2, (B, n_atoms - 1)).astype(np.float32)
+        dist[0, 2] = -0.5
+        ang = rng.uniform(0.5, np.pi - 0.5, (B, n_atoms - 2)).astype(np.float32)
+        di = rng.uniform(-np.pi, np.pi, (B, n_atoms - 3)).astype(np.float32)
+        out = np.asarray(backmap(jnp.asarray(dist), jnp.asarray(ang), jnp.asarray(di)))
+        expected = ref.backmap_np(dist, ang, di)
+        np.testing.assert_allclose(out, expected, atol=2e-4)
+        assert np.all(np.isfinite(out))
+
+
+class TestSp2Guessing:
+    def test_amide_H_O_geometry(self, rng):
+        """Guessed H sits 1.10 from N; guessed O sits 1.24 from C."""
+        B, n_atoms = 2, 12
+        lengths, angles = _random_chain(rng, B, n_atoms)
+        cart = jnp.asarray(ref.chain_in_plane_np(lengths, angles), jnp.float32)
+        N_idx = list(range(0, n_atoms, 3))
+        C_idx = list(range(2, n_atoms - 3, 3))
+        H = np.asarray(guess_amide_H(cart, N_idx))
+        O = np.asarray(guess_amide_O(cart, C_idx))
+        assert H.shape == (B, len(N_idx) - 1, 3)
+        assert O.shape == (B, len(C_idx), 3)
+        d_H = np.linalg.norm(H - np.asarray(cart)[:, N_idx[1:]], axis=-1)
+        d_O = np.linalg.norm(O - np.asarray(cart)[:, C_idx], axis=-1)
+        np.testing.assert_allclose(d_H, 1.10, atol=1e-5)
+        np.testing.assert_allclose(d_O, 1.24, atol=1e-5)
+
+    def test_merge_cartesians_order(self, rng):
+        B, n_central = 2, 9
+        central = jnp.asarray(rng.standard_normal((B, n_central, 3)), jnp.float32)
+        N_idx = [0, 3, 6]
+        C_idx = [2, 5]
+        H = guess_amide_H(central, N_idx)
+        O = guess_amide_O(central, C_idx)
+        merged = np.asarray(merge_cartesians(central, N_idx, C_idx, H, O))
+        assert merged.shape == (B, n_central + (len(N_idx) - 1) + len(C_idx), 3)
+        # first atom unchanged, H follows its N, O follows its C
+        np.testing.assert_allclose(merged[:, 0], np.asarray(central)[:, 0])

@@ -1,0 +1,147 @@
+# tests/test_data.py
+"""Data layer: PDB parsing, native XTC decoding, lazy trajectories, HDF5.
+
+The XTC decoder is validated bit-exactly against coordinates written by
+mdtraj (the reference's IO backend) into the 1am7 HDF5 fixture."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from encodermap_tpu.data import SingleTraj, TrajEnsemble, load, load_pdb
+from encodermap_tpu.data.xtc import XTCReader
+
+DATA = Path("/root/reference/tests/data")
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestXTC:
+    def test_bit_exact_vs_mdtraj_h5(self):
+        import h5py
+
+        r = XTCReader(DATA / "1am7_corrected.xtc")
+        assert (r.n_frames, r.n_atoms) == (51, 2504)
+        xyz, box, time, step = r.read()
+        with h5py.File(DATA / "1am7_corrected_with_CVs.h5") as f:
+            coords = f["coordinates"][:]
+            cl = f["cell_lengths"][:]
+            t = f["time"][:]
+        assert np.abs(coords - xyz).max() == 0.0
+        assert np.allclose(t, time)
+        assert np.abs(np.stack([np.diag(b) for b in box]) - cl).max() == 0.0
+
+    def test_lazy_subset_read(self):
+        r = XTCReader(DATA / "1am7_corrected.xtc")
+        sub = r.read([5, 10, 50])[0]
+        full = r.read()[0]
+        np.testing.assert_array_equal(sub, full[[5, 10, 50]])
+
+    def test_small_trajectories(self):
+        for name in ("asp7.xtc", "alanine_dipeptide.xtc"):
+            r = XTCReader(DATA / name)
+            xyz = r.read()[0]
+            assert xyz.shape == (r.n_frames, r.n_atoms, 3)
+            assert np.isfinite(xyz).all()
+            # coordinates of a protein in a box should be bounded
+            assert np.abs(xyz).max() < 100
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestPDB:
+    def test_parse_alanine_dipeptide(self):
+        top, xyz, cell = load_pdb(DATA / "alanine_dipeptide.pdb")
+        assert top.n_atoms == xyz.shape[1]
+        assert xyz.ndim == 3
+        names = [a.name for a in top.atoms]
+        assert "CA" in names
+
+    def test_parse_1ubq(self):
+        top, xyz, cell = load_pdb(DATA / "1UBQ.pdb")
+        prot = [r for r in top.residues if r.is_protein]
+        assert len(prot) >= 76  # ubiquitin has 76 residues
+        bb = top.backbone_indices()
+        assert bb.shape[1] == 3
+
+    def test_dihedral_indices(self):
+        top, _, _ = load_pdb(DATA / "asp7.pdb")
+        n_res = len([r for r in top.residues if r.is_protein])
+        assert len(top.indices_phi) == n_res - 1
+        assert len(top.indices_psi) == n_res - 1
+        assert len(top.indices_omega) == n_res - 1
+        # asp7 is 7x ASP -> every residue has chi1 + chi2
+        assert len(top.indices_chi1) == n_res
+        assert len(top.indices_chi2) == n_res
+
+    def test_roundtrip_write(self, tmp_path):
+        from encodermap_tpu.data.pdb import write_pdb
+
+        top, xyz, _ = load_pdb(DATA / "alanine_dipeptide.pdb")
+        write_pdb(tmp_path / "out.pdb", top, xyz)
+        top2, xyz2, _ = load_pdb(tmp_path / "out.pdb")
+        assert top2.n_atoms == top.n_atoms
+        np.testing.assert_allclose(xyz2, xyz, atol=1e-4)
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestSingleTraj:
+    def test_lazy_loading(self):
+        traj = SingleTraj(DATA / "1am7_corrected.xtc", DATA / "1am7_protein.pdb")
+        assert traj._xyz is None  # nothing loaded yet
+        assert traj.n_frames == 51
+        assert traj.xyz.shape == (51, 2504, 3)
+
+    def test_frame_indexing_composes(self):
+        traj = SingleTraj(DATA / "1am7_corrected.xtc", DATA / "1am7_protein.pdb")
+        sub = traj[10:30]
+        subsub = sub[::2]
+        assert subsub.n_frames == 10
+        np.testing.assert_array_equal(subsub.xyz, traj.xyz[10:30][::2])
+
+    def test_load_cv_array(self):
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        data = np.random.default_rng(0).standard_normal(
+            (traj.n_frames, 5)
+        ).astype(np.float32)
+        traj.load_CV(data, attr_name="my_cv")
+        np.testing.assert_array_equal(traj.my_cv, data)
+        np.testing.assert_array_equal(traj.CVs["my_cv"], data)
+
+    def test_hdf5_roundtrip(self, tmp_path):
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        traj.load_CV(
+            np.ones((traj.n_frames, 2), np.float32), attr_name="dummy"
+        )
+        traj.save(tmp_path / "out.h5")
+        back = SingleTraj(tmp_path / "out.h5")
+        assert back.n_frames == traj.n_frames
+        np.testing.assert_allclose(back.xyz, traj.xyz, atol=1e-6)
+        assert back.top.n_atoms == traj.top.n_atoms
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestTrajEnsemble:
+    def test_load_api(self):
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+            common_str=["asp7", "glu7"],
+        )
+        assert isinstance(trajs, TrajEnsemble)
+        assert trajs.n_trajs == 2
+        assert trajs.common_str == ["asp7", "glu7"]
+
+    def test_single_load(self):
+        traj = load(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        assert isinstance(traj, SingleTraj)
+
+    def test_fancy_indexing_pairs(self):
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+        pairs = np.array([[0, 1], [0, 3], [1, 2]])
+        sub = trajs[pairs]
+        assert sub.n_trajs == 2
+        assert sub.trajs[0].n_frames == 2
+        assert sub.trajs[1].n_frames == 1

@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def bench_train(n_warm_chunks: int = 2, n_chunks: int = 10) -> float:
+def bench_train(n_warm_chunks: int = 2, n_chunks: int = 20) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -47,13 +47,16 @@ def bench_train(n_warm_chunks: int = 2, n_chunks: int = 10) -> float:
     state = emap.state
     for _ in range(n_warm_chunks):
         state, metrics = trainer(state, dev_data)
-    jax.block_until_ready(metrics["loss"])
+    # NOTE: block_until_ready on the remote (axon) platform can return before
+    # execution completes; a host read of the final loss is the reliable sync.
+    float(np.asarray(metrics["loss"])[-1])
 
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, metrics = trainer(state, dev_data)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(np.asarray(metrics["loss"])[-1])
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     steps = n_chunks * steps_per_scan
     return steps * p.batch_size / dt
@@ -70,15 +73,16 @@ def bench_backmap(batch: int = 256, n_atoms: int = 456, iters: int = 50) -> floa
     ang = jnp.asarray(rng.uniform(0.5, np.pi - 0.5, (batch, n_atoms - 2)), jnp.float32)
     di = jnp.asarray(rng.uniform(-np.pi, np.pi, (batch, n_atoms - 3)), jnp.float32)
 
-    fn = jax.jit(backmap)
+    fn = jax.jit(lambda d, a, x: backmap(d, a, x).sum(axis=(1, 2)))
     out = fn(dist, ang, di)
-    jax.block_until_ready(out)
+    float(np.asarray(out)[0])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(dist, ang, di)
-    jax.block_until_ready(out)
+    checksum = float(np.asarray(out)[0])
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
     return iters * batch / dt
 
 

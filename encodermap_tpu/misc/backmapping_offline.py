@@ -1,0 +1,217 @@
+# encodermap_tpu/misc/backmapping_offline.py
+"""Topology-aware dihedral backmapping: rotate a real structure's bonds so
+its dihedrals match decoder output.
+
+Equivalent of the reference's ``mdtraj_backmapping``
+(``/root/reference/encodermap/misc/backmapping.py:1027-1790``) and
+``mdtraj_rotate`` (``misc/rotate.py:117``): a seed conformation of the full
+topology (sidechains, hydrogens and all) is deformed by rotating, for every
+requested dihedral, all atoms on the "far" side of its central bond about
+that bond until the dihedral matches the target.
+
+TPU-native design: the near/far graph split is host-side (networkx over
+distance-guessed bonds, like the reference's ``_get_near_and_far_networkx``,
+``rotate.py:392``), producing one static boolean mask per dihedral; the
+rotation sweep runs on device as a ``lax.scan`` over dihedrals, vmapped over
+frames — each scan step rotates the masked atom set with one batched matmul
+instead of the reference's per-frame Python/numba loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.topology import Topology
+from ..ops.backmap import rotation_matrices
+
+__all__ = ["guess_bonds", "near_and_far_masks", "dihedral_rotate", "backmap_topology"]
+
+# covalent radii (nm) for bond guessing
+_COV_RADII = {
+    "H": 0.031, "C": 0.076, "N": 0.071, "O": 0.066, "S": 0.105, "P": 0.107,
+    "SE": 0.120, "F": 0.057, "CL": 0.102, "BR": 0.120,
+}
+
+
+def guess_bonds(top: Topology, xyz: np.ndarray, tolerance: float = 1.3
+                ) -> list[tuple[int, int]]:
+    """Distance-based bond guessing on one frame (standard covalent-radii
+    criterion, like mdtraj's topology bond guesser)."""
+    xyz = np.asarray(xyz)
+    if xyz.ndim == 3:
+        xyz = xyz[0]
+    n = len(xyz)
+    radii = np.array(
+        [_COV_RADII.get(a.element.upper(), 0.08) for a in top.atoms]
+    )
+    bonds = []
+    # only test pairs within the same or adjacent residues (bonds never span
+    # further in proteins) to stay O(n) on host
+    for res_i, res in enumerate(top.residues):
+        atoms_here = [a.index for a in res.atoms]
+        atoms_next = (
+            [a.index for a in top.residues[res_i + 1].atoms]
+            if res_i + 1 < len(top.residues)
+            else []
+        )
+        candidates = atoms_here + atoms_next
+        for ii, a in enumerate(atoms_here):
+            for b in candidates:
+                if b <= a:
+                    continue
+                cutoff = (radii[a] + radii[b]) * tolerance
+                d = np.linalg.norm(xyz[a] - xyz[b])
+                if d < cutoff:
+                    bonds.append((a, b))
+    return bonds
+
+
+def near_and_far_masks(
+    top: Topology,
+    dihedral_indices: np.ndarray,
+    bonds: Optional[list[tuple[int, int]]] = None,
+    xyz: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """For each dihedral (a,b,c,d): boolean mask of atoms on the far side of
+    the b-c bond (the atoms that rotate). Host-side graph split, mirroring
+    ``_get_near_and_far_networkx`` (``rotate.py:392``)."""
+    import networkx as nx
+
+    if bonds is None:
+        assert xyz is not None, "need xyz to guess bonds"
+        bonds = guess_bonds(top, xyz)
+    G = nx.Graph()
+    G.add_nodes_from(range(top.n_atoms))
+    G.add_edges_from(bonds)
+
+    masks = np.zeros((len(dihedral_indices), top.n_atoms), bool)
+    for i, (a, b, c, d) in enumerate(np.asarray(dihedral_indices)):
+        H = G.copy()
+        if H.has_edge(int(b), int(c)):
+            H.remove_edge(int(b), int(c))
+        else:
+            raise ValueError(
+                f"dihedral {i}: no bond between atoms {b} and {c} "
+                f"({top.atom(int(b))}-{top.atom(int(c))})"
+            )
+        far = nx.node_connected_component(H, int(c))
+        if int(a) in far:
+            raise ValueError(
+                f"dihedral {i}: bond {b}-{c} lies on a ring; cannot rotate"
+            )
+        mask = np.zeros(top.n_atoms, bool)
+        mask[list(far)] = True
+        mask[int(b)] = False
+        mask[int(c)] = False  # both axis atoms stay fixed
+        masks[i] = mask
+    return masks
+
+
+def _current_dihedral(xyz, quad):
+    p0, p1, p2, p3 = (xyz[quad[0]], xyz[quad[1]], xyz[quad[2]], xyz[quad[3]])
+    b0 = p0 - p1
+    b1 = p2 - p1
+    b2 = p3 - p2
+    b1n = b1 / jnp.linalg.norm(b1)
+    v = b0 - jnp.dot(b0, b1n) * b1n
+    w = b2 - jnp.dot(b2, b1n) * b1n
+    x = jnp.dot(v, w)
+    y = jnp.dot(jnp.cross(b1n, v), w)
+    return jnp.arctan2(y, x)
+
+
+def dihedral_rotate(
+    xyz: jnp.ndarray,
+    quads: np.ndarray,
+    masks: np.ndarray,
+    targets: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rotate one frame's far-side atoms per dihedral to the target values.
+
+    Device-side ``lax.scan`` over dihedrals; vmap over frames for batches.
+
+    Args:
+        xyz: ``(n_atoms, 3)`` one conformation.
+        quads: ``(n_dih, 4)`` dihedral atom quadruplets (static).
+        masks: ``(n_dih, n_atoms)`` far-side rotation masks (static).
+        targets: ``(n_dih,)`` target dihedral values (radians).
+
+    Returns:
+        ``(n_atoms, 3)`` rotated conformation.
+    """
+    quads_j = jnp.asarray(quads)
+    masks_j = jnp.asarray(masks, jnp.float32)[..., None]  # (n_dih, n_atoms, 1)
+
+    def body(pos, inp):
+        quad, mask, target = inp
+        current = _current_dihedral(pos, quad)
+        delta = target - current
+        axis = pos[quad[2]] - pos[quad[1]]
+        axis = axis / jnp.linalg.norm(axis)
+        # rotation_matrices is the row-vector (x @ R) convention rotating by
+        # -angle; measured dihedral increases with +delta rotation of the far
+        # side about b->c, so negate to match.
+        R = rotation_matrices(axis[None], -delta[None])[0]
+        pivot = pos[quad[2]]
+        rotated = (pos - pivot) @ R + pivot
+        pos = pos + mask * (rotated - pos)
+        return pos, None
+
+    out, _ = jax.lax.scan(body, xyz, (quads_j, masks_j, targets))
+    return out
+
+
+def backmap_topology(
+    top: Topology,
+    base_xyz: np.ndarray,
+    dihedrals: np.ndarray,
+    dihedral_indices: Optional[np.ndarray] = None,
+    side_dihedrals: Optional[np.ndarray] = None,
+    side_indices: Optional[np.ndarray] = None,
+    bonds: Optional[list[tuple[int, int]]] = None,
+) -> np.ndarray:
+    """Full offline backmapping: one seed conformation -> many frames with
+    the requested backbone (and optional sidechain) dihedrals.
+
+    Default dihedral set matches the reference's ``mdtraj_backmapping``:
+    phi+psi backbone torsions in featurization order.
+
+    Returns:
+        ``(n_frames, n_atoms, 3)`` coordinates.
+    """
+    base_xyz = np.asarray(base_xyz, np.float32)
+    if base_xyz.ndim == 3:
+        base_xyz = base_xyz[0]
+    dihedrals = np.atleast_2d(np.asarray(dihedrals, np.float32))
+
+    if dihedral_indices is None:
+        phi = top.indices_phi
+        psi = top.indices_psi
+        dihedral_indices = np.vstack([phi, psi])
+    quads = np.asarray(dihedral_indices, np.int64)
+    targets = dihedrals
+
+    if side_dihedrals is not None:
+        if side_indices is None:
+            side_indices = np.vstack(
+                [top.indices_chi(n) for n in range(1, 6) if len(top.indices_chi(n))]
+            )
+        side_dihedrals = np.atleast_2d(np.asarray(side_dihedrals, np.float32))
+        quads = np.vstack([quads, np.asarray(side_indices, np.int64)])
+        targets = np.concatenate([targets, side_dihedrals], axis=1)
+
+    assert targets.shape[1] == len(quads), (
+        f"got {targets.shape[1]} dihedral values for {len(quads)} quadruplets"
+    )
+    masks = near_and_far_masks(top, quads, bonds=bonds, xyz=base_xyz)
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda t: dihedral_rotate(jnp.asarray(base_xyz), quads, masks, t)
+        )
+    )
+    return np.asarray(fn(jnp.asarray(targets)))

@@ -85,17 +85,70 @@ def decoder_splits(p: ADCParameters, shapes: ADCShapes) -> list[int]:
 
 
 def init_params(
-    key: jax.Array, p: ADCParameters, shapes: ADCShapes, dtype: Any = jnp.float32
+    key: jax.Array, p: ADCParameters, shapes: ADCShapes, dtype: Any = jnp.float32,
+    sparse: bool = False,
 ) -> dict:
     in_dim = _encoder_in_dim(p, shapes)
     out_dim = sum(decoder_splits(p, shapes))
-    k_enc, k_dec = jax.random.split(key)
+    k_enc, k_dec, k_sp = jax.random.split(key, 3)
     enc_dims = [in_dim] + list(p.n_neurons)
     dec_dims = [p.n_neurons[-1]] + list(p.n_neurons[-2::-1]) + [out_dim]
-    return {
+    params = {
         "encoder": mlp_init(k_enc, enc_dims, dtype),
         "decoder": mlp_init(k_dec, dec_dims, dtype),
     }
+    if sparse:
+        # Per-input trainable densifiers, the masked-dense equivalent of the
+        # reference's sparse-tensor Dense layers (``models.py:2667-2950``):
+        # NaNs are zero-filled and passed through a square Dense layer whose
+        # output covers the missing entries. With zero-filling, x @ W equals
+        # the reference's sparse-dense matmul exactly.
+        from ..nn import dense_init
+
+        keys = jax.random.split(k_sp, 5)
+        dens = {
+            "dihedrals": dense_init(keys[0], shapes.n_dihedrals,
+                                    shapes.n_dihedrals, dtype),
+            "angles": dense_init(keys[1], shapes.n_angles, shapes.n_angles,
+                                 dtype),
+            "cartesians": dense_init(keys[2], shapes.n_cartesians * 3,
+                                     shapes.n_cartesians * 3, dtype),
+            "distances": dense_init(keys[3], shapes.n_distances,
+                                    shapes.n_distances, dtype),
+        }
+        if shapes.n_side_dihedrals:
+            dens["side_dihedrals"] = dense_init(
+                keys[4], shapes.n_side_dihedrals, shapes.n_side_dihedrals,
+                dtype,
+            )
+        params["densifiers"] = dens
+    return params
+
+
+def densify_inputs(params: dict, p: ADCParameters, inputs: tuple) -> tuple:
+    """Fill NaNs with 0 and pass each input through its densifier Dense
+    layer (identity when the model has no densifiers)."""
+    if "densifiers" not in params:
+        return tuple(jnp.nan_to_num(x) for x in inputs)
+    from ..nn import dense_apply
+
+    dens = params["densifiers"]
+    angles, dihedrals, cartesians, distances = inputs[:4]
+    B = angles.shape[0]
+    out = [
+        dense_apply(dens["angles"], jnp.nan_to_num(angles)),
+        dense_apply(dens["dihedrals"], jnp.nan_to_num(dihedrals)),
+        dense_apply(
+            dens["cartesians"],
+            jnp.nan_to_num(cartesians).reshape(B, -1),
+        ).reshape(B, -1, 3),
+        dense_apply(dens["distances"], jnp.nan_to_num(distances)),
+    ]
+    if len(inputs) >= 5 and "side_dihedrals" in dens:
+        out.append(dense_apply(dens["side_dihedrals"], jnp.nan_to_num(inputs[4])))
+    elif len(inputs) >= 5:
+        out.append(jnp.nan_to_num(inputs[4]))
+    return tuple(out)
 
 
 def _encoder_activations(p: ADCParameters) -> list:
@@ -206,4 +259,6 @@ def forward(params: dict, p: ADCParameters, inputs: tuple, shapes: ADCShapes
 
 
 def regularization_sum(params: dict) -> Array:
-    return l2_sum(params)
+    """L2 over encoder+decoder kernels only — densifiers carry no
+    regularizer, matching the reference's sparse Dense layers."""
+    return l2_sum({"encoder": params["encoder"], "decoder": params["decoder"]})

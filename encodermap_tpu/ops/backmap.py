@@ -194,6 +194,53 @@ def _rotation_compose(A_f, A_g):
     return jnp.einsum("...ij,...jk->...ik", A_g, A_f, precision=jax.lax.Precision.HIGHEST)
 
 
+def _quat_compose(f, g):
+    """Hamilton product p ⊗ q on component-separated quaternions.
+
+    Components are ``(batch, n)`` arrays (structure-of-arrays layout): the
+    chain dim n lives in the TPU lane axis, so each compose is 16 fully
+    vectorized multiply-adds — versus 3x3-matrix composition whose
+    trailing dim of 3 wastes 125/128 lanes.
+
+    Scan convention matches :func:`_rotation_compose`: ``combine(f, g)``
+    applies g's rotation FIRST, i.e. column-matrices R(f)R(g) = R(f ⊗ g).
+    """
+    fw, fx, fy, fz = f
+    gw, gx, gy, gz = g
+    return (
+        fw * gw - fx * gx - fy * gy - fz * gz,
+        fw * gx + fx * gw + fy * gz - fz * gy,
+        fw * gy - fx * gz + fy * gw + fz * gx,
+        fw * gz + fx * gy - fy * gx + fz * gw,
+    )
+
+
+def _quat_rotate(q, v):
+    """Rotate vectors by component-separated quaternions.
+
+    ``v' = v + 2 w (r x v) + 2 r x (r x v)`` with q = (w, r).
+
+    Args:
+        q: tuple of 4 ``(batch, n)`` arrays.
+        v: tuple of 3 ``(batch, n)`` arrays (vector components).
+
+    Returns:
+        tuple of 3 ``(batch, n)`` arrays.
+    """
+    w, x, y, z = q
+    vx, vy, vz = v
+    # t = 2 * (r x v)
+    tx = 2.0 * (y * vz - z * vy)
+    ty = 2.0 * (z * vx - x * vz)
+    tz = 2.0 * (x * vy - y * vx)
+    # v' = v + w*t + r x t
+    return (
+        vx + w * tx + (y * tz - z * ty),
+        vy + w * ty + (z * tx - x * tz),
+        vz + w * tz + (x * ty - y * tx),
+    )
+
+
 def dihedral_to_cartesian_one_way(dihedrals: Array, cartesian: Array) -> Array:
     """Curl one half-chain out of the plane, setting dihedrals sequentially.
 
@@ -227,23 +274,34 @@ def dihedral_to_cartesian_one_way(dihedrals: Array, cartesian: Array) -> Array:
     assert cartesian.shape[-2] == n + 3, (
         f"need n+3 atoms for n dihedrals, got {cartesian.shape[-2]=} {n=}"
     )
-    d = -dihedrals  # reference negates before rotating
-
     # B_i: rotation about the fixed original axis through atoms (i+1, i+2).
+    # Quaternion structure-of-arrays layout: all per-rotation state is
+    # (batch, n) with the chain dim in TPU lanes.
     p1 = cartesian[:, 1:-2, :]  # atom i+1 for i in [0, n)
     p2 = cartesian[:, 2:-1, :]  # atom i+2
     axis = p2 - p1
     axis = axis / jnp.sqrt(jnp.sum(jnp.square(axis), axis=-1, keepdims=True))
-    R = rotation_matrices(axis, d)  # (batch, n, 3, 3)
+
+    # The reference's x @ R_rodrigues(axis, -dihedral) equals, in column
+    # convention, a rotation by +dihedral about axis; as a quaternion:
+    # q = (cos(d/2), sin(d/2) * axis).
+    half = 0.5 * dihedrals
+    cw = jnp.cos(half)
+    s = jnp.sin(half)
+    q = (cw, s * axis[..., 0], s * axis[..., 1], s * axis[..., 2])
 
     # cumulative rotation C_i = B_0 ∘ ... ∘ B_i (B_i applied first)
-    A_cum = jax.lax.associative_scan(_rotation_compose, R, axis=1)
+    q_cum = jax.lax.associative_scan(_quat_compose, q, axis=1)
     # atom n+2 shares C_{n-1} with atom n+1
-    A_cum = jnp.concatenate([A_cum, A_cum[:, -1:]], axis=1)
+    q_cum = tuple(
+        jnp.concatenate([c, c[:, -1:]], axis=1) for c in q_cum
+    )
 
     # rotated bond vectors for bonds (k-1, k), k = 2..n+2, then cumsum
     bonds = cartesian[:, 2:, :] - cartesian[:, 1:-1, :]
-    rotated_bonds = jnp.einsum("bnj,bnjk->bnk", bonds, A_cum, precision=jax.lax.Precision.HIGHEST)
+    v = (bonds[..., 0], bonds[..., 1], bonds[..., 2])
+    rx, ry, rz = _quat_rotate(q_cum, v)
+    rotated_bonds = jnp.stack([rx, ry, rz], axis=-1)
     moved = cartesian[:, 1:2, :] + jnp.cumsum(rotated_bonds, axis=1)
     return jnp.concatenate([cartesian[:, :2, :], moved], axis=1)
 

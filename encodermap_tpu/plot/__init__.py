@@ -1,0 +1,22 @@
+# encodermap_tpu/plot/__init__.py
+"""Plotting/visualization layer (matplotlib backend)."""
+
+from .interactive import InteractivePlotting
+from .plotting import (
+    distance_histogram,
+    plot_cluster,
+    plot_free_energy,
+    plot_latent_scatter,
+    plot_ramachandran,
+    plot_trajs_by_parameter,
+)
+
+__all__ = [
+    "InteractivePlotting",
+    "distance_histogram",
+    "plot_cluster",
+    "plot_free_energy",
+    "plot_latent_scatter",
+    "plot_ramachandran",
+    "plot_trajs_by_parameter",
+]

@@ -107,6 +107,10 @@ class AngleDihedralCartesianEncoderMap:
         self.shapes = adc.ADCShapes.from_data(
             angles, dihedrals, cartesians, distances, side
         )
+        # NaNs mark missing values from mixed-topology ensemble alignment ->
+        # masked-dense "sparse" mode with per-input densifiers (the reference
+        # reroutes these into tf.sparse tensors, ``autoencoder.py:796-800``)
+        self.sparse = any(np.isnan(a).any() for a in self.train_data)
 
         if not read_only:
             Path(self.p.main_path).mkdir(parents=True, exist_ok=True)
@@ -116,7 +120,9 @@ class AngleDihedralCartesianEncoderMap:
         key = jax.random.PRNGKey(seed)
         k_model, k_train = jax.random.split(key)
         if model_params is None:
-            model_params = adc.init_params(k_model, self.p, self.shapes)
+            model_params = adc.init_params(
+                k_model, self.p, self.shapes, sparse=self.sparse
+            )
         self.optimizer = make_optimizer(self.p.learning_rate)
         self.state = TrainState.create(
             model_params, self.optimizer, k_train,
@@ -130,6 +136,14 @@ class AngleDihedralCartesianEncoderMap:
     ) -> dict[str, Array]:
         """The reference's get_loss assembly (``models.py:2260-2459``)."""
         p = self.p
+        if self.sparse:
+            dens_params = params
+            if not p.trainable_dense_to_sparse:
+                dens_params = dict(params)
+                dens_params["densifiers"] = jax.lax.stop_gradient(
+                    params["densifiers"]
+                )
+            batch = adc.densify_inputs(dens_params, p, batch)
         inp_angles, inp_dihedrals, inp_cartesians, inp_distances = batch[:4]
         inp_side = batch[4] if len(batch) == 5 else None
 
@@ -172,6 +186,8 @@ class AngleDihedralCartesianEncoderMap:
         out = {}
         if not (p.track_clashes or p.track_RMSD):
             return out
+        if self.sparse:
+            batch = adc.densify_inputs(params, p, batch)
         (_, _, _, back_cartesians, _, _, _) = adc.forward(
             params, p, batch, self.shapes
         )
@@ -225,9 +241,9 @@ class AngleDihedralCartesianEncoderMap:
         return self._trainer
 
     def _device_data(self) -> tuple:
-        return tuple(
-            jnp.asarray(np.nan_to_num(d, nan=0.0)) for d in self.train_data
-        )
+        # NaNs stay: the densifiers zero-fill inside the graph (sparse mode);
+        # dense mode has no NaNs by construction.
+        return tuple(jnp.asarray(d) for d in self.train_data)
 
     def train(self) -> dict[str, np.ndarray]:
         start = int(self.state.step)
@@ -356,7 +372,12 @@ class AngleDihedralCartesianEncoderMap:
             data = self._split_stacked(data)
         arrs = tuple(jnp.asarray(np.asarray(d, np.float32)) for d in data)
 
-        fn = jax.jit(lambda inputs: adc.encode(self.state.params, self.p, inputs))
+        def _encode(inputs):
+            if self.sparse:
+                inputs = adc.densify_inputs(self.state.params, self.p, inputs)
+            return adc.encode(self.state.params, self.p, inputs)
+
+        fn = jax.jit(_encode)
         # encode() only consumes the trained groups; pad tuple to 5 slots
         if len(arrs) < 5:
             arrs = arrs + tuple([jnp.zeros((arrs[0].shape[0], 0))] * (5 - len(arrs)))

@@ -336,3 +336,41 @@ class EncoderMap(Autoencoder):
         latent = seq.encode(params, self.p, batch)
         terms["distance_loss"] = L.distance_loss(batch, latent, self.p)
         return terms
+
+
+class DihedralEncoderMap(EncoderMap):
+    """EncoderMap over backbone dihedrals whose ``generate`` back-maps onto a
+    real topology by rotating its phi/psi bonds
+    (reference: ``autoencoder.py:1310-1400``, which uses MDAnalysis; here the
+    rotation sweep is the on-device scan of
+    ``misc/backmapping_offline.py``).
+
+    Training data layout must be [all phi, all psi] in residue order, as the
+    reference's ``dihedral_backmapping`` expects.
+    """
+
+    def generate(self, latent: np.ndarray, top: Any = None) -> Any:
+        """Decode latent points to dihedrals and rotate a topology into them.
+
+        Args:
+            latent: ``(n, 2)`` latent points.
+            top: a pdb path or :class:`SingleTraj` providing topology + seed
+                coordinates. Without it, raw dihedrals are returned.
+
+        Returns:
+            A :class:`SingleTraj` of generated conformations (or the raw
+            dihedral array when ``top`` is None).
+        """
+        dihedrals = self.decode(np.asarray(latent, np.float32))
+        if top is None:
+            return dihedrals
+        from ..data.trajectory import SingleTraj
+        from ..misc.backmapping_offline import backmap_topology
+
+        if not isinstance(top, SingleTraj):
+            top = SingleTraj(top)
+        xyz = backmap_topology(top.top, top.xyz[0], dihedrals)
+        out = top[np.zeros(len(xyz), dtype=int)]
+        out.load()
+        out._xyz = xyz
+        return out

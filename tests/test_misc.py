@@ -1,0 +1,263 @@
+# tests/test_misc.py
+"""Offline topology backmapping, clustering, plotting, function decorator,
+sparse ADC training, sharded featurization."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+DATA = Path("/root/reference/tests/data")
+needs_data = pytest.mark.skipif(
+    not DATA.exists(), reason="reference test data not mounted"
+)
+
+
+@needs_data
+class TestOfflineBackmapping:
+    @pytest.fixture(scope="class")
+    def asp7(self):
+        from encodermap_tpu.data import SingleTraj
+
+        return SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+
+    def test_guess_bonds_connects_backbone(self, asp7):
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        bonds = guess_bonds(asp7.top, asp7.xyz[0])
+        import networkx as nx
+
+        G = nx.Graph(bonds)
+        G.add_nodes_from(range(asp7.top.n_atoms))
+        # the protein should be a single connected component
+        protein_atoms = [a.index for a in asp7.top.atoms if a.residue.is_protein]
+        sub = G.subgraph(protein_atoms)
+        assert nx.is_connected(sub)
+
+    def test_rotation_hits_targets(self, asp7):
+        """Rotating to target phi/psi values must produce geometry whose
+        measured dihedrals equal the targets."""
+        from encodermap_tpu.misc.backmapping_offline import backmap_topology
+        from tests.reference_impl import dihedral_from_xyz_np
+
+        rng = np.random.default_rng(0)
+        phi = asp7.top.indices_phi
+        psi = asp7.top.indices_psi
+        quads = np.vstack([phi, psi])
+        targets = rng.uniform(-np.pi + 0.2, np.pi - 0.2, (3, len(quads))).astype(
+            np.float32
+        )
+        xyz = backmap_topology(asp7.top, asp7.xyz[0], targets)
+        assert xyz.shape == (3, asp7.top.n_atoms, 3)
+        measured = np.stack(
+            [
+                dihedral_from_xyz_np(
+                    xyz[:, q[0]], xyz[:, q[1]], xyz[:, q[2]], xyz[:, q[3]]
+                )
+                for q in quads
+            ],
+            axis=1,
+        )
+        # periodic distance to targets
+        d = np.abs(measured - targets)
+        d = np.minimum(d, 2 * np.pi - d)
+        assert d.max() < 5e-3, d.max()
+
+    def test_bond_lengths_preserved(self, asp7):
+        from encodermap_tpu.misc.backmapping_offline import (
+            backmap_topology,
+            guess_bonds,
+        )
+
+        rng = np.random.default_rng(1)
+        n_di = len(asp7.top.indices_phi) + len(asp7.top.indices_psi)
+        targets = rng.uniform(-3, 3, (2, n_di)).astype(np.float32)
+        xyz = backmap_topology(asp7.top, asp7.xyz[0], targets)
+        bonds = np.asarray(guess_bonds(asp7.top, asp7.xyz[0]))
+        orig = np.linalg.norm(
+            asp7.xyz[0][bonds[:, 0]] - asp7.xyz[0][bonds[:, 1]], axis=-1
+        )
+        new = np.linalg.norm(
+            xyz[:, bonds[:, 0]] - xyz[:, bonds[:, 1]], axis=-1
+        )
+        np.testing.assert_allclose(
+            new, np.broadcast_to(orig, new.shape), atol=1e-4
+        )
+
+    def test_dihedral_encodermap_generate(self, asp7, tmp_path):
+        """DihedralEncoderMap end-to-end: train on phi/psi, generate onto the
+        real topology."""
+        from encodermap_tpu import Parameters
+        from encodermap_tpu.train.autoencoder import DihedralEncoderMap
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        feat = SingleTrajFeaturizer(asp7)
+        feat.add_backbone_torsions()
+        tors = feat.get_output()["BackboneTorsionFeature"].astype(np.float32)
+        p = Parameters(
+            main_path=str(tmp_path), n_neurons=[16, 16, 2], n_steps=10,
+            steps_per_scan=10, batch_size=32, seed=1,
+        )
+        emap = DihedralEncoderMap(p, tors)
+        emap.train()
+        out = emap.generate(np.zeros((2, 2), np.float32), top=asp7)
+        assert out.xyz.shape == (2, asp7.top.n_atoms, 3)
+        assert np.isfinite(out.xyz).all()
+
+
+class TestClustering:
+    def test_centroid(self, rng):
+        from encodermap_tpu.misc.clustering import rmsd_centroid_of_cluster
+
+        base = rng.standard_normal((12, 3)).astype(np.float32)
+        frames = [base + rng.normal(0, 0.01, base.shape) for _ in range(10)]
+        frames.append(base + rng.normal(0, 1.0, base.shape))  # outlier
+        idx, dists = rmsd_centroid_of_cluster(np.stack(frames))
+        assert idx != 10  # the outlier can't be the centroid
+        assert dists.shape == (11, 11)
+
+    def test_cluster_to_dict(self):
+        from encodermap_tpu.misc.clustering import cluster_to_dict
+
+        out = cluster_to_dict(np.array([0, 0, 1, -1, 1, 2]))
+        assert set(out) == {0, 1, 2}
+        np.testing.assert_array_equal(out[1], [2, 4])
+
+
+class TestFunctionDecorator:
+    def test_jit_and_debug(self):
+        import jax.numpy as jnp
+
+        from encodermap_tpu.misc.function_def import function
+
+        @function
+        def f(x):
+            return x * 2
+
+        @function(debug=True)
+        def g(x):
+            return x * 3
+
+        assert float(f(jnp.asarray(2.0))) == 4.0
+        assert float(g(jnp.asarray(2.0))) == 6.0
+
+
+class TestPlotting:
+    def test_free_energy_and_ramachandran(self, rng, tmp_path):
+        from encodermap_tpu.plot import plot_free_energy, plot_ramachandran
+
+        latent = rng.standard_normal((500, 2))
+        out = plot_free_energy(latent, save_path=tmp_path / "fes.png")
+        assert Path(out).exists()
+        phi = rng.uniform(-np.pi, np.pi, 300)
+        psi = rng.uniform(-np.pi, np.pi, 300)
+        out = plot_ramachandran(phi, psi, save_path=tmp_path / "rama.png")
+        assert Path(out).exists()
+
+    def test_distance_histogram(self, rng, tmp_path):
+        from encodermap_tpu.plot import distance_histogram
+
+        data = rng.uniform(-np.pi, np.pi, (200, 6))
+        out = distance_histogram(
+            data, 2 * np.pi, (4.5, 12, 6, 1, 2, 6),
+            save_path=tmp_path / "hist.png",
+        )
+        assert Path(out).exists()
+
+    def test_interactive_selection(self, rng, tmp_path):
+        from encodermap_tpu import EncoderMap, Parameters
+        from encodermap_tpu.plot import InteractivePlotting
+
+        data = rng.standard_normal((200, 4)).astype(np.float32)
+        p = Parameters(
+            main_path=str(tmp_path), periodicity=float("inf"),
+            n_neurons=[8, 8, 2], n_steps=5, steps_per_scan=5, batch_size=32,
+            seed=0,
+        )
+        emap = EncoderMap(p, data)
+        emap.train()
+        sess = InteractivePlotting(emap, data=data)
+        lo, hi = sess.latent.min(0) - 1, sess.latent.max(0) + 1
+        idx = sess.select_rectangle(lo[0], lo[1], hi[0], hi[1])
+        assert len(idx) == 200  # rectangle covers everything
+        path_structures = sess.path([(lo[0], lo[1]), (hi[0], hi[1])], n=7)
+        assert path_structures.shape == (7, 4)
+
+
+class TestSparseADC:
+    def test_nan_training(self, tmp_path):
+        """Mixed-topology NaN-padded CVs train through the densifier path."""
+        from encodermap_tpu import ADCParameters
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.test_adc import synthetic_cvs
+
+        rng = np.random.default_rng(3)
+        cvs = synthetic_cvs(rng, n_frames=100, n_res=6)
+        # knock out some side dihedrals for half the frames (ragged ensemble)
+        cvs["side_dihedrals"][:50, -3:] = np.nan
+        p = ADCParameters(
+            main_path=str(tmp_path), n_neurons=[16, 16, 2], n_steps=10,
+            steps_per_scan=5, batch_size=16, use_backbone_angles=True,
+            use_sidechains=True, seed=0, checkpoint_step=10**6,
+            summary_step=10**6,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p)
+        assert emap.sparse
+        assert "densifiers" in emap.state.params
+        history = emap.train()
+        assert np.isfinite(history["loss"]).all()
+
+    def test_densifier_frozen_by_default(self, tmp_path):
+        from encodermap_tpu import ADCParameters
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.test_adc import synthetic_cvs
+
+        rng = np.random.default_rng(4)
+        cvs = synthetic_cvs(rng, n_frames=60, n_res=5)
+        cvs["central_angles"][:10, 0] = np.nan
+        p = ADCParameters(
+            main_path=str(tmp_path), n_neurons=[8, 8, 2], n_steps=4,
+            steps_per_scan=4, batch_size=8, seed=0,
+            checkpoint_step=10**6, summary_step=10**6,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p)
+        before = np.asarray(emap.state.params["densifiers"]["angles"]["kernel"])
+        emap.train()
+        after = np.asarray(emap.state.params["densifiers"]["angles"]["kernel"])
+        np.testing.assert_array_equal(before, after)
+
+
+class TestShardedFeaturize:
+    @needs_data
+    def test_matches_single_device(self):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+        from encodermap_tpu.parallel.sharded_featurize import ShardedFeaturizer
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        single = SingleTrajFeaturizer(traj)
+        single.add_list_of_feats(["central_dihedrals"])
+        ref_out = single.get_output()["central_dihedrals"]
+
+        sharded = ShardedFeaturizer(traj, block_size=64)
+        sharded._inner.add_list_of_feats(["central_dihedrals"])
+        out = sharded.get_output()["central_dihedrals"]
+        np.testing.assert_allclose(out, ref_out, atol=1e-6)
+
+    @needs_data
+    def test_to_hdf5(self, tmp_path):
+        import h5py
+
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.parallel.sharded_featurize import ShardedFeaturizer
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        sharded = ShardedFeaturizer(traj, block_size=64)
+        sharded._inner.add_list_of_feats(["central_angles"])
+        sharded.to_hdf5(tmp_path / "cvs.h5")
+        with h5py.File(tmp_path / "cvs.h5") as f:
+            assert f["CVs/central_angles"].shape == (traj.n_frames, 19)

@@ -62,7 +62,12 @@ def bench_train(n_warm_chunks: int = 2, n_chunks: int = 20) -> float:
     return steps * p.batch_size / dt
 
 
-def bench_backmap(batch: int = 256, n_atoms: int = 456, iters: int = 50) -> float:
+def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 20,
+                  outer: int = 3) -> float:
+    """Backmapping throughput: ``iters`` batches per dispatch inside one jit
+    (fori_loop with per-iteration input perturbation so nothing is CSE'd),
+    so the number reflects device throughput rather than the remote-dispatch
+    latency of this development setup."""
     import jax
     import jax.numpy as jnp
 
@@ -73,17 +78,24 @@ def bench_backmap(batch: int = 256, n_atoms: int = 456, iters: int = 50) -> floa
     ang = jnp.asarray(rng.uniform(0.5, np.pi - 0.5, (batch, n_atoms - 2)), jnp.float32)
     di = jnp.asarray(rng.uniform(-np.pi, np.pi, (batch, n_atoms - 3)), jnp.float32)
 
-    fn = jax.jit(lambda d, a, x: backmap(d, a, x).sum(axis=(1, 2)))
-    out = fn(dist, ang, di)
-    float(np.asarray(out)[0])
+    @jax.jit
+    def loop(d, a, x):
+        def body(i, acc):
+            xyz = backmap(d, a, x + i.astype(jnp.float32) * 1e-4)
+            return acc + xyz.sum()
+
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))
+
+    checksum = float(np.asarray(loop(dist, ang, di)))  # compile + warmup
+    assert np.isfinite(checksum)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(dist, ang, di)
-    checksum = float(np.asarray(out)[0])
+    for _ in range(outer):
+        out = loop(dist, ang, di)
+    checksum = float(np.asarray(out))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
-    return iters * batch / dt
+    return outer * iters * batch / dt
 
 
 def main() -> None:

@@ -69,4 +69,24 @@ def __getattr__(name):
         from . import plot
 
         return plot
+    if name == "MolData":
+        from .moldata import MolData
+
+        return MolData
+    if name == "get_from_kondata":
+        from .kondata import get_from_kondata
+
+        return get_from_kondata
+    if name == "load_project":
+        from .kondata import load_project
+
+        return load_project
+    if name == "function":
+        from .misc.function_def import function
+
+        return function
+    if name == "InteractivePlotting":
+        from .plot.interactive import InteractivePlotting
+
+        return InteractivePlotting
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,173 @@
+# encodermap_tpu/data/custom_topology.py
+"""CustomTopology: user-defined residues and dihedral overrides.
+
+Re-design of the reference's ``CustomTopology``
+(``/root/reference/encodermap/trajinfo/trajinfo_utils.py:583-1565``): lets
+users teach the framework about non-standard residues — extra bonds
+(including +1/-1 neighbor references), PHI/PSI/OMEGA overrides, chi-table
+additions, and deletions — so featurization and offline backmapping handle
+unnatural amino acids.
+
+Usage::
+
+    ct = CustomTopology(top)
+    ct.add_residue("PEG", chi1=["N", "CA", "CB", "OG"], bonds=[("CA", "CB")])
+    ct.override_dihedral("PHI", "PEG", ["-C", "N", "CA", "C"])
+    top2 = ct.apply()   # a Topology whose index tables honor the overrides
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from .topology import CHI_ATOMS, Topology, _PROTEIN_RESIDUES
+
+__all__ = ["CustomTopology"]
+
+
+class _PatchedTopology(Topology):
+    """Topology whose dihedral tables honor custom residue definitions."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._custom_chi: dict[str, dict[str, list[str]]] = {}
+        self._dihedral_overrides: dict[tuple[str, str], list[str]] = {}
+        self._extra_bonds: list[tuple[int, int]] = []
+        self._not_dihedrals: set[tuple[str, str]] = set()
+
+    def indices_chi(self, n: int) -> np.ndarray:
+        base = dict(CHI_ATOMS[f"chi{n}"])
+        base.update(self._custom_chi.get(f"chi{n}", {}))
+        out = []
+        for r in self._protein_residues():
+            names = base.get(r.name)
+            if names is None:
+                continue
+            atoms = [r.atom(nm) for nm in names]
+            if any(a is None for a in atoms):
+                continue
+            out.append([a.index for a in atoms])
+        return np.asarray(out, dtype=np.int64).reshape(-1, 4)
+
+    def _override_quad(
+        self, kind: str, prev, cur, nxt
+    ) -> Optional[list[int]]:
+        names = self._dihedral_overrides.get((kind, cur.name))
+        if names is None:
+            return None
+        quad = []
+        for nm in names:
+            if nm.startswith("-"):
+                res, nm = prev, nm[1:]
+            elif nm.startswith("+"):
+                res, nm = nxt, nm[1:]
+            else:
+                res = cur
+            if res is None:
+                return None
+            atom = res.atom(nm)
+            if atom is None:
+                return None
+            quad.append(atom.index)
+        return quad
+
+    def _torsion_indices(self, kind: str) -> np.ndarray:
+        res = self._protein_residues()
+        out = []
+        for i, cur in enumerate(res):
+            prev = res[i - 1] if i > 0 else None
+            nxt = res[i + 1] if i + 1 < len(res) else None
+            if (kind, cur.name) in self._not_dihedrals:
+                continue
+            quad = self._override_quad(kind, prev, cur, nxt)
+            if quad is not None:
+                out.append(quad)
+                continue
+            # defaults
+            if kind == "PHI" and prev is not None and prev.chain_index == cur.chain_index:
+                out.append([prev.atom("C").index, cur.atom("N").index,
+                            cur.atom("CA").index, cur.atom("C").index])
+            elif kind == "PSI" and nxt is not None and nxt.chain_index == cur.chain_index:
+                out.append([cur.atom("N").index, cur.atom("CA").index,
+                            cur.atom("C").index, nxt.atom("N").index])
+            elif kind == "OMEGA" and nxt is not None and nxt.chain_index == cur.chain_index:
+                out.append([cur.atom("CA").index, cur.atom("C").index,
+                            nxt.atom("N").index, nxt.atom("CA").index])
+        return np.asarray(out, dtype=np.int64).reshape(-1, 4)
+
+    @property
+    def indices_phi(self) -> np.ndarray:
+        return self._torsion_indices("PHI")
+
+    @property
+    def indices_psi(self) -> np.ndarray:
+        return self._torsion_indices("PSI")
+
+    @property
+    def indices_omega(self) -> np.ndarray:
+        return self._torsion_indices("OMEGA")
+
+
+class CustomTopology:
+    """Collects user residue definitions, then produces a patched Topology."""
+
+    def __init__(self, top: Topology) -> None:
+        self.top = top
+        self._custom_chi: dict[str, dict[str, list[str]]] = {}
+        self._dihedral_overrides: dict[tuple[str, str], list[str]] = {}
+        self._extra_bonds: list[tuple[Union[int, str], Union[int, str]]] = []
+        self._not_dihedrals: set[tuple[str, str]] = set()
+        self._protein_names: set[str] = set()
+
+    def add_residue(
+        self,
+        name: str,
+        bonds: Sequence[tuple] = (),
+        **chi_tables: Sequence[str],
+    ) -> "CustomTopology":
+        """Register a residue: mark it protein-like, optionally define chi
+        dihedrals (chi1=..., chi2=...) and intra-residue bonds."""
+        self._protein_names.add(name)
+        for key, atoms in chi_tables.items():
+            assert key.startswith("chi"), f"unknown table {key}"
+            self._custom_chi.setdefault(key, {})[name] = list(atoms)
+        for a, b in bonds:
+            self._extra_bonds.append((name, a, b))
+        return self
+
+    def override_dihedral(
+        self, kind: str, residue_name: str, atom_names: Sequence[str]
+    ) -> "CustomTopology":
+        """Override PHI/PSI/OMEGA for one residue type; names may carry
+        +/- prefixes for next/previous residue atoms."""
+        assert kind in ("PHI", "PSI", "OMEGA")
+        self._dihedral_overrides[(kind, residue_name)] = list(atom_names)
+        return self
+
+    def remove_dihedral(self, kind: str, residue_name: str) -> "CustomTopology":
+        """A ``not_*`` deletion: drop this torsion for this residue type."""
+        self._not_dihedrals.add((kind, residue_name))
+        return self
+
+    def apply(self) -> _PatchedTopology:
+        """Build the patched Topology."""
+        out = _PatchedTopology()
+        _PROTEIN_RESIDUES.update(self._protein_names)
+        for res in self.top.residues:
+            new_res = out.add_residue(res.name, res.resSeq, res.chain_index)
+            for a in res.atoms:
+                out.add_atom(a.name, a.element, new_res)
+        out._custom_chi = self._custom_chi
+        out._dihedral_overrides = self._dihedral_overrides
+        out._not_dihedrals = self._not_dihedrals
+        for entry in self._extra_bonds:
+            res_name, a_name, b_name = entry
+            for res in out.residues:
+                if res.name != res_name:
+                    continue
+                a, b = res.atom(a_name), res.atom(b_name)
+                if a is not None and b is not None:
+                    out._extra_bonds.append((a.index, b.index))
+        return out

@@ -444,6 +444,67 @@ class TrajEnsemble:
             idx = rng.integers(0, n, batch_size)
             yield tuple(a[idx] for a in arrays)
 
+    # ------------------------------------------------------------------ analysis
+    def cluster(
+        self, membership: np.ndarray, cluster_id: Optional[int] = None
+    ) -> Union["TrajEnsemble", dict[int, "TrajEnsemble"]]:
+        """Sub-ensembles by cluster membership over stacked frames
+        (reference ``info_all.py:1999``). With ``cluster_id`` returns one
+        ensemble; otherwise a dict of all (noise label -1 skipped)."""
+        membership = np.asarray(membership)
+        assert len(membership) == self.n_frames
+        bounds = np.cumsum([0] + [t.n_frames for t in self.trajs])
+
+        def subset(cid: int) -> "TrajEnsemble":
+            idx = np.where(membership == cid)[0]
+            parts = []
+            for ti, t in enumerate(self.trajs):
+                local = idx[(idx >= bounds[ti]) & (idx < bounds[ti + 1])]
+                if len(local):
+                    parts.append(t[local - bounds[ti]])
+            return TrajEnsemble(parts)
+
+        if cluster_id is not None:
+            return subset(cluster_id)
+        return {
+            int(c): subset(int(c)) for c in np.unique(membership) if c != -1
+        }
+
+    def join(self) -> list[SingleTraj]:
+        """Concatenate trajs sharing a topology file into single trajs
+        (reference ``info_all.py:2145``)."""
+        groups: dict[str, list[SingleTraj]] = {}
+        for t in self.trajs:
+            groups.setdefault(t.top_file, []).append(t)
+        out = []
+        for top_file, members in groups.items():
+            base = members[0]
+            joined = SingleTraj(
+                base.traj_file, top_file, traj_num=base.traj_num,
+                common_str=base.common_str,
+            )
+            joined._top = base.top
+            joined._xyz = np.concatenate([m.xyz for m in members], axis=0)
+            joined._time = np.concatenate([m.time for m in members], axis=0)
+            cells = [m.unitcell_vectors for m in members]
+            joined._unitcell = (
+                np.concatenate(cells, axis=0) if cells[0] is not None else None
+            )
+            joined._n_frames_file = len(joined._xyz)
+            joined.index = None
+            # joined CVs where all members carry them
+            common = set(members[0]._CVs.keys())
+            for m in members[1:]:
+                common &= set(m._CVs.keys())
+            for k in common:
+                joined._CVs.add(
+                    k,
+                    np.concatenate([m._CVs[k] for m in members], axis=0),
+                    members[0]._CVs.entry(k).labels,
+                )
+            out.append(joined)
+        return out
+
     # ------------------------------------------------------------------ save
     def save(self, path: Union[str, Path]) -> None:
         import h5py

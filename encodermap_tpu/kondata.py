@@ -1,0 +1,113 @@
+# encodermap_tpu/kondata.py
+"""Project dataset fetching (reference: ``/root/reference/encodermap/
+kondata.py:134-543``) and ``load_project``.
+
+The reference downloads named tutorial datasets (trajs.h5, checkpoints) from
+the University of Konstanz repository. This environment has no network
+egress, so the fetch path resolves in this order:
+
+1. an existing local copy under ``mirror_dirs`` (or $ENCODERMAP_DATA_DIR),
+2. an actual HTTP download (works when deployed with egress),
+3. a clear error explaining both.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Union
+
+__all__ = ["get_from_kondata", "load_project"]
+
+KONDATA_URL = "https://dx.doi.org/10.48606/99"
+_FALLBACK_URLS = [
+    "https://kondata.uni-konstanz.de/radar/api/datasets/{dataset}/download",
+]
+
+
+def get_from_kondata(
+    dataset_name: str,
+    output: Optional[Union[str, Path]] = None,
+    mirror_dirs: tuple[str, ...] = (),
+    silence_overwrite_message: bool = False,
+    download_extra_data: bool = False,
+    download_checkpoints: bool = True,
+    download_h5: bool = True,
+) -> str:
+    """Obtain a named EncoderMap project dataset directory.
+
+    Returns the local dataset directory path.
+    """
+    if output is None:
+        output = Path.cwd() / dataset_name
+    output = Path(output)
+
+    candidates = [output]
+    env_dir = os.environ.get("ENCODERMAP_DATA_DIR")
+    if env_dir:
+        candidates.append(Path(env_dir) / dataset_name)
+    candidates += [Path(m) / dataset_name for m in mirror_dirs]
+
+    for c in candidates:
+        if c.exists() and any(c.iterdir()):
+            if not silence_overwrite_message and c != output:
+                print(f"using local dataset copy at {c}")
+            return str(c)
+
+    # network fetch (only possible with egress)
+    try:
+        import urllib.request
+
+        output.mkdir(parents=True, exist_ok=True)
+        url = _FALLBACK_URLS[0].format(dataset=dataset_name)
+        target = output / f"{dataset_name}.tar"
+        urllib.request.urlretrieve(url, target)  # noqa: S310
+        import tarfile
+
+        with tarfile.open(target) as tf:
+            tf.extractall(output)  # noqa: S202
+        return str(output)
+    except Exception as e:
+        raise RuntimeError(
+            f"Dataset {dataset_name!r} is not available locally "
+            f"(searched {[str(c) for c in candidates]}) and could not be "
+            f"downloaded ({type(e).__name__}: {e}). Place the files under "
+            f"$ENCODERMAP_DATA_DIR/{dataset_name} or see {KONDATA_URL}."
+        ) from e
+
+
+def load_project(
+    project_name: str,
+    traj: int = -1,
+    load_autoencoder: bool = True,
+):
+    """Rebuild (trajs, autoencoder) from a downloaded project directory
+    (reference: ``__init__.py:631-747``)."""
+    from .data.trajectory import SingleTraj, TrajEnsemble
+
+    root = Path(get_from_kondata(project_name))
+    h5_files = sorted(root.glob("*.h5"))
+    trajs_h5 = [f for f in h5_files if "traj" in f.name.lower()]
+    if not trajs_h5:
+        trajs_h5 = h5_files
+    if not trajs_h5:
+        raise FileNotFoundError(f"no trajectory .h5 files in {root}")
+    ensemble = TrajEnsemble([SingleTraj(f) for f in trajs_h5])
+    if traj != -1:
+        ensemble = TrajEnsemble([ensemble.trajs[traj]])
+
+    if not load_autoencoder:
+        return ensemble
+
+    ckpt_dirs = [d for d in root.iterdir() if d.is_dir() and
+                 (d / "parameters.json").exists()]
+    if (root / "parameters.json").exists():
+        ckpt_dirs.insert(0, root)
+    if not ckpt_dirs:
+        return ensemble, None
+    from .train.adc_autoencoder import AngleDihedralCartesianEncoderMap
+
+    autoencoder = AngleDihedralCartesianEncoderMap.from_checkpoint(
+        ensemble, ckpt_dirs[0]
+    )
+    return ensemble, autoencoder

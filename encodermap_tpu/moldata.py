@@ -1,0 +1,42 @@
+# encodermap_tpu/moldata.py
+"""MolData back-compat shim (reference: ``/root/reference/encodermap/
+moldata/moldata.py:72-192``): turns a trajectory into the 6 ADC CV arrays as
+attributes, for code written against the EncoderMap 2.x MolData API."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+__all__ = ["MolData"]
+
+
+class MolData:
+    """Featurize a trajectory into the classic MolData attribute set:
+    ``angles, dihedrals, cartesians, distances, sidedihedrals, central_cartesians``.
+    """
+
+    def __init__(self, trajs: Any, cache_path: str = "", top: Any = None) -> None:
+        from .data.trajectory import SingleTraj, TrajEnsemble
+
+        if isinstance(trajs, SingleTraj):
+            trajs = TrajEnsemble([trajs])
+        self.trajs = trajs
+        needed = (
+            "central_angles", "central_dihedrals", "central_cartesians",
+            "central_distances", "side_dihedrals",
+        )
+        if not all(k in trajs.CVs for k in needed):
+            trajs.load_CVs("all")
+        cvs = trajs.CVs
+        self.angles = np.asarray(cvs["central_angles"])
+        self.dihedrals = np.asarray(cvs["central_dihedrals"])
+        self.central_cartesians = np.asarray(cvs["central_cartesians"])
+        self.cartesians = self.central_cartesians
+        self.lengths = np.asarray(cvs["central_distances"])
+        self.distances = self.lengths
+        self.sidedihedrals = np.asarray(cvs["side_dihedrals"])
+
+    def __len__(self) -> int:
+        return len(self.dihedrals)

@@ -1,0 +1,137 @@
+# tests/test_api_parity.py
+"""API-surface parity: CustomTopology, TrajEnsemble analysis helpers,
+MolData shim, kondata local resolution, top-level exports."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+DATA = Path("/root/reference/tests/data")
+needs_data = pytest.mark.skipif(
+    not DATA.exists(), reason="reference test data not mounted"
+)
+
+
+class TestTopLevelAPI:
+    def test_exports(self):
+        import encodermap_tpu as em
+
+        for name in (
+            "EncoderMap", "AngleDihedralCartesianEncoderMap",
+            "DihedralEncoderMap", "Parameters", "ADCParameters", "load",
+            "SingleTraj", "TrajEnsemble", "Featurizer", "MolData",
+            "InteractivePlotting", "function", "load_project",
+            "get_from_kondata", "create_n_cube",
+        ):
+            assert getattr(em, name) is not None, name
+
+    def test_version(self):
+        import encodermap_tpu as em
+
+        assert em.__version__
+
+
+@needs_data
+class TestCustomTopology:
+    def test_custom_chi_table(self):
+        from encodermap_tpu.data import load_pdb
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top, _, _ = load_pdb(DATA / "asp7.pdb")
+        ct = CustomTopology(top)
+        # redefine ASP chi1 to end at OD1 instead of CG (a fake override)
+        ct.add_residue("ASP", chi1=["N", "CA", "CB", "OD1"])
+        patched = ct.apply()
+        chi1 = patched.indices_chi1
+        assert len(chi1)
+        last_atoms = {patched.atom(int(q[-1])).name for q in chi1}
+        assert last_atoms == {"OD1"}
+
+    def test_remove_dihedral(self):
+        from encodermap_tpu.data import load_pdb
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top, _, _ = load_pdb(DATA / "asp7.pdb")
+        n_phi = len(top.indices_phi)
+        ct = CustomTopology(top)
+        ct.remove_dihedral("PHI", "ASP")
+        patched = ct.apply()
+        assert len(patched.indices_phi) < n_phi
+
+    def test_override_with_neighbor_refs(self):
+        from encodermap_tpu.data import load_pdb
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top, _, _ = load_pdb(DATA / "asp7.pdb")
+        ct = CustomTopology(top)
+        ct.override_dihedral("PSI", "ASP", ["N", "CA", "C", "+N"])
+        patched = ct.apply()
+        np.testing.assert_array_equal(patched.indices_psi, top.indices_psi)
+
+
+@needs_data
+class TestEnsembleAnalysis:
+    @pytest.fixture(scope="class")
+    def trajs(self):
+        from encodermap_tpu.data import load
+
+        return load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+
+    def test_cluster(self, trajs):
+        membership = np.full(trajs.n_frames, -1)
+        membership[:30] = 0
+        membership[150:170] = 1
+        clusters = trajs.cluster(membership)
+        assert set(clusters) == {0, 1}
+        assert clusters[0].n_frames == 30
+        assert clusters[1].n_frames == 20
+        # cluster 1 lives in the second traj
+        assert clusters[1].trajs[0].top_file.endswith("glu7.pdb")
+
+    def test_join(self):
+        from encodermap_tpu.data import load
+
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "asp7.xtc"], [DATA / "asp7.pdb"]
+        )
+        joined = trajs.join()
+        assert len(joined) == 1
+        assert joined[0].n_frames == trajs.n_frames
+
+
+@needs_data
+class TestMolData:
+    def test_shim(self):
+        import encodermap_tpu as em
+
+        traj = em.load(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        md = em.MolData(traj)
+        n = len(md)
+        assert md.angles.shape == (n, 19)
+        assert md.dihedrals.shape == (n, 18)
+        assert md.cartesians.shape == (n, 21, 3)
+        assert md.lengths.shape == (n, 20)
+        assert md.sidedihedrals.shape[0] == n
+
+
+class TestKondata:
+    def test_local_mirror_resolution(self, tmp_path, monkeypatch):
+        from encodermap_tpu.kondata import get_from_kondata
+
+        mirror = tmp_path / "mirror" / "my_project"
+        mirror.mkdir(parents=True)
+        (mirror / "trajs.h5").write_bytes(b"\x89HDF")
+        monkeypatch.setenv("ENCODERMAP_DATA_DIR", str(tmp_path / "mirror"))
+        out = get_from_kondata("my_project", output=tmp_path / "nonexistent")
+        assert out == str(mirror)
+
+    def test_missing_dataset_message(self, tmp_path, monkeypatch):
+        from encodermap_tpu.kondata import get_from_kondata
+
+        monkeypatch.delenv("ENCODERMAP_DATA_DIR", raising=False)
+        with pytest.raises(RuntimeError, match="not available locally"):
+            get_from_kondata("definitely_missing", output=tmp_path / "x")

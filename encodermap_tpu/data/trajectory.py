@@ -424,7 +424,9 @@ class TrajEnsemble:
 
             feat = EnsembleFeaturizer(self)
             for name in data:
-                feat.add_list_of_feats([name] if name != "all" else "all")
+                feat.add_list_of_feats(
+                    name if name in ("all", "full") else [name]
+                )
             feat.apply(ensemble=ensemble)
             return
         raise TypeError(f"cannot load CVs from {type(data)}")

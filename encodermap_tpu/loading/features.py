@@ -545,7 +545,9 @@ class CentralCartesians(Feature):
 
 
 class AllCartesians(CentralCartesians):
-    """xyz of central + sidechain atoms (reference ``features.py:3566``)."""
+    """xyz of central chain + sidechain branch atoms, in the sidechain
+    backmap layer's atom order: all backbone N-CA-C first, then each
+    residue's chi-branch atoms (reference ``features.py:3566``)."""
 
     name = "AllCartesians"
 
@@ -555,10 +557,9 @@ class AllCartesians(CentralCartesians):
         central = list(_central_chain(top))
         side = []
         for r in top.residues:
-            for a in r.atoms:
-                if a.index not in central and a.element != "H":
-                    side.append(a.index)
-        self._indices = np.asarray(central + sorted(side), np.int64)
+            seq = _sidechain_sequence(r)
+            side.extend(a.index for a in seq[2:])  # branch atoms (CB...)
+        self._indices = np.asarray(central + side, np.int64)
         self.generic_labels = generic_labels
 
     def describe(self) -> list[str]:
@@ -600,45 +601,21 @@ class CentralBondDistances(DistanceFeature):
 
 
 class SideChainBondDistances(DistanceFeature):
-    """Bond lengths along each sidechain path (reference ``features.py:4148``)."""
+    """Bond lengths along each sidechain, derived from the chi tables like
+    the reference (``features.py:4148-4196``): chi1 contributes CA-CB and
+    CB-CG, every further chi contributes its (index[2], index[3]) bond —
+    v + 1 bonds for a residue with v sidechain dihedrals, starting at CA."""
 
     name = "SideChainBondDistances"
-
-    _SIDE_PATHS = {
-        # heavy-atom chain out of CA, per residue type
-        "ALA": ["CA", "CB"],
-        "ARG": ["CA", "CB", "CG", "CD", "NE", "CZ"],
-        "ASN": ["CA", "CB", "CG"],
-        "ASP": ["CA", "CB", "CG"],
-        "CYS": ["CA", "CB", "SG"],
-        "GLN": ["CA", "CB", "CG", "CD"],
-        "GLU": ["CA", "CB", "CG", "CD"],
-        "HIS": ["CA", "CB", "CG"],
-        "ILE": ["CA", "CB", "CG1", "CD1"],
-        "LEU": ["CA", "CB", "CG", "CD1"],
-        "LYS": ["CA", "CB", "CG", "CD", "CE", "NZ"],
-        "MET": ["CA", "CB", "CG", "SD", "CE"],
-        "PHE": ["CA", "CB", "CG"],
-        "PRO": ["CA", "CB", "CG", "CD"],
-        "SER": ["CA", "CB", "OG"],
-        "THR": ["CA", "CB", "OG1"],
-        "TRP": ["CA", "CB", "CG"],
-        "TYR": ["CA", "CB", "CG"],
-        "VAL": ["CA", "CB", "CG1"],
-    }
 
     def __init__(
         self, top: Topology, generic_labels: bool = False, periodic: bool = True
     ) -> None:
         pairs = []
         for r in top.residues:
-            path = self._SIDE_PATHS.get(r.name)
-            if not path:
-                continue
-            atoms = [r.atom(nm) for nm in path]
-            for a, b in zip(atoms[:-1], atoms[1:]):
-                if a is not None and b is not None:
-                    pairs.append((a.index, b.index))
+            seq = _sidechain_sequence(r)
+            for a, b in zip(seq[1:-1], seq[2:]):  # skip N; CA->CB first
+                pairs.append((a.index, b.index))
         pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
         super().__init__(top, pairs, periodic=periodic)
         self.generic_labels = generic_labels
@@ -654,20 +631,19 @@ class SideChainBondDistances(DistanceFeature):
 
 
 class SideChainCartesians(Feature):
-    """xyz of heavy sidechain atoms (reference ``features.py:3855``)."""
+    """xyz of sidechain branch atoms (chi-union minus backbone), grouped per
+    residue in the order the sidechain backmap layer expects
+    (reference ``features.py:3855``)."""
 
     name = "SideChainCartesians"
 
     def __init__(self, top: Topology, generic_labels: bool = False,
                  periodic: bool = True) -> None:
         super().__init__(top)
-        central = set(_central_chain(top).tolist())
-        side = [
-            a.index
-            for r in top.residues
-            for a in r.atoms
-            if a.index not in central and a.element != "H"
-        ]
+        side = []
+        for r in top.residues:
+            seq = _sidechain_sequence(r)
+            side.extend(a.index for a in seq[2:])  # drop N, CA
         self._indices = np.asarray(side, np.int64)
 
     def describe(self) -> list[str]:
@@ -714,7 +690,9 @@ class CentralAngles(AngleFeature):
 
 
 class SideChainAngles(AngleFeature):
-    """Angles along each sidechain path (reference ``features.py:4400``)."""
+    """Angles over consecutive triples of each residue's chi-atom sequence
+    (reference ``features.py:4400-4438``): N-CA-CB first, then CA-CB-CG, ...
+    — v + 1 angles for a residue with v sidechain dihedrals."""
 
     name = "SideChainAngles"
 
@@ -723,13 +701,9 @@ class SideChainAngles(AngleFeature):
     ) -> None:
         triplets = []
         for r in top.residues:
-            path = SideChainBondDistances._SIDE_PATHS.get(r.name)
-            if not path or len(path) < 3:
-                continue
-            atoms = [r.atom(nm) for nm in path]
-            for a, b, c in zip(atoms[:-2], atoms[1:-1], atoms[2:]):
-                if a is not None and b is not None and c is not None:
-                    triplets.append((a.index, b.index, c.index))
+            seq = _sidechain_sequence(r)
+            for a, b, c in zip(seq[:-2], seq[1:-1], seq[2:]):
+                triplets.append((a.index, b.index, c.index))
         triplets = np.asarray(triplets, np.int64).reshape(-1, 3)
         super().__init__(top, triplets, periodic=periodic)
 
@@ -743,6 +717,23 @@ class SideChainAngles(AngleFeature):
 
     def generic_describe(self) -> list[str]:
         return [f"SIDECHANGLE {k}" for k in range(len(self._indices))]
+
+
+def _sidechain_sequence(residue) -> list:
+    """The residue's union of chi-participating atoms in index order
+    (mirrors the reference's ``sidechain_indices_by_residue``,
+    ``trajinfo_utils.py:1303-1318``): for ASP -> [N, CA, CB, CG, OD1]."""
+    atoms = {}
+    for n in range(1, 6):
+        names = CHI_ATOMS[f"chi{n}"].get(residue.name)
+        if not names:
+            continue
+        found = [residue.atom(nm) for nm in names]
+        if any(a is None for a in found):
+            continue
+        for a in found:
+            atoms[a.index] = a
+    return [atoms[i] for i in sorted(atoms)]
 
 
 class CentralDihedrals(DihedralFeature):

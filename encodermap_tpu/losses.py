@@ -84,15 +84,13 @@ def sigmoid_loss(
 
     Reference: ``loss_functions.py:301-369``.
     """
-    sig_h, a_h, b_h, sig_l, a_l, b_l = dist_sig_parameters
-    if periodicity == float("inf"):
-        dist_h = pairwise_dist(y_true)
-    else:
-        dist_h = pairwise_dist_periodic(y_true, periodicity)
-    dist_l = pairwise_dist(y_pred)
-    sig_h_v = sigmoid(sig_h, a_h, b_h)(dist_h)
-    sig_l_v = sigmoid(sig_l, a_l, b_l)(dist_l)
-    return jnp.mean(jnp.square(sig_h_v - sig_l_v))
+    # Large batches on TPU route through the fused Pallas kernel (identical
+    # math, O(1) memory in batch); small batches / CPU use the XLA path.
+    from .ops.pallas_sigmoid import fused_or_reference
+
+    return fused_or_reference(
+        y_true, y_pred, tuple(dist_sig_parameters), periodicity
+    )
 
 
 def distance_loss(y_true: Array, latent: Array, p: Parameters) -> Array:

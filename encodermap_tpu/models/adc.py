@@ -262,3 +262,144 @@ def regularization_sum(params: dict) -> Array:
     """L2 over encoder+decoder kernels only — densifiers carry no
     regularizer, matching the reference's sparse Dense layers."""
     return l2_sum({"encoder": params["encoder"], "decoder": params["decoder"]})
+
+
+# ----------------------------------------------------------------------------
+# sidechain-reconstruction variant (reference: reconstruct_sidechains=True,
+# 7 inputs, 4 decoder groups, BackMapLayerWithSidechains)
+# ----------------------------------------------------------------------------
+
+
+class ADCSidechainShapes(NamedTuple):
+    n_central_angles: int
+    n_central_dihedrals: int
+    n_all_cartesians: int
+    n_central_distances: int
+    n_side_angles: int
+    n_side_dihedrals: int
+    n_side_distances: int
+
+    @classmethod
+    def from_data(cls, ca, cdi, ac, cd, sa, sdi, sd) -> "ADCSidechainShapes":
+        return cls(ca.shape[1], cdi.shape[1], ac.shape[1], cd.shape[1],
+                   sa.shape[1], sdi.shape[1], sd.shape[1])
+
+
+def sidechain_decoder_splits(shapes: ADCSidechainShapes) -> list[int]:
+    """Groups: central angles, central dihedrals, side angles, side
+    dihedrals (reference ``_concatenate_inputs_reconstruct_sidechains``)."""
+    return [
+        2 * shapes.n_central_angles,
+        2 * shapes.n_central_dihedrals,
+        2 * shapes.n_side_angles,
+        2 * shapes.n_side_dihedrals,
+    ]
+
+
+def init_sidechain_params(
+    key: jax.Array, p: ADCParameters, shapes: ADCSidechainShapes,
+    dtype: Any = jnp.float32,
+) -> dict:
+    in_dim = sum(sidechain_decoder_splits(shapes))
+    out_dim = in_dim
+    k_enc, k_dec = jax.random.split(key)
+    enc_dims = [in_dim] + list(p.n_neurons)
+    dec_dims = [p.n_neurons[-1]] + list(p.n_neurons[-2::-1]) + [out_dim]
+    return {
+        "encoder": mlp_init(k_enc, enc_dims, dtype),
+        "decoder": mlp_init(k_dec, dec_dims, dtype),
+    }
+
+
+def encode_sidechains(params: dict, p: ADCParameters, inputs: tuple) -> Array:
+    """Encoder over (central_angles, central_dihedrals, side_angles,
+    side_dihedrals) unit-circle projections."""
+    ca, cdi = inputs[0], inputs[1]
+    sa, sdi = inputs[4], inputs[5]
+    x = jnp.concatenate(
+        [
+            _unit_circle(ca, p.periodicity),
+            _unit_circle(cdi, p.periodicity),
+            _unit_circle(sa, p.periodicity),
+            _unit_circle(sdi, p.periodicity),
+        ],
+        axis=1,
+    )
+    compute_dtype = jnp.bfloat16 if p.compute_dtype == "bfloat16" else None
+    return mlp_apply(params["encoder"], x, _encoder_activations(p),
+                     compute_dtype)
+
+
+def decode_sidechains(
+    params: dict, p: ADCParameters, latent: Array,
+    shapes: ADCSidechainShapes,
+) -> tuple:
+    """Decoder -> (central_angles, central_dihedrals, side_angles,
+    side_dihedrals)."""
+    compute_dtype = jnp.bfloat16 if p.compute_dtype == "bfloat16" else None
+    out = mlp_apply(params["decoder"], latent, _decoder_activations(p),
+                    compute_dtype)
+    splits = sidechain_decoder_splits(shapes)
+    parts = jnp.split(out, np.cumsum(splits)[:-1].tolist(), axis=1)
+    return tuple(_from_unit_circle(x, p.periodicity) for x in parts)
+
+
+def sidechain_pwd_indices(p: ADCParameters, spec) -> np.ndarray:
+    """Atoms for the pairwise-distance costs in reconstruct mode: the CA
+    slice of the backbone plus the last atom of each sidechain branch
+    (reference ``PairwiseDistances.__init__``, ``layers.py:1183-1208``)."""
+    n_backbone = spec.n_residues * 3
+    start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
+    stop = p.cartesian_pwd_stop
+    step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
+    idx = list(np.arange(n_backbone)[start:stop:step])
+    # branch-end atoms: walk the per-residue branch column layout
+    col = n_backbone
+    for r in range(1, spec.n_residues + 1):
+        # n sidechain dihedrals of residue r (+1 atoms when > 0)
+        n_sc = _branch_len(spec, r)
+        if n_sc == 0:
+            continue
+        idx.append(col + n_sc - 1)
+        col += n_sc
+    return np.asarray(idx, np.int64)
+
+
+def _branch_len(spec, r: int) -> int:
+    """Number of branch atoms of residue r in the spec's layout."""
+    mask = spec.side_seed_ca == (r - 1) * 3 + 1
+    return int(mask.sum())
+
+
+def forward_sidechains(
+    params: dict, p: ADCParameters, inputs: tuple,
+    shapes: ADCSidechainShapes, spec,
+) -> tuple:
+    """Full forward for the sidechain-reconstruction model.
+
+    Args:
+        inputs: (central_angles, central_dihedrals, all_cartesians,
+                 central_distances, side_angles, side_dihedrals,
+                 side_distances).
+
+    Returns:
+        (out_central_angles, out_central_dihedrals, out_side_angles,
+         out_side_dihedrals, back_cartesians, inp_pair, out_pair, latent)
+    """
+    from ..ops.backmap_sidechains import backmap_sidechains
+
+    (central_angles, central_dihedrals, all_cartesians, central_distances,
+     side_angles, side_dihedrals, side_distances) = inputs
+
+    latent = encode_sidechains(params, p, inputs)
+    out_ca, out_cdi, out_sa, out_sdi = decode_sidechains(
+        params, p, latent, shapes
+    )
+    back = backmap_sidechains(
+        spec, central_distances, out_ca, out_cdi,
+        side_distances, out_sa, out_sdi,
+    )
+    pwd_idx = sidechain_pwd_indices(p, spec)
+    inp_pair = pairwise_dist(all_cartesians[:, pwd_idx], flat=True)
+    out_pair = pairwise_dist(back[:, pwd_idx], flat=True)
+    return out_ca, out_cdi, out_sa, out_sdi, back, inp_pair, out_pair, latent

@@ -52,6 +52,7 @@ __all__ = [
     "split_and_reverse_dihedrals",
     "split_and_reverse_cartesians",
     "backmap",
+    "backmap_multimer",
     "rotation_matrices",
     "guess_amide_H",
     "guess_amide_O",
@@ -448,3 +449,64 @@ def merge_cartesians(
     out = jnp.concatenate(parts, axis=1)
     assert out.shape[1] == n_central + H_cartesians.shape[1] + O_cartesians.shape[1]
     return out
+
+
+# ----------------------------------------------------------------------------
+# multimer backmapping (experimental in the reference)
+# ----------------------------------------------------------------------------
+
+
+def backmap_multimer(
+    protein_lengths: Sequence[int],
+    distances: Array,
+    angles: Array,
+    dihedrals: Array,
+    matrices: Array,
+) -> Array:
+    """Backmap a multimer: each protein's chain is rebuilt independently and
+    proteins 2..N are placed by predicted homogeneous transforms.
+
+    Re-designs ``BackMapLayerTransformations``
+    (``/root/reference/encodermap/models/layers.py:990-1092``; experimental
+    there, with broken slice bookkeeping — this implements the documented
+    intent): inputs are per-protein internal coordinates concatenated
+    protein-by-protein, i.e. distances has sum(3 L_i - 1) entries, angles
+    sum(3 L_i - 2), dihedrals sum(3 L_i - 3). Bond lengths are batch-means
+    per protein, like the monomer BackMapLayer.
+
+    Args:
+        protein_lengths: residues per protein.
+        distances: ``(B, sum 3L_i - 1)``.
+        angles: ``(B, sum 3L_i - 2)``.
+        dihedrals: ``(B, sum 3L_i - 3)``.
+        matrices: ``(B, n_proteins - 1, 4, 4)`` homogeneous transforms
+            (row-vector convention: ``[xyz, 1] @ M``).
+
+    Returns:
+        ``(B, sum 3L_i, 3)`` coordinates.
+    """
+    outs = []
+    d0 = a0 = di0 = 0
+    for i, L in enumerate(protein_lengths):
+        nd, na, ndi = 3 * L - 1, 3 * L - 2, 3 * L - 3
+        lengths = jnp.mean(distances[:, d0 : d0 + nd], axis=0, keepdims=True)
+        lengths = jnp.broadcast_to(
+            lengths, (angles.shape[0],) + lengths.shape[1:]
+        )
+        chain = chain_in_plane(lengths, angles[:, a0 : a0 + na])
+        xyz = dihedrals_to_cartesian(
+            dihedrals[:, di0 : di0 + ndi] + pi, chain
+        )
+        if i != 0:
+            M = matrices[:, i - 1]  # (B, 4, 4)
+            ones = jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype)
+            homo = jnp.concatenate([xyz, ones], axis=-1)
+            xyz = jnp.einsum(
+                "bnj,bjk->bnk", homo, M,
+                precision=jax.lax.Precision.HIGHEST,
+            )[..., :3]
+        outs.append(xyz)
+        d0 += nd
+        a0 += na
+        di0 += ndi
+    return jnp.concatenate(outs, axis=1)

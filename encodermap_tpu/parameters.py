@@ -272,6 +272,11 @@ class ADCParameters(Parameters):
     multimer_connection_bridges: Optional[Any] = None
     multimer_lengths: Optional[Any] = None
     reconstruct_sidechains: bool = False
+    # residue (1-based) -> number of sidechain dihedrals; required when
+    # reconstruct_sidechains=True (auto-filled from the topology when a
+    # TrajEnsemble is provided). The reference stores the same mapping as
+    # `sidechain_info` on its parameters.
+    sidechain_info: Optional[dict] = None
 
     def __post_init__(self):
         super().__post_init__()

@@ -61,9 +61,16 @@ def _extract_cvs(trajs: Any, p: ADCParameters) -> tuple[np.ndarray, ...]:
         raise TypeError(
             f"Expected a TrajEnsemble or a dict of CV arrays, got {type(trajs)}"
         )
-    needed = list(CV_ORDER[:4])
-    if p.use_sidechains:
-        needed.append("side_dihedrals")
+    if p.reconstruct_sidechains:
+        needed = [
+            "central_angles", "central_dihedrals", "all_cartesians",
+            "central_distances", "side_angles", "side_dihedrals",
+            "side_distances",
+        ]
+    else:
+        needed = list(CV_ORDER[:4])
+        if p.use_sidechains:
+            needed.append("side_dihedrals")
     missing = [k for k in needed if k not in cvs]
     if missing:
         raise ValueError(
@@ -73,7 +80,7 @@ def _extract_cvs(trajs: Any, p: ADCParameters) -> tuple[np.ndarray, ...]:
     out = []
     for k in needed:
         arr = np.asarray(cvs[k], np.float32)
-        if k == "central_cartesians" and arr.ndim == 2:
+        if k in ("central_cartesians", "all_cartesians") and arr.ndim == 2:
             arr = arr.reshape(len(arr), -1, 3)
         out.append(arr)
     return tuple(out)
@@ -102,11 +109,29 @@ class AngleDihedralCartesianEncoderMap:
             self.train_data = tuple(np.asarray(d, np.float32) for d in dataset)
         else:
             self.train_data = _extract_cvs(trajs, self.p)
-        (angles, dihedrals, cartesians, distances) = self.train_data[:4]
-        side = self.train_data[4] if len(self.train_data) == 5 else None
-        self.shapes = adc.ADCShapes.from_data(
-            angles, dihedrals, cartesians, distances, side
-        )
+        if self.p.reconstruct_sidechains:
+            self.shapes = adc.ADCSidechainShapes.from_data(*self.train_data)
+            info = self.p.sidechain_info
+            if info is None and hasattr(trajs, "trajs"):
+                info = trajs.trajs[0].top.sidechain_info()
+                self.p.sidechain_info = info
+            if info is None:
+                raise ValueError(
+                    "reconstruct_sidechains=True needs p.sidechain_info "
+                    "(residue -> n sidechain dihedrals) or a TrajEnsemble "
+                    "with topologies"
+                )
+            from ..ops.backmap_sidechains import make_spec
+
+            self.sidechain_spec = make_spec(
+                {int(k): int(v) for k, v in info.items()}
+            )
+        else:
+            (angles, dihedrals, cartesians, distances) = self.train_data[:4]
+            side = self.train_data[4] if len(self.train_data) == 5 else None
+            self.shapes = adc.ADCShapes.from_data(
+                angles, dihedrals, cartesians, distances, side
+            )
         # NaNs mark missing values from mixed-topology ensemble alignment ->
         # masked-dense "sparse" mode with per-input densifiers (the reference
         # reroutes these into tf.sparse tensors, ``autoencoder.py:796-800``)
@@ -120,9 +145,14 @@ class AngleDihedralCartesianEncoderMap:
         key = jax.random.PRNGKey(seed)
         k_model, k_train = jax.random.split(key)
         if model_params is None:
-            model_params = adc.init_params(
-                k_model, self.p, self.shapes, sparse=self.sparse
-            )
+            if self.p.reconstruct_sidechains:
+                model_params = adc.init_sidechain_params(
+                    k_model, self.p, self.shapes
+                )
+            else:
+                model_params = adc.init_params(
+                    k_model, self.p, self.shapes, sparse=self.sparse
+                )
         self.optimizer = make_optimizer(self.p.learning_rate)
         self.state = TrainState.create(
             model_params, self.optimizer, k_train,
@@ -136,6 +166,8 @@ class AngleDihedralCartesianEncoderMap:
     ) -> dict[str, Array]:
         """The reference's get_loss assembly (``models.py:2260-2459``)."""
         p = self.p
+        if p.reconstruct_sidechains:
+            return self._loss_terms_sidechains(params, batch, step)
         if self.sparse:
             dens_params = params
             if not p.trainable_dense_to_sparse:
@@ -180,17 +212,56 @@ class AngleDihedralCartesianEncoderMap:
         terms["cartesian_cost_scale"] = scale
         return terms
 
+    def _loss_terms_sidechains(
+        self, params: dict, batch: tuple, step: Array
+    ) -> dict[str, Array]:
+        """Loss assembly for reconstruct_sidechains mode: adds the side-angle
+        cost and feeds 4 periodic groups to the distance/center costs
+        (reference ``models.py:2306-2459`` reconstruct branches)."""
+        p = self.p
+        (inp_ca, inp_cdi, inp_all_cart, inp_cd, inp_sa, inp_sdi,
+         inp_sd) = batch
+        (out_ca, out_cdi, out_sa, out_sdi, back, inp_pair, out_pair,
+         latent) = adc.forward_sidechains(
+            params, p, batch, self.shapes, self.sidechain_spec
+        )
+        enc_inp = jnp.concatenate([inp_ca, inp_cdi, inp_sa, inp_sdi], axis=1)
+        scale = L.soft_start_scale(p, step)
+        terms = {
+            "dihedral_loss": L.dihedral_loss(inp_cdi, out_cdi, p),
+            "angle_loss": L.angle_loss(inp_ca, out_ca, p)
+            + L.angle_loss(inp_sa, out_sa, p),
+            "side_dihedral_loss": L.side_dihedral_loss(inp_sdi, out_sdi, p),
+            "cartesian_loss": L.cartesian_loss(inp_pair, out_pair, p,
+                                               scale=scale),
+            "distance_loss": L.distance_loss(enc_inp, latent, p),
+            "cartesian_distance_loss": L.cartesian_distance_loss(
+                inp_pair, latent, p
+            ),
+            "center_loss": L.center_loss(latent, p),
+            "regularization_loss": L.regularization_loss(
+                adc.regularization_sum(params), p
+            ),
+            "cartesian_cost_scale": scale,
+        }
+        return terms
+
     def _metric_terms(self, params: dict, batch: tuple) -> dict[str, Array]:
         """Optional clash / RMSD metrics (``callbacks/metrics.py:470-581``)."""
         p = self.p
         out = {}
         if not (p.track_clashes or p.track_RMSD):
             return out
-        if self.sparse:
-            batch = adc.densify_inputs(params, p, batch)
-        (_, _, _, back_cartesians, _, _, _) = adc.forward(
-            params, p, batch, self.shapes
-        )
+        if p.reconstruct_sidechains:
+            (_, _, _, _, back_cartesians, _, _, _) = adc.forward_sidechains(
+                params, p, batch, self.shapes, self.sidechain_spec
+            )
+        else:
+            if self.sparse:
+                batch = adc.densify_inputs(params, p, batch)
+            (_, _, _, back_cartesians, _, _, _) = adc.forward(
+                params, p, batch, self.shapes
+            )
         if p.track_clashes:
             d = pairwise_dist(back_cartesians, flat=True)
             out["clashes"] = jnp.mean(jnp.sum(d < 1.0, axis=-1).astype(jnp.float32))
@@ -373,6 +444,8 @@ class AngleDihedralCartesianEncoderMap:
         arrs = tuple(jnp.asarray(np.asarray(d, np.float32)) for d in data)
 
         def _encode(inputs):
+            if self.p.reconstruct_sidechains:
+                return adc.encode_sidechains(self.state.params, self.p, inputs)
             if self.sparse:
                 inputs = adc.densify_inputs(self.state.params, self.p, inputs)
             return adc.encode(self.state.params, self.p, inputs)
@@ -404,6 +477,13 @@ class AngleDihedralCartesianEncoderMap:
         angles are substituted when angles aren't trained
         (``autoencoder.py:2502``)."""
         latent = jnp.asarray(np.asarray(latent, np.float32))
+        if self.p.reconstruct_sidechains:
+            fn = jax.jit(
+                lambda z: adc.decode_sidechains(
+                    self.state.params, self.p, z, self.shapes
+                )
+            )
+            return tuple(np.asarray(o) for o in fn(latent))
         fn = jax.jit(
             lambda z: adc.decode(self.state.params, self.p, z, self.shapes)
         )
@@ -430,6 +510,23 @@ class AngleDihedralCartesianEncoderMap:
         """
         points = np.asarray(points, np.float32)
         decoded = self.decode(points)
+        if self.p.reconstruct_sidechains:
+            from ..ops.backmap_sidechains import backmap_sidechains
+
+            out_ca, out_cdi, out_sa, out_sdi = decoded
+            cd = self.train_data[3].mean(0, keepdims=True)
+            sd = self.train_data[6].mean(0, keepdims=True)
+            B = len(points)
+            fn = jax.jit(
+                lambda *a: backmap_sidechains(self.sidechain_spec, *a)
+            )
+            xyz = fn(
+                jnp.broadcast_to(jnp.asarray(cd), (B, cd.shape[1])),
+                jnp.asarray(out_ca), jnp.asarray(out_cdi),
+                jnp.broadcast_to(jnp.asarray(sd), (B, sd.shape[1])),
+                jnp.asarray(out_sa), jnp.asarray(out_sdi),
+            )
+            return np.asarray(xyz)
         out_angles, out_dihedrals = decoded[0], decoded[1]
         distances = self.train_data[3]
         mean_lengths = np.broadcast_to(

@@ -1,0 +1,159 @@
+# encodermap_tpu/data/formats.py
+"""Additional trajectory/structure formats: GRO (text) and DCD (binary).
+
+The reference reaches these through mdtraj; here they are small direct
+readers. GRO files carry topology+coordinates (nm); DCD carries coordinates
+in Angstrom (converted to nm on read, CHARMM/NAMD convention).
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+from .topology import Topology
+
+__all__ = ["load_gro", "DCDReader"]
+
+
+def load_gro(path: Union[str, Path]) -> tuple[Topology, np.ndarray, Optional[np.ndarray]]:
+    """Parse a GROMACS .gro file (possibly multi-frame).
+
+    Returns (topology, xyz (n_frames, n_atoms, 3) nm, box (n_frames, 3) nm).
+    """
+    top = Topology()
+    frames = []
+    boxes = []
+    built = False
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        # title line, then atom count
+        n_atoms = int(lines[i + 1])
+        coords = np.empty((n_atoms, 3), np.float32)
+        cur_res = None
+        for k in range(n_atoms):
+            ln = lines[i + 2 + k]
+            res_num = int(ln[0:5])
+            res_name = ln[5:10].strip()
+            atom_name = ln[10:15].strip()
+            coords[k, 0] = float(ln[20:28])
+            coords[k, 1] = float(ln[28:36])
+            coords[k, 2] = float(ln[36:44])
+            if not built:
+                if cur_res is None or cur_res.resSeq != res_num or \
+                        cur_res.name != res_name:
+                    cur_res = top.add_residue(res_name, res_num, 0)
+                element = atom_name.lstrip("0123456789")[:1].upper()
+                top.add_atom(atom_name, element, cur_res)
+        built = True
+        box_line = lines[i + 2 + n_atoms].split()
+        boxes.append([float(box_line[0]), float(box_line[1]),
+                      float(box_line[2])])
+        frames.append(coords)
+        i += 3 + n_atoms
+    return top, np.stack(frames), np.asarray(boxes, np.float32)
+
+
+class DCDReader:
+    """CHARMM/NAMD DCD trajectory reader (coordinates converted A -> nm)."""
+
+    def __init__(self, path: Union[str, Path]) -> None:
+        self.path = str(path)
+        with open(self.path, "rb") as fh:
+            raw = fh.read(4)
+            # fortran record marker; detect endianness
+            (marker,) = struct.unpack("<i", raw)
+            self._end = "<" if marker == 84 else ">"
+            if marker != 84:
+                (marker,) = struct.unpack(">i", raw)
+                if marker != 84:
+                    raise IOError(f"{path} is not a DCD file")
+            hdr = fh.read(84)
+            if hdr[:4] != b"CORD":
+                raise IOError(f"{path}: missing CORD magic")
+            icntrl = struct.unpack(f"{self._end}20i", hdr[4:])
+            self.n_frames_header = icntrl[0]
+            self._has_cell = icntrl[10] != 0
+            fh.read(4)  # trailing marker
+            # title record
+            (tlen,) = struct.unpack(f"{self._end}i", fh.read(4))
+            fh.read(tlen + 4)
+            # natoms record
+            fh.read(4)
+            (self.n_atoms,) = struct.unpack(f"{self._end}i", fh.read(4))
+            fh.read(4)
+            self._data_start = fh.tell()
+        # frame size: optional cell record + 3 coordinate records
+        cell = (4 + 48 + 4) if self._has_cell else 0
+        coord = 3 * (4 + 4 * self.n_atoms + 4)
+        self._frame_size = cell + coord
+        size = Path(self.path).stat().st_size
+        self.n_frames = (size - self._data_start) // self._frame_size
+
+    def read(self, indices=None) -> tuple[np.ndarray, Optional[np.ndarray]]:
+        """Decode frames: (xyz (n, n_atoms, 3) nm, cell (n, 3) nm or None)."""
+        if indices is None:
+            idx = np.arange(self.n_frames)
+        else:
+            idx = np.atleast_1d(np.asarray(indices, np.int64))
+            idx = np.where(idx < 0, idx + self.n_frames, idx)
+        xyz = np.empty((len(idx), self.n_atoms, 3), np.float32)
+        cells = np.empty((len(idx), 3), np.float32) if self._has_cell else None
+        with open(self.path, "rb") as fh:
+            for out_i, f in enumerate(idx):
+                fh.seek(self._data_start + int(f) * self._frame_size)
+                if self._has_cell:
+                    fh.read(4)
+                    cell = struct.unpack(f"{self._end}6d", fh.read(48))
+                    fh.read(4)
+                    # CHARMM order: A, gamma, B, beta, alpha, C
+                    cells[out_i] = (cell[0] / 10, cell[2] / 10, cell[5] / 10)
+                for d in range(3):
+                    fh.read(4)
+                    xyz[out_i, :, d] = np.frombuffer(
+                        fh.read(4 * self.n_atoms),
+                        dtype=f"{self._end}f4",
+                    )
+                    fh.read(4)
+        return xyz / 10.0, cells
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+
+def write_dcd(
+    path: Union[str, Path],
+    xyz: np.ndarray,
+    cell_lengths: Optional[np.ndarray] = None,
+) -> None:
+    """Write a minimal CHARMM-style DCD file (nm -> Angstrom)."""
+    xyz = np.asarray(xyz, np.float32) * 10.0
+    n_frames, n_atoms, _ = xyz.shape
+    has_cell = cell_lengths is not None
+    with open(path, "wb") as fh:
+        def rec(payload: bytes) -> None:
+            fh.write(struct.pack("<i", len(payload)))
+            fh.write(payload)
+            fh.write(struct.pack("<i", len(payload)))
+
+        icntrl = [0] * 20
+        icntrl[0] = n_frames
+        icntrl[10] = 1 if has_cell else 0
+        rec(b"CORD" + struct.pack("<20i", *icntrl))
+        title = b"REMARKS written by encodermap_tpu".ljust(80)
+        rec(struct.pack("<i", 1) + title)
+        rec(struct.pack("<i", n_atoms))
+        for f in range(n_frames):
+            if has_cell:
+                a, b, c = (np.asarray(cell_lengths[f]) * 10.0).tolist()
+                rec(struct.pack("<6d", a, 90.0, b, 90.0, 90.0, c))
+            for d in range(3):
+                rec(xyz[f, :, d].astype("<f4").tobytes())

@@ -75,6 +75,12 @@ class SingleTraj:
                 self._top, xyz, cell = load_pdb(self.top_file)
                 if self.traj_file == self.top_file:
                     self._file_xyz = xyz
+            elif self.top_file.endswith(".gro"):
+                from .formats import load_gro
+
+                self._top, xyz, cell = load_gro(self.top_file)
+                if self.traj_file == self.top_file:
+                    self._file_xyz = xyz
             elif self.top_file.endswith((".h5", ".hdf5")):
                 self._load_h5(top_only=True)
             else:
@@ -101,6 +107,17 @@ class SingleTraj:
                 _, xyz, _ = load_pdb(self.traj_file)
                 self._file_xyz = xyz
                 self._n_frames_file = len(xyz)
+            elif self.traj_file.endswith(".gro"):
+                from .formats import load_gro
+
+                _, xyz, _ = load_gro(self.traj_file)
+                self._file_xyz = xyz
+                self._n_frames_file = len(xyz)
+            elif self.traj_file.endswith(".dcd"):
+                from .formats import DCDReader
+
+                self._reader = DCDReader(self.traj_file)
+                self._n_frames_file = self._reader.n_frames
             elif self.traj_file.endswith((".h5", ".hdf5")):
                 self._load_h5(top_only=False, lazy_count=True)
             else:
@@ -133,12 +150,28 @@ class SingleTraj:
             self._xyz = xyz
             self._time = time
             self._unitcell = box
-        elif self.traj_file.endswith(".pdb"):
+        elif self.traj_file.endswith((".pdb", ".gro")):
             if not hasattr(self, "_file_xyz"):
-                _, self._file_xyz, _ = load_pdb(self.traj_file)
+                if self.traj_file.endswith(".pdb"):
+                    _, self._file_xyz, _ = load_pdb(self.traj_file)
+                else:
+                    from .formats import load_gro
+
+                    _, self._file_xyz, _ = load_gro(self.traj_file)
             self._xyz = self._file_xyz[idx]
             self._time = np.arange(len(idx), dtype=np.float32)
             self._unitcell = None
+        elif self.traj_file.endswith(".dcd"):
+            from .formats import DCDReader
+
+            reader = getattr(self, "_reader", None) or DCDReader(self.traj_file)
+            xyz, cells = reader.read(idx)
+            self._xyz = xyz
+            self._time = np.arange(len(idx), dtype=np.float32)
+            self._unitcell = (
+                np.stack([np.diag(c) for c in cells]) if cells is not None
+                else None
+            )
         elif self.traj_file.endswith((".h5", ".hdf5")):
             import h5py
 

@@ -374,6 +374,21 @@ class AngleDihedralCartesianEncoderMap:
             self.save()
         return self.history
 
+    def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
+        """Out-of-core ADC training from a host superbatch source (tuples of
+        the 5/7 CV stacks), replacing the reference's HDF5-generator
+        streaming (``info_all.py:3080-3154``)."""
+        from .core import run_streaming
+
+        n = n_steps if n_steps is not None else self.p.n_steps
+        history = run_streaming(self, source, n)
+        self.history = history
+        self.p.current_training_step = int(self.state.step)
+        if not self.read_only:
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+            self.save()
+        return history
+
     def train_for_references(self, subsample: int = 100, maxiter: int = 500
                              ) -> dict[str, float]:
         """Normalize angle/dihedral/cartesian costs against a dummy model

@@ -230,6 +230,21 @@ class Autoencoder:
             self.save()
         return self.history
 
+    def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
+        """Out-of-core training from a host superbatch source (e.g.
+        :class:`encodermap_tpu.train.core.HDF5BatchSource`) — the
+        million-frame path where CVs never fully materialize on device."""
+        from .core import run_streaming
+
+        n = n_steps if n_steps is not None else self.p.n_steps
+        history = run_streaming(self, source, n)
+        self.history = history
+        self.p.current_training_step = int(self.state.step)
+        if not self.read_only:
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+            self.save()
+        return history
+
     # ------------------------------------------------------------------ inference
     def _batched_apply(self, fn, data: np.ndarray, max_batch: int = 8192) -> np.ndarray:
         data = np.asarray(data, np.float32)

@@ -109,3 +109,106 @@ def make_scan_trainer(
         return jax.lax.scan(body, state, None, length=steps_per_scan)
 
     return jax.jit(chunk, donate_argnums=(0,) if donate else ())
+
+
+def make_streaming_trainer(
+    train_step: Callable[[TrainState, Any], tuple[TrainState, dict]],
+    steps_per_scan: int,
+) -> Callable[[TrainState, Any], tuple[TrainState, dict]]:
+    """Scan trainer consuming a pre-sampled host superbatch.
+
+    For datasets too large for device memory: the host (or an HDF5-backed
+    source) samples ``steps_per_scan`` batches, uploads them as one
+    ``(steps_per_scan, batch, ...)`` stack, and the jitted scan consumes one
+    slice per optimizer step — one host->device transfer per chunk, so the
+    transfer overlaps the previous chunk's compute under async dispatch.
+    Replaces the reference's HDF5-generator ``tf.data`` streaming
+    (``trajinfo/info_all.py:3080-3154``).
+    """
+
+    def chunk(state: TrainState, superbatch: Any) -> tuple[TrainState, dict]:
+        def body(st: TrainState, batch):
+            st, metrics = train_step(st, batch)
+            return st, metrics
+
+        return jax.lax.scan(body, state, superbatch)
+
+    return jax.jit(chunk, donate_argnums=(0,))
+
+
+class HDF5BatchSource:
+    """Random-batch sampler reading CVs straight from an HDF5 file — the
+    out-of-core path for million-frame ensembles.
+
+    Yields tuples of ``(steps_per_scan, batch, ...)`` numpy stacks suitable
+    for :func:`make_streaming_trainer`.
+    """
+
+    def __init__(self, path: str, cv_names, batch_size: int,
+                 steps_per_scan: int, group: str = "CVs",
+                 seed: int = 0) -> None:
+        import h5py
+
+        self.path = path
+        self.cv_names = list(cv_names)
+        self.batch_size = batch_size
+        self.steps_per_scan = steps_per_scan
+        self.group = group
+        self._h5 = h5py.File(path, "r")
+        g = self._h5[group] if group else self._h5
+        self._dsets = [g[name] for name in self.cv_names]
+        self.n_frames = self._dsets[0].shape[0]
+        self._rng = __import__("numpy").random.default_rng(seed)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import numpy as np
+
+        out = [[] for _ in self._dsets]
+        for _ in range(self.steps_per_scan):
+            idx = np.sort(
+                self._rng.choice(self.n_frames, self.batch_size, replace=False)
+            )
+            for k, d in enumerate(self._dsets):
+                out[k].append(d[idx])
+        return tuple(np.stack(parts) for parts in out)
+
+    def close(self):
+        self._h5.close()
+
+
+def run_streaming(autoencoder, source, n_steps: int) -> dict:
+    """Drive a streaming training loop for an autoencoder-like object
+    (needs ._make_train_step(), .state, .p). Returns the metric history.
+
+    ``source`` yields superbatches: a tuple of ``(steps_per_scan, batch,
+    ...)`` arrays (or a single array for plain EncoderMap data).
+    """
+    import numpy as np
+
+    trainer = make_streaming_trainer(
+        autoencoder._make_train_step(), autoencoder.p.steps_per_scan
+    )
+    history: dict[str, list] = {}
+    done = 0
+    for superbatch in source:
+        if isinstance(superbatch, tuple):
+            dev = tuple(jnp.asarray(x) for x in superbatch)
+            n = superbatch[0].shape[0]
+        else:
+            dev = jnp.asarray(superbatch)
+            n = superbatch.shape[0]
+        autoencoder.state, metrics = trainer(autoencoder.state, dev)
+        metrics = jax.device_get(metrics)
+        for k, v in metrics.items():
+            history.setdefault(k, []).append(v)
+        done += n
+        if done >= n_steps:
+            break
+    out = {k: jnp.concatenate([jnp.asarray(x) for x in v])[:n_steps]
+           for k, v in history.items()}
+    import numpy as _np
+
+    return {k: _np.asarray(v) for k, v in out.items()}

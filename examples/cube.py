@@ -1,0 +1,35 @@
+# examples/cube.py
+"""Minimal EncoderMap example: project a noisy hypercube to 2D and generate
+new points (the TPU equivalent of the reference's ``examples/cube.py``)."""
+
+import numpy as np
+
+import encodermap_tpu as em
+
+
+def main() -> None:
+    data, colors = em.create_n_cube(3, points_along_edge=200, seed=0)
+
+    parameters = em.Parameters(
+        main_path="runs/cube",
+        periodicity=float("inf"),
+        n_steps=2000,
+        steps_per_scan=200,
+    )
+    emap = em.EncoderMap(parameters, data)
+    emap.train()
+
+    projection = emap.encode(data)
+    generated = emap.generate(projection[:500])
+    print("projection:", projection.shape, "generated:", generated.shape)
+
+    from encodermap_tpu.plot import plot_latent_scatter
+
+    plot_latent_scatter(
+        projection, colors=colors, save_path="runs/cube/projection.png"
+    )
+    print("wrote runs/cube/projection.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -157,3 +157,106 @@ def write_dcd(
                 rec(struct.pack("<6d", a, 90.0, b, 90.0, 90.0, c))
             for d in range(3):
                 rec(xyz[f, :, d].astype("<f4").tobytes())
+
+
+class TRRReader:
+    """GROMACS TRR trajectory reader (XDR big-endian, uncompressed).
+
+    Handles single- and double-precision files; returns nm coordinates.
+    """
+
+    _MAGIC = 1993
+
+    def __init__(self, path: Union[str, Path]) -> None:
+        self.path = str(path)
+        self._offsets: list[int] = []
+        self._meta: list[tuple] = []
+        with open(self.path, "rb") as fh:
+            while True:
+                pos = fh.tell()
+                hdr = fh.read(4)
+                if len(hdr) < 4:
+                    break
+                (magic,) = struct.unpack(">i", hdr)
+                if magic != self._MAGIC:
+                    raise IOError(f"{path}: bad TRR magic {magic} at {pos}")
+                # GROMACS writes the version tag as (len+1, len, padded
+                # bytes) — read both lengths then the padded text
+                (_slen_plus1,) = struct.unpack(">i", fh.read(4))
+                (slen,) = struct.unpack(">i", fh.read(4))
+                fh.read((slen + 3) // 4 * 4)
+                ints = struct.unpack(">10i", fh.read(40))
+                (ir, e, box_sz, vir, pres, top, sym, x_sz, v_sz, f_sz) = ints
+                natoms, step, nre = struct.unpack(">3i", fh.read(12))
+                double = box_sz == 72 or x_sz == natoms * 24
+                fsize = 8 if double else 4
+                t_lambda = fh.read(2 * fsize)  # t, lambda
+                body = box_sz + vir + pres + x_sz + v_sz + f_sz
+                self._meta.append(
+                    (pos, natoms, step, double, box_sz, vir, pres,
+                     x_sz, v_sz, f_sz, fh.tell())
+                )
+                fh.seek(fh.tell() + body)
+        self.n_frames = len(self._meta)
+        self.n_atoms = self._meta[0][1] if self._meta else 0
+
+    def read(self, indices=None):
+        """Returns (xyz (n, n_atoms, 3) nm, box (n, 3, 3) nm, step (n,))."""
+        if indices is None:
+            idx = np.arange(self.n_frames)
+        else:
+            idx = np.atleast_1d(np.asarray(indices, np.int64))
+            idx = np.where(idx < 0, idx + self.n_frames, idx)
+        xyz = np.zeros((len(idx), self.n_atoms, 3), np.float32)
+        box = np.zeros((len(idx), 3, 3), np.float32)
+        steps = np.zeros(len(idx), np.int32)
+        with open(self.path, "rb") as fh:
+            for k, f in enumerate(idx):
+                (pos, natoms, step, double, box_sz, vir, pres,
+                 x_sz, v_sz, f_sz, body_start) = self._meta[int(f)]
+                fh.seek(body_start)
+                dt = ">f8" if double else ">f4"
+                if box_sz:
+                    box[k] = np.frombuffer(
+                        fh.read(box_sz), dtype=dt
+                    ).reshape(3, 3)
+                fh.seek(fh.tell() + vir + pres)
+                if x_sz:
+                    xyz[k] = np.frombuffer(
+                        fh.read(x_sz), dtype=dt
+                    ).reshape(natoms, 3)
+                steps[k] = step
+        return xyz, box, steps
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+
+def write_trr(
+    path: Union[str, Path],
+    xyz: np.ndarray,
+    box: Optional[np.ndarray] = None,
+    steps: Optional[np.ndarray] = None,
+) -> None:
+    """Write a single-precision TRR file (coordinates in nm)."""
+    xyz = np.asarray(xyz, np.float32)
+    n_frames, n_atoms, _ = xyz.shape
+    tag = b"GMX_trn_file"
+    with open(path, "wb") as fh:
+        for f in range(n_frames):
+            fh.write(struct.pack(">i", TRRReader._MAGIC))
+            # XDR string: outer length, inner length, padded bytes
+            padded = tag + b"\x00" * ((-len(tag)) % 4)
+            fh.write(struct.pack(">i", len(tag) + 1))
+            fh.write(struct.pack(">i", len(tag)))
+            fh.write(padded)
+            box_sz = 36 if box is not None else 0
+            fh.write(struct.pack(
+                ">10i", 0, 0, box_sz, 0, 0, 0, 0, n_atoms * 12, 0, 0
+            ))
+            step = int(steps[f]) if steps is not None else f
+            fh.write(struct.pack(">3i", n_atoms, step, 0))
+            fh.write(struct.pack(">2f", float(f), 0.0))  # t, lambda
+            if box is not None:
+                fh.write(np.asarray(box[f], ">f4").tobytes())
+            fh.write(xyz[f].astype(">f4").tobytes())

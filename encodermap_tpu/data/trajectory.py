@@ -59,6 +59,30 @@ class SingleTraj:
         self._n_frames_file: Optional[int] = None
         self._CVs = CVCollection()
 
+    @classmethod
+    def from_pdb_id(cls, pdb_id: str, cache_dir: str = "/tmp/pdb_cache"
+                    ) -> "SingleTraj":
+        """Fetch a structure from RCSB by 4-letter id (needs egress;
+        reference: ``info_single.py:712``). Uses a local cache dir."""
+        from pathlib import Path as _P
+
+        cache = _P(cache_dir)
+        cache.mkdir(parents=True, exist_ok=True)
+        target = cache / f"{pdb_id.upper()}.pdb"
+        if not target.exists():
+            import urllib.request
+
+            url = f"https://files.rcsb.org/view/{pdb_id.upper()}.pdb"
+            try:
+                urllib.request.urlretrieve(url, target)  # noqa: S310
+            except Exception as e:
+                raise RuntimeError(
+                    f"could not download {pdb_id} from RCSB ({e}); this "
+                    f"environment may have no network egress — place the "
+                    f"file at {target} manually"
+                ) from e
+        return cls(target)
+
     # ------------------------------------------------------------------ lazy IO
     @property
     def basename(self) -> str:
@@ -118,6 +142,11 @@ class SingleTraj:
 
                 self._reader = DCDReader(self.traj_file)
                 self._n_frames_file = self._reader.n_frames
+            elif self.traj_file.endswith(".trr"):
+                from .formats import TRRReader
+
+                self._reader = TRRReader(self.traj_file)
+                self._n_frames_file = self._reader.n_frames
             elif self.traj_file.endswith((".h5", ".hdf5")):
                 self._load_h5(top_only=False, lazy_count=True)
             else:
@@ -172,6 +201,14 @@ class SingleTraj:
                 np.stack([np.diag(c) for c in cells]) if cells is not None
                 else None
             )
+        elif self.traj_file.endswith(".trr"):
+            from .formats import TRRReader
+
+            reader = getattr(self, "_reader", None) or TRRReader(self.traj_file)
+            xyz, box, steps = reader.read(idx)
+            self._xyz = xyz
+            self._time = steps.astype(np.float32)
+            self._unitcell = box
         elif self.traj_file.endswith((".h5", ".hdf5")):
             import h5py
 
@@ -538,6 +575,32 @@ class TrajEnsemble:
                     members[0]._CVs.entry(k).labels,
                 )
             out.append(joined)
+        return out
+
+    def stack(self) -> SingleTraj:
+        """Stack trajs along the ATOM axis (same n_frames required) into one
+        merged-topology traj (reference ``info_all.py:2145-2286``)."""
+        n = {t.n_frames for t in self.trajs}
+        assert len(n) == 1, f"stack() needs equal frame counts, got {n}"
+        merged = Topology()
+        xyzs = []
+        chain_offset = 0
+        for t in self.trajs:
+            for res in t.top.residues:
+                new_res = merged.add_residue(
+                    res.name, res.resSeq, res.chain_index + chain_offset
+                )
+                for a in res.atoms:
+                    merged.add_atom(a.name, a.element, new_res)
+            chain_offset += t.top.n_chains
+            xyzs.append(t.xyz)
+        out = SingleTraj(self.trajs[0].traj_file, self.trajs[0].top_file)
+        out._top = merged
+        out._xyz = np.concatenate(xyzs, axis=1)
+        out._time = self.trajs[0].time
+        out._unitcell = self.trajs[0].unitcell_vectors
+        out._n_frames_file = len(out._xyz)
+        out.index = None
         return out
 
     # ------------------------------------------------------------------ save

@@ -71,3 +71,48 @@ class TestDCD:
         np.testing.assert_allclose(traj.xyz, xyz, atol=1e-5)
         traj.load_CV("central_dihedrals")
         assert traj.CVs["central_dihedrals"].shape[0] == 4
+
+
+class TestTRR:
+    def test_roundtrip(self, tmp_path, rng):
+        from encodermap_tpu.data.formats import TRRReader, write_trr
+
+        xyz = rng.uniform(0, 5, (6, 25, 3)).astype(np.float32)
+        box = np.tile(np.eye(3, dtype=np.float32)[None] * 4.2, (6, 1, 1))
+        path = tmp_path / "t.trr"
+        write_trr(path, xyz, box)
+        r = TRRReader(path)
+        out, b, steps = r.read()
+        assert (r.n_frames, r.n_atoms) == (6, 25)
+        np.testing.assert_array_equal(out, xyz)
+        np.testing.assert_array_equal(b, box)
+        sub = r.read([1, -1])[0]
+        np.testing.assert_array_equal(sub, xyz[[1, 5]])
+
+    def test_singletraj_trr(self, tmp_path):
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        from encodermap_tpu.data import SingleTraj, load_pdb
+        from encodermap_tpu.data.formats import write_trr
+
+        top, xyz, _ = load_pdb(DATA / "asp7.pdb")
+        frames = np.repeat(xyz, 3, axis=0)
+        path = tmp_path / "asp7.trr"
+        write_trr(path, frames)
+        t = SingleTraj(path, DATA / "asp7.pdb")
+        assert t.n_frames == 3
+        np.testing.assert_allclose(t.xyz, frames, atol=1e-6)
+
+
+class TestStack:
+    def test_stack_atoms(self, tmp_path):
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        a = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")[0:5]
+        b = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")[0:5]
+        stacked = TrajEnsemble([a, b]).stack()
+        assert stacked.n_atoms == 2 * a.n_atoms
+        assert stacked.n_frames == 5
+        assert stacked.top.n_chains >= 2

@@ -98,9 +98,65 @@ def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 20,
     return outer * iters * batch / dt
 
 
+def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
+              n_chunks: int = 5) -> float:
+    """ADC training throughput (BASELINE config 3 scale: trp-cage ~20
+    residues): full 7-loss step incl. in-graph backmapping."""
+    import jax
+    import jax.numpy as jnp
+
+    from encodermap_tpu import ADCParameters
+    from encodermap_tpu.train.adc_autoencoder import (
+        AngleDihedralCartesianEncoderMap,
+    )
+    from tests.reference_impl import backmap_np
+
+    rng = np.random.default_rng(0)
+    n_atoms = 3 * n_res
+    steps_per_scan = 100
+    angles = rng.uniform(1.6, 2.4, (n_frames, n_atoms - 2)).astype(np.float32)
+    dihedrals = rng.uniform(-np.pi, np.pi, (n_frames, n_atoms - 3)).astype(
+        np.float32
+    )
+    distances = rng.uniform(0.13, 0.155, (n_frames, n_atoms - 1)).astype(
+        np.float32
+    )
+    cart = backmap_np(
+        distances[:256], angles[:256], dihedrals[:256]
+    ).astype(np.float32)
+    cart = np.tile(cart, (n_frames // 256, 1, 1))
+    side = rng.uniform(-np.pi, np.pi, (n_frames, 2 * n_res)).astype(np.float32)
+    cvs = {
+        "central_angles": angles, "central_dihedrals": dihedrals,
+        "central_cartesians": cart, "central_distances": distances,
+        "side_dihedrals": side,
+    }
+    p = ADCParameters(
+        batch_size=256, n_steps=10**9, steps_per_scan=steps_per_scan,
+        use_backbone_angles=True, use_sidechains=True, seed=0,
+        n_neurons=[128, 128, 2],
+    )
+    emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+    trainer = emap._get_trainer()
+    data = emap._device_data()
+    state = emap.state
+    for _ in range(n_warm):
+        state, metrics = trainer(state, data)
+    float(np.asarray(metrics["loss"])[-1])
+
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, metrics = trainer(state, data)
+    final = float(np.asarray(metrics["loss"])[-1])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    return n_chunks * steps_per_scan * p.batch_size / dt
+
+
 def main() -> None:
     train_sps = bench_train()
     backmap_cps = bench_backmap()
+    adc_sps = bench_adc()
     target = 1e5
     print(
         json.dumps(
@@ -111,6 +167,7 @@ def main() -> None:
                 "vs_baseline": round(train_sps / target, 3),
                 "backmap_conformations_per_sec_456atoms": round(backmap_cps, 1),
                 "backmap_vs_baseline": round(backmap_cps / target, 3),
+                "adc_train_samples_per_sec_trpcage": round(adc_sps, 1),
             }
         )
     )

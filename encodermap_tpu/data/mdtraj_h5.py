@@ -17,6 +17,7 @@ __all__ = ["topology_to_json", "topology_from_json"]
 
 
 def topology_to_json(top: Topology) -> str:
+    """Serialize a Topology to the mdtraj HDF5 JSON schema."""
     chains: dict[int, dict] = {}
     for res in top.residues:
         chain = chains.setdefault(
@@ -43,6 +44,7 @@ def topology_to_json(top: Topology) -> str:
 
 
 def topology_from_json(text: str) -> Topology:
+    """Rebuild a Topology from mdtraj HDF5 JSON."""
     data = json.loads(text)
     top = Topology()
     # atoms may be indexed out of order in the JSON; rebuild by index

@@ -81,6 +81,8 @@ _ELEMENT_MASSES = {
 
 @dataclass
 class Atom:
+    """One atom: name, element, and its residue."""
+
     index: int
     name: str
     element: str
@@ -96,6 +98,8 @@ class Atom:
 
 @dataclass
 class Residue:
+    """One residue: name, sequence number, chain, and its atoms."""
+
     index: int
     name: str
     resSeq: int

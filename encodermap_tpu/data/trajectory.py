@@ -577,6 +577,24 @@ class TrajEnsemble:
             out.append(joined)
         return out
 
+    def parse_clustal_w_alignment(self, aln: Union[str, Path]) -> None:
+        """Attach a ClustalW multiple-sequence alignment (text or path);
+        sequence names must match trajs' ``common_str`` or ``basename``.
+        Ensemble featurization then aligns per-residue generic labels by
+        alignment column (reference ``info_all.py:1560``)."""
+        from ..loading.alignment import parse_clustal_w, residue_to_column_maps
+
+        seqs = parse_clustal_w(aln)
+        maps = residue_to_column_maps(seqs)
+        for t in self.trajs:
+            key = t.common_str if t.common_str in maps else t.basename
+            if key not in maps:
+                raise ValueError(
+                    f"no alignment sequence for traj {t.basename!r} "
+                    f"(have {sorted(maps)})"
+                )
+            t.clustal_w = maps[key]
+
     def stack(self) -> SingleTraj:
         """Stack trajs along the ATOM axis (same n_frames required) into one
         merged-topology traj (reference ``info_all.py:2145-2286``)."""

@@ -1,0 +1,78 @@
+# encodermap_tpu/loading/alignment.py
+"""ClustalW alignment support for cross-topology ensemble featurization.
+
+The reference lets a ClustalW multiple-sequence alignment drive the generic
+feature labels so residues of *homologous* positions align across different
+proteins (``TrajEnsemble.parse_clustal_w_alignment``,
+``/root/reference/encodermap/trajinfo/info_all.py:1560``; label logic at
+``loading/features.py:3170-3191``). Here: parse the alignment, build per-
+sequence residue->alignment-column maps, and rewrite the residue numbers in
+generic labels before the NaN-padded union alignment.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Union
+
+__all__ = ["parse_clustal_w", "residue_to_column_maps", "apply_alignment_to_labels"]
+
+
+def parse_clustal_w(text_or_path: Union[str, Path]) -> dict[str, str]:
+    """Parse a CLUSTAL-format alignment into {sequence_name: aligned_seq}.
+
+    Accepts the alignment text itself or a path to a file.
+    """
+    text = str(text_or_path)
+    if "\n" not in text and Path(text).exists():
+        text = Path(text).read_text()
+    seqs: dict[str, str] = {}
+    for line in text.splitlines():
+        if not line.strip() or line.startswith(("CLUSTAL", "MUSCLE")):
+            continue
+        # conservation lines contain only  * : . and spaces
+        if re.fullmatch(r"[\s*:.]+", line):
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        name, chunk = parts[0], parts[1]
+        if not re.fullmatch(r"[A-Za-z\-]+", chunk):
+            continue
+        seqs[name] = seqs.get(name, "") + chunk
+    return seqs
+
+
+def residue_to_column_maps(seqs: dict[str, str]) -> dict[str, dict[int, int]]:
+    """Per sequence: 1-based residue index -> 1-based alignment column."""
+    out: dict[str, dict[int, int]] = {}
+    for name, seq in seqs.items():
+        mapping: dict[int, int] = {}
+        res_i = 0
+        for col, ch in enumerate(seq, start=1):
+            if ch != "-":
+                res_i += 1
+                mapping[res_i] = col
+        out[name] = mapping
+    return out
+
+
+_RES_NUM_RE = re.compile(r"(\d+)\s*$")
+
+
+def apply_alignment_to_labels(
+    labels: list[str], res_to_col: dict[int, int]
+) -> list[str]:
+    """Rewrite the trailing residue number of each generic label to its
+    alignment column, so homologous residues share labels across
+    topologies."""
+    out = []
+    for lbl in labels:
+        m = _RES_NUM_RE.search(lbl)
+        if m:
+            res_i = int(m.group(1))
+            col = res_to_col.get(res_i, res_i)
+            lbl = lbl[: m.start(1)] + str(col)
+        out.append(lbl)
+    return out

@@ -241,6 +241,20 @@ class EnsembleFeaturizer:
                     traj._CVs.add(k, e.data, e.labels, e.indices)
             return
 
+        # optional ClustalW relabeling: residue numbers -> alignment columns
+        for traj, cvs in zip(self.trajs, per_traj):
+            res_map = getattr(traj, "clustal_w", None)
+            if res_map is None:
+                continue
+            from .alignment import apply_alignment_to_labels
+
+            for name in ("central_dihedrals", "side_dihedrals",
+                         "side_angles", "side_distances"):
+                if name in cvs:
+                    e = cvs.entry(name)
+                    e.labels = apply_alignment_to_labels(e.labels or [],
+                                                         res_map)
+
         # union-of-generic-labels alignment with NaN fill
         names = list(per_traj[0].keys())
         for name in names:

@@ -88,6 +88,7 @@ def init_params(
     key: jax.Array, p: ADCParameters, shapes: ADCShapes, dtype: Any = jnp.float32,
     sparse: bool = False,
 ) -> dict:
+    """Initialize the ADC parameter pytree (+ densifiers in sparse mode)."""
     in_dim = _encoder_in_dim(p, shapes)
     out_dim = sum(decoder_splits(p, shapes))
     k_enc, k_dec, k_sp = jax.random.split(key, 3)
@@ -271,6 +272,8 @@ def regularization_sum(params: dict) -> Array:
 
 
 class ADCSidechainShapes(NamedTuple):
+    """Static input dims for the 7-input sidechain-reconstruction model."""
+
     n_central_angles: int
     n_central_dihedrals: int
     n_all_cartesians: int
@@ -300,6 +303,7 @@ def init_sidechain_params(
     key: jax.Array, p: ADCParameters, shapes: ADCSidechainShapes,
     dtype: Any = jnp.float32,
 ) -> dict:
+    """Initialize the sidechain-reconstruction parameter pytree."""
     in_dim = sum(sidechain_decoder_splits(shapes))
     out_dim = in_dim
     k_enc, k_dec = jax.random.split(key)

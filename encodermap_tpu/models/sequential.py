@@ -110,6 +110,7 @@ def decode(params: dict, p: Parameters, z: Array) -> Array:
 
 
 def forward(params: dict, p: Parameters, x: Array) -> Array:
+    """Full autoencoder pass: encode then decode."""
     return decode(params, p, encode(params, p, x))
 
 

@@ -131,6 +131,7 @@ def mlp_apply(
     activations: Sequence[Optional[Callable[[Array], Array]]],
     compute_dtype: Any = None,
 ) -> Array:
+    """Apply a dense stack with one activation per layer."""
     assert len(layers) == len(activations), (len(layers), len(activations))
     for lp, act in zip(layers, activations):
         x = dense_apply(lp, x, act, compute_dtype)

@@ -171,3 +171,52 @@ class TestEnsembleAlignment:
         assert isinstance(Featurizer(traj), SingleTrajFeaturizer)
         trajs = load([DATA / "asp7.xtc"], [DATA / "asp7.pdb"])
         assert isinstance(Featurizer(trajs), EnsembleFeaturizer)
+
+
+class TestClustalWAlignment:
+    def test_alignment_relabels_and_aligns(self, tmp_path):
+        """Two copies of asp7 with a shifted alignment: the shifted sequence's
+        residues map onto later alignment columns, producing NaN columns for
+        the unshifted one."""
+        from encodermap_tpu.data import load
+
+        aln = (
+            "CLUSTAL W multiple sequence alignment\n"
+            "\n"
+            "asp7a   DDDDDDD--\n"
+            "asp7b   --DDDDDDD\n"
+        )
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "asp7.xtc"],
+            [DATA / "asp7.pdb"],
+            common_str=["asp7"],
+        )
+        trajs.trajs[0].common_str = "asp7a"
+        trajs.trajs[1].common_str = "asp7b"
+        trajs.parse_clustal_w_alignment(aln)
+        assert trajs.trajs[0].clustal_w[1] == 1
+        assert trajs.trajs[1].clustal_w[1] == 3
+
+        trajs.load_CVs(["side_dihedrals"], ensemble=True)
+        sd = trajs.CVs["side_dihedrals"]
+        labels = trajs.trajs[0]._CVs.entry("side_dihedrals").labels
+        # union spans columns 1..9 -> more label columns than one topology
+        assert sd.shape[1] > 14
+        n0 = trajs.trajs[0].n_frames
+        # traj a occupies early columns; traj b's first columns are NaN there
+        col9 = [i for i, l in enumerate(labels) if l.endswith(" 9")]
+        assert col9 and np.all(np.isnan(sd[:n0, col9]))
+
+    def test_parse_clustal(self):
+        from encodermap_tpu.loading.alignment import (
+            parse_clustal_w,
+            residue_to_column_maps,
+        )
+
+        seqs = parse_clustal_w(
+            "CLUSTAL O(1.2.4)\n\nseq1  MK-LV\nseq2  MKALV\n      ** **\n"
+        )
+        assert seqs == {"seq1": "MK-LV", "seq2": "MKALV"}
+        maps = residue_to_column_maps(seqs)
+        assert maps["seq1"] == {1: 1, 2: 2, 3: 4, 4: 5}
+        assert maps["seq2"][3] == 3

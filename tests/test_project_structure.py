@@ -1,0 +1,88 @@
+# tests/test_project_structure.py
+"""Meta-tests: docstring coverage, import hygiene, reference citations.
+
+The analog of the reference's ``tests/test_project_structure.py`` (license
+headers / pydoctest / requirements hygiene there)."""
+
+import ast
+import importlib
+from pathlib import Path
+
+import pytest
+
+PKG = Path(__file__).parent.parent / "encodermap_tpu"
+
+MODULES = sorted(
+    str(p.relative_to(PKG.parent)).replace("/", ".")[:-3]
+    for p in PKG.rglob("*.py")
+    if "__pycache__" not in str(p)
+)
+
+
+class TestDocstrings:
+    @pytest.mark.parametrize("module_path", sorted(PKG.rglob("*.py")),
+                             ids=lambda p: str(p.relative_to(PKG)))
+    def test_module_and_public_defs_documented(self, module_path):
+        src = module_path.read_text()
+        tree = ast.parse(src)
+        rel = module_path.relative_to(PKG)
+        if module_path.name != "__init__.py" or src.strip():
+            assert ast.get_docstring(tree), f"{rel}: missing module docstring"
+        missing = []
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                if node.name.startswith("_"):
+                    continue
+                if not ast.get_docstring(node):
+                    missing.append(node.name)
+        assert not missing, f"{rel}: undocumented public defs {missing}"
+
+
+class TestImportHygiene:
+    def test_all_modules_importable(self):
+        failures = {}
+        for mod in MODULES:
+            name = mod.replace("encodermap_tpu.", "encodermap_tpu.", 1)
+            try:
+                importlib.import_module(name)
+            except Exception as e:  # noqa: BLE001
+                failures[name] = repr(e)
+        assert not failures, failures
+
+    def test_no_torch_or_tf_in_compute_path(self):
+        """The compute path must be pure JAX; tf/torch only appear in
+        optional observability/test shims."""
+        allowed_tf = {"misc/summaries.py"}
+        for p in PKG.rglob("*.py"):
+            rel = str(p.relative_to(PKG))
+            src = p.read_text()
+            tree = ast.parse(src)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    names = [a.name for a in node.names]
+                elif isinstance(node, ast.ImportFrom):
+                    names = [node.module or ""]
+                else:
+                    continue
+                for n in names:
+                    root = n.split(".")[0]
+                    assert root != "torch", f"{rel} imports torch"
+                    if root == "tensorflow":
+                        assert rel in allowed_tf, f"{rel} imports tensorflow"
+
+
+class TestReferenceCitations:
+    def test_core_modules_cite_reference(self):
+        """Docstrings must cite the reference files they re-implement so
+        parity can be audited."""
+        must_cite = [
+            "ops/distances.py", "ops/backmap.py", "ops/backmap_sidechains.py",
+            "losses.py", "models/sequential.py", "models/adc.py",
+            "parameters.py", "loading/features.py", "loading/featurizer.py",
+            "data/trajectory.py", "misc/backmapping_offline.py",
+        ]
+        for rel in must_cite:
+            src = (PKG / rel).read_text()
+            assert "/root/reference/encodermap" in src or "reference" in src, (
+                f"{rel}: no reference citation"
+            )

@@ -178,6 +178,10 @@ class SingleTraj:
             xyz, box, time, _ = reader.read(idx)
             self._xyz = xyz
             self._time = time
+            # vacuum trajectories store an all-zero box; a singular cell
+            # would NaN the minimum-image convention downstream
+            if np.abs(np.linalg.det(box)).min() < 1e-12:
+                box = None
             self._unitcell = box
         elif self.traj_file.endswith((".pdb", ".gro")):
             if not hasattr(self, "_file_xyz"):

@@ -12,6 +12,7 @@ from .plotting import (
 )
 
 __all__ = [
+    "Dashboard",
     "InteractivePlotting",
     "distance_histogram",
     "plot_cluster",
@@ -20,3 +21,12 @@ __all__ = [
     "plot_ramachandran",
     "plot_trajs_by_parameter",
 ]
+
+
+def __getattr__(name):
+    """Lazy import for optional-dependency members."""
+    if name == "Dashboard":
+        from .dashboard import Dashboard
+
+        return Dashboard
+    raise AttributeError(name)

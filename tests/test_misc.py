@@ -261,3 +261,50 @@ class TestShardedFeaturize:
         sharded.to_hdf5(tmp_path / "cvs.h5")
         with h5py.File(tmp_path / "cvs.h5") as f:
             assert f["CVs/central_angles"].shape == (traj.n_frames, 19)
+
+
+class TestDashboard:
+    def test_gated_on_dash(self):
+        """Without dash installed the Dashboard raises a helpful error."""
+        from encodermap_tpu.plot import Dashboard
+
+        try:
+            import dash  # noqa: F401
+
+            pytest.skip("dash installed; gate not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="InteractivePlotting"):
+            Dashboard(autoencoder=None)
+
+
+class TestConfig2AlaDipeptide:
+    def test_backbone_dihedrals_to_2d(self, tmp_path):
+        """BASELINE config 2: Ala-dipeptide backbone dihedrals -> 2D with the
+        periodicity-aware sigmoid distance loss."""
+        if not DATA.exists():
+            pytest.skip("reference test data not mounted")
+        from encodermap_tpu import EncoderMap, Parameters
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        traj = SingleTraj(
+            DATA / "alanine_dipeptide.xtc", DATA / "alanine_dipeptide.pdb"
+        )
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_backbone_torsions()
+        tors = feat.get_output()["BackboneTorsionFeature"].astype(np.float32)
+        assert tors.shape[1] == 2  # ala2 has exactly phi+psi
+
+        p = Parameters(
+            main_path=str(tmp_path), periodicity=2 * np.pi,
+            n_neurons=[16, 16, 2], n_steps=30, steps_per_scan=15,
+            batch_size=16, seed=0,
+        )
+        emap = EncoderMap(p, tors)
+        history = emap.train()
+        assert np.isfinite(history["loss"]).all()
+        latent = emap.encode(tors)
+        assert latent.shape == (len(tors), 2)
+        back = emap.generate(latent[:5])
+        assert np.all(np.abs(back) <= np.pi + 1e-5)

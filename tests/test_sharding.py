@@ -79,9 +79,13 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         fn, args = ge.entry()
-        out, latent = jax.jit(fn)(*args)
+        outputs = jax.jit(fn)(*args)
+        # ADC forward: (..., back_cartesians, inp_pair, out_pair, latent)
+        latent = outputs[-1]
+        back = outputs[3]
         assert latent.shape == (256, 2)
-        assert np.isfinite(np.asarray(out)).all()
+        assert back.shape == (256, 60, 3)
+        assert np.isfinite(np.asarray(back)).all()
 
     def test_dryrun_multichip(self, devices_ok, capsys):
         import __graft_entry__ as ge

@@ -518,11 +518,31 @@ class AngleDihedralCartesianEncoderMap:
 
         ``backend="scan"`` uses the in-graph associative-scan backmapping
         with the training set's mean bond lengths — the on-chip equivalent of
-        the reference's in-graph path. ``backend="mdtraj"``-style topology-
-        aware backmapping arrives with the data layer.
+        the reference's in-graph path. ``backend="topology"`` rotates a real
+        topology's bonds to the decoded dihedrals (the reference's
+        ``mdtraj_backmapping`` path) — pass ``top`` as a SingleTraj.
 
-        Returns ``(n_points, n_atoms, 3)`` coordinates.
+        Returns ``(n_points, n_atoms, 3)`` coordinates (full-topology atom
+        count for ``backend="topology"``).
         """
+        if backend == "topology":
+            assert top is not None, 'backend="topology" needs a `top` traj'
+            from ..misc.backmapping_offline import backmap_topology
+
+            decoded = self.decode(np.asarray(points, np.float32))
+            out_dihedrals = decoded[1]
+            # decoder emits PSI/OMEGA/PHI per chain window; map onto the
+            # topology's phi/psi quadruplets (omega stays near its mean)
+            t = top.top if hasattr(top, "top") else top
+            phi, psi = t.indices_phi, t.indices_psi
+            chain = t.central_atom_indices()
+            quads = np.stack(
+                [chain[:-3], chain[1:-2], chain[2:-1], chain[3:]], axis=1
+            )
+            base = top.xyz[0] if hasattr(top, "xyz") else None
+            return backmap_topology(
+                t, base, out_dihedrals, dihedral_indices=quads
+            )
         points = np.asarray(points, np.float32)
         decoded = self.decode(points)
         if self.p.reconstruct_sidechains:

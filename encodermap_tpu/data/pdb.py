@@ -8,7 +8,7 @@ nanometers internally (PDB files store Angstrom; factor 10).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, TextIO, Union
+from typing import Optional, Union
 
 import numpy as np
 
@@ -63,6 +63,9 @@ def load_pdb(
                 except ValueError:
                     box = None
             elif rec in ("ATOM  ", "HETATM"):
+                altloc = line[16] if len(line) > 16 else " "
+                if altloc not in (" ", "A", "1"):
+                    continue  # keep only the primary alternate location
                 x = float(line[30:38]) / 10.0
                 y = float(line[38:46]) / 10.0
                 z = float(line[46:54]) / 10.0

@@ -756,17 +756,6 @@ class CentralDihedrals(DihedralFeature):
         self.omega = omega
         super().__init__(top, quads, periodic=periodic)
 
-    def _angle_names(self) -> list[str]:
-        # window k starting at chain position k: (N,CA,C,N)=PSI,
-        # (CA,C,N,CA)=OMEGA, (C,N,CA,C)=PHI
-        kinds = ["PSI", "OMEGA", "PHI"]
-        names = []
-        k_eff = 0
-        for k in range(len(self._indices)):
-            names.append(kinds[k_eff % 3])
-            k_eff += 1 if self.omega else (2 if k_eff % 3 == 0 else 1)
-        return names
-
     def describe(self) -> list[str]:
         out = []
         for quad in self._indices:

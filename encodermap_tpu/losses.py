@@ -28,7 +28,6 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
-from .ops.distances import pairwise_dist, pairwise_dist_periodic, sigmoid
 from .parameters import ADCParameters, Parameters
 
 __all__ = [

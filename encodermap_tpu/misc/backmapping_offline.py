@@ -19,7 +19,7 @@ instead of the reference's per-frame Python/numba loop.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

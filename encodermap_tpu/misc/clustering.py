@@ -8,7 +8,6 @@ mdtraj's per-pair loop.
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

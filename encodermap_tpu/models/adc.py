@@ -25,7 +25,7 @@ Everything is a pure function of (params, inputs) with static Parameters.
 from __future__ import annotations
 
 from math import pi
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ program.
 from __future__ import annotations
 
 from math import pi
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,6 @@ Numerical parity with the reference loop is asserted in
 
 from __future__ import annotations
 
-from functools import partial
 from math import pi
 from typing import Optional, Sequence
 

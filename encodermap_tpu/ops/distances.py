@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import partial
 from math import pi
-from typing import Callable, Union
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

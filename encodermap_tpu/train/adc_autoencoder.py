@@ -34,7 +34,7 @@ from ..ops.backmap import backmap as backmap_op
 from ..ops.distances import pairwise_dist
 from ..ops.kabsch import rmsd as rmsd_op
 from ..parameters import ADCParameters
-from .autoencoder import Autoencoder, _tree_to_jax
+from .autoencoder import _tree_to_jax
 from .callbacks import Callback, CheckpointSaver, NaNInterrupt, ProgressBar
 from .core import TrainState, make_optimizer, make_scan_trainer
 

@@ -19,7 +19,7 @@ TPU-native differences:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +27,7 @@ import numpy as np
 
 from .. import losses as L
 from ..misc.misc import create_n_cube
-from ..misc.saving import (
-    latest_checkpoint,
-    load_checkpoint,
-    load_pytree_into,
-    save_checkpoint,
-)
+from ..misc.saving import load_checkpoint, load_pytree_into, save_checkpoint
 from ..misc.summaries import MetricsWriter
 from ..models import sequential as seq
 from ..parameters import Parameters

@@ -22,7 +22,7 @@ autoencoder.py:967-1029``):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax
@@ -179,14 +179,24 @@ class HDF5BatchSource:
         self._h5.close()
 
 
-def run_streaming(autoencoder, source, n_steps: int) -> dict:
+def run_streaming(autoencoder, source, n_steps: int, sharding=None) -> dict:
     """Drive a streaming training loop for an autoencoder-like object
     (needs ._make_train_step(), .state, .p). Returns the metric history.
 
     ``source`` yields superbatches: a tuple of ``(steps_per_scan, batch,
     ...)`` arrays (or a single array for plain EncoderMap data).
+
+    ``sharding``: optional ``NamedSharding`` applied to each uploaded
+    superbatch (e.g. ``P(None, "dp")`` to shard the batch axis over a mesh)
+    — the BASELINE config-5 combination of out-of-core streaming with
+    data-parallel training.
     """
     import numpy as np
+
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(jnp.asarray(x), sharding)
+        return jnp.asarray(x)
 
     trainer = make_streaming_trainer(
         autoencoder._make_train_step(), autoencoder.p.steps_per_scan
@@ -195,10 +205,10 @@ def run_streaming(autoencoder, source, n_steps: int) -> dict:
     done = 0
     for superbatch in source:
         if isinstance(superbatch, tuple):
-            dev = tuple(jnp.asarray(x) for x in superbatch)
+            dev = tuple(put(x) for x in superbatch)
             n = superbatch[0].shape[0]
         else:
-            dev = jnp.asarray(superbatch)
+            dev = put(superbatch)
             n = superbatch.shape[0]
         autoencoder.state, metrics = trainer(autoencoder.state, dev)
         metrics = jax.device_get(metrics)

@@ -145,3 +145,16 @@ class TestTrajEnsemble:
         assert sub.n_trajs == 2
         assert sub.trajs[0].n_frames == 2
         assert sub.trajs[1].n_frames == 1
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestAllReferencePDBs:
+    @pytest.mark.parametrize(
+        "name",
+        [p.name for p in sorted(DATA.glob("*.pdb"))] if DATA.exists() else [],
+    )
+    def test_parses_cleanly(self, name):
+        top, xyz, cell = load_pdb(DATA / name)
+        assert top.n_atoms > 0
+        assert xyz.shape[1] == top.n_atoms
+        assert np.isfinite(xyz).all()

@@ -83,3 +83,42 @@ class TestStreaming:
 
         history = emap.train_streaming(Source(), n_steps=40)
         assert history["loss"][-10:].mean() < history["loss"][:10].mean()
+
+
+class TestShardedStreaming:
+    def test_config5_streaming_plus_dp(self, h5_cvs, tmp_path):
+        """BASELINE config 5 shape: out-of-core streaming combined with
+        data-parallel sharding over the virtual mesh."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from encodermap_tpu.parallel.mesh import make_mesh
+
+        path, data = h5_cvs
+        mesh = make_mesh(n_devices=8, tp=1)
+        p = Parameters(
+            main_path=str(tmp_path / "run"), periodicity=float("inf"),
+            n_neurons=[8, 8, 2], n_steps=8, steps_per_scan=4, batch_size=32,
+            seed=0,
+        )
+        emap = EncoderMap(p, data[:10])
+
+        class Source:
+            def __init__(self):
+                self.inner = HDF5BatchSource(
+                    path, ["features"], batch_size=32, steps_per_scan=4
+                )
+
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                return next(self.inner)[0]
+
+        sharding = NamedSharding(mesh, P(None, "dp"))
+        with mesh:
+            history = run_streaming(emap, Source(), 8, sharding=sharding)
+        assert len(history["loss"]) == 8
+        assert np.isfinite(history["loss"]).all()

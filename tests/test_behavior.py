@@ -1,0 +1,116 @@
+# tests/test_behavior.py
+"""Behavioral tests mirroring the reference's deeper autoencoder coverage:
+two-state separation (``test_autoencoder.py:1688``), omega-angle handling
+(``:1544``), activation wiring (``:1613``)."""
+
+import numpy as np
+import pytest
+
+from encodermap_tpu import EncoderMap, Parameters
+
+
+class TestTwoStateSystem:
+    def test_two_states_separate_in_latent(self, tmp_path):
+        """A bimodal dihedral dataset must map to two separable latent
+        clusters after training."""
+        rng = np.random.default_rng(0)
+        n = 400
+        # two conformational states: dihedrals near -2 and +2 rad
+        state = rng.integers(0, 2, n)
+        centers = np.where(state[:, None] == 0, -2.0, 2.0)
+        data = (centers + rng.normal(0, 0.15, (n, 6))).astype(np.float32)
+        data = np.mod(data + np.pi, 2 * np.pi) - np.pi
+
+        p = Parameters(
+            main_path=str(tmp_path), periodicity=2 * np.pi,
+            n_neurons=[32, 32, 2], n_steps=300, steps_per_scan=100,
+            batch_size=64, seed=2,
+        )
+        emap = EncoderMap(p, data)
+        emap.train()
+        latent = emap.encode(data)
+
+        mu0 = latent[state == 0].mean(0)
+        mu1 = latent[state == 1].mean(0)
+        spread = max(latent[state == 0].std(), latent[state == 1].std())
+        separation = np.linalg.norm(mu0 - mu1)
+        assert separation > 2 * spread, (separation, spread)
+
+    def test_generation_returns_to_states(self, tmp_path):
+        """Decoding the latent cluster centers must reproduce dihedrals near
+        the state centers."""
+        rng = np.random.default_rng(1)
+        n = 400
+        state = rng.integers(0, 2, n)
+        centers = np.where(state[:, None] == 0, -2.0, 2.0)
+        data = (centers + rng.normal(0, 0.1, (n, 4))).astype(np.float32)
+        data = np.mod(data + np.pi, 2 * np.pi) - np.pi
+
+        p = Parameters(
+            main_path=str(tmp_path), periodicity=2 * np.pi,
+            n_neurons=[32, 32, 2], n_steps=300, steps_per_scan=100,
+            batch_size=64, seed=0,
+        )
+        emap = EncoderMap(p, data)
+        emap.train()
+        latent = emap.encode(data)
+        for s, target in ((0, -2.0), (1, 2.0)):
+            mu = latent[state == s].mean(0, keepdims=True)
+            decoded = emap.generate(mu.astype(np.float32))
+            d = np.abs(decoded - target)
+            d = np.minimum(d, 2 * np.pi - d)
+            assert d.max() < 0.5, (s, decoded)
+
+
+class TestOmegaHandling:
+    def test_central_dihedrals_without_omega(self):
+        """CentralDihedrals(omega=False) drops every OMEGA window, matching
+        the reference's omega=False feature option."""
+        from pathlib import Path
+
+        DATA = Path("/root/reference/tests/data")
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.features import CentralDihedrals
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        full = CentralDihedrals(traj.top)
+        no_omega = CentralDihedrals(traj.top, omega=False)
+        assert no_omega.dimension < full.dimension
+        assert not any("OMEGA" in lbl for lbl in no_omega.describe())
+        vals = no_omega.transform(traj.xyz)
+        assert vals.shape == (traj.n_frames, no_omega.dimension)
+
+
+class TestActivationWiring:
+    @pytest.mark.parametrize(
+        "acts,expected_enc,expected_dec",
+        [
+            (["", "tanh", "tanh", ""], ["tanh", "tanh", ""],
+             ["tanh", "tanh", ""]),
+            (["", "relu", "tanh", ""], ["relu", "tanh", ""],
+             ["tanh", "relu", ""]),
+        ],
+    )
+    def test_layer_stack_activations(self, acts, expected_enc, expected_dec):
+        """The reference's mirror rule: encoder takes acts[1:], decoder the
+        reversed tail + linear output (``models.py:3128-3160``)."""
+        from encodermap_tpu.models.sequential import layer_stack
+
+        p = Parameters(n_neurons=[8, 8, 2], activation_functions=acts)
+        enc, dec, _ = layer_stack(p, input_dim=4)
+        assert [a for _, a in enc] == expected_enc
+        assert [a for _, a in dec] == expected_dec
+
+    def test_relu_network_trains(self, tmp_path, rng):
+        data = rng.standard_normal((300, 5)).astype(np.float32)
+        p = Parameters(
+            main_path=str(tmp_path), periodicity=float("inf"),
+            n_neurons=[16, 16, 2],
+            activation_functions=["", "relu", "relu", ""],
+            n_steps=20, steps_per_scan=10, batch_size=32, seed=0,
+        )
+        emap = EncoderMap(p, data)
+        history = emap.train()
+        assert np.isfinite(history["loss"]).all()

@@ -17,6 +17,7 @@
 // Build: g++ -O3 -shared -fPIC xdr_xtc.cpp -o libxdrxtc.so
 
 #include <cstdint>
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
@@ -360,6 +361,192 @@ int xtc_read_frames(const char* path, const int64_t* offsets, int64_t n,
             return 5;
     }
     return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// XTC writing (the 3dfcoord compressor)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct XdrOut {
+    FILE* fp = nullptr;
+    bool ok = true;
+
+    explicit XdrOut(const char* path, bool append) {
+        fp = std::fopen(path, append ? "ab" : "wb");
+        ok = fp != nullptr;
+    }
+    ~XdrOut() { if (fp) std::fclose(fp); }
+
+    void write_raw(const void* src, size_t n) {
+        if (ok) ok = std::fwrite(src, 1, n, fp) == n;
+    }
+    void write_int(int32_t v) {
+        unsigned char b[4] = {
+            (unsigned char)((uint32_t)v >> 24), (unsigned char)((uint32_t)v >> 16),
+            (unsigned char)((uint32_t)v >> 8), (unsigned char)v};
+        write_raw(b, 4);
+    }
+    void write_float(float f) {
+        uint32_t u;
+        std::memcpy(&u, &f, 4);
+        write_int((int32_t)u);
+    }
+};
+
+struct BitWriter {
+    std::vector<unsigned char> data;
+    uint32_t cur = 0;  // bits buffered, MSB-first
+    int nbits = 0;
+
+    void write_bits(uint32_t value, int n) {
+        for (int i = n - 1; i >= 0; --i) {
+            cur = (cur << 1) | ((value >> i) & 1u);
+            if (++nbits == 8) {
+                data.push_back((unsigned char)cur);
+                cur = 0;
+                nbits = 0;
+            }
+        }
+    }
+    void flush() {
+        if (nbits > 0) {
+            data.push_back((unsigned char)(cur << (8 - nbits)));
+            cur = 0;
+            nbits = 0;
+        }
+    }
+};
+
+// Encode num_of_ints values as one mixed-radix big number in num_of_bits
+// bits (inverse of decodeints; little-endian byte significance).
+void encodeints(BitWriter& bw, int num_of_ints, int num_of_bits,
+                const unsigned int sizes[], const int nums[]) {
+    unsigned int bytes[32];
+    int num_of_bytes = 0;
+    // start with nums[0] in little-endian bytes
+    unsigned int tmp = (unsigned int)nums[0];
+    do {
+        bytes[num_of_bytes++] = tmp & 0xff;
+        tmp >>= 8;
+    } while (tmp != 0);
+    for (int i = 1; i < num_of_ints; ++i) {
+        // bytes = bytes * sizes[i] + nums[i]
+        unsigned int carry = (unsigned int)nums[i];
+        for (int j = 0; j < num_of_bytes; ++j) {
+            unsigned int t = bytes[j] * sizes[i] + carry;
+            bytes[j] = t & 0xff;
+            carry = t >> 8;
+        }
+        while (carry != 0) {
+            bytes[num_of_bytes++] = carry & 0xff;
+            carry >>= 8;
+        }
+    }
+    // emit 8-bit groups little-significance-first, then the remainder
+    int bits_left = num_of_bits;
+    int idx = 0;
+    while (bits_left > 8) {
+        bw.write_bits(idx < num_of_bytes ? bytes[idx] : 0u, 8);
+        ++idx;
+        bits_left -= 8;
+    }
+    if (bits_left > 0) bw.write_bits(idx < num_of_bytes ? bytes[idx] : 0u, bits_left);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Append one frame. Returns 0 on success.
+int xtc_write_frame(const char* path, int32_t n_atoms, int32_t step,
+                    float time, const float* box /* 9 floats */,
+                    const float* xyz /* n_atoms*3 */, float precision,
+                    int32_t append) {
+    XdrOut xf(path, append != 0);
+    if (!xf.ok) return 1;
+    xf.write_int(XTC_MAGIC);
+    xf.write_int(n_atoms);
+    xf.write_int(step);
+    xf.write_float(time);
+    for (int i = 0; i < 9; ++i) xf.write_float(box[i]);
+    xf.write_int(n_atoms);  // lsize
+
+    if (n_atoms <= 9) {
+        for (int i = 0; i < n_atoms * 3; ++i) xf.write_float(xyz[i]);
+        return xf.ok ? 0 : 2;
+    }
+
+    if (precision <= 0) precision = 1000.0f;
+    xf.write_float(precision);
+
+    std::vector<int> ip((size_t)n_atoms * 3);
+    int minint[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+    int maxint[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+    for (int i = 0; i < n_atoms; ++i) {
+        for (int d = 0; d < 3; ++d) {
+            float v = xyz[i * 3 + d] * precision;
+            // clamp to the format's fixed-point range
+            if (v > 2e9f) v = 2e9f;
+            if (v < -2e9f) v = -2e9f;
+            int iv = (int)std::lroundf(v);
+            ip[(size_t)i * 3 + d] = iv;
+            if (iv < minint[d]) minint[d] = iv;
+            if (iv > maxint[d]) maxint[d] = iv;
+        }
+    }
+    for (int d = 0; d < 3; ++d) xf.write_int(minint[d]);
+    for (int d = 0; d < 3; ++d) xf.write_int(maxint[d]);
+
+    unsigned int sizeint[3], bitsizeint[3] = {0, 0, 0};
+    for (int d = 0; d < 3; ++d)
+        sizeint[d] = (unsigned int)(maxint[d] - minint[d]) + 1u;
+    int bitsize;
+    if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
+        bitsizeint[0] = sizeofint((int)sizeint[0]);
+        bitsizeint[1] = sizeofint((int)sizeint[1]);
+        bitsizeint[2] = sizeofint((int)sizeint[2]);
+        bitsize = 0;
+    } else {
+        bitsize = sizeofints(3, sizeint);
+    }
+
+    // simple encoder: no delta runs (flag = 0 with run length never set).
+    // GROMACS tools read this fine — runs are an optional compression win,
+    // not a format requirement. smallidx is still written for the header.
+    int smallidx = FIRSTIDX;
+    xf.write_int(smallidx);
+
+    BitWriter bw;
+    int prevrun = -1;
+    (void)prevrun;
+    for (int i = 0; i < n_atoms; ++i) {
+        int this3[3] = {
+            ip[(size_t)i * 3 + 0] - minint[0],
+            ip[(size_t)i * 3 + 1] - minint[1],
+            ip[(size_t)i * 3 + 2] - minint[2],
+        };
+        if (bitsize == 0) {
+            bw.write_bits((uint32_t)this3[0], (int)bitsizeint[0]);
+            bw.write_bits((uint32_t)this3[1], (int)bitsizeint[1]);
+            bw.write_bits((uint32_t)this3[2], (int)bitsizeint[2]);
+        } else {
+            encodeints(bw, 3, bitsize, sizeint, this3);
+        }
+        // flag = 0: the previous run length (initially 0) is reused, i.e.
+        // "no delta-encoded atoms follow this one"
+        bw.write_bits(0u, 1);
+    }
+    bw.flush();
+
+    xf.write_int((int32_t)bw.data.size());
+    size_t padded = (bw.data.size() + 3) / 4 * 4;
+    bw.data.resize(padded, 0);
+    xf.write_raw(bw.data.data(), padded);
+    return xf.ok ? 0 : 3;
 }
 
 }  // extern "C"

@@ -390,6 +390,18 @@ class SingleTraj:
         if len(self._CVs):
             self._CVs.to_hdf5(path)
 
+    def save_xtc(self, path: Union[str, Path], precision: float = 1000.0
+                 ) -> str:
+        """Write the (loaded) coordinates as a compressed XTC file via the
+        native encoder."""
+        from .xtc import write_xtc
+
+        self.load()
+        return write_xtc(
+            path, self.xyz, box=self._unitcell, time=self._time,
+            precision=precision,
+        )
+
     def save_pdb(self, path: Union[str, Path]) -> None:
         write_pdb(path, self.top, self.xyz, None)
 

@@ -103,3 +103,45 @@ class XTCReader:
 def read_xtc(path: Union[str, Path]):
     """Read a whole XTC file: (xyz, box, time, step)."""
     return XTCReader(path).read()
+
+
+def write_xtc(
+    path: Union[str, Path],
+    xyz: np.ndarray,
+    box: Optional[np.ndarray] = None,
+    time: Optional[np.ndarray] = None,
+    steps: Optional[np.ndarray] = None,
+    precision: float = 1000.0,
+) -> str:
+    """Write coordinates as a compressed XTC file via the native encoder.
+
+    Args:
+        xyz: ``(n_frames, n_atoms, 3)`` nm.
+        box: ``(n_frames, 3, 3)`` cell vectors (defaults to zeros = vacuum).
+        time: per-frame times (default: frame index).
+        steps: per-frame step numbers (default: frame index).
+        precision: fixed-point precision (positions rounded to 1/precision).
+    """
+    lib = load_library("xdr_xtc")
+    if lib is None:
+        raise RuntimeError("native XTC encoder unavailable (g++ missing?)")
+    lib.xtc_write_frame.restype = ctypes.c_int
+    xyz = np.ascontiguousarray(np.asarray(xyz, np.float32))
+    n_frames, n_atoms, _ = xyz.shape
+    if box is None:
+        box = np.zeros((n_frames, 3, 3), np.float32)
+    box = np.ascontiguousarray(np.asarray(box, np.float32).reshape(n_frames, 9))
+    for f in range(n_frames):
+        rc = lib.xtc_write_frame(
+            str(path).encode(),
+            ctypes.c_int32(n_atoms),
+            ctypes.c_int32(int(steps[f]) if steps is not None else f),
+            ctypes.c_float(float(time[f]) if time is not None else float(f)),
+            box[f].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            xyz[f].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(precision),
+            ctypes.c_int32(1 if f else 0),
+        )
+        if rc != 0:
+            raise IOError(f"xtc_write_frame failed with code {rc} at frame {f}")
+    return str(path)

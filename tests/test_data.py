@@ -158,3 +158,36 @@ class TestAllReferencePDBs:
         assert top.n_atoms > 0
         assert xyz.shape[1] == top.n_atoms
         assert np.isfinite(xyz).all()
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestXTCWriter:
+    def test_roundtrip_through_own_decoder(self, tmp_path):
+        """The native encoder's output decodes bit-consistently through the
+        (mdtraj-validated) decoder, within the fixed-point precision."""
+        from encodermap_tpu.data.xtc import write_xtc
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        out = tmp_path / "rt.xtc"
+        write_xtc(out, traj.xyz, box=traj.unitcell_vectors, time=traj.time)
+        back = XTCReader(out)
+        xyz, box, time, steps = back.read()
+        assert back.n_frames == traj.n_frames
+        np.testing.assert_allclose(xyz, traj.xyz, atol=6e-4)
+        np.testing.assert_allclose(box, traj.unitcell_vectors, atol=1e-5)
+        np.testing.assert_allclose(time, traj.time)
+
+    def test_save_xtc_method(self, tmp_path):
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")[0:10]
+        traj.save_xtc(tmp_path / "sub.xtc")
+        back = SingleTraj(tmp_path / "sub.xtc", DATA / "asp7.pdb")
+        assert back.n_frames == 10
+        np.testing.assert_allclose(back.xyz, traj.xyz, atol=6e-4)
+
+    def test_higher_precision(self, tmp_path, rng):
+        from encodermap_tpu.data.xtc import write_xtc
+
+        xyz = rng.uniform(0, 3, (3, 50, 3)).astype(np.float32)
+        write_xtc(tmp_path / "hp.xtc", xyz, precision=100000.0)
+        out = XTCReader(tmp_path / "hp.xtc").read()[0]
+        np.testing.assert_allclose(out, xyz, atol=6e-6)

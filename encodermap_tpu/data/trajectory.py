@@ -441,6 +441,38 @@ class TrajEnsemble:
                     SingleTraj(t, top, traj_num=i, common_str=cs)
                 )
 
+    @classmethod
+    def from_dataset(cls, path: Union[str, Path]) -> "TrajEnsemble":
+        """Rebuild an ensemble from one HDF5 file written by :meth:`save`
+        (per-traj groups with coordinates, topology JSON, and CVs) —
+        reference ``info_all.py:1185``."""
+        import h5py
+
+        out = []
+        with h5py.File(path, "r") as f:
+            names = sorted(
+                (k for k in f if k.startswith("traj_")),
+                key=lambda k: int(k.split("_")[1]),
+            )
+            for name in names:
+                g = f[name]
+                from .mdtraj_h5 import topology_from_json
+
+                t = SingleTraj(
+                    str(path), str(path),
+                    traj_num=int(name.split("_")[1]),
+                    common_str=g.attrs.get("common_str", ""),
+                )
+                t._top = topology_from_json(g["topology"][0].decode())
+                t._xyz = g["coordinates"][:]
+                t._time = g["time"][:]
+                t._n_frames_file = len(t._xyz)
+                t.index = None
+                if "CVs" in g:
+                    t._CVs = CVCollection.from_hdf5(path, group=f"{name}/CVs")
+                out.append(t)
+        return cls(out)
+
     # ------------------------------------------------------------------ basic
     @property
     def n_trajs(self) -> int:

@@ -374,6 +374,20 @@ class AngleDihedralCartesianEncoderMap:
             self.save()
         return self.history
 
+    def add_images_to_tensorboard(
+        self,
+        data: Optional[tuple] = None,
+        image_step: Optional[int] = None,
+        max_size: int = 10000,
+    ) -> None:
+        """Register latent-image logging (reference API name)."""
+        from .callbacks import ImageCallback
+
+        step = image_step if image_step is not None else self.p.summary_step
+        self.callbacks.append(
+            ImageCallback(self, step, data=data, max_points=max_size)
+        )
+
     def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
         """Out-of-core ADC training from a host superbatch source (tuples of
         the 5/7 CV stacks), replacing the reference's HDF5-generator

@@ -225,6 +225,22 @@ class Autoencoder:
             self.save()
         return self.history
 
+    def add_images_to_tensorboard(
+        self,
+        data: Optional[np.ndarray] = None,
+        image_step: Optional[int] = None,
+        max_size: int = 10000,
+    ) -> None:
+        """Register latent scatter/density image logging every ``image_step``
+        steps (the reference's method of the same name,
+        ``autoencoder.py:1031``)."""
+        from .callbacks import ImageCallback
+
+        step = image_step if image_step is not None else self.p.summary_step
+        self.callbacks.append(
+            ImageCallback(self, step, data=data, max_points=max_size)
+        )
+
     def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
         """Out-of-core training from a host superbatch source (e.g.
         :class:`encodermap_tpu.train.core.HDF5BatchSource`) — the

@@ -5,6 +5,8 @@ Mirrors the core of the reference's ``tests/test_autoencoder.py``: losses
 decrease, encode/decode round-trips have the right shapes, save -> reload ->
 continue-training works, parameters JSON round-trips."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -168,3 +170,26 @@ class TestSaveLoad:
         emap.train()
         emap.train()
         assert "already been trained" in capsys.readouterr().out
+
+
+class TestCallbacks:
+    def test_early_stop(self, cube_data, tmp_path):
+        from encodermap_tpu.train.callbacks import EarlyStop
+
+        p = _small_params(tmp_path, n_steps=100, steps_per_scan=10)
+        emap = EncoderMap(p, cube_data)
+        emap.callbacks.append(EarlyStop(patience=0, min_delta=1e9))
+        history = emap.train()
+        # impossible min_delta -> stops after the first chunk
+        assert len(history["loss"]) <= 20
+
+    def test_image_callback_writes_png(self, cube_data, tmp_path):
+        from encodermap_tpu.train.callbacks import ImageCallback
+
+        p = _small_params(tmp_path, n_steps=10, steps_per_scan=5)
+        emap = EncoderMap(p, cube_data)
+        emap.callbacks.append(ImageCallback(emap, image_step=5,
+                                            data=cube_data[:100]))
+        emap.train()
+        pngs = list(Path(tmp_path).glob("latent_*.png"))
+        assert pngs, "ImageCallback produced no latent images"

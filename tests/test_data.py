@@ -191,3 +191,26 @@ class TestXTCWriter:
         write_xtc(tmp_path / "hp.xtc", xyz, precision=100000.0)
         out = XTCReader(tmp_path / "hp.xtc").read()[0]
         np.testing.assert_allclose(out, xyz, atol=6e-6)
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestEnsembleHDF5:
+    def test_save_and_from_dataset(self, tmp_path):
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+        trajs.load_CVs(["central_dihedrals"])
+        trajs.save(tmp_path / "ens.h5")
+
+        back = TrajEnsemble.from_dataset(tmp_path / "ens.h5")
+        assert back.n_trajs == 2
+        assert back.n_frames == trajs.n_frames
+        np.testing.assert_allclose(
+            back.trajs[0].xyz, trajs.trajs[0].xyz, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            back.CVs["central_dihedrals"], trajs.CVs["central_dihedrals"],
+            atol=1e-6,
+        )
+        assert back.trajs[1].top.n_atoms == trajs.trajs[1].top.n_atoms

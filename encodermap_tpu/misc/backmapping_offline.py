@@ -75,10 +75,13 @@ def near_and_far_masks(
     dihedral_indices: np.ndarray,
     bonds: Optional[list[tuple[int, int]]] = None,
     xyz: Optional[np.ndarray] = None,
-) -> np.ndarray:
+) -> tuple[np.ndarray, np.ndarray]:
     """For each dihedral (a,b,c,d): boolean mask of atoms on the far side of
-    the b-c bond (the atoms that rotate). Host-side graph split, mirroring
-    ``_get_near_and_far_networkx`` (``rotate.py:392``)."""
+    the b-c bond (the atoms that rotate) plus a rotatable flag — dihedrals
+    whose central bond lies on a ring (proline phi, disulfide-bridged
+    backbone) are marked unrotatable and skipped, mirroring the reference's
+    proline handling. Host-side graph split
+    (``_get_near_and_far_networkx``, ``rotate.py:392``)."""
     import networkx as nx
 
     if bonds is None:
@@ -89,26 +92,26 @@ def near_and_far_masks(
     G.add_edges_from(bonds)
 
     masks = np.zeros((len(dihedral_indices), top.n_atoms), bool)
+    rotatable = np.ones(len(dihedral_indices), bool)
     for i, (a, b, c, d) in enumerate(np.asarray(dihedral_indices)):
         H = G.copy()
         if H.has_edge(int(b), int(c)):
             H.remove_edge(int(b), int(c))
         else:
-            raise ValueError(
-                f"dihedral {i}: no bond between atoms {b} and {c} "
-                f"({top.atom(int(b))}-{top.atom(int(c))})"
-            )
+            rotatable[i] = False
+            continue
         far = nx.node_connected_component(H, int(c))
         if int(a) in far:
-            raise ValueError(
-                f"dihedral {i}: bond {b}-{c} lies on a ring; cannot rotate"
-            )
+            # ring bond (proline phi, disulfide-bridged backbone, ...) —
+            # unrotatable; the reference likewise special-cases prolines
+            rotatable[i] = False
+            continue
         mask = np.zeros(top.n_atoms, bool)
         mask[list(far)] = True
         mask[int(b)] = False
         mask[int(c)] = False  # both axis atoms stay fixed
         masks[i] = mask
-    return masks
+    return masks, rotatable
 
 
 def _current_dihedral(xyz, quad):
@@ -207,7 +210,17 @@ def backmap_topology(
     assert targets.shape[1] == len(quads), (
         f"got {targets.shape[1]} dihedral values for {len(quads)} quadruplets"
     )
-    masks = near_and_far_masks(top, quads, bonds=bonds, xyz=base_xyz)
+    masks, rotatable = near_and_far_masks(top, quads, bonds=bonds,
+                                          xyz=base_xyz)
+    if not rotatable.all():
+        skipped = int((~rotatable).sum())
+        print(
+            f"backmap_topology: skipping {skipped} unrotatable (ring) "
+            f"dihedral(s) — e.g. proline phi / disulfide bridges"
+        )
+        quads = quads[rotatable]
+        masks = masks[rotatable]
+        targets = targets[:, rotatable]
 
     fn = jax.jit(
         jax.vmap(

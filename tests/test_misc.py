@@ -308,3 +308,23 @@ class TestConfig2AlaDipeptide:
         assert latent.shape == (len(tors), 2)
         back = emap.generate(latent[:5])
         assert np.all(np.abs(back) <= np.pi + 1e-5)
+
+
+@needs_data
+class TestProlineHandling:
+    def test_1am7_prolines_skipped(self, capsys):
+        """The 158-residue lysozyme has 5 prolines whose phi bonds are ring
+        bonds; backmapping skips them and rotates everything else."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.misc.backmapping_offline import backmap_topology
+
+        t = SingleTraj(DATA / "1am7_corrected.xtc", DATA / "1am7_protein.pdb")
+        n_pro = sum(1 for r in t.top.residues if r.name == "PRO")
+        assert n_pro == 5
+        n_di = len(t.top.indices_phi) + len(t.top.indices_psi)
+        rng = np.random.default_rng(0)
+        targets = rng.uniform(-3, 3, (2, n_di)).astype(np.float32)
+        xyz = backmap_topology(t.top, t.xyz[0], targets)
+        assert xyz.shape == (2, t.top.n_atoms, 3)
+        assert np.isfinite(xyz).all()
+        assert "skipping 5 unrotatable" in capsys.readouterr().out

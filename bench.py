@@ -153,10 +153,24 @@ def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
     return n_chunks * steps_per_scan * p.batch_size / dt
 
 
+def _retry(fn, attempts: int = 3, wait: float = 120.0):
+    """The remote TPU tunnel occasionally drops a claim mid-session
+    (FAILED_PRECONDITION); retry after letting the claim expire."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if i == attempts - 1:
+                raise
+            print(f"bench attempt {i + 1} failed ({type(e).__name__}: {e}); "
+                  f"retrying in {wait:.0f}s", flush=True)
+            time.sleep(wait)
+
+
 def main() -> None:
-    train_sps = bench_train()
-    backmap_cps = bench_backmap()
-    adc_sps = bench_adc()
+    train_sps = _retry(bench_train)
+    backmap_cps = _retry(bench_backmap)
+    adc_sps = _retry(bench_adc)
     target = 1e5
     print(
         json.dumps(

@@ -303,13 +303,16 @@ class AngleDihedralCartesianEncoderMap:
 
         return train_step
 
-    def _get_trainer(self):
-        if self._trainer is None:
-            steps_per_scan = max(1, min(self.p.steps_per_scan, self.p.n_steps))
-            self._trainer = make_scan_trainer(
-                self._make_train_step(), self.p.batch_size, steps_per_scan
+    def _get_trainer(self, steps: Optional[int] = None):
+        if steps is None:
+            steps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
+        if not isinstance(self._trainer, dict):
+            self._trainer = {}
+        if steps not in self._trainer:
+            self._trainer[steps] = make_scan_trainer(
+                self._make_train_step(), self.p.batch_size, steps
             )
-        return self._trainer
+        return self._trainer[steps]
 
     def _device_data(self) -> tuple:
         # NaNs stay: the densifiers zero-fill inside the graph (sparse mode);
@@ -326,7 +329,7 @@ class AngleDihedralCartesianEncoderMap:
             )
             return self.history
 
-        trainer = self._get_trainer()
+        sps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
         data = self._device_data()
         cbs: list[Callback] = [ProgressBar(self.p.n_steps), NaNInterrupt()]
         if not self.read_only:
@@ -343,13 +346,13 @@ class AngleDihedralCartesianEncoderMap:
         done = 0
         while done < remaining and not stop:
             first_step = int(self.state.step)
+            # exact step count: the final chunk shrinks to the remainder so
+            # the optimizer never runs past n_steps
+            chunk = min(sps, remaining - done)
+            trainer = self._get_trainer(chunk)
             self.state, metrics = trainer(self.state, data)
             metrics = jax.device_get(metrics)
             n = len(next(iter(metrics.values())))
-            overshoot = max(0, (done + n) - remaining)
-            if overshoot:
-                metrics = {k: v[: n - overshoot] for k, v in metrics.items()}
-                n -= overshoot
             for k, v in metrics.items():
                 history.setdefault(k, []).append(v)
             if self._metrics_writer is not None:

@@ -141,15 +141,17 @@ class Autoencoder:
 
         return train_step
 
-    def _get_trainer(self):
-        if self._trainer is None:
-            steps_per_scan = max(1, min(self.p.steps_per_scan, self.p.n_steps))
-            self._trainer = make_scan_trainer(
-                self._make_train_step(), self.p.batch_size, steps_per_scan,
+    def _get_trainer(self, steps: Optional[int] = None):
+        if steps is None:
+            steps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
+        if not isinstance(self._trainer, dict):
+            self._trainer = {}
+        if steps not in self._trainer:
+            self._trainer[steps] = make_scan_trainer(
+                self._make_train_step(), self.p.batch_size, steps,
                 donate=True,
             )
-            self._steps_per_scan = steps_per_scan
-        return self._trainer
+        return self._trainer[steps]
 
     def _setup_callbacks(self) -> list[Callback]:
         cbs: list[Callback] = [ProgressBar(self.p.n_steps), NaNInterrupt()]
@@ -178,7 +180,7 @@ class Autoencoder:
             )
             return self.history
 
-        trainer = self._get_trainer()
+        sps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
         data = self._device_data()
         cbs = self._setup_callbacks()
         if not self.read_only:
@@ -193,14 +195,13 @@ class Autoencoder:
         done = 0
         while done < remaining and not stop:
             first_step = int(self.state.step)
+            # exact step count: the final chunk shrinks to the remainder so
+            # the optimizer never runs past n_steps
+            chunk = min(sps, remaining - done)
+            trainer = self._get_trainer(chunk)
             self.state, metrics = trainer(self.state, data)
             metrics = jax.device_get(metrics)
             n = len(next(iter(metrics.values())))
-            # trim overshoot of the final chunk
-            overshoot = max(0, (done + n) - remaining)
-            if overshoot:
-                metrics = {k: v[: n - overshoot] for k, v in metrics.items()}
-                n -= overshoot
             for k, v in metrics.items():
                 history.setdefault(k, []).append(v)
             if self._metrics_writer is not None:

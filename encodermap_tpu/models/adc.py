@@ -390,7 +390,7 @@ def forward_sidechains(
         (out_central_angles, out_central_dihedrals, out_side_angles,
          out_side_dihedrals, back_cartesians, inp_pair, out_pair, latent)
     """
-    from ..ops.backmap_sidechains import backmap_sidechains
+    from ..ops.backmap_sidechains import backmap_sidechains_fast
 
     (central_angles, central_dihedrals, all_cartesians, central_distances,
      side_angles, side_dihedrals, side_distances) = inputs
@@ -399,7 +399,7 @@ def forward_sidechains(
     out_ca, out_cdi, out_sa, out_sdi = decode_sidechains(
         params, p, latent, shapes
     )
-    back = backmap_sidechains(
+    back = backmap_sidechains_fast(
         spec, central_distances, out_ca, out_cdi,
         side_distances, out_sa, out_sdi,
     )

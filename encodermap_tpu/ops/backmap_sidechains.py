@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["SidechainBackmapSpec", "backmap_sidechains"]
+__all__ = ["SidechainBackmapSpec", "backmap_sidechains", "backmap_sidechains_fast", "make_spec"]
 
 Array = jax.Array
 
@@ -390,3 +390,256 @@ def backmap_sidechains(
         dihedral_step, pos, (quads, dmasks, dihedral_targets.T)
     )
     return pos
+
+
+# ----------------------------------------------------------------------------
+# log-depth formulation
+# ----------------------------------------------------------------------------
+#
+# The sequential sweep above is the faithful reference semantics. It also
+# admits a fully parallel closed form, because every step's measured
+# "current" value is deterministic (verified over randomized inputs):
+#
+# * central angle steps always measure pi (the tail stays straight),
+# * the first side-angle of each branch measures pi/2, the rest pi,
+# * after the (planar) angle phase, central dihedrals measure 0, side
+#   dihedrals measure +-pi for the first of each branch and 0 otherwise.
+#
+# Hence the angle phase reduces to closed-form 2D headings (cumsums), and
+# the dihedral phase telescopes exactly like the backbone chain
+# (ops/backmap.py): per-atom composed rotations are prefix products of
+# fixed-axis quaternions — one associative scan for the backbone, one
+# segmented scan over the (short) branches — and positions follow from
+# rotated bond vectors + tree cumsums.
+
+
+def _quat_mul(a, b):
+    """Hamilton product on stacked (..., 4) quaternions."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def _quat_rot(q, v):
+    """Rotate (..., 3) vectors by (..., 4) quaternions (column convention)."""
+    w = q[..., 0:1]
+    r = q[..., 1:4]
+    t = 2.0 * jnp.cross(r, v)
+    return v + w * t + jnp.cross(r, t)
+
+
+def _axis_angle_quat(heading, angle):
+    """Quaternion for rotation by ``angle`` about the in-plane unit axis with
+    polar angle ``heading`` (z component 0)."""
+    half = 0.5 * angle
+    s = jnp.sin(half)
+    return jnp.stack(
+        [jnp.cos(half), s * jnp.cos(heading), s * jnp.sin(heading),
+         jnp.zeros_like(half)],
+        axis=-1,
+    )
+
+
+def backmap_sidechains_fast(
+    spec: SidechainBackmapSpec,
+    central_distances: Array,
+    central_angles: Array,
+    central_dihedrals: Array,
+    side_distances: Array,
+    side_angles: Array,
+    side_dihedrals: Array,
+) -> Array:
+    """Log-depth sidechain backmapping (same semantics as
+    :func:`backmap_sidechains`, validated against it in the tests).
+
+    All sequential structure is replaced by cumsums and quaternion
+    associative scans; branch scans run in parallel across residues.
+    """
+    B = central_distances.shape[0]
+    dtype = central_distances.dtype
+    R_res = spec.n_residues
+    nb = 3 * R_res
+    n_cdi = nb - 3
+    v = np.asarray(
+        [int((spec.side_seed_ca == (r - 1) * 3 + 1).sum())
+         for r in range(1, R_res + 1)]
+    )
+    branches = np.where(v > 0)[0]  # residue indices (0-based) with branches
+    n_br = len(branches)
+    max_len = int(v.max()) if n_br else 0
+
+    # -------- phase A: planar tree (closed form)
+    delta_c = jnp.pi - central_angles  # (B, nb-2)
+    h = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), jnp.cumsum(delta_c, axis=1)], axis=1
+    )  # (B, nb-1) heading of backbone bond i
+    dx = central_distances * jnp.cos(h)
+    dy = central_distances * jnp.sin(h)
+    zeros = jnp.zeros((B, 1), dtype)
+    bb_xy = jnp.stack(
+        [
+            jnp.concatenate([zeros, jnp.cumsum(dx, axis=1)], axis=1),
+            jnp.concatenate([zeros, jnp.cumsum(dy, axis=1)], axis=1),
+        ],
+        axis=-1,
+    )  # (B, nb, 2)
+
+    if n_br:
+        # ragged branch data -> (B, n_br, max_len) padded
+        def pad_branches(flat, lens):
+            out = np.zeros((n_br, max_len), np.int64)
+            mask = np.zeros((n_br, max_len), bool)
+            col = 0
+            for bi, L in enumerate(lens):
+                out[bi, :L] = np.arange(col, col + L)
+                mask[bi, :L] = True
+                col += L
+            return out, mask
+
+        lens = v[branches]
+        gath, br_mask = pad_branches(None, lens)  # indices into flat side arrays
+        gath_j = jnp.asarray(gath)
+        mask_j = jnp.asarray(br_mask, dtype)
+
+        sd_p = side_distances[:, gath_j] * mask_j  # (B, n_br, max_len)
+        sa_p = side_angles[:, gath_j]
+        ca_idx = np.asarray([(r) * 3 + 1 for r in branches])  # CA backbone idx
+        theta = h[:, ca_idx - 1]  # heading of bond into CA, (B, n_br)
+
+        # branch bond headings: phi_0 = theta + pi/2 - |sa_0 - pi/2|;
+        # phi_k = phi_{k-1} - (pi - sa_k)
+        phi0 = theta + jnp.pi / 2 - jnp.abs(sa_p[..., 0] - jnp.pi / 2)
+        dphi = -(jnp.pi - sa_p[..., 1:])  # (B, n_br, max_len-1)
+        phi = jnp.concatenate(
+            [phi0[..., None], phi0[..., None] + jnp.cumsum(dphi, axis=-1)],
+            axis=-1,
+        )  # (B, n_br, max_len)
+
+        br_dx = sd_p * jnp.cos(phi)
+        br_dy = sd_p * jnp.sin(phi)
+        ca_xy = bb_xy[:, ca_idx]  # (B, n_br, 2)
+        br_xy = ca_xy[:, :, None, :] + jnp.stack(
+            [jnp.cumsum(br_dx, axis=-1), jnp.cumsum(br_dy, axis=-1)], axis=-1
+        )  # (B, n_br, max_len, 2)
+
+    # -------- phase B: dihedral quaternions (planar frame)
+    # central: angle = target, axis heading = h_{i+1}
+    q_c = _axis_angle_quat(h[:, 1 : n_cdi + 1], central_dihedrals)
+    # prefix products C_i = q_0 (x) ... (x) q_i
+    C_c = jax.lax.associative_scan(_quat_mul, q_c, axis=1)  # (B, n_cdi, 4)
+
+    # backbone bond k (atoms k-1 -> k): rotated by C_{min(k-2, n_cdi-1)};
+    # bond 1 (atoms 0->1) unrotated.
+    idquat = jnp.broadcast_to(
+        jnp.asarray([1.0, 0, 0, 0], dtype), (B, 1, 4)
+    )
+    bond_quat_idx = np.minimum(np.arange(2, nb) - 2, n_cdi - 1)
+    bb_bond_quats = jnp.concatenate(
+        [idquat, C_c[:, bond_quat_idx]], axis=1
+    )  # (B, nb-1, 4)
+
+    planar_bb_bonds = jnp.concatenate(
+        [
+            jnp.stack([dx, dy], axis=-1),
+            jnp.zeros((B, nb - 1, 1), dtype),
+        ],
+        axis=-1,
+    )
+    rot_bb_bonds = _quat_rot(bb_bond_quats, planar_bb_bonds)
+    origin = jnp.zeros((B, 1, 3), dtype)
+    bb_pos = jnp.concatenate(
+        [origin, jnp.cumsum(rot_bb_bonds, axis=1)], axis=1
+    )  # (B, nb, 3)
+
+    if not n_br:
+        return bb_pos
+
+    # central threshold per branch: number of central dihedral steps where
+    # the branch is dynamic (derived from the spec masks — ground truth)
+    br_col_start = np.zeros(n_br, np.int64)
+    col = nb
+    k = 0
+    for r in range(1, R_res + 1):
+        if v[r - 1] == 0:
+            continue
+        if (r - 1) in branches:
+            br_col_start[k] = col
+        col += v[r - 1]
+        k += 1
+    cmasks = spec.dihedral_static_masks[: spec.n_central_dihedrals]
+    thresholds = np.asarray(
+        [int((~cmasks[:, br_col_start[bi]]).sum()) for bi in range(n_br)]
+    )
+    # C_central applied to the branch: product of the first `threshold` steps
+    C_thr = jnp.where(
+        (thresholds[:, None] > 0)[None, :, :],
+        C_c[:, np.maximum(thresholds - 1, 0)],
+        jnp.asarray([1.0, 0, 0, 0], dtype)[None, None, :],
+    )  # (B, n_br, 4)
+
+    # side dihedral quats: per branch, step k (k = 0..v-1) axis heading
+    # phi_k; angle = target (-pi for the first step of the branch)
+    sdi_cols = np.full((n_br, max_len), 0, np.int64)
+    sdi_mask = np.zeros((n_br, max_len), bool)
+    col = 0
+    for bi, L in enumerate(v[branches]):
+        n_d = L - 1  # steps per branch = v dihedrals; atoms per branch = v+1
+        # NOTE: branch has v_dihedrals = lens-1? the spec: atoms = v+1,
+        # dihedral steps per branch = v = L - 1 where L = atoms count
+        sdi_cols[bi, : L - 1] = np.arange(col, col + (L - 1))
+        sdi_mask[bi, : L - 1] = True
+        col += L - 1
+    sdi_p = side_dihedrals[:, jnp.asarray(sdi_cols)]  # (B, n_br, max_len)
+    first = np.zeros((n_br, max_len), np.float32)
+    first[:, 0] = np.pi
+    ang_side = (sdi_p - jnp.asarray(first)) * jnp.asarray(sdi_mask, dtype)
+    q_s = _axis_angle_quat(phi[:, :, :max_len], ang_side)
+    # inactive steps -> identity quaternions
+    q_s = jnp.where(
+        jnp.asarray(sdi_mask, bool)[None, :, :, None],
+        q_s,
+        jnp.asarray([1.0, 0, 0, 0], dtype),
+    )
+    # per-branch prefix products along the (short) branch axis
+    C_s = jax.lax.associative_scan(_quat_mul, q_s, axis=2)  # (B,n_br,max_len,4)
+
+    # bond j of branch (0 = CA->CB): rotated by C_thr (x) prefix(j-1)
+    C_br_prev = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.asarray([1.0, 0, 0, 0], dtype), (B, n_br, 1, 4)
+            ),
+            C_s[:, :, : max_len - 1],
+        ],
+        axis=2,
+    )
+    bond_quats_br = _quat_mul(
+        jnp.broadcast_to(C_thr[:, :, None, :], C_br_prev.shape), C_br_prev
+    )
+    planar_br_bonds = jnp.concatenate(
+        [
+            jnp.stack([br_dx, br_dy], axis=-1),
+            jnp.zeros((B, n_br, max_len, 1), dtype),
+        ],
+        axis=-1,
+    )
+    rot_br_bonds = _quat_rot(bond_quats_br, planar_br_bonds)
+    ca_pos = bb_pos[:, ca_idx]  # (B, n_br, 3)
+    br_pos = ca_pos[:, :, None, :] + jnp.cumsum(rot_br_bonds, axis=2)
+
+    # scatter branch atoms back into the flat layout (backbone then branches)
+    flat_cols = []
+    for bi, L in enumerate(v[branches]):
+        flat_cols.extend((bi, j) for j in range(L))
+    bidx = jnp.asarray([c[0] for c in flat_cols])
+    jidx = jnp.asarray([c[1] for c in flat_cols])
+    side_pos = br_pos[:, bidx, jidx]  # (B, n_side_atoms, 3)
+    return jnp.concatenate([bb_pos, side_pos], axis=1)

@@ -563,14 +563,14 @@ class AngleDihedralCartesianEncoderMap:
         points = np.asarray(points, np.float32)
         decoded = self.decode(points)
         if self.p.reconstruct_sidechains:
-            from ..ops.backmap_sidechains import backmap_sidechains
+            from ..ops.backmap_sidechains import backmap_sidechains_fast
 
             out_ca, out_cdi, out_sa, out_sdi = decoded
             cd = self.train_data[3].mean(0, keepdims=True)
             sd = self.train_data[6].mean(0, keepdims=True)
             B = len(points)
             fn = jax.jit(
-                lambda *a: backmap_sidechains(self.sidechain_spec, *a)
+                lambda *a: backmap_sidechains_fast(self.sidechain_spec, *a)
             )
             xyz = fn(
                 jnp.broadcast_to(jnp.asarray(cd), (B, cd.shape[1])),

@@ -182,3 +182,78 @@ class TestReconstructSidechainsADC:
         assert out["side_angles"].shape[1] == spec.n_sidechain_atoms
         assert out["side_dihedrals"].shape[1] == sum(info.values())
         assert out["all_cartesians"].shape[1] == spec.n_atoms
+
+
+class TestFastSidechainBackmap:
+    """The log-depth formulation: closed-form planar tree + telescoped
+    quaternion prefix products."""
+
+    @pytest.mark.parametrize(
+        "info",
+        [{1: 2, 2: 0, 3: 3, 4: 1}, {1: 1, 2: 2}, {1: 0, 2: 5, 3: 0}],
+        ids=["mixed", "small", "single-branch"],
+    )
+    def test_matches_scan_version(self, info):
+        """Agrees with the sequential-semantics scan up to its arccos-clip
+        bias (~5e-4 per chain; the fast version is exact)."""
+        from encodermap_tpu.ops.backmap_sidechains import (
+            backmap_sidechains,
+            backmap_sidechains_fast,
+            make_spec,
+        )
+
+        spec = make_spec(info)
+        rng = np.random.default_rng(0)
+        B, nb, ns = 3, 3 * spec.n_residues, spec.n_sidechain_atoms
+        args = (
+            rng.uniform(0.13, 0.155, (B, nb - 1)).astype(np.float32),
+            rng.uniform(1.7, 2.2, (B, nb - 2)).astype(np.float32),
+            rng.uniform(-np.pi, np.pi, (B, nb - 3)).astype(np.float32),
+            rng.uniform(0.13, 0.16, (B, ns)).astype(np.float32),
+            rng.uniform(1.7, 2.2, (B, ns)).astype(np.float32),
+            rng.uniform(-np.pi, np.pi, (B, sum(info.values()))).astype(
+                np.float32
+            ),
+        )
+        slow = np.asarray(jax.jit(lambda *a: backmap_sidechains(spec, *a))(*args))
+        fast = np.asarray(
+            jax.jit(lambda *a: backmap_sidechains_fast(spec, *a))(*args)
+        )
+        np.testing.assert_allclose(fast, slow, atol=2e-3)
+
+    def test_internal_coordinates_machine_exact(self):
+        """The fast version realizes every requested internal coordinate to
+        f32 machine precision (no per-step clip bias)."""
+        from encodermap_tpu.ops.backmap_sidechains import (
+            backmap_sidechains_fast,
+            make_spec,
+        )
+        from tests.reference_impl import angle_from_xyz_np
+
+        spec = make_spec(INFO)
+        rng = np.random.default_rng(1)
+        B, nb, ns = 2, 3 * spec.n_residues, spec.n_sidechain_atoms
+        cd = rng.uniform(0.13, 0.155, (B, nb - 1)).astype(np.float32)
+        ca = rng.uniform(1.7, 2.2, (B, nb - 2)).astype(np.float32)
+        cdi = rng.uniform(-np.pi, np.pi, (B, nb - 3)).astype(np.float32)
+        sd = rng.uniform(0.13, 0.16, (B, ns)).astype(np.float32)
+        sa = rng.uniform(1.7, 2.2, (B, ns)).astype(np.float32)
+        sdi = rng.uniform(-np.pi, np.pi, (B, sum(INFO.values()))).astype(
+            np.float32
+        )
+        xyz = np.asarray(
+            backmap_sidechains_fast(spec, cd, ca, cdi, sd, sa, sdi)
+        ).astype(np.float64)
+        bb = xyz[:, :nb]
+        np.testing.assert_allclose(
+            np.linalg.norm(np.diff(bb, axis=1), axis=-1), cd, atol=5e-6
+        )
+        np.testing.assert_allclose(
+            angle_from_xyz_np(bb[:, :-2], bb[:, 1:-1], bb[:, 2:]), ca,
+            atol=5e-5,
+        )
+        d = np.abs(
+            dihedral_from_xyz_np(bb[:, :-3], bb[:, 1:-2], bb[:, 2:-1],
+                                 bb[:, 3:]) - cdi
+        )
+        assert np.minimum(d, 2 * np.pi - d).max() < 5e-5

@@ -11,6 +11,7 @@ from .backmap import (
     merge_cartesians,
     rotation_matrices,
 )
+from .dssp import compute_dssp, kabsch_sander_hbonds
 from .distances import (
     pairwise_dist,
     pairwise_dist_periodic,
@@ -28,6 +29,8 @@ __all__ = [
     "guess_amide_O",
     "merge_cartesians",
     "rotation_matrices",
+    "compute_dssp",
+    "kabsch_sander_hbonds",
     "pairwise_dist",
     "pairwise_dist_periodic",
     "periodic_distance",

@@ -1,0 +1,259 @@
+# encodermap_tpu/ops/dssp.py
+"""Secondary-structure assignment (DSSP, Kabsch & Sander 1983).
+
+The reference delegates DSSP to mdtraj's compiled C extension
+(``mdtraj.compute_dssp``, used by ``plot/plotting.py:2352``); this module is a
+self-contained vectorized implementation so the framework needs no external
+geometry library.
+
+Algorithm
+---------
+Hydrogen bonds are detected with the Kabsch–Sander electrostatic model: for a
+C=O group of residue *i* and an N-H group of residue *j*,
+
+    E = 0.084 * 332 * (1/r_ON + 1/r_CH - 1/r_OH - 1/r_CN)   [kcal/mol]
+
+with a bond when ``E < -0.5``. Amide hydrogens are reconstructed from the
+preceding carbonyl (H = N + (C_prev - O_prev)/|.|, the standard DSSP
+assumption for X-ray structures without protons); prolines and chain-initial
+residues donate nothing.
+
+From the (frames, res, res) bond matrix the standard patterns are assigned
+with priority H > B > E > G > I > T > S:
+
+* n-turns: bond(i, i+n) for n = 3, 4, 5
+* alpha/3-10/pi helices: two consecutive n-turns
+* parallel / antiparallel bridges -> beta ladders ('E') and isolated
+  bridges ('B')
+* hydrogen-bonded turns ('T') and bends ('S', kappa > 70 deg)
+
+Simplification vs full DSSP: ladder detection marks a bridge residue 'E'
+when an adjacent residue is also bridged (true DSSP additionally tracks
+partner continuity), which matches mdtraj's output on regular sheets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["compute_dssp", "kabsch_sander_hbonds"]
+
+_Q1Q2_F = 0.084 * 332.0  # kcal/mol * Angstrom, Kabsch & Sander eq. (time-honored 27.888)
+_HBOND_CUTOFF = -0.5  # kcal/mol
+_CHAIN_BREAK = 2.5  # Angstrom, max peptide C(i)-N(i+1) distance
+_MINDIST = 0.5  # Angstrom, guard against self/overlapping atoms
+
+
+def _backbone_table(top):
+    """Per-residue (N, CA, C, O) atom indices; -1 where a protein residue is
+    incomplete, rows dropped for non-protein residues.
+
+    Returns (table (R, 4), residue_index (R,), is_pro (R,), has_H (R,), h_idx (R,)).
+    """
+    rows, res_idx, is_pro, h_idx = [], [], [], []
+    for r in top.residues:
+        if not r.is_protein:
+            continue
+        names = [r.atom(n) for n in ("N", "CA", "C", "O")]
+        if any(a is None for a in names):
+            # try terminal oxygen naming variants
+            if names[3] is None:
+                for alt in ("O1", "OT1", "OC1", "OXT"):
+                    a = r.atom(alt)
+                    if a is not None:
+                        names[3] = a
+                        break
+        if any(a is None for a in names):
+            continue
+        rows.append([a.index for a in names])
+        res_idx.append(r.index)
+        is_pro.append(r.name == "PRO")
+        h = r.atom("H") or r.atom("HN") or r.atom("H1")
+        h_idx.append(h.index if h is not None else -1)
+    if not rows:
+        return (np.zeros((0, 4), np.int64), np.zeros(0, np.int64),
+                np.zeros(0, bool), np.zeros(0, np.int64))
+    return (np.asarray(rows, np.int64), np.asarray(res_idx, np.int64),
+            np.asarray(is_pro, bool), np.asarray(h_idx, np.int64))
+
+
+def kabsch_sander_hbonds(
+    n: np.ndarray,
+    ca: np.ndarray,
+    c: np.ndarray,
+    o: np.ndarray,
+    *,
+    is_proline: np.ndarray | None = None,
+    h: np.ndarray | None = None,
+    chain_break: np.ndarray | None = None,
+) -> np.ndarray:
+    """Kabsch–Sander H-bond matrix.
+
+    Args:
+        n, ca, c, o: backbone coordinates, shape (F, R, 3), in **Angstrom**.
+        is_proline: (R,) bool — residues that cannot donate.
+        h: optional (F, R, 3) explicit amide-H positions (NaN rows allowed);
+            missing/absent hydrogens are reconstructed from the previous
+            carbonyl.
+        chain_break: (R-1,) bool — True where residue i and i+1 are not
+            peptide-bonded. Auto-detected from the C(i)-N(i+1) distance if
+            omitted.
+
+    Returns:
+        (F, R, R) bool: ``out[f, i, j]`` = CO of residue *i* accepts an
+        H-bond from the NH of residue *j* in frame *f*.
+    """
+    F, R, _ = n.shape
+    if R < 2:
+        return np.zeros((F, R, R), bool)
+    if chain_break is None:
+        chain_break = (
+            np.linalg.norm(c[:, :-1] - n[:, 1:], axis=-1).max(axis=0) > _CHAIN_BREAK
+        )
+    # reconstructed amide H: 1.01 A from N, anti-parallel to previous carbonyl
+    co = c[:, :-1] - o[:, :-1]
+    co /= np.maximum(np.linalg.norm(co, axis=-1, keepdims=True), 1e-12)
+    h_rec = np.full_like(n, np.nan)
+    h_rec[:, 1:] = n[:, 1:] + 1.01 * co
+    h_rec[:, 1:][:, chain_break] = np.nan
+    if h is not None:
+        use = np.isfinite(h).all(axis=-1, keepdims=True)
+        h_eff = np.where(use, h, h_rec)
+    else:
+        h_eff = h_rec
+    has_h = np.isfinite(h_eff).all(axis=-1)  # (F, R)
+    if is_proline is not None:
+        has_h &= ~is_proline[None, :]
+
+    def rdist(a, b):
+        d = np.linalg.norm(a[:, :, None, :] - b[:, None, :, :], axis=-1)
+        return np.maximum(d, _MINDIST)
+
+    h_filled = np.where(has_h[..., None], h_eff, 1e6)
+    e = _Q1Q2_F * (
+        1.0 / rdist(o, n) + 1.0 / rdist(c, h_filled)
+        - 1.0 / rdist(o, h_filled) - 1.0 / rdist(c, n)
+    )
+    hb = e < _HBOND_CUTOFF
+    hb &= has_h[:, None, :]  # acceptor i (axis 1), donor j (axis 2)
+    idx = np.arange(R)
+    hb[:, idx, idx] = False
+    # a residue cannot accept from its own peptide-bond partner
+    hb[:, idx[:-1], idx[1:]] = False
+    # CA-CA proximity prefilter (DSSP uses 9 A)
+    hb &= rdist(ca, ca) < 9.0
+    return hb
+
+
+def _assign(hb: np.ndarray, ca: np.ndarray, chain_id: np.ndarray) -> np.ndarray:
+    """Pattern assignment from the H-bond matrix. Returns (F, R) of single
+    chars in {'H','B','E','G','I','T','S',' '}."""
+    F, R, _ = hb.shape
+    ss = np.full((F, R), " ", dtype="<U1")
+    if R < 3:
+        return ss
+
+    def turn(nn):
+        t = np.zeros((F, R), bool)
+        if R > nn:
+            ok = chain_id[: R - nn] == chain_id[nn:]
+            t[:, : R - nn] = hb[:, np.arange(R - nn), np.arange(nn, R)] & ok
+        return t
+
+    t3, t4, t5 = turn(3), turn(4), turn(5)
+
+    # ---- bends (lowest priority first; later assignments overwrite)
+    if R >= 5:
+        u = ca[:, 2:-2] - ca[:, :-4]
+        v = ca[:, 4:] - ca[:, 2:-2]
+        cosk = np.einsum("frk,frk->fr", u, v) / np.maximum(
+            np.linalg.norm(u, axis=-1) * np.linalg.norm(v, axis=-1), 1e-12
+        )
+        bend = np.degrees(np.arccos(np.clip(cosk, -1.0, 1.0))) > 70.0
+        bend &= (chain_id[:-4] == chain_id[4:])[None, :]
+        ss[:, 2:-2][bend] = "S"
+
+    # ---- hydrogen-bonded turns: turn(i) marks residues i+1..i+n-1
+    for nn, t in ((3, t3), (4, t4), (5, t5)):
+        if R <= nn:
+            continue
+        m = t[:, : R - nn]
+        for k in range(1, nn):
+            ss[:, k:k + R - nn][m] = "T"
+
+    # ---- pi and 3-10 helices (two consecutive turns)
+    for nn, t, ch in ((5, t5, "I"), (3, t3, "G")):
+        start = t[:, : R - 1] & t[:, 1:]  # turn at i and i+1 -> helix i+1..i+nn
+        for k in range(1, nn + 1):
+            ss[:, k:k + R - 1][start[:, : R - k]] = ch
+
+    # ---- beta bridges / ladders
+    pad = np.zeros((F, R + 2, R + 2), bool)
+    pad[:, 1:-1, 1:-1] = hb
+    i = np.arange(1, R + 1)
+    hbp = lambda di, dj: pad[:, i[:, None] + di, i[None, :] + dj]
+    swap = lambda m: np.swapaxes(m, 1, 2)
+    # parallel(i,j)     = (HB[i-1,j] & HB[j,i+1]) | (HB[j-1,i] & HB[i,j+1])
+    # antiparallel(i,j) = (HB[i,j] & HB[j,i])     | (HB[i-1,j+1] & HB[j-1,i+1])
+    para = (hbp(-1, 0) & swap(hbp(0, +1))) | (swap(hbp(-1, 0)) & hbp(0, +1))
+    anti = (hbp(0, 0) & swap(hbp(0, 0))) | (hbp(-1, +1) & swap(hbp(-1, +1)))
+    sep = np.abs(i[:, None] - i[None, :]) >= 3
+    samechain = chain_id[:, None] == chain_id[None, :]
+    bridge_mat = (para | anti) & sep[None] & samechain[None]
+    bridged = bridge_mat.any(axis=2)
+    nb = np.zeros_like(bridged)
+    nb[:, 1:] |= bridged[:, :-1]
+    nb[:, :-1] |= bridged[:, 1:]
+    ladder = bridged & nb
+    ss[bridged] = "B"
+    ss[ladder] = "E"
+
+    # ---- alpha helix (highest priority)
+    start4 = t4[:, : R - 1] & t4[:, 1:]
+    for k in range(1, 5):
+        ss[:, k:k + R - 1][start4[:, : R - k]] = "H"
+    return ss
+
+
+def compute_dssp(traj, simplified: bool = True) -> np.ndarray:
+    """Secondary structure per frame and residue.
+
+    Args:
+        traj: a ``SingleTraj`` (or any object with ``.xyz`` in nm and
+            ``.top``).
+        simplified: collapse to the 3-state alphabet H (helix), E (strand),
+            C (coil) like ``mdtraj.compute_dssp(simplified=True)``; otherwise
+            the 8-state DSSP alphabet with ' ' for loop.
+
+    Returns:
+        (n_frames, n_residues) array of strings; residues without a complete
+        protein backbone get 'NA'.
+    """
+    xyz = np.asarray(traj.xyz, np.float64) * 10.0  # nm -> Angstrom
+    top = traj.top
+    table, res_idx, is_pro, h_idx = _backbone_table(top)
+    n_res_total = top.n_residues
+    F = xyz.shape[0]
+    out = np.full((F, n_res_total), "NA", dtype="<U2")
+    if len(table) == 0:
+        return out
+
+    n, ca, c, o = (xyz[:, table[:, k]] for k in range(4))
+    h = np.full_like(n, np.nan)
+    have = h_idx >= 0
+    if have.any():
+        h[:, have] = xyz[:, h_idx[have]]
+
+    brk = np.linalg.norm(c[:, :-1] - n[:, 1:], axis=-1).max(axis=0) > _CHAIN_BREAK
+    chain_id = np.concatenate([[0], np.cumsum(brk)])
+    hb = kabsch_sander_hbonds(
+        n, ca, c, o, is_proline=is_pro, h=h, chain_break=brk
+    )
+    ss = _assign(hb, ca, chain_id)
+    if simplified:
+        simple = np.full_like(ss, "C")
+        simple[np.isin(ss, ("H", "G", "I"))] = "H"
+        simple[np.isin(ss, ("E", "B"))] = "E"
+        ss = simple
+    out[:, res_idx] = ss
+    return out

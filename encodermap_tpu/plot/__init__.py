@@ -4,7 +4,10 @@
 from .interactive import InteractivePlotting
 from .plotting import (
     distance_histogram,
+    plot_ball_and_stick,
+    render_vmd,
     plot_cluster,
+    plot_dssp,
     plot_free_energy,
     plot_latent_scatter,
     plot_ramachandran,
@@ -15,6 +18,9 @@ __all__ = [
     "Dashboard",
     "InteractivePlotting",
     "distance_histogram",
+    "plot_dssp",
+    "plot_ball_and_stick",
+    "render_vmd",
     "plot_cluster",
     "plot_free_energy",
     "plot_latent_scatter",

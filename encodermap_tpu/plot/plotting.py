@@ -22,6 +22,9 @@ __all__ = [
     "plot_latent_scatter",
     "plot_cluster",
     "plot_trajs_by_parameter",
+    "plot_dssp",
+    "plot_ball_and_stick",
+    "render_vmd",
 ]
 
 
@@ -242,3 +245,221 @@ def plot_trajs_by_parameter(
     ``plotting.py:654``-style view, matplotlib backend)."""
     return plot_latent_scatter(latent, colors=np.asarray(parameter), ax=ax,
                                save_path=save_path)
+
+
+_DSSP_COLORS_SIMPLE = {"H": (0.0, 0.0, 1.0), "E": (1.0, 0.0, 0.0),
+                       "C": (1.0, 1.0, 1.0), "NA": (0.8, 0.8, 0.8)}
+_DSSP_COLORS_FULL = {
+    "H": (0.0, 0.0, 1.0), "B": (0.0, 0.0, 0.0), "E": (1.0, 0.0, 0.0),
+    "G": (0.5, 0.5, 0.5), "I": (0.0, 1.0, 1.0), "T": (0.0, 1.0, 0.0),
+    "S": (1.0, 0.0, 1.0), " ": (1.0, 1.0, 1.0), "NA": (0.8, 0.8, 0.8),
+}
+_DSSP_NAMES_SIMPLE = {"H": "Helical", "E": "Extended", "C": "Coil"}
+_DSSP_NAMES_FULL = {
+    "H": "Alpha-helix", "B": "Isolated beta-bridge", "E": "Extended beta-ladder",
+    "G": "3/10-helix", "I": "Pi-helix", "T": "Turn", "S": "Bend", " ": "Loop",
+}
+
+
+def plot_dssp(
+    traj,
+    simplified: bool = True,
+    subsample: Optional[Union[int, slice, np.ndarray]] = None,
+    residue_subsample: int = 25,
+    save_path: Optional[Union[str, Path]] = None,
+):
+    """Residue-vs-time secondary-structure map (reference
+    ``plotting.py:2342-2440``, which delegates the assignment to mdtraj;
+    here the native Kabsch-Sander DSSP in :mod:`..ops.dssp` is used and the
+    figure is matplotlib instead of plotly).
+
+    Coloring follows the reference: coil white, extended red, helical blue.
+    """
+    from ..ops.dssp import compute_dssp
+
+    plt = _mpl()
+    dssp = compute_dssp(traj, simplified=simplified)
+    if subsample is not None:
+        if isinstance(subsample, int):
+            subsample = slice(None, None, subsample)
+        dssp = dssp[subsample]
+
+    colors = _DSSP_COLORS_SIMPLE if simplified else _DSSP_COLORS_FULL
+    names = _DSSP_NAMES_SIMPLE if simplified else _DSSP_NAMES_FULL
+    img = np.empty((dssp.shape[1], dssp.shape[0], 3), np.float32)
+    for code, rgb in colors.items():
+        img[(dssp == code).T] = rgb
+
+    fig, ax = plt.subplots(figsize=(10, 7))
+    ax.imshow(img, aspect="auto", interpolation="nearest", origin="lower")
+    ax.set_xlabel("time / frame")
+    ax.set_ylabel("residue")
+    ax.set_title("DSSP plot")
+    residues = np.arange(dssp.shape[1])
+    labels = np.array(
+        [f"{r.name}{r.resSeq}" for r in traj.top.residues], dtype=object
+    )
+    if residue_subsample > -1 and len(residues) > residue_subsample:
+        step = max(1, len(residues) // residue_subsample)
+        residues, labels = residues[::step], labels[::step]
+    ax.set_yticks(residues)
+    ax.set_yticklabels(labels, fontsize=6)
+    present = np.unique(dssp)
+    from matplotlib.patches import Patch
+
+    handles = [Patch(facecolor=colors[c], edgecolor="k", label=names[c])
+               for c in present if c in names]
+    ax.legend(handles=handles, loc="upper center",
+              bbox_to_anchor=(0.5, -0.08), ncol=max(1, len(handles)))
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return str(save_path)
+    return ax
+
+
+_ELEMENT_COLORS = {
+    "C": (0.33, 0.33, 0.33), "N": (0.0, 0.0, 1.0), "O": (1.0, 0.0, 0.0),
+    "H": (0.8, 0.8, 0.8), "S": (1.0, 0.8, 0.0), "P": (1.0, 0.5, 0.0),
+}
+
+
+def plot_ball_and_stick(
+    traj,
+    frame: int = 0,
+    highlight: Optional[Sequence[int]] = None,
+    ax: Any = None,
+    save_path: Optional[Union[str, Path]] = None,
+):
+    """3D ball-and-stick rendering of one frame (reference
+    ``plotting.py:654, 2233`` draws this with plotly; this is the
+    matplotlib-3D backend so it works without optional packages).
+
+    Bonds are guessed from covalent radii via
+    :func:`..misc.backmapping_offline.guess_bonds`.
+    """
+    from ..misc.backmapping_offline import guess_bonds
+
+    plt = _mpl()
+    xyz = np.asarray(traj.xyz[frame], np.float64)
+    top = traj.top
+    bonds = guess_bonds(top, xyz)
+    if ax is None:
+        fig = plt.figure(figsize=(8, 8))
+        ax = fig.add_subplot(projection="3d")
+    else:
+        fig = ax.figure
+    for a, b in bonds:
+        seg = xyz[[a, b]]
+        ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], color="0.5", lw=1.2,
+                zorder=1)
+    colors = [
+        _ELEMENT_COLORS.get(a.element.upper(), (0.6, 0.2, 0.6))
+        for a in top.atoms
+    ]
+    sizes = np.full(top.n_atoms, 40.0)
+    if highlight is not None:
+        sizes[np.asarray(highlight, int)] = 140.0
+    ax.scatter(xyz[:, 0], xyz[:, 1], xyz[:, 2], c=colors, s=sizes,
+               depthshade=True, zorder=2, edgecolors="k", linewidths=0.3)
+    ax.set_axis_off()
+    ax.set_box_aspect(np.ptp(xyz, axis=0) + 1e-9)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return str(save_path)
+    return ax
+
+
+def render_vmd(
+    filepath: Union[str, Path],
+    rotation: Sequence[float] = (0, 0, 0),
+    scale: float = 1.0,
+    script_location: Union[str, Path] = "auto",
+    image_location: Union[str, Path] = "auto",
+    image_name: str = "",
+    drawframes: bool = False,
+    ssupdate: bool = True,
+    renderer: str = "tachyon",
+    additional_lines: Sequence[str] = (),
+    surf: Optional[str] = None,
+    custom_script: Optional[str] = None,
+    script_only: bool = False,
+):
+    """Render a PDB with VMD (reference ``plotting.py:2604-2800``: writes a
+    standardized tcl script, runs vmd -> tachyon -> png).
+
+    The script is always generated; the external binaries are only invoked
+    when present on PATH. With ``script_only=True`` (or when vmd is not
+    installed and ``script_only`` is left False, which raises), the path of
+    the generated script is returned instead of pixel data.
+    """
+    import shutil
+    import subprocess
+
+    filepath = Path(filepath)
+    cwd = Path.cwd()
+    script_path = (
+        cwd / "render_vmd.tcl" if script_location == "auto"
+        else Path(script_location)
+    )
+    image_base = (
+        cwd / (image_name or filepath.stem) if image_location == "auto"
+        else Path(image_location)
+    )
+
+    lines = [custom_script] if custom_script else [
+        f"mol new {filepath} waitfor all",
+        "mol delrep 0 top",
+        "mol representation NewCartoon 0.3 50",
+        "mol color Structure",
+        "mol addrep top",
+        f"rotate x by {rotation[0]}",
+        f"rotate y by {rotation[1]}",
+        f"rotate z by {rotation[2]}",
+        f"scale by {scale}",
+        "display projection Orthographic",
+        "display ambientocclusion on",
+        "axes location Off",
+        "color Display Background white",
+    ]
+    if surf in ("quicksurf", "surf"):
+        lines += [f"mol representation {surf.capitalize()}", "mol addrep top"]
+    if ssupdate and drawframes:
+        lines.append(
+            "for {set i 0} {$i < [molinfo top get numframes]} {incr i} "
+            "{animate goto $i; mol ssrecalc top}"
+        )
+    lines += list(additional_lines)
+    if renderer == "tachyon":
+        lines.append(f"render Tachyon {image_base}.dat")
+    else:
+        lines.append(f"render snapshot {image_base}.tga")
+    lines.append("exit")
+    script_path.write_text("\n".join(filter(None, lines)) + "\n")
+
+    vmd = shutil.which("vmd")
+    if script_only or vmd is None:
+        if vmd is None and not script_only:
+            raise FileNotFoundError(
+                "vmd is not on PATH; pass script_only=True to just generate "
+                f"the tcl script (written to {script_path})"
+            )
+        return str(script_path)
+
+    subprocess.run([vmd, "-dispdev", "text", "-e", str(script_path)],
+                   check=True, capture_output=True)
+    if renderer == "tachyon":
+        tachyon = shutil.which("tachyon")
+        if tachyon is None:
+            raise FileNotFoundError("tachyon renderer not on PATH")
+        subprocess.run(
+            [tachyon, "-aasamples", "12", f"{image_base}.dat", "-format",
+             "TARGA", "-o", f"{image_base}.tga", "-res", "2000", "2000"],
+            check=True, capture_output=True,
+        )
+    plt = _mpl()
+    image = plt.imread(f"{image_base}.tga")
+    if image_name:
+        plt.imsave(f"{Path(image_name).with_suffix('.png')}", image)
+    return image

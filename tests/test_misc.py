@@ -164,6 +164,28 @@ class TestPlotting:
         )
         assert Path(out).exists()
 
+    def test_ball_and_stick(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.plot import plot_ball_and_stick
+
+        traj = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        out = plot_ball_and_stick(traj, save_path=tmp_path / "bs.png")
+        assert Path(out).exists() and Path(out).stat().st_size > 0
+
+    def test_render_vmd_script(self, tmp_path):
+        """Without vmd on PATH the tcl script is still generated (same
+        structure as reference ``plotting.py:2604``)."""
+        from encodermap_tpu.plot import render_vmd
+
+        out = render_vmd(
+            "/root/reference/tests/data/asp7.pdb",
+            rotation=(90, 0, 45), drawframes=True,
+            script_location=tmp_path / "render.tcl", script_only=True,
+        )
+        txt = Path(out).read_text()
+        assert "mol new" in txt and "render Tachyon" in txt
+        assert "rotate x by 90" in txt and "mol ssrecalc" in txt
+
     def test_interactive_selection(self, rng, tmp_path):
         from encodermap_tpu import EncoderMap, Parameters
         from encodermap_tpu.plot import InteractivePlotting

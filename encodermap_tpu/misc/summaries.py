@@ -35,12 +35,19 @@ class MetricsWriter:
         tensorboard: bool = False,
         filename: str = "train_metrics.jsonl",
     ) -> None:
+        from ..parallel.distributed import is_primary
+
         self.main_path = Path(main_path)
-        self.main_path.mkdir(parents=True, exist_ok=True)
         self.path = self.main_path / filename
-        self._fh = open(self.path, "a")
+        # multi-host: only process 0 writes (every process computes the same
+        # replicated metrics, so nothing is lost)
+        self._primary = is_primary()
+        self._fh = None
+        if self._primary:
+            self.main_path.mkdir(parents=True, exist_ok=True)
+            self._fh = open(self.path, "a")
         self._tb_writer = None
-        if tensorboard:
+        if tensorboard and self._primary:
             try:
                 import tensorflow as tf  # noqa: deferred heavy import
 
@@ -50,6 +57,8 @@ class MetricsWriter:
                 print(f"TensorBoard writer unavailable ({e}); JSONL only.")
 
     def write_scalars(self, step: int, scalars: dict[str, Any]) -> None:
+        if self._fh is None:
+            return
         row = {"step": int(step)}
         for k, v in scalars.items():
             row[k] = float(np.asarray(v))
@@ -73,7 +82,8 @@ class MetricsWriter:
             self._tb_writer.flush()
 
     def close(self) -> None:
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()
 
 
 def histogram_summary(writer: MetricsWriter, step: int, params: Any) -> None:

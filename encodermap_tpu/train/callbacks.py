@@ -88,6 +88,10 @@ class CheckpointSaver(Callback):
         self._last_saved = -1
 
     def on_chunk_end(self, first_step: int, metrics: dict) -> None:
+        from ..parallel.distributed import is_primary
+
+        if not is_primary():
+            return
         n = len(next(iter(metrics.values())))
         last = first_step + n
         due = (last // self.checkpoint_step) * self.checkpoint_step

@@ -92,3 +92,67 @@ class TestGraftEntry:
 
         ge.dryrun_multichip(8)
         assert "dryrun_multichip OK" in capsys.readouterr().out
+
+
+class TestDistributedHelpers:
+    """Multi-host runtime helpers (single-process semantics testable here;
+    the pod path shares the same code through
+    jax.make_array_from_process_local_data)."""
+
+    def test_initialize_noop_single_process(self):
+        from encodermap_tpu.parallel import initialize
+
+        initialize()  # no coordinator in env -> must be a silent no-op
+        initialize()  # idempotent
+        assert jax.process_count() == 1
+
+    def test_is_primary_and_gate(self):
+        from encodermap_tpu.parallel import is_primary, primary_only
+
+        assert is_primary()
+        calls = []
+
+        @primary_only
+        def write(x):
+            calls.append(x)
+            return x
+
+        assert write(3) == 3
+        assert calls == [3]
+
+    def test_process_local_slice_partitions(self):
+        from encodermap_tpu.parallel import process_local_slice
+
+        s = process_local_slice(103)
+        assert s == slice(0, 103)  # single process owns everything
+
+    def test_host_local_batch(self):
+        from encodermap_tpu.parallel import global_mesh, host_local_batch
+
+        mesh = global_mesh(tp=1)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((16, 5)).astype(np.float32)
+        y = rng.standard_normal((16,)).astype(np.float32)
+        gx, gy = host_local_batch((x, y), mesh)
+        assert gx.shape == (16, 5)
+        assert len(gx.sharding.device_set) == len(jax.devices())
+        np.testing.assert_array_equal(np.asarray(gx), x)
+        np.testing.assert_array_equal(np.asarray(gy), y)
+
+    def test_metrics_writer_primary_gating(self, tmp_path, monkeypatch):
+        """A non-primary process writes nothing at all."""
+        import encodermap_tpu.misc.summaries as summaries
+
+        monkeypatch.setattr(
+            "encodermap_tpu.parallel.distributed.is_primary", lambda: False
+        )
+        w = summaries.MetricsWriter(tmp_path / "secondary")
+        w.write_scalars(0, {"loss": 1.0})
+        w.close()
+        assert not (tmp_path / "secondary").exists()
+
+        monkeypatch.undo()
+        w = summaries.MetricsWriter(tmp_path / "primary")
+        w.write_scalars(0, {"loss": 1.0})
+        w.close()
+        assert (tmp_path / "primary" / "train_metrics.jsonl").exists()

@@ -69,3 +69,48 @@ class TestDSSP:
 
         out = plot_dssp(ubq, save_path=tmp_path / "dssp.png")
         assert Path(out).exists() and Path(out).stat().st_size > 0
+
+
+class TestBackmapDSSPSanity:
+    """Backmapped structures have recognizable secondary structure — the
+    analog of the reference's DSSP sanity check on rebuilt conformations
+    (``tests/test_backmapping_em1_em2.py:364``). Ideal alpha-helix internal
+    coordinates (phi=-57, psi=-47, omega=180) through the associative-scan
+    backmap + sp2 oxygen guessing must produce a DSSP-assigned helix."""
+
+    def test_ideal_helix_roundtrip(self):
+        from types import SimpleNamespace
+
+        import jax.numpy as jnp
+
+        from encodermap_tpu.data.topology import Topology
+        from encodermap_tpu.ops.backmap import backmap, guess_amide_O
+
+        R = 20
+        dist = np.tile([1.46, 1.52, 1.33], R)[: 3 * R - 1][None]
+        ang = np.tile(np.radians([111, 117, 121]), R)[: 3 * R - 2][None]
+        phi, psi, omega = np.radians([-57, -47, 180])
+        dih = np.tile([psi, omega, phi], R)[: 3 * R - 3][None]
+        xyz = np.asarray(
+            backmap(
+                jnp.asarray(dist, jnp.float32),
+                jnp.asarray(ang, jnp.float32),
+                jnp.asarray(dih, jnp.float32),
+            )
+        )
+        C_idx = list(range(2, 3 * R, 3))
+        O = np.asarray(guess_amide_O(jnp.asarray(xyz), C_idx))
+
+        full = np.zeros((1, 4 * R, 3), np.float32)
+        top = Topology()
+        for r in range(R):
+            res = top.add_residue("ALA", r + 1, 0)
+            for k, nm in enumerate(("N", "CA", "C")):
+                top.add_atom(nm, nm[0], res)
+                full[:, 4 * r + k] = xyz[:, 3 * r + k]
+            top.add_atom("O", "O", res)
+            full[:, 4 * r + 3] = O[:, r]
+        traj = SimpleNamespace(xyz=full / 10.0, top=top)  # Angstrom -> nm
+
+        d = compute_dssp(traj)
+        assert (d[0, 1:-1] == "H").all(), "".join(d[0])

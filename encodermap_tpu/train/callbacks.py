@@ -21,6 +21,7 @@ from __future__ import annotations
 import sys
 from typing import Any, Optional
 
+import jax
 import numpy as np
 
 __all__ = [
@@ -102,15 +103,28 @@ class CheckpointSaver(Callback):
 
 class EarlyStop(Callback):
     """Stop when the monitored loss hasn't improved for ``patience`` steps
-    (reference: ``callbacks.py:219-269``)."""
+    (reference: ``callbacks.py:219-269``).
+
+    With ``restore_best_weights=True`` the parameters from the
+    best-so-far chunk are put back on stop, like the reference's
+    ``self.model.set_weights(self.best_weights)``. Snapshots are taken at
+    chunk (``steps_per_scan``) granularity — the on-device scan does not
+    surface per-step weights."""
 
     def __init__(self, monitor: str = "loss", patience: int = 1000,
-                 min_delta: float = 0.0) -> None:
+                 min_delta: float = 0.0,
+                 restore_best_weights: bool = False) -> None:
         self.monitor = monitor
         self.patience = patience
         self.min_delta = min_delta
+        self.restore_best_weights = restore_best_weights
         self.best = np.inf
         self.best_step = 0
+        self._autoencoder: Any = None
+        self._best_params: Any = None
+
+    def on_train_begin(self, autoencoder: Any) -> None:
+        self._autoencoder = autoencoder
 
     def on_chunk_end(self, first_step: int, metrics: dict) -> Optional[bool]:
         vals = np.asarray(metrics[self.monitor])
@@ -118,9 +132,22 @@ class EarlyStop(Callback):
         if vals[i] < self.best - self.min_delta:
             self.best = float(vals[i])
             self.best_step = first_step + i
+            if self.restore_best_weights and self._autoencoder is not None:
+                # host copy: the train step donates its input buffers, so
+                # device arrays held here would be deleted by the next chunk
+                self._best_params = jax.tree_util.tree_map(
+                    lambda x: np.array(x), self._autoencoder.state.params
+                )
         elif first_step + len(vals) - self.best_step > self.patience:
             print(f"EarlyStop: no {self.monitor} improvement for "
                   f"{self.patience} steps (best {self.best:.6f}).")
+            if self._best_params is not None:
+                print("Restoring model weights from the best chunk.")
+                self._autoencoder.state = self._autoencoder.state.replace(
+                    params=jax.tree_util.tree_map(
+                        jax.numpy.asarray, self._best_params
+                    )
+                )
             return False
         return None
 

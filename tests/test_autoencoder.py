@@ -193,3 +193,22 @@ class TestCallbacks:
         emap.train()
         pngs = list(Path(tmp_path).glob("latent_*.png"))
         assert pngs, "ImageCallback produced no latent images"
+
+    def test_early_stop_restores_best_weights(self, cube_data, tmp_path):
+        import jax
+
+        from encodermap_tpu.train.callbacks import EarlyStop
+
+        p = _small_params(tmp_path, n_steps=100, steps_per_scan=10)
+        emap = EncoderMap(p, cube_data)
+        cb = EarlyStop(patience=0, min_delta=1e9, restore_best_weights=True)
+        emap.callbacks.append(cb)
+        emap.train()
+        # min_delta is impossible after the first chunk, so the restored
+        # params must equal the snapshot from that chunk
+        assert cb._best_params is not None
+        for a, b in zip(
+            jax.tree_util.tree_leaves(cb._best_params),
+            jax.tree_util.tree_leaves(emap.state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

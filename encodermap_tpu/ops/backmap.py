@@ -241,6 +241,164 @@ def _quat_rotate(q, v):
     )
 
 
+def _one_way_impl(dihedrals: Array, cartesian: Array) -> tuple[Array, tuple]:
+    """Forward pass; returns the result and the residuals the analytic
+    adjoint needs (cumulative quaternions, rotated bonds, axis info)."""
+    # B_i: rotation about the fixed original axis through atoms (i+1, i+2).
+    # Quaternion structure-of-arrays layout: all per-rotation state is
+    # (batch, n) with the chain dim in TPU lanes.
+    p1 = cartesian[:, 1:-2, :]  # atom i+1 for i in [0, n)
+    p2 = cartesian[:, 2:-1, :]  # atom i+2
+    u = p2 - p1
+    ulen = jnp.sqrt(jnp.sum(jnp.square(u), axis=-1, keepdims=True))
+    axis = u / ulen
+
+    # The reference's x @ R_rodrigues(axis, -dihedral) equals, in column
+    # convention, a rotation by +dihedral about axis; as a quaternion:
+    # q = (cos(d/2), sin(d/2) * axis).
+    half = 0.5 * dihedrals
+    cw = jnp.cos(half)
+    s = jnp.sin(half)
+    q = (cw, s * axis[..., 0], s * axis[..., 1], s * axis[..., 2])
+
+    # cumulative rotation C_i = B_0 ∘ ... ∘ B_i (B_i applied first)
+    q_scan = jax.lax.associative_scan(_quat_compose, q, axis=1)
+    # atom n+2 shares C_{n-1} with atom n+1
+    q_cum = tuple(
+        jnp.concatenate([c, c[:, -1:]], axis=1) for c in q_scan
+    )
+
+    # rotated bond vectors for bonds (k-1, k), k = 2..n+2, then cumsum
+    bonds = cartesian[:, 2:, :] - cartesian[:, 1:-1, :]
+    v = (bonds[..., 0], bonds[..., 1], bonds[..., 2])
+    rx, ry, rz = _quat_rotate(q_cum, v)
+    rotated_bonds = jnp.stack([rx, ry, rz], axis=-1)
+    moved = cartesian[:, 1:2, :] + jnp.cumsum(rotated_bonds, axis=1)
+    out = jnp.concatenate([cartesian[:, :2, :], moved], axis=1)
+    return out, (q_scan, q_cum, rotated_bonds, axis, ulen, dihedrals)
+
+
+def _rev_cumsum(x: Array, axis: int = 1) -> Array:
+    """Suffix sums: out[m] = sum_{m' >= m} x[m']."""
+    return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
+
+
+def _quat_conj(q):
+    w, x, y, z = q
+    return (w, -x, -y, -z)
+
+
+def _quat_rotate_mat(q, M):
+    """Apply the rotation of q to each COLUMN of (batch, n, 3, 3) matrices,
+    i.e. R(q) @ M, using the SoA quaternion rotate."""
+    cols = [
+        _quat_rotate(q, (M[..., 0, c], M[..., 1, c], M[..., 2, c]))
+        for c in range(3)
+    ]
+    return jnp.stack(
+        [jnp.stack([cols[c][r] for c in range(3)], axis=-1) for r in range(3)],
+        axis=-2,
+    )
+
+
+@jax.custom_vjp
+def _one_way(dihedrals: Array, cartesian: Array) -> Array:
+    return _one_way_impl(dihedrals, cartesian)[0]
+
+
+def _one_way_fwd(dihedrals, cartesian):
+    out, res = _one_way_impl(dihedrals, cartesian)
+    return out, res
+
+
+def _one_way_bwd(res, g):
+    """Analytic adjoint — the rigid-rotation Jacobian collapses to suffix
+    sums, avoiding autodiff's transposed associative scan (which dominated
+    the ADC train step's cost).
+
+    With y_k = q_1 + sum_{m<=k} R_{c(m)} b_m  (b_m planar bonds, R the
+    cumulative rotations, c(m) = min(m-2, n-1)):
+
+    * bond pullback:    b_bar_m = R_{c(m)}^T G_m,   G_m = sum_{k>=m} g_k
+    * torsion pullback: d_bar_i = a_i^fin . sum_{m>=i+2} r_m x G_m
+      (a^fin = final axis direction = r_{i+2}/|u_i|, r = rotated bonds)
+    * axis pullback via the per-i moment matrix
+      N_i = R_i^T M_i R_{i-1},  M_i = sum_{m>=i+2} r_m G_m^T:
+      a_bar_i = sin(d_i) vee(N_i) + (1-cos(d_i)) (N_i^T a_i + N_i a_i),
+      vee(N) = (N_23-N_32, N_31-N_13, N_12-N_21),
+      then u_bar = (I - a a^T) a_bar / |u|.
+    """
+    q_scan, q_cum, r, axis, ulen, dihedrals = res
+    B, n = dihedrals.shape
+    dtype = g.dtype
+
+    # suffix sums of the output cotangent over atoms k = 2..n+2
+    G = _rev_cumsum(g[:, 2:, :])  # (B, n+1, 3): G[m-2] = sum_{k>=m} g_k
+
+    # --- bond pullback: b_bar_m = R_{c(m)}^T G_m
+    q_conj = _quat_conj(q_cum)
+    bbx, bby, bbz = _quat_rotate(q_conj, (G[..., 0], G[..., 1], G[..., 2]))
+    b_bar = jnp.stack([bbx, bby, bbz], axis=-1)  # (B, n+1, 3)
+
+    # --- torsion pullback. Bond m sits at array index m-2, so the suffix
+    # "m >= i+2" starts at index i.
+    t = jnp.cross(r, G)  # r_m x G_m, (B, n+1, 3)
+    T = _rev_cumsum(t)  # T[m-2] = sum_{m'>=m} t
+    a_fin = r[:, :n, :] / ulen  # r_{i+2} / |u_i|, i = 0..n-1 -> (B, n, 3)
+    d_bar = jnp.sum(a_fin * T[:, :n, :], axis=-1)
+
+    # --- axis pullback
+    outer = r[..., :, None] * G[..., None, :]  # r_m G_m^T, (B, n+1, 3, 3)
+    M = _rev_cumsum(outer)[:, :n]  # M_i = suffix from m = i+2, (B, n, 3, 3)
+    # N_i = R_i^T M_i R_{i-1}: rotate columns by R_i^T, then rows by R_{i-1}^T
+    q_i = tuple(c[:, :n] for c in q_scan)
+    ident = lambda c, v: jnp.concatenate(
+        [jnp.full((B, 1), v, c.dtype), c[:, : n - 1]], axis=1
+    )
+    q_im1 = (ident(q_scan[0], 1.0),) + tuple(
+        ident(c, 0.0) for c in q_scan[1:]
+    )
+    halfN = _quat_rotate_mat(_quat_conj(q_i), M)  # R_i^T M_i
+    # (R_i^T M_i) R_{i-1} = (R_{i-1}^T (R_i^T M_i)^T)^T
+    N = jnp.swapaxes(
+        _quat_rotate_mat(_quat_conj(q_im1), jnp.swapaxes(halfN, -1, -2)),
+        -1, -2,
+    )
+    vee = jnp.stack(
+        [
+            N[..., 1, 2] - N[..., 2, 1],
+            N[..., 2, 0] - N[..., 0, 2],
+            N[..., 0, 1] - N[..., 1, 0],
+        ],
+        axis=-1,
+    )
+    sin_d = jnp.sin(dihedrals)[..., None]
+    cos_d = jnp.cos(dihedrals)[..., None]
+    Na = jnp.einsum("...ij,...j->...i", N, axis,
+                    precision=jax.lax.Precision.HIGHEST)
+    NTa = jnp.einsum("...ji,...j->...i", N, axis,
+                     precision=jax.lax.Precision.HIGHEST)
+    a_bar = sin_d * vee + (1.0 - cos_d) * (Na + NTa)
+    u_bar = (
+        a_bar - axis * jnp.sum(axis * a_bar, axis=-1, keepdims=True)
+    ) / ulen
+
+    # --- assemble q_bar (planar-cartesian cotangent)
+    q_bar = jnp.zeros((B, n + 3, 3), dtype)
+    q_bar = q_bar.at[:, 0].set(g[:, 0])
+    q_bar = q_bar.at[:, 1].set(g[:, 1] + jnp.sum(g[:, 2:], axis=1))
+    # bonds b_m = q_m - q_{m-1}, m = 2..n+2
+    q_bar = q_bar.at[:, 2:].add(b_bar)
+    q_bar = q_bar.at[:, 1:-1].add(-b_bar)
+    # axes u_i = q_{i+2} - q_{i+1}, i = 0..n-1
+    q_bar = q_bar.at[:, 2:-1].add(u_bar)
+    q_bar = q_bar.at[:, 1:-2].add(-u_bar)
+    return d_bar.astype(dihedrals.dtype), q_bar
+
+
+_one_way.defvjp(_one_way_fwd, _one_way_bwd)
+
+
 def dihedral_to_cartesian_one_way(dihedrals: Array, cartesian: Array) -> Array:
     """Curl one half-chain out of the plane, setting dihedrals sequentially.
 
@@ -260,6 +418,9 @@ def dihedral_to_cartesian_one_way(dihedrals: Array, cartesian: Array) -> Array:
     (rotations about points far from the origin produce large, cancelling
     translation terms); composing orthogonal matrices is well-conditioned.
 
+    The backward pass is a hand-derived analytic adjoint (``_one_way_bwd``)
+    instead of autodiff through the associative scan.
+
     Args:
         dihedrals: ``(batch, n)`` dihedral angles.
         cartesian: ``(batch, n + 3, 3)`` planar chain coordinates.
@@ -274,36 +435,7 @@ def dihedral_to_cartesian_one_way(dihedrals: Array, cartesian: Array) -> Array:
     assert cartesian.shape[-2] == n + 3, (
         f"need n+3 atoms for n dihedrals, got {cartesian.shape[-2]=} {n=}"
     )
-    # B_i: rotation about the fixed original axis through atoms (i+1, i+2).
-    # Quaternion structure-of-arrays layout: all per-rotation state is
-    # (batch, n) with the chain dim in TPU lanes.
-    p1 = cartesian[:, 1:-2, :]  # atom i+1 for i in [0, n)
-    p2 = cartesian[:, 2:-1, :]  # atom i+2
-    axis = p2 - p1
-    axis = axis / jnp.sqrt(jnp.sum(jnp.square(axis), axis=-1, keepdims=True))
-
-    # The reference's x @ R_rodrigues(axis, -dihedral) equals, in column
-    # convention, a rotation by +dihedral about axis; as a quaternion:
-    # q = (cos(d/2), sin(d/2) * axis).
-    half = 0.5 * dihedrals
-    cw = jnp.cos(half)
-    s = jnp.sin(half)
-    q = (cw, s * axis[..., 0], s * axis[..., 1], s * axis[..., 2])
-
-    # cumulative rotation C_i = B_0 ∘ ... ∘ B_i (B_i applied first)
-    q_cum = jax.lax.associative_scan(_quat_compose, q, axis=1)
-    # atom n+2 shares C_{n-1} with atom n+1
-    q_cum = tuple(
-        jnp.concatenate([c, c[:, -1:]], axis=1) for c in q_cum
-    )
-
-    # rotated bond vectors for bonds (k-1, k), k = 2..n+2, then cumsum
-    bonds = cartesian[:, 2:, :] - cartesian[:, 1:-1, :]
-    v = (bonds[..., 0], bonds[..., 1], bonds[..., 2])
-    rx, ry, rz = _quat_rotate(q_cum, v)
-    rotated_bonds = jnp.stack([rx, ry, rz], axis=-1)
-    moved = cartesian[:, 1:2, :] + jnp.cumsum(rotated_bonds, axis=1)
-    return jnp.concatenate([cartesian[:, :2, :], moved], axis=1)
+    return _one_way(dihedrals, cartesian)
 
 
 def split_and_reverse_dihedrals(x: Array) -> tuple[Array, Array]:

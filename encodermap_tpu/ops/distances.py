@@ -107,7 +107,15 @@ def triu_indices_mask(n: int) -> np.ndarray:
 def pairwise_dist(
     positions: Array, squared: bool = False, flat: bool = False
 ) -> Array:
-    """All-pairs Euclidean distance via the Gram-matrix identity.
+    """All-pairs Euclidean distance.
+
+    Computed from coordinate differences (pure VPU elementwise work). The
+    Gram-matrix identity the reference uses (``||a-b||^2 = ||a||^2 - 2<a,b>
+    + ||b||^2``) maps to a K=d batched matmul, which for d = 2-3 leaves the
+    MXU idle and loses precision to cancellation; direct differences are
+    both faster at these shapes and exact. For ``flat=True`` only the
+    n*(n-1)/2 upper-triangle pairs are ever materialized (two static
+    gathers), halving memory traffic in forward and backward.
 
     Args:
         positions: ``(n, d)`` or batched ``(b, n, d)`` points.
@@ -125,23 +133,13 @@ def pairwise_dist(
     if positions.ndim == 2:
         positions = positions[None]
 
-    # Gram matrix on the MXU; full f32 precision (the platform default may
-    # silently use bf16 passes, which breaks the 1e-5 loss-parity target).
-    dot = jnp.einsum(
-        "bnd,bmd->bnm",
-        positions,
-        positions,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(positions.dtype)
-    sq_norm = jnp.diagonal(dot, axis1=1, axis2=2)
-    d2 = sq_norm[:, None, :] - 2.0 * dot + sq_norm[:, :, None]
-    d2 = jnp.maximum(d2, 0.0)
-
     if flat:
-        n = d2.shape[1]
+        n = positions.shape[1]
         iu = np.triu_indices(n, k=1)
-        d2 = d2[:, iu[0], iu[1]]
+        diff = positions[:, iu[0], :] - positions[:, iu[1], :]
+    else:
+        diff = positions[:, :, None, :] - positions[:, None, :, :]
+    d2 = jnp.sum(jnp.square(diff), axis=-1)
 
     if squared:
         return d2

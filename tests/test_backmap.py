@@ -189,3 +189,70 @@ class TestSp2Guessing:
         assert merged.shape == (B, n_central + (len(N_idx) - 1) + len(C_idx), 3)
         # first atom unchanged, H follows its N, O follows its C
         np.testing.assert_allclose(merged[:, 0], np.asarray(central)[:, 0])
+
+
+class TestAnalyticAdjoint:
+    """The hand-derived backward pass of dihedral_to_cartesian_one_way
+    (rigid-rotation Jacobians -> suffix sums) must match autodiff through
+    the associative scan exactly."""
+
+    @pytest.mark.parametrize("n", [1, 2, 5, 28, 57])
+    def test_matches_autodiff(self, n, rng):
+        import sys
+
+        import jax
+
+        bm = sys.modules["encodermap_tpu.ops.backmap"]
+        B = 3
+        d = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, n)), jnp.float32)
+        lengths = jnp.asarray(rng.uniform(1.0, 1.6, (B, n + 2)), jnp.float32)
+        angles = jnp.asarray(rng.uniform(1.5, 2.4, (B, n + 1)), jnp.float32)
+        x = bm.chain_in_plane(lengths, angles)
+        w = jnp.asarray(rng.standard_normal((B, n + 3, 3)), jnp.float32)
+
+        f_custom = lambda d, x: jnp.sum(bm._one_way(d, x) * w)
+        f_ad = lambda d, x: jnp.sum(bm._one_way_impl(d, x)[0] * w)
+        gc = jax.jit(jax.grad(f_custom, argnums=(0, 1)))(d, x)
+        ga = jax.jit(jax.grad(f_ad, argnums=(0, 1)))(d, x)
+        np.testing.assert_allclose(gc[0], ga[0], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(gc[1], ga[1], rtol=2e-4, atol=2e-4)
+
+    def test_end_to_end_loss_grad(self, rng):
+        """Gradient of a cartesian-style loss through the full backmap
+        matches autodiff of the scan implementation."""
+        import sys
+
+        import jax
+
+        from encodermap_tpu.ops.backmap import backmap
+        from encodermap_tpu.ops.distances import pairwise_dist
+
+        bm = sys.modules["encodermap_tpu.ops.backmap"]
+        B, n_atoms = 4, 30
+        dist = jnp.asarray(rng.uniform(1.0, 1.6, (B, n_atoms - 1)), jnp.float32)
+        ang = jnp.asarray(rng.uniform(1.5, 2.4, (B, n_atoms - 2)), jnp.float32)
+        dih = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (B, n_atoms - 3)), jnp.float32
+        )
+        target = jnp.asarray(
+            rng.uniform(0, 3, (B, (n_atoms // 3) * (n_atoms // 3 - 1) // 2)),
+            jnp.float32,
+        )
+
+        def loss(ang, dih, one_way):
+            orig = bm.dihedral_to_cartesian_one_way
+            bm.dihedral_to_cartesian_one_way = one_way
+            try:
+                xyz = backmap(dist, ang, dih)
+            finally:
+                bm.dihedral_to_cartesian_one_way = orig
+            ca = xyz[:, 1::3]
+            return jnp.mean(jnp.abs(pairwise_dist(ca, flat=True) - target))
+
+        custom = jax.grad(lambda a, d: loss(a, d, bm._one_way), (0, 1))(ang, dih)
+        plain = jax.grad(
+            lambda a, d: loss(a, d, lambda dd, xx: bm._one_way_impl(dd, xx)[0]),
+            (0, 1),
+        )(ang, dih)
+        np.testing.assert_allclose(custom[0], plain[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(custom[1], plain[1], rtol=1e-4, atol=1e-5)

@@ -66,9 +66,11 @@ def __getattr__(name):
 
         return Featurizer
     if name == "plot":
-        from . import plot
+        # "from . import plot" would re-enter this __getattr__ through
+        # _handle_fromlist before the submodule binds -> infinite recursion
+        import importlib
 
-        return plot
+        return importlib.import_module(".plot", __name__)
     if name == "MolData":
         from .moldata import MolData
 

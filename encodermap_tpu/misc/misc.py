@@ -77,3 +77,43 @@ def run_path(base: str) -> str:
     p = base_p / f"run{i}"
     p.mkdir(parents=True, exist_ok=True)
     return str(p)
+
+
+def get_full_common_str_and_ref(trajs, tops, common_str):
+    """Match trajectory files, topology files, and common substrings into
+    three aligned lists (reference ``misc/misc.py:264-420``).
+
+    Every traj is assigned the common_str that appears in its filename and
+    the topology sharing that substring (or the single provided topology).
+    """
+    trajs = [str(t) for t in trajs]
+    tops = [str(t) for t in tops]
+    assert isinstance(common_str, list)
+    if len(trajs) != len(tops) and not common_str and len(tops) != 1:
+        raise Exception(
+            "When providing a list of trajs and a list of refs with "
+            "different length you must provide a list of common_str to "
+            "match them."
+        )
+    if len(trajs) == len(tops) == len(common_str):
+        if all(
+            cs is None or (cs in t and cs in p)
+            for t, p, cs in zip(trajs, tops, common_str)
+        ):
+            return trajs, tops, common_str
+    if len(tops) == 1 and not common_str:
+        return trajs, tops * len(trajs), [None] * len(trajs)
+
+    matched_tops, matched_cs = [], []
+    for t in trajs:
+        cs_hits = [c for c in common_str if c and c in t]
+        if not cs_hits:
+            raise Exception(
+                f"The traj file {t} does not match any of the common_str "
+                f"{common_str}."
+            )
+        cs = max(cs_hits, key=len)
+        top_hits = [p for p in tops if cs in p]
+        matched_tops.append(top_hits[0] if top_hits else tops[0])
+        matched_cs.append(cs)
+    return trajs, matched_tops, matched_cs

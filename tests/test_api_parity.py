@@ -25,6 +25,29 @@ class TestTopLevelAPI:
             "get_from_kondata", "create_n_cube",
         ):
             assert getattr(em, name) is not None, name
+        assert em.plot.plot_free_energy is not None
+        assert em.misc.run_path is not None
+
+    def test_common_str_matching(self):
+        """misc.get_full_common_str_and_ref aligns trajs/tops/common_str
+        (reference ``misc/misc.py:264``)."""
+        import encodermap_tpu.misc as m
+
+        t, p, c = m.get_full_common_str_and_ref(
+            ["a_1.xtc", "b_2.xtc", "a_3.xtc"],
+            ["a_top.pdb", "b_top.pdb"],
+            ["a_", "b_"],
+        )
+        assert p == ["a_top.pdb", "b_top.pdb", "a_top.pdb"]
+        assert c == ["a_", "b_", "a_"]
+        t, p, c = m.get_full_common_str_and_ref(
+            ["x.xtc", "y.xtc"], ["top.pdb"], []
+        )
+        assert p == ["top.pdb", "top.pdb"]
+        with pytest.raises(Exception, match="common_str"):
+            m.get_full_common_str_and_ref(
+                ["x.xtc", "y.xtc"], ["t1.pdb", "t2.pdb", "t3.pdb"], []
+            )
 
     def test_version(self):
         import encodermap_tpu as em

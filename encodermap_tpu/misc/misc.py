@@ -23,6 +23,12 @@ def create_n_cube(
     Gaussian noise; returns (coordinates, edge-color ids).
 
     Same output contract as the reference's ``create_n_cube``.
+
+    Example:
+        >>> from encodermap_tpu.misc import create_n_cube
+        >>> data, ids = create_n_cube(3, points_along_edge=10, seed=0)
+        >>> data.shape[1], len(data) == len(ids)
+        (3, True)
     """
     rng = np.random.default_rng(seed)
     # vertices of the hypercube: all binary n-tuples; edges connect vertices
@@ -67,7 +73,17 @@ def create_n_cube(
 
 
 def run_path(base: str) -> str:
-    """Create and return a unique runN directory under ``base``."""
+    """Create and return a unique runN directory under ``base``.
+
+    Example:
+        >>> import tempfile
+        >>> from encodermap_tpu.misc import run_path
+        >>> base = tempfile.mkdtemp()
+        >>> run_path(base).endswith("run0")
+        True
+        >>> run_path(base).endswith("run1")
+        True
+    """
     from pathlib import Path
 
     base_p = Path(base)

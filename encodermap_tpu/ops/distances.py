@@ -5,10 +5,10 @@ Pure-JAX re-implementations of the reference's distance math
 (``/root/reference/encodermap/misc/distances.py:66-255``) with identical
 epsilon/gradient-guard semantics:
 
-* ``pairwise_dist`` uses the Gram-matrix identity ``||a-b||^2 =
-  ||a||^2 - 2<a,b> + ||b||^2`` (one MXU matmul), clamps negatives to zero,
-  and protects the sqrt-at-zero gradient by adding 1e-16 under the mask and
-  re-zeroing afterwards.
+* ``pairwise_dist`` computes direct coordinate differences (pure VPU work;
+  see its docstring for why the reference's Gram-matrix identity is a bad
+  fit for d = 2-3) and protects the sqrt-at-zero gradient by adding 1e-16
+  under the mask and re-zeroing afterwards.
 * ``pairwise_dist_periodic`` adds 1e-12 to exact-zero component distances
   before the reduction and 1e-12 to the final sqrt.
 * ``sigmoid`` is sketch-map's sigmoid ``1 - (1 + (2^(a/b)-1)(r/sig)^a)^(-b/a)``.
@@ -54,12 +54,28 @@ def sigmoid(sig: float, a: float, b: float) -> Callable[[Array], Array]:
     return func
 
 
+def _sigmoid_doctest():
+    """
+    Example:
+        >>> from encodermap_tpu.ops.distances import sigmoid
+        >>> f = sigmoid(sig=1.0, a=2, b=2)
+        >>> round(float(f(1.0)), 6)  # r == sig -> 0.5 by construction
+        0.5
+    """
+
+
 def periodic_distance_np(
     a: np.ndarray, b: np.ndarray, periodicity: float = 2 * pi
 ) -> np.ndarray:
     """NumPy min-image distance between points in a periodic space.
 
     Reference: ``misc/distances.py:91-110``.
+
+    Example:
+        >>> import numpy as np
+        >>> from encodermap_tpu.ops.distances import periodic_distance_np
+        >>> round(float(periodic_distance_np(3.0, -3.0)), 6)
+        0.283185
     """
     d = np.abs(b - a)
     return np.minimum(d, periodicity - d)

@@ -28,7 +28,8 @@ import numpy as np
 from ..data.topology import Topology
 from ..ops.backmap import rotation_matrices
 
-__all__ = ["guess_bonds", "near_and_far_masks", "dihedral_rotate", "backmap_topology"]
+__all__ = ["guess_bonds", "near_and_far_masks", "dihedral_rotate",
+           "backmap_topology", "traj_rotate"]
 
 # covalent radii (nm) for bond guessing
 _COV_RADII = {
@@ -228,3 +229,40 @@ def backmap_topology(
         )
     )
     return np.asarray(fn(jnp.asarray(targets)))
+
+
+def traj_rotate(
+    traj,
+    angles: np.ndarray,
+    indices: np.ndarray,
+    deg: bool = False,
+    delete_sulfide_bridges: bool = True,
+) -> np.ndarray:
+    """Set specific dihedrals of a single-frame trajectory to given values —
+    the drop-in analog of the reference's ``mdtraj_rotate``
+    (``misc/rotate.py:117``), shaped ``angles (n_frames, n_dih)`` /
+    ``indices (n_dih, 4)``.
+
+    Returns the rotated coordinates ``(n_frames, n_atoms, 3)``.
+    """
+    angles = np.atleast_2d(np.asarray(angles, np.float32))
+    indices = np.asarray(indices, np.int64).reshape(-1, 4)
+    if deg:
+        angles = np.radians(angles)
+    assert angles.shape[1] == len(indices), (
+        f"angles.shape[1]={angles.shape[1]} must equal len(indices)="
+        f"{len(indices)}"
+    )
+    xyz = np.asarray(traj.xyz, np.float32)
+    if xyz.ndim == 3:
+        xyz = xyz[0]
+    bonds = guess_bonds(traj.top, xyz)
+    if delete_sulfide_bridges:
+        bonds = [
+            (a, b) for a, b in bonds
+            if not (traj.top.atom(a).element.upper() == "S"
+                    and traj.top.atom(b).element.upper() == "S")
+        ]
+    return backmap_topology(
+        traj.top, xyz, angles, dihedral_indices=indices, bonds=bonds
+    )

@@ -350,3 +350,37 @@ class TestProlineHandling:
         assert xyz.shape == (2, t.top.n_atoms, 3)
         assert np.isfinite(xyz).all()
         assert "skipping 5 unrotatable" in capsys.readouterr().out
+
+
+class TestTrajRotate:
+    """traj_rotate: the mdtraj_rotate analog (reference misc/rotate.py:117)."""
+
+    def test_sets_requested_dihedrals(self):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.misc.backmapping_offline import traj_rotate
+        from tests.reference_impl import dihedral_from_xyz_np
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        idx = t.top.indices_psi[:3]
+        targets = np.array([[0.5, -1.0, 2.0], [1.5, 0.3, -2.5]], np.float32)
+        out = traj_rotate(t, targets, idx)
+        assert out.shape == (2, t.top.n_atoms, 3)
+        meas = np.stack(
+            [dihedral_from_xyz_np(out[:, q[0]], out[:, q[1]], out[:, q[2]],
+                                  out[:, q[3]]) for q in idx], axis=1,
+        )
+        d = np.abs(meas - targets)
+        assert np.minimum(d, 2 * np.pi - d).max() < 1e-5
+
+    def test_degrees(self):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.misc.backmapping_offline import traj_rotate
+        from tests.reference_impl import dihedral_from_xyz_np
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        idx = t.top.indices_psi[:1]
+        out = traj_rotate(t, np.array([[90.0]]), idx, deg=True)
+        q = idx[0]
+        meas = dihedral_from_xyz_np(out[:, q[0]], out[:, q[1]], out[:, q[2]],
+                                    out[:, q[3]])
+        np.testing.assert_allclose(meas, np.pi / 2, atol=1e-5)

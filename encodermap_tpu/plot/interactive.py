@@ -79,19 +79,40 @@ class InteractivePlotting:
         )
         return out
 
-    def path(self, points: Sequence[tuple[float, float]], n: int = 50
-             ) -> np.ndarray:
+    def path(self, points: Sequence[tuple[float, float]], n: int = 50,
+             mode: str = "linear") -> np.ndarray:
         """Interpolate a path through latent space and decode/generate along
-        it (the reference's bezier/path tool)."""
+        it (the reference's bezier/path tools,
+        ``plot/utils.py:582-663``).
+
+        Args:
+            points: control points in latent space.
+            n: samples along the path.
+            mode: "linear" (piecewise-linear through the points) or "bezier"
+                (Bernstein-polynomial curve with the points as control
+                polygon, like the reference's BezierBuilder).
+        """
         pts = np.asarray(points, np.float32)
-        # piecewise-linear resampling to n points
-        seg_lengths = np.linalg.norm(np.diff(pts, axis=0), axis=1)
-        t = np.concatenate([[0], np.cumsum(seg_lengths)])
-        t = t / t[-1]
         ts = np.linspace(0, 1, n)
-        path = np.stack(
-            [np.interp(ts, t, pts[:, i]) for i in range(pts.shape[1])], axis=1
-        )
+        if mode == "bezier":
+            from math import comb
+
+            k = len(pts) - 1
+            bern = np.stack(
+                [comb(k, i) * ts**i * (1 - ts) ** (k - i)
+                 for i in range(k + 1)], axis=1,
+            )  # (n, k+1)
+            path = bern @ pts
+        elif mode == "linear":
+            seg_lengths = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+            t = np.concatenate([[0], np.cumsum(seg_lengths)])
+            t = t / t[-1]
+            path = np.stack(
+                [np.interp(ts, t, pts[:, i]) for i in range(pts.shape[1])],
+                axis=1,
+            )
+        else:
+            raise ValueError(f"unknown path mode {mode!r}")
         return self.autoencoder.generate(path)
 
     # ------------------------------------------------------------------ widget

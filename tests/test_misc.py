@@ -186,6 +186,29 @@ class TestPlotting:
         assert "mol new" in txt and "render Tachyon" in txt
         assert "rotate x by 90" in txt and "mol ssrecalc" in txt
 
+    def test_interactive_bezier_path(self):
+        """Bezier path mode: quadratic curve through control polygon
+        (reference plot/utils.py:582-663)."""
+        from encodermap_tpu.plot import InteractivePlotting
+
+        class FakeAE:
+            train_data = np.zeros((2, 2), np.float32)
+
+            class p:
+                main_path = "/tmp"
+
+            def encode(self, d):
+                return np.zeros((len(d), 2), np.float32)
+
+            def generate(self, path):
+                return path
+
+        sess = InteractivePlotting(FakeAE())
+        out = sess.path([(0, 0), (1, 2), (2, 0)], n=5, mode="bezier")
+        np.testing.assert_allclose(out[0], [0, 0], atol=1e-6)
+        np.testing.assert_allclose(out[-1], [2, 0], atol=1e-6)
+        np.testing.assert_allclose(out[2], [1, 1], atol=1e-6)
+
     def test_interactive_selection(self, rng, tmp_path):
         from encodermap_tpu import EncoderMap, Parameters
         from encodermap_tpu.plot import InteractivePlotting

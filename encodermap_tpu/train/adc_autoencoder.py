@@ -34,7 +34,7 @@ from ..ops.backmap import backmap as backmap_op
 from ..ops.distances import pairwise_dist
 from ..ops.kabsch import rmsd as rmsd_op
 from ..parameters import ADCParameters
-from .autoencoder import _tree_to_jax
+from .autoencoder import TrainerExtensions, _tree_to_jax
 from .callbacks import Callback, CheckpointSaver, NaNInterrupt, ProgressBar
 from .core import TrainState, make_optimizer, make_scan_trainer
 
@@ -86,7 +86,7 @@ def _extract_cvs(trajs: Any, p: ADCParameters) -> tuple[np.ndarray, ...]:
     return tuple(out)
 
 
-class AngleDihedralCartesianEncoderMap:
+class AngleDihedralCartesianEncoderMap(TrainerExtensions):
     """Train on backbone internal coordinates; generate new conformations by
     decoding + in-graph backmapping."""
 
@@ -159,6 +159,8 @@ class AngleDihedralCartesianEncoderMap:
             step=self.p.current_training_step,
         )
         self._trainer = None
+        self.custom_losses: list = []
+        self.custom_metrics: list = []
 
     # ------------------------------------------------------------------ losses
     def _loss_terms(
@@ -276,6 +278,7 @@ class AngleDihedralCartesianEncoderMap:
         def train_step(state: TrainState, batch):
             def total(params):
                 terms = self._loss_terms(params, batch, state.step)
+                terms.update(self._custom_loss_terms(params, batch))
                 loss = jnp.asarray(0.0, jnp.float32)
                 for k, v in terms.items():
                     if k != "cartesian_cost_scale":
@@ -294,6 +297,7 @@ class AngleDihedralCartesianEncoderMap:
             metrics = dict(terms)
             metrics["loss"] = loss
             metrics.update(self._metric_terms(params, batch))
+            metrics.update(self._custom_metric_terms(params, batch))
             return (
                 state.replace(
                     params=params, opt_state=opt_state, step=state.step + 1
@@ -302,6 +306,27 @@ class AngleDihedralCartesianEncoderMap:
             )
 
         return train_step
+
+    def set_train_data(self, trajs: Any) -> None:
+        """Replace the training data from a TrajEnsemble or CV dict/tuple
+        (reference ``autoencoder.py:1973``)."""
+        if isinstance(trajs, (tuple, list)):
+            self.train_data = tuple(np.asarray(d, np.float32) for d in trajs)
+        else:
+            self.trajs = trajs
+            self.train_data = _extract_cvs(trajs, self.p)
+        self.sparse = any(np.isnan(a).any() for a in self.train_data)
+
+    @staticmethod
+    def get_train_data_from_trajs(trajs: Any, p: "ADCParameters") -> tuple:
+        """The CV tuple (angles, dihedrals, cartesians, distances[,
+        side_dihedrals...]) the model trains on (reference
+        ``autoencoder.py:2032``)."""
+        return _extract_cvs(trajs, p)
+
+    def close(self) -> None:
+        if self._metrics_writer is not None:
+            self._metrics_writer.close()
 
     def _get_trainer(self, steps: Optional[int] = None):
         if steps is None:

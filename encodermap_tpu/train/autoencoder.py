@@ -39,7 +39,74 @@ __all__ = ["Autoencoder", "EncoderMap"]
 Array = jax.Array
 
 
-class Autoencoder:
+class TrainerExtensions:
+    """User-extension hooks shared by all autoencoder classes (the
+    reference's ``add_loss``/``add_callback``/``add_metric``/``plot_network``,
+    ``autoencoder.py:1031-1109``)."""
+
+    def add_callback(self, callback) -> None:
+        """Append a :class:`Callback` dispatched at chunk granularity."""
+        self.callbacks.append(callback)
+
+    def add_loss(self, loss_fn, name: Optional[str] = None) -> None:
+        """Add a custom loss ``fn(params, batch) -> scalar`` to the total.
+
+        Must be jit-traceable; it runs inside the compiled train step and is
+        logged under ``name`` (default: the function's __name__).
+        """
+        self.custom_losses.append(
+            (name or getattr(loss_fn, "__name__", "custom_loss"), loss_fn)
+        )
+        self._trainer = None  # force retrace with the new graph
+
+    def add_metric(self, metric_fn, name: Optional[str] = None) -> None:
+        """Add a metric ``fn(params, batch) -> scalar`` logged every step
+        (no gradient contribution)."""
+        self.custom_metrics.append(
+            (name or getattr(metric_fn, "__name__", "custom_metric"),
+             metric_fn)
+        )
+        self._trainer = None
+
+    def _custom_loss_terms(self, params, batch) -> dict:
+        return {name: fn(params, batch) for name, fn in self.custom_losses}
+
+    def _custom_metric_terms(self, params, batch) -> dict:
+        return {name: fn(params, batch) for name, fn in self.custom_metrics}
+
+    def plot_network(self) -> Optional[str]:
+        """Draw the layer stack to ``main_path/network.png`` (the analog of
+        the reference's keras ``plot_model`` call, ``autoencoder.py:1094``)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        dims: list = [self.input_dim] if hasattr(self, "input_dim") else []
+        dims += list(self.p.n_neurons)
+        dec = list(self.p.n_neurons[-2::-1])
+        dims += dec + ([self.input_dim] if hasattr(self, "input_dim") else [])
+        fig, ax = plt.subplots(figsize=(max(6, len(dims)), 3))
+        for i, d in enumerate(dims):
+            ax.add_patch(plt.Rectangle((i, -0.4), 0.6, 0.8, fc="#4878cf",
+                                       ec="k"))
+            ax.text(i + 0.3, 0, str(d), ha="center", va="center",
+                    color="w", fontsize=9)
+            if i:
+                ax.annotate("", xy=(i, 0), xytext=(i - 0.4, 0),
+                            arrowprops=dict(arrowstyle="->"))
+        ax.set_xlim(-0.5, len(dims))
+        ax.set_ylim(-1, 1)
+        ax.axis("off")
+        ax.set_title(f"{type(self).__name__} layer stack")
+        out = Path(self.p.main_path) / "network.png"
+        fig.savefig(out, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        print(f"network diagram saved to {out}")
+        return str(out)
+
+
+class Autoencoder(TrainerExtensions):
     """Base autoencoder: auto + center + regularization losses.
 
     Args:
@@ -95,6 +162,21 @@ class Autoencoder:
         )
         self._trainer = None  # built lazily (jit cache)
         self.callbacks: list[Callback] = []
+        self.custom_losses: list = []
+        self.custom_metrics: list = []
+
+    def set_train_data(self, data: np.ndarray) -> None:
+        """Replace the training data (reference ``autoencoder.py:788``);
+        shapes must stay compatible with the built model."""
+        data = np.asarray(data, np.float32)
+        assert data.shape[1] == self.input_dim, (
+            f"new data has {data.shape[1]} features, model expects "
+            f"{self.input_dim}"
+        )
+        self._nan_mask = np.isnan(data)
+        if self._nan_mask.any():
+            self.sparse = True
+        self.train_data = data
 
     # ------------------------------------------------------------------ losses
     def _loss_terms(self, params: dict, batch: Array) -> dict[str, Array]:
@@ -116,6 +198,7 @@ class Autoencoder:
         def train_step(state: TrainState, batch):
             def total(params):
                 terms = self._loss_terms(params, batch)
+                terms.update(self._custom_loss_terms(params, batch))
                 loss = jnp.asarray(0.0, jnp.float32)
                 for v in terms.values():
                     loss = loss + v
@@ -132,6 +215,7 @@ class Autoencoder:
             )
             metrics = dict(terms)
             metrics["loss"] = loss
+            metrics.update(self._custom_metric_terms(params, batch))
             return (
                 state.replace(
                     params=params, opt_state=opt_state, step=state.step + 1

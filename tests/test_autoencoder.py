@@ -212,3 +212,35 @@ class TestCallbacks:
             jax.tree_util.tree_leaves(emap.state.params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTrainerExtensions:
+    """add_loss / add_metric / add_callback / plot_network / set_train_data
+    (reference autoencoder.py:788, 1031-1109)."""
+
+    def test_custom_loss_and_metric(self, cube_data, tmp_path):
+        import jax.numpy as jnp
+
+        p = _small_params(tmp_path, n_steps=10, steps_per_scan=5)
+        emap = EncoderMap(p, cube_data)
+        emap.add_loss(lambda params, batch: 0.01 * jnp.mean(batch**2),
+                      name="my_loss")
+        emap.add_metric(lambda params, batch: jnp.max(jnp.abs(batch)),
+                        name="batch_max")
+        h = emap.train()
+        assert "my_loss" in h and "batch_max" in h
+        assert np.isfinite(h["my_loss"]).all()
+
+    def test_plot_network(self, cube_data, tmp_path):
+        p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
+        emap = EncoderMap(p, cube_data)
+        out = emap.plot_network()
+        assert Path(out).exists()
+
+    def test_set_train_data(self, cube_data, tmp_path):
+        p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
+        emap = EncoderMap(p, cube_data)
+        emap.set_train_data(cube_data[:100])
+        assert emap.train_data.shape[0] == 100
+        with pytest.raises(AssertionError):
+            emap.set_train_data(np.zeros((10, 99), np.float32))

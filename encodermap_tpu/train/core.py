@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["TrainState", "make_optimizer", "make_scan_trainer", "sample_batch"]
+__all__ = [
+    "PrefetchSource",
+    "TrainState",
+    "make_optimizer",
+    "make_scan_trainer",
+    "sample_batch",
+]
 
 Array = jax.Array
 
@@ -179,7 +185,48 @@ class HDF5BatchSource:
         self._h5.close()
 
 
-def run_streaming(autoencoder, source, n_steps: int, sharding=None) -> dict:
+class PrefetchSource:
+    """Wrap a batch source with a background thread + bounded queue so host
+    batch assembly (HDF5 reads, stacking) overlaps device compute — the
+    TPU-side analog of the reference's ``tf.data ... .prefetch()`` input
+    pipeline (``trajinfo/info_all.py:3080-3154``). h5py/numpy reads release
+    the GIL, so a plain thread achieves real overlap.
+    """
+
+    def __init__(self, source, depth: int = 2) -> None:
+        import queue
+        import threading
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err: list = []
+
+        def worker():
+            try:
+                for item in source:
+                    self._queue.put(item)
+            except Exception as e:  # propagate to the consumer
+                self._err.append(e)
+            finally:
+                self._queue.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._sentinel:
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return item
+
+
+def run_streaming(autoencoder, source, n_steps: int, sharding=None,
+                  prefetch: int = 2) -> dict:
     """Drive a streaming training loop for an autoencoder-like object
     (needs ._make_train_step(), .state, .p). Returns the metric history.
 
@@ -190,6 +237,9 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None) -> dict:
     superbatch (e.g. ``P(None, "dp")`` to shard the batch axis over a mesh)
     — the BASELINE config-5 combination of out-of-core streaming with
     data-parallel training.
+
+    ``prefetch``: depth of the background host-side prefetch queue (0
+    disables; 2 double-buffers batch assembly against device compute).
     """
     import numpy as np
 
@@ -201,6 +251,8 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None) -> dict:
     trainer = make_streaming_trainer(
         autoencoder._make_train_step(), autoencoder.p.steps_per_scan
     )
+    if prefetch:
+        source = PrefetchSource(source, depth=prefetch)
     history: dict[str, list] = {}
     done = 0
     for superbatch in source:

@@ -122,3 +122,43 @@ class TestShardedStreaming:
             history = run_streaming(emap, Source(), 8, sharding=sharding)
         assert len(history["loss"]) == 8
         assert np.isfinite(history["loss"]).all()
+
+
+class TestPrefetchSource:
+    def test_order_and_completion(self):
+        from encodermap_tpu.train.core import PrefetchSource
+
+        items = [np.full((4,), i, np.float32) for i in range(10)]
+        out = list(PrefetchSource(iter(items), depth=2))
+        assert len(out) == 10
+        for i, x in enumerate(out):
+            np.testing.assert_array_equal(x, items[i])
+
+    def test_error_propagates(self):
+        from encodermap_tpu.train.core import PrefetchSource
+
+        def bad():
+            yield np.zeros(2)
+            raise ValueError("boom")
+
+        src = PrefetchSource(bad(), depth=2)
+        next(src)
+        with pytest.raises(ValueError, match="boom"):
+            next(src)
+
+    def test_overlap(self):
+        """With a slow producer, prefetch hides most of the production time."""
+        import time
+
+        from encodermap_tpu.train.core import PrefetchSource
+
+        def slow():
+            for _ in range(5):
+                time.sleep(0.05)
+                yield np.zeros(2)
+
+        src = PrefetchSource(slow(), depth=2)
+        time.sleep(0.15)  # let the worker fill the queue
+        t0 = time.perf_counter()
+        next(src); next(src)
+        assert time.perf_counter() - t0 < 0.04  # served from the queue

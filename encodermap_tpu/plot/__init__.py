@@ -3,7 +3,9 @@
 
 from .interactive import InteractivePlotting
 from .plotting import (
+    digitize_dssp,
     distance_histogram,
+    dssp_fractions,
     plot_ball_and_stick,
     render_vmd,
     plot_cluster,
@@ -21,6 +23,8 @@ __all__ = [
     "plot_dssp",
     "plot_ball_and_stick",
     "render_vmd",
+    "dssp_fractions",
+    "digitize_dssp",
     "plot_cluster",
     "plot_free_energy",
     "plot_latent_scatter",

@@ -25,6 +25,8 @@ __all__ = [
     "plot_dssp",
     "plot_ball_and_stick",
     "render_vmd",
+    "dssp_fractions",
+    "digitize_dssp",
 ]
 
 
@@ -463,3 +465,59 @@ def render_vmd(
     if image_name:
         plt.imsave(f"{Path(image_name).with_suffix('.png')}", image)
     return image
+
+
+def dssp_fractions(dssp: np.ndarray) -> np.ndarray:
+    """Per-frame (helix, extended, coil) content fractions from a
+    ``compute_dssp`` array (protein residues only)."""
+    dssp = np.asarray(dssp)
+    valid = (dssp != "NA").sum(axis=1).astype(np.float64)
+    valid = np.maximum(valid, 1.0)
+    out = np.stack(
+        [
+            np.isin(dssp, ("H", "G", "I")).sum(axis=1) / valid,
+            np.isin(dssp, ("E", "B")).sum(axis=1) / valid,
+            np.isin(dssp, ("C", " ", "T", "S")).sum(axis=1) / valid,
+        ],
+        axis=1,
+    )
+    return out
+
+
+def digitize_dssp(
+    lowd: np.ndarray,
+    dssp: np.ndarray,
+    bins: int = 100,
+    imshow: bool = True,
+):
+    """Color the 2D projection by secondary-structure content (reference
+    ``plot/utils.py:115-164``, vectorized: bincount instead of the per-bin
+    double loop).
+
+    Args:
+        lowd: ``(n_frames, 2)`` latent projection.
+        dssp: ``(n_frames, n_residues)`` from :func:`..ops.dssp.compute_dssp`.
+        bins: histogram resolution.
+        imshow: return a ``(bins, bins, 3)`` RGB image of per-bin mean
+            (helix, extended, coil) fractions; otherwise the per-frame RGB
+            colors.
+
+    RGB encoding matches the reference's ``abc_to_rgb``: R=helix, G=extended,
+    B=coil.
+    """
+    fr = dssp_fractions(dssp)
+    if not imshow:
+        return fr
+    lowd = np.asarray(lowd)[:, :2]
+    xe = np.linspace(lowd[:, 0].min(), lowd[:, 0].max(), bins + 1)
+    ye = np.linspace(lowd[:, 1].min(), lowd[:, 1].max(), bins + 1)
+    xi = np.clip(np.digitize(lowd[:, 0], xe) - 1, 0, bins - 1)
+    yi = np.clip(np.digitize(lowd[:, 1], ye) - 1, 0, bins - 1)
+    flat = xi * bins + yi
+    counts = np.bincount(flat, minlength=bins * bins).astype(np.float64)
+    img = np.ones((bins * bins, 3))
+    for c in range(3):
+        sums = np.bincount(flat, weights=fr[:, c], minlength=bins * bins)
+        np.divide(sums, counts, out=img[:, c], where=counts > 0)
+    img[counts == 0] = 1.0
+    return img.reshape(bins, bins, 3)

@@ -114,3 +114,21 @@ class TestBackmapDSSPSanity:
 
         d = compute_dssp(traj)
         assert (d[0, 1:-1] == "H").all(), "".join(d[0])
+
+
+@needs_data
+class TestDigitizeDSSP:
+    def test_fractions_and_image(self, ubq):
+        from encodermap_tpu.plot import digitize_dssp, dssp_fractions
+
+        d = compute_dssp(ubq)
+        fr = dssp_fractions(d)
+        assert fr.shape == (1, 3)
+        np.testing.assert_allclose(fr.sum(1), 1.0, atol=1e-9)
+        # 1UBQ: mixed alpha/beta protein
+        assert 0.1 < fr[0, 0] < 0.5 and 0.2 < fr[0, 1] < 0.7
+
+        lowd = np.random.default_rng(0).standard_normal((1, 2))
+        img = digitize_dssp(lowd, d, bins=10)
+        assert img.shape == (10, 10, 3)
+        assert img.min() >= 0 and img.max() <= 1

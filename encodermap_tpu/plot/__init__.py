@@ -3,7 +3,15 @@
 
 from .interactive import InteractivePlotting
 from .plotting import (
+    animate_lowd_trajectory,
     digitize_dssp,
+    get_density,
+    get_free_energy,
+    get_histogram,
+    plot_end2end,
+    plot_raw_data,
+    to_density,
+    to_free_energy,
     distance_histogram,
     dssp_fractions,
     plot_ball_and_stick,
@@ -25,6 +33,14 @@ __all__ = [
     "render_vmd",
     "dssp_fractions",
     "digitize_dssp",
+    "animate_lowd_trajectory",
+    "get_density",
+    "get_free_energy",
+    "get_histogram",
+    "plot_end2end",
+    "plot_raw_data",
+    "to_density",
+    "to_free_energy",
     "plot_cluster",
     "plot_free_energy",
     "plot_latent_scatter",

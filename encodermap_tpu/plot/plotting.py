@@ -27,6 +27,14 @@ __all__ = [
     "render_vmd",
     "dssp_fractions",
     "digitize_dssp",
+    "get_histogram",
+    "get_density",
+    "get_free_energy",
+    "to_density",
+    "to_free_energy",
+    "plot_raw_data",
+    "plot_end2end",
+    "animate_lowd_trajectory",
 ]
 
 
@@ -521,3 +529,153 @@ def digitize_dssp(
         np.divide(sums, counts, out=img[:, c], where=counts > 0)
     img[counts == 0] = 1.0
     return img.reshape(bins, bins, 3)
+
+
+def get_histogram(
+    x: np.ndarray,
+    y: np.ndarray,
+    bins: int = 100,
+    weights: Optional[np.ndarray] = None,
+    avoid_zero_count: bool = False,
+    transpose: bool = False,
+    return_edges: bool = False,
+):
+    """2D histogram with bin-center meshgrids (reference
+    ``plotting.py:115-194``)."""
+    H, xedges, yedges = np.histogram2d(x, y, bins=bins, weights=weights)
+    if avoid_zero_count:
+        H = np.maximum(H, np.min(H[H.nonzero()]))
+    xcenters = (xedges[:-1] + xedges[1:]) / 2
+    ycenters = (yedges[:-1] + yedges[1:]) / 2
+    X, Y = np.meshgrid(xcenters, ycenters)
+    if transpose:
+        H = H.T
+    if return_edges:
+        return X, Y, H, xedges, yedges
+    return X, Y, H
+
+
+def to_density(H: np.ndarray) -> np.ndarray:
+    """Normalize histogram counts to a density (reference
+    ``plotting.py:227-239``)."""
+    return H / H.sum()
+
+
+def to_free_energy(D: np.ndarray, kT: float = 1.0) -> np.ndarray:
+    """-kT ln(density), shifted so the minimum is 0; empty bins become inf
+    (reference ``plotting.py:240-267``)."""
+    with np.errstate(divide="ignore"):
+        F = -kT * np.log(D)
+    F = np.where(np.isfinite(F), F - np.nanmin(F[np.isfinite(F)]), np.inf)
+    return F
+
+
+def get_density(x, y, bins: int = 100, weights=None,
+                avoid_zero_count: bool = False, transpose: bool = False):
+    """2D density (reference ``plotting.py:195-226``)."""
+    X, Y, H = get_histogram(x, y, bins, weights, avoid_zero_count, transpose)
+    return X, Y, to_density(H)
+
+
+def get_free_energy(x, y, bins: int = 100, weights=None, kT: float = 1.0,
+                    avoid_zero_count: bool = False, transpose: bool = True):
+    """2D free-energy surface (reference ``plotting.py:268-310``)."""
+    X, Y, D = get_density(x, y, bins, weights, avoid_zero_count, transpose)
+    return X, Y, to_free_energy(D, kT)
+
+
+def plot_raw_data(
+    data: np.ndarray,
+    labels: Optional[Sequence[str]] = None,
+    ax: Any = None,
+    save_path: Optional[Union[str, Path]] = None,
+):
+    """Heatmap of a (frames, features) CV array (reference
+    ``plotting.py:2123-2232``)."""
+    plt = _mpl()
+    data = np.asarray(data)
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(10, 6))
+    else:
+        fig = ax.figure
+    mesh = ax.imshow(data.T, aspect="auto", interpolation="nearest",
+                     cmap="viridis", origin="lower")
+    fig.colorbar(mesh, ax=ax, label="value")
+    ax.set_xlabel("frame")
+    ax.set_ylabel("feature")
+    if labels is not None:
+        step = max(1, len(labels) // 25)
+        ax.set_yticks(np.arange(len(labels))[::step])
+        ax.set_yticklabels(np.asarray(labels, object)[::step], fontsize=6)
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return str(save_path)
+    return ax
+
+
+def plot_end2end(
+    traj,
+    selection: str = "name CA",
+    ax: Any = None,
+    save_path: Optional[Union[str, Path]] = None,
+):
+    """End-to-end distance timeseries of a trajectory (reference
+    ``plotting.py:2504-2536``)."""
+    plt = _mpl()
+    idx = traj.top.select(selection)
+    xyz = np.asarray(traj.xyz)
+    d = np.linalg.norm(xyz[:, idx[-1]] - xyz[:, idx[0]], axis=-1)
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
+    ax.plot(d)
+    ax.set_xlabel("frame")
+    ax.set_ylabel("end-to-end distance / nm")
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+        return str(save_path)
+    return ax
+
+
+def animate_lowd_trajectory(
+    lowd: np.ndarray,
+    save_path: Union[str, Path],
+    trail: int = 50,
+    stride: int = 1,
+    fps: int = 25,
+    bins: int = 100,
+):
+    """Animate a trajectory's path through the 2D projection over a density
+    background (reference ``plotting.py:1103-1184``; matplotlib
+    FuncAnimation; saved as .gif or .mp4 by extension)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    lowd = np.asarray(lowd)[:, :2]
+    frames = np.arange(0, len(lowd), stride)
+    fig, ax = plt.subplots()
+    ax.hist2d(lowd[:, 0], lowd[:, 1], bins=bins, cmap="Greys")
+    (line,) = ax.plot([], [], "-", color="tab:red", lw=1.5)
+    (dot,) = ax.plot([], [], "o", color="tab:red", ms=6)
+
+    def update(i):
+        k = frames[i]
+        lo = max(0, k - trail)
+        line.set_data(lowd[lo:k + 1, 0], lowd[lo:k + 1, 1])
+        dot.set_data(lowd[k:k + 1, 0], lowd[k:k + 1, 1])
+        return line, dot
+
+    anim = FuncAnimation(fig, update, frames=len(frames), blit=True)
+    save_path = Path(save_path)
+    if save_path.suffix == ".gif":
+        anim.save(save_path, writer=PillowWriter(fps=fps))
+    else:
+        anim.save(save_path, fps=fps)
+    plt.close(fig)
+    return str(save_path)

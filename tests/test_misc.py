@@ -407,3 +407,39 @@ class TestTrajRotate:
         meas = dihedral_from_xyz_np(out[:, q[0]], out[:, q[1]], out[:, q[2]],
                                     out[:, q[3]])
         np.testing.assert_allclose(meas, np.pi / 2, atol=1e-5)
+
+
+class TestPlottingBuildingBlocks:
+    """get_histogram/density/free-energy pipeline + raw data, end-to-end,
+    and latent animation (reference plotting.py:115-310, 1103, 2123, 2504)."""
+
+    def test_free_energy_pipeline(self, rng):
+        from encodermap_tpu.plot import (get_density, get_free_energy,
+                                         get_histogram, to_free_energy)
+
+        x, y = rng.standard_normal((2, 500))
+        X, Y, H, xe, ye = get_histogram(x, y, bins=20, return_edges=True)
+        assert H.sum() == 500 and len(xe) == 21
+        _, _, D = get_density(x, y, bins=20)
+        np.testing.assert_allclose(D.sum(), 1.0)
+        _, _, F = get_free_energy(x, y, bins=20)
+        finite = F[np.isfinite(F)]
+        assert finite.min() == 0.0
+        assert np.isinf(to_free_energy(np.array([[0.0, 1.0]]))[0, 0])
+
+    def test_raw_data_end2end_animation(self, rng, tmp_path):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.plot import (animate_lowd_trajectory,
+                                         plot_end2end, plot_raw_data)
+
+        out = plot_raw_data(rng.standard_normal((50, 6)),
+                            labels=[f"f{i}" for i in range(6)],
+                            save_path=tmp_path / "raw.png")
+        assert Path(out).stat().st_size > 0
+        traj = SingleTraj("/root/reference/tests/data/asp7.xtc",
+                          "/root/reference/tests/data/asp7.pdb")
+        out = plot_end2end(traj, save_path=tmp_path / "e2e.png")
+        assert Path(out).stat().st_size > 0
+        out = animate_lowd_trajectory(rng.standard_normal((30, 2)),
+                                      tmp_path / "anim.gif", stride=3)
+        assert Path(out).stat().st_size > 0

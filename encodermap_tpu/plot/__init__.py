@@ -1,7 +1,11 @@
 # encodermap_tpu/plot/__init__.py
 """Plotting/visualization layer (matplotlib backend)."""
 
-from .interactive import InteractivePlotting
+from .interactive import (
+    DistanceHistogramInteractive,
+    InteractivePlotting,
+    interactive_path_visualization,
+)
 from .plotting import (
     animate_lowd_trajectory,
     digitize_dssp,
@@ -27,6 +31,8 @@ from .plotting import (
 __all__ = [
     "Dashboard",
     "InteractivePlotting",
+    "DistanceHistogramInteractive",
+    "interactive_path_visualization",
     "distance_histogram",
     "plot_dssp",
     "plot_ball_and_stick",

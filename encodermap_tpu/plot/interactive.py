@@ -15,7 +15,8 @@ from typing import Any, Optional, Sequence, Union
 
 import numpy as np
 
-__all__ = ["InteractivePlotting"]
+__all__ = ["InteractivePlotting", "DistanceHistogramInteractive",
+           "interactive_path_visualization"]
 
 
 class InteractivePlotting:
@@ -127,3 +128,135 @@ class InteractivePlotting:
         ax.set_title("lasso-select latent points; then call .cluster()")
         plt.show()
         return selector
+
+
+class DistanceHistogramInteractive:
+    """Interactive sigmoid-parameter tuning over the pairwise-distance
+    histogram (reference ``plotting.py:1650-2023``, plotly sliders; here an
+    ipywidgets + matplotlib version whose logic is callable headless).
+
+    In a notebook: ``DistanceHistogramInteractive(data, periodicity).show()``
+    renders sliders for the six sketch-map parameters. The current values
+    are always in ``.params`` and can be written back to a Parameters
+    instance with ``.apply(p)``.
+    """
+
+    def __init__(
+        self,
+        data: np.ndarray,
+        periodicity: float,
+        initial_guess: Optional[tuple] = None,
+        low_d_max: float = 5.0,
+        bins: Union[int, str] = "auto",
+    ) -> None:
+        from ..ops.distances import pairwise_dist, pairwise_dist_periodic
+
+        data = np.asarray(data, np.float32)
+        assert not np.any(np.isnan(data)), "You provided some nans."
+        if periodicity == float("inf"):
+            d = np.asarray(pairwise_dist(data, flat=True))[0]
+        else:
+            import jax.numpy as jnp
+
+            full = np.asarray(pairwise_dist_periodic(jnp.asarray(data),
+                                                     periodicity))
+            d = full[np.triu_indices(len(data), k=1)]
+        self.distances = d
+        self.low_d_max = low_d_max
+        self.bins = bins
+        self.params = tuple(initial_guess or (4.5, 12, 6, 1, 2, 6))
+
+    def update(self, sig_h=None, a_h=None, b_h=None, sig_l=None, a_l=None,
+               b_l=None):
+        """Set any subset of the six parameters; returns the sigmoid curves
+        evaluated for plotting: (x_h, y_h, x_l, y_l)."""
+        from ..ops.distances import sigmoid
+
+        p = list(self.params)
+        for i, v in enumerate((sig_h, a_h, b_h, sig_l, a_l, b_l)):
+            if v is not None:
+                p[i] = v
+        self.params = tuple(p)
+        x_h = np.linspace(0, float(self.distances.max()), 250)
+        x_l = np.linspace(0, self.low_d_max, 250)
+        y_h = sigmoid(*self.params[:3])(x_h)
+        y_l = sigmoid(*self.params[3:])(x_l)
+        return x_h, np.asarray(y_h), x_l, np.asarray(y_l)
+
+    def apply(self, parameters) -> None:
+        """Write the tuned values into a Parameters/ADCParameters object."""
+        if hasattr(parameters, "cartesian_dist_sig_parameters"):
+            parameters.cartesian_dist_sig_parameters = self.params
+        parameters.dist_sig_parameters = self.params
+
+    def show(self):  # pragma: no cover - notebook UI
+        import ipywidgets as widgets
+        import matplotlib.pyplot as plt
+        from IPython.display import display
+
+        fig, ax = plt.subplots()
+        ax.hist(self.distances, bins=self.bins, density=True, alpha=0.5)
+        ax2 = ax.twinx()
+        x_h, y_h, x_l, y_l = self.update()
+        (lh,) = ax2.plot(x_h, y_h, label="high-d sigmoid")
+        (ll,) = ax2.plot(x_l, y_l, label="low-d sigmoid")
+        ax2.legend()
+        names = ("sig_h", "a_h", "b_h", "sig_l", "a_l", "b_l")
+        sliders = {
+            n: widgets.FloatSlider(value=v, min=0.1, max=max(4 * v, 20),
+                                   step=0.1, description=n)
+            for n, v in zip(names, self.params)
+        }
+
+        def on_change(_):
+            x_h, y_h, x_l, y_l = self.update(
+                **{n: s.value for n, s in sliders.items()}
+            )
+            lh.set_data(x_h, y_h)
+            ll.set_data(x_l, y_l)
+            fig.canvas.draw_idle()
+
+        for s in sliders.values():
+            s.observe(on_change, "value")
+        display(widgets.VBox(list(sliders.values())))
+        plt.show()
+        return sliders
+
+
+def interactive_path_visualization(traj, lowd, path):
+    """Scrub through a generated path: density background + path line +
+    current-position marker, with a frame slider (reference
+    ``plotting.py:1517-1649``; ipywidgets + matplotlib instead of
+    plotly/nglview)."""
+    import ipywidgets as widgets
+
+    lowd = np.asarray(lowd)[:, :2]
+    path = np.asarray(path)
+    n = len(path)
+    assert len(traj.xyz) == n, (
+        f"Path has {n} points, trajectory has {len(traj.xyz)} frames."
+    )
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.hist2d(lowd[:, 0], lowd[:, 1], bins=100, cmap="Greys")
+    ax.plot(path[:, 0], path[:, 1], "-", color="tab:blue")
+    (dot,) = ax.plot([path[0, 0]], [path[0, 1]], "o", color="tab:red", ms=8)
+
+    slider = widgets.IntSlider(value=0, min=0, max=n - 1,
+                               description="frame")
+
+    def on_change(change):
+        k = int(change["new"] if isinstance(change, dict) else change)
+        dot.set_data(path[k:k + 1, 0], path[k:k + 1, 1])
+        fig.canvas.draw_idle()
+
+    slider.observe(on_change, "value")
+    box = widgets.VBox([slider])
+    box._figure = fig  # keep alive; tests reach in
+    box._on_change = on_change
+    return box

@@ -443,3 +443,39 @@ class TestPlottingBuildingBlocks:
         out = animate_lowd_trajectory(rng.standard_normal((30, 2)),
                                       tmp_path / "anim.gif", stride=3)
         assert Path(out).stat().st_size > 0
+
+
+class TestInteractiveTools:
+    """Headless logic of the interactive sigmoid tuner and path scrubber
+    (reference plotting.py:1517-2023)."""
+
+    def test_distance_histogram_interactive(self, rng):
+        import encodermap_tpu as em
+        from encodermap_tpu.plot import DistanceHistogramInteractive
+
+        data = rng.uniform(-np.pi, np.pi, (80, 6)).astype(np.float32)
+        h = DistanceHistogramInteractive(data, 2 * np.pi)
+        xh, yh, xl, yl = h.update(sig_h=3.0, a_l=4)
+        assert h.params == (3.0, 12, 6, 1, 4, 6)
+        assert np.isfinite(yh).all() and np.isfinite(yl).all()
+        assert yh[0] < 0.01 and yh[-1] > 0.9  # sigmoid goes 0 -> 1
+        p = em.Parameters()
+        h.apply(p)
+        assert p.dist_sig_parameters == (3.0, 12, 6, 1, 4, 6)
+
+    def test_path_visualization_widget(self, rng):
+        from types import SimpleNamespace
+
+        from encodermap_tpu.plot import interactive_path_visualization
+
+        path = rng.standard_normal((10, 2)).astype(np.float32)
+        traj = SimpleNamespace(xyz=np.zeros((10, 5, 3)))
+        box = interactive_path_visualization(
+            traj, rng.standard_normal((100, 2)), path
+        )
+        box._on_change({"new": 7})  # scrub without a display
+        with pytest.raises(AssertionError):
+            interactive_path_visualization(
+                SimpleNamespace(xyz=np.zeros((3, 5, 3))),
+                rng.standard_normal((100, 2)), path,
+            )

@@ -75,6 +75,19 @@ def __getattr__(name):
         from .moldata import MolData
 
         return MolData
+    if name == "features":
+        import importlib
+
+        return importlib.import_module(".loading.features", __name__)
+    if name == "misc":
+        import importlib
+
+        return importlib.import_module(".misc", __name__)
+    if name == "EncoderMapBaseCallback":
+        # the reference's user-facing base callback class
+        from .train.callbacks import Callback
+
+        return Callback
     if name == "get_from_kondata":
         from .kondata import get_from_kondata
 

@@ -28,6 +28,19 @@ class TestTopLevelAPI:
         assert em.plot.plot_free_energy is not None
         assert em.misc.run_path is not None
 
+    def test_reference_all_covered(self):
+        """Every name in the reference's __all__ resolves here too."""
+        import encodermap_tpu as em
+
+        reference_all = [
+            "features", "__version__", "Autoencoder", "EncoderMap",
+            "AngleDihedralCartesianEncoderMap", "EncoderMapBaseCallback",
+            "Featurizer", "function", "MolData", "ADCParameters",
+            "Parameters", "InteractivePlotting", "load", "plot",
+        ]
+        for name in reference_all:
+            assert getattr(em, name) is not None, name
+
     def test_common_str_matching(self):
         """misc.get_full_common_str_and_ref aligns trajs/tops/common_str
         (reference ``misc/misc.py:264``)."""

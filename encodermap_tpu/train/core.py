@@ -200,18 +200,41 @@ class PrefetchSource:
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._err: list = []
+        self._stop = threading.Event()
+
+        def put_with_stop(item) -> bool:
+            """Blocking put that gives up when close() was requested."""
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in source:
-                    self._queue.put(item)
+                    if not put_with_stop(item):
+                        return
             except Exception as e:  # propagate to the consumer
                 self._err.append(e)
             finally:
-                self._queue.put(self._sentinel)
+                put_with_stop(self._sentinel)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the worker (consumer abandoned the stream early)."""
+        self._stop.set()
+        # drain so a blocked put can finish
+        try:
+            while True:
+                self._queue.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=2.0)
 
     def __iter__(self):
         return self
@@ -255,20 +278,24 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None,
         source = PrefetchSource(source, depth=prefetch)
     history: dict[str, list] = {}
     done = 0
-    for superbatch in source:
-        if isinstance(superbatch, tuple):
-            dev = tuple(put(x) for x in superbatch)
-            n = superbatch[0].shape[0]
-        else:
-            dev = put(superbatch)
-            n = superbatch.shape[0]
-        autoencoder.state, metrics = trainer(autoencoder.state, dev)
-        metrics = jax.device_get(metrics)
-        for k, v in metrics.items():
-            history.setdefault(k, []).append(v)
-        done += n
-        if done >= n_steps:
-            break
+    try:
+        for superbatch in source:
+            if isinstance(superbatch, tuple):
+                dev = tuple(put(x) for x in superbatch)
+                n = superbatch[0].shape[0]
+            else:
+                dev = put(superbatch)
+                n = superbatch.shape[0]
+            autoencoder.state, metrics = trainer(autoencoder.state, dev)
+            metrics = jax.device_get(metrics)
+            for k, v in metrics.items():
+                history.setdefault(k, []).append(v)
+            done += n
+            if done >= n_steps:
+                break
+    finally:
+        if isinstance(source, PrefetchSource):
+            source.close()
     out = {k: jnp.concatenate([jnp.asarray(x) for x in v])[:n_steps]
            for k, v in history.items()}
     import numpy as _np

@@ -162,3 +162,20 @@ class TestPrefetchSource:
         t0 = time.perf_counter()
         next(src); next(src)
         assert time.perf_counter() - t0 < 0.04  # served from the queue
+
+    def test_early_abandon_unblocks_worker(self):
+        """Consumer stopping early must not leave the producer blocked."""
+        import time
+
+        from encodermap_tpu.train.core import PrefetchSource
+
+        def infinite():
+            i = 0
+            while True:
+                yield np.full((2,), i, np.float32)
+                i += 1
+
+        src = PrefetchSource(infinite(), depth=2)
+        next(src)
+        src.close()
+        assert not src._thread.is_alive()

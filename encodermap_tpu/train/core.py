@@ -106,13 +106,21 @@ def make_scan_trainer(
     def chunk(state: TrainState, data: Any) -> tuple[TrainState, dict]:
         n = (data[0] if isinstance(data, (tuple, list)) else data).shape[0]
 
-        def body(st: TrainState, _):
-            rng, sub = jax.random.split(st.rng)
-            batch = sample_batch(sub, data, n, batch_size)
-            st, metrics = train_step(st.replace(rng=rng), batch)
+        # One RNG call for the whole chunk: generating per-step indices
+        # inside the scan costs ~28 us/step in threefry hashing (measured on
+        # v5e — 75% of the step!); one (steps, batch) draw amortizes it.
+        rng, sub = jax.random.split(state.rng)
+        idx = jax.random.randint(sub, (steps_per_scan, batch_size), 0, n)
+
+        def body(st: TrainState, ix):
+            if isinstance(data, (tuple, list)):
+                batch = tuple(jnp.take(d, ix, axis=0) for d in data)
+            else:
+                batch = jnp.take(data, ix, axis=0)
+            st, metrics = train_step(st, batch)
             return st, metrics
 
-        return jax.lax.scan(body, state, None, length=steps_per_scan)
+        return jax.lax.scan(body, state.replace(rng=rng), idx)
 
     return jax.jit(chunk, donate_argnums=(0,) if donate else ())
 

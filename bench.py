@@ -24,13 +24,13 @@ import time
 import numpy as np
 
 
-def bench_train(n_warm_chunks: int = 2, n_chunks: int = 20) -> float:
+def bench_train(n_warm_chunks: int = 2, n_chunks: int = 5) -> float:
     import jax
     import jax.numpy as jnp
 
     from encodermap_tpu import EncoderMap, Parameters, create_n_cube
 
-    steps_per_scan = 200
+    steps_per_scan = 4000  # long chunks amortize host->tunnel dispatch
     p = Parameters(
         n_neurons=[128, 128, 2],
         periodicity=float("inf"),

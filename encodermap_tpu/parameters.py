@@ -227,6 +227,9 @@ class Parameters(ParametersFramework):
     steps_per_scan: int = 100
     # name of the data-parallel mesh axis (None = single device)
     mesh_shape: Optional[dict] = None
+    # route eligible configs through the fully-fused Pallas train kernel
+    # (ops/pallas_train.py); False forces the general XLA path
+    fused_trainer: bool = True
 
     def __post_init__(self):
         self.dist_sig_parameters = _as_tuple(self.dist_sig_parameters)

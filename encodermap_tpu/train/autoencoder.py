@@ -225,16 +225,23 @@ class Autoencoder(TrainerExtensions):
 
         return train_step
 
+    def _maybe_fused_trainer(self, steps: int):
+        """Subclasses may provide a fully-fused kernel for their config."""
+        return None
+
     def _get_trainer(self, steps: Optional[int] = None):
         if steps is None:
             steps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
         if not isinstance(self._trainer, dict):
             self._trainer = {}
         if steps not in self._trainer:
-            self._trainer[steps] = make_scan_trainer(
-                self._make_train_step(), self.p.batch_size, steps,
-                donate=True,
-            )
+            trainer = self._maybe_fused_trainer(steps)
+            if trainer is None:
+                trainer = make_scan_trainer(
+                    self._make_train_step(), self.p.batch_size, steps,
+                    donate=True,
+                )
+            self._trainer[steps] = trainer
         return self._trainer[steps]
 
     def _setup_callbacks(self) -> list[Callback]:
@@ -447,6 +454,25 @@ class EncoderMap(Autoencoder):
         latent = seq.encode(params, self.p, batch)
         terms["distance_loss"] = L.distance_loss(batch, latent, self.p)
         return terms
+
+    def _maybe_fused_trainer(self, steps: int):
+        """Route eligible configs (non-periodic, tanh/linear, standard
+        4-loss stack, TPU backend, no user extensions) through the fully
+        fused Pallas train kernel — ~3x faster per step than the XLA path
+        at EncoderMap sizes (see ``ops/pallas_train.py``)."""
+        from ..ops.pallas_train import (
+            fused_trainer_available,
+            make_fused_trainer,
+        )
+
+        if not getattr(self.p, "fused_trainer", True):
+            return None
+        if (self.sparse or self.custom_losses or self.custom_metrics
+                or type(self) is not EncoderMap):
+            return None
+        if not fused_trainer_available(self.p, self.state.params):
+            return None
+        return make_fused_trainer(self.p, steps, self.p.batch_size)
 
 
 class DihedralEncoderMap(EncoderMap):

@@ -1,0 +1,153 @@
+# tests/test_pallas_train.py
+"""The fully-fused EncoderMap train kernel: hand-derived backprop vs
+autodiff (machine precision), the Pallas chunk vs a step-by-step oracle
+(interpreter mode), and the routing rules."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from encodermap_tpu.ops import pallas_train as PT
+
+LOSSES = dict(
+    dist_sig_parameters=(4.5, 12, 6, 1, 2, 6), auto_cost_scale=1.0,
+    center_cost_scale=1e-4, l2_reg_constant=1e-3, distance_cost_scale=500.0,
+)
+
+
+def _random_net(rng, dims, dtype=jnp.float32, scale=0.2):
+    enc_w = [jnp.asarray(rng.standard_normal((a, b)) * scale, dtype)
+             for a, b in zip(dims[:-1], dims[1:])]
+    enc_b = [jnp.asarray(rng.standard_normal(b) * 0.05, dtype)
+             for b in dims[1:]]
+    dd = dims[::-1]
+    dec_w = [jnp.asarray(rng.standard_normal((a, b)) * scale, dtype)
+             for a, b in zip(dd[:-1], dd[1:])]
+    dec_b = [jnp.asarray(rng.standard_normal(b) * 0.05, dtype)
+             for b in dd[1:]]
+    return enc_w, enc_b, dec_w, dec_b
+
+
+class TestHandStep:
+    def test_grads_match_autodiff(self, rng):
+        """The analytic backprop equals jax.grad of the same forward to
+        f64 machine precision."""
+        with jax.enable_x64(True):
+            enc_w, enc_b, dec_w, dec_b = _random_net(
+                rng, [3, 32, 32, 2], jnp.float64
+            )
+            batch = jnp.asarray(rng.standard_normal((48, 3)))
+
+            def total(flat):
+                n = len(enc_w)
+                return PT.hand_step(
+                    flat[:n], flat[2 * n:3 * n], flat[n:2 * n],
+                    flat[3 * n:], batch, **LOSSES
+                )[4][-1]
+
+            flat = list(enc_w) + list(dec_w) + list(enc_b) + list(dec_b)
+            g_ad = jax.grad(total)(flat)
+            gew, geb, gdw, gdb, _ = PT.hand_step(
+                enc_w, enc_b, dec_w, dec_b, batch, **LOSSES
+            )
+            g_hand = list(gew) + list(gdw) + list(geb) + list(gdb)
+            for a, b in zip(g_ad, g_hand):
+                np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+    def test_loss_matches_production_stack(self, rng):
+        """hand_step's total equals the production loss assembly (same f32
+        forward, so f32-level agreement)."""
+        import encodermap_tpu as em
+        import encodermap_tpu.losses as L
+        import encodermap_tpu.models.sequential as seq
+
+        p = em.Parameters(periodicity=float("inf"), n_neurons=[16, 16, 2])
+        params = seq.init_params(jax.random.PRNGKey(0), p, 3)
+        batch = jnp.asarray(rng.standard_normal((32, 3)), jnp.float32)
+        lat = seq.encode(params, p, batch)
+        out = seq.decode(params, p, lat)
+        prod = (L.auto_loss(batch, out, p) + L.center_loss(lat, p)
+                + L.regularization_loss(seq.regularization_sum(params), p)
+                + L.distance_loss(batch, lat, p))
+        *_, metrics = PT.hand_step(
+            [l["kernel"] for l in params["encoder"]],
+            [l["bias"] for l in params["encoder"]],
+            [l["kernel"] for l in params["decoder"]],
+            [l["bias"] for l in params["decoder"]],
+            batch, **LOSSES,
+        )
+        np.testing.assert_allclose(float(metrics[-1]), float(prod), rtol=1e-5)
+
+
+class TestFusedChunk:
+    def test_matches_step_by_step_oracle(self, rng):
+        """The kernel (interpreter mode) reproduces hand_step + clip + Adam
+        applied sequentially."""
+        dims = [3, 16, 16, 2]
+        hyper = dict(learning_rate=1e-3, losses=LOSSES)
+        enc_w, enc_b, dec_w, dec_b = _random_net(rng, dims)
+        params = (list(enc_w) + list(dec_w)
+                  + [b[None, :] for b in enc_b] + [b[None, :] for b in dec_b])
+        mu = [jnp.zeros_like(x) for x in params]
+        nu = [jnp.zeros_like(x) for x in params]
+        steps, B = 4, 32
+        batches = jnp.asarray(rng.standard_normal((steps, B, 3)), jnp.float32)
+
+        new_p, new_m, new_v, metrics = PT.fused_chunk(
+            params, mu, nu, 0.0, batches, n_enc=3, hyper=hyper,
+            interpret=True,
+        )
+        p_o, m_o, v_o = list(params), list(mu), list(nu)
+        mets = []
+        for s in range(steps):
+            gew, geb, gdw, gdb, met = PT.hand_step(
+                p_o[:3], [b[0] for b in p_o[6:9]], p_o[3:6],
+                [b[0] for b in p_o[9:12]], batches[s], **LOSSES,
+            )
+            grads = (list(gew) + list(gdw)
+                     + [g[None, :] for g in geb] + [g[None, :] for g in gdb])
+            mets.append(met)
+            for i in range(12):
+                p_o[i], m_o[i], v_o[i] = PT._adam_update(
+                    p_o[i], m_o[i], v_o[i], grads[i], float(s + 1), 1e-3
+                )
+        for a, b in zip(new_p, p_o):
+            np.testing.assert_allclose(a, b, atol=5e-6)
+        np.testing.assert_allclose(metrics, jnp.stack(mets), atol=2e-4)
+
+    def test_adam_matches_optax(self, rng):
+        import optax
+
+        g = jnp.asarray(rng.standard_normal((8, 8)) * 3, jnp.float32)
+        p0 = jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)
+        opt = optax.chain(optax.clip(1.0), optax.adam(1e-3))
+        st = opt.init(p0)
+        up, _ = opt.update(g, st, p0)
+        ours, _, _ = PT._adam_update(
+            p0, jnp.zeros_like(p0), jnp.zeros_like(p0), g, 1.0, 1e-3
+        )
+        np.testing.assert_allclose(ours, p0 + up, atol=1e-6)
+
+
+class TestRouting:
+    def test_not_on_cpu(self):
+        import encodermap_tpu as em
+
+        p = em.Parameters(periodicity=float("inf"))
+        assert not PT.fused_trainer_available(p, None)  # tests run on CPU
+
+    def test_config_gates(self, tmp_path):
+        import encodermap_tpu as em
+
+        data, _ = em.create_n_cube(3, points_along_edge=20, seed=0)
+        p = em.Parameters(
+            main_path=str(tmp_path), periodicity=float("inf"),
+            n_neurons=[8, 8, 2], n_steps=4, steps_per_scan=4, seed=0,
+        )
+        emap = em.EncoderMap(p, data.astype(np.float32))
+        # CPU -> general path; flag off -> general path regardless
+        assert emap._maybe_fused_trainer(4) is None
+        emap.p.fused_trainer = False
+        assert emap._maybe_fused_trainer(4) is None

@@ -62,8 +62,8 @@ def bench_train(n_warm_chunks: int = 2, n_chunks: int = 5) -> float:
     return steps * p.batch_size / dt
 
 
-def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 20,
-                  outer: int = 3) -> float:
+def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 100,
+                  outer: int = 2) -> float:
     """Backmapping throughput: ``iters`` batches per dispatch inside one jit
     (fori_loop with per-iteration input perturbation so nothing is CSE'd),
     so the number reflects device throughput rather than the remote-dispatch
@@ -113,7 +113,7 @@ def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
 
     rng = np.random.default_rng(0)
     n_atoms = 3 * n_res
-    steps_per_scan = 100
+    steps_per_scan = 1000  # amortize the ~6.5 ms host->tunnel dispatch
     angles = rng.uniform(1.6, 2.4, (n_frames, n_atoms - 2)).astype(np.float32)
     dihedrals = rng.uniform(-np.pi, np.pi, (n_frames, n_atoms - 3)).astype(
         np.float32

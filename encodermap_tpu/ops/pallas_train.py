@@ -286,10 +286,16 @@ def _fused_kernel(step0_ref, batch_ref, *refs, n_tensors: int, dims: list,
     metrics_ref[pl.ds(pid, 1), :] = padded[None, :]
 
 
-def _compiler_params():
+def _compiler_params(scoped_vmem_kib: int | None = None):
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    flags = (
+        {"xla_tpu_scoped_vmem_limit_kib": scoped_vmem_kib}
+        if scoped_vmem_kib else None
+    )
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",), flags=flags
+    )
 
 
 def fused_chunk(params_flat: list, mu_flat: list, nu_flat: list,

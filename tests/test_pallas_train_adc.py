@@ -1,0 +1,209 @@
+# tests/test_pallas_train_adc.py
+"""The hand-derived ADC train step and its SoA/Pallas ports: analytic
+gradients vs autodiff (machine precision), value parity with the
+production loss assembly, and kernel-vs-oracle equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from encodermap_tpu.ops import pallas_train_adc as PTA
+
+
+def _problem(rng, n_res=8, B=8, dtype=jnp.float32, hidden=32):
+    n_atoms = 3 * n_res
+    nA, nD, nS, nDist = n_atoms - 2, n_atoms - 3, 2 * n_res, n_atoms - 1
+    iu = np.triu_indices(n_res, k=1)
+    hyper = dict(
+        periodicity=2 * np.pi,
+        dihedral_cost_scale=1.0, dihedral_cost_reference=1.0,
+        angle_cost_scale=0.3, angle_cost_reference=1.0,
+        side_dihedral_cost_scale=0.5, side_dihedral_cost_reference=1.0,
+        cartesian_cost_scale=1.0, cartesian_cost_reference=1.0,
+        soft_start=(2, 10), cartesian_distance_cost_scale=1.0,
+        cartesian_dist_sig_parameters=(4.5, 12, 6, 1, 2, 6),
+        distance_cost_scale=None, dist_sig_parameters=(4.5, 12, 6, 1, 2, 6),
+        center_cost_scale=1e-4, l2_reg_constant=1e-3,
+        ca_start=1, ca_step=3, pair_iu=iu, learning_rate=1e-3,
+    )
+    in_dim = 2 * (nA + nD + nS)
+    dims = [in_dim, hidden, hidden, 2]
+    enc_w = [jnp.asarray(rng.standard_normal((a, b)) * 0.2, dtype)
+             for a, b in zip(dims[:-1], dims[1:])]
+    enc_b = [jnp.asarray(rng.standard_normal(b) * 0.05, dtype)
+             for b in dims[1:]]
+    dd = dims[::-1]
+    dec_w = [jnp.asarray(rng.standard_normal((a, b)) * 0.2, dtype)
+             for a, b in zip(dd[:-1], dd[1:])]
+    dec_b = [jnp.asarray(rng.standard_normal(b) * 0.05, dtype)
+             for b in dd[1:]]
+    data = dict(
+        angles=jnp.asarray(rng.uniform(1.6, 2.4, (B, nA)), dtype),
+        dihedrals=jnp.asarray(rng.uniform(-np.pi, np.pi, (B, nD)), dtype),
+        side=jnp.asarray(rng.uniform(-np.pi, np.pi, (B, nS)), dtype),
+        distances=jnp.asarray(rng.uniform(1.3, 1.55, (B, nDist)), dtype),
+        ca=jnp.asarray(rng.uniform(0, 3, (B, n_res, 3)), dtype),
+    )
+    return (enc_w, enc_b, dec_w, dec_b), data, hyper, n_atoms, nD
+
+
+class TestHandADCStep:
+    def test_grads_match_autodiff_f64(self, rng):
+        with jax.enable_x64(True):
+            net, d, hyper, _, _ = _problem(rng, dtype=jnp.float64)
+            enc_w, enc_b, dec_w, dec_b = net
+            step = jnp.asarray(5.0)
+
+            def total(flat):
+                n = len(enc_w)
+                return PTA.hand_adc_step(
+                    flat[:n], flat[2 * n:3 * n], flat[n:2 * n], flat[3 * n:],
+                    d["angles"], d["dihedrals"], d["ca"], d["distances"],
+                    d["side"], step, hyper=hyper,
+                )[4]["loss"]
+
+            flat = list(enc_w) + list(dec_w) + list(enc_b) + list(dec_b)
+            g_ad = jax.grad(total)(flat)
+            gew, geb, gdw, gdb, _ = PTA.hand_adc_step(
+                enc_w, enc_b, dec_w, dec_b, d["angles"], d["dihedrals"],
+                d["ca"], d["distances"], d["side"], step, hyper=hyper,
+            )
+            g_hand = list(gew) + list(gdw) + list(geb) + list(gdb)
+            for a, b in zip(g_ad, g_hand):
+                np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
+
+    def test_values_match_production_losses(self, rng):
+        """Every metric equals the production _loss_terms assembly."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.reference_impl import backmap_np
+
+        n_res, B = 8, 16
+        n_atoms = 3 * n_res
+        angles = rng.uniform(1.6, 2.4, (64, n_atoms - 2)).astype(np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (64, n_atoms - 3)).astype(
+            np.float32)
+        distances = rng.uniform(0.13, 0.155, (64, n_atoms - 1)).astype(
+            np.float32)
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        sided = rng.uniform(-np.pi, np.pi, (64, 2 * n_res)).astype(np.float32)
+        cvs = dict(central_angles=angles, central_dihedrals=dihedrals,
+                   central_cartesians=cart, central_distances=distances,
+                   side_dihedrals=sided)
+        p = em.ADCParameters(batch_size=B, use_backbone_angles=True,
+                             use_sidechains=True, seed=0,
+                             n_neurons=[16, 16, 2],
+                             cartesian_cost_scale_soft_start=(2, 10))
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        batch = tuple(jnp.asarray(a[:B]) for a in emap.train_data)
+        terms = emap._loss_terms(emap.state.params, batch,
+                                 jnp.asarray(5, jnp.int32))
+
+        params = emap.state.params
+        iu = np.triu_indices(n_res, k=1)
+        hyper = dict(
+            periodicity=p.periodicity,
+            dihedral_cost_scale=p.dihedral_cost_scale,
+            dihedral_cost_reference=p.dihedral_cost_reference,
+            angle_cost_scale=p.angle_cost_scale or 0.0,
+            angle_cost_reference=p.angle_cost_reference,
+            side_dihedral_cost_scale=p.side_dihedral_cost_scale,
+            side_dihedral_cost_reference=p.side_dihedral_cost_reference,
+            cartesian_cost_scale=p.cartesian_cost_scale,
+            cartesian_cost_reference=p.cartesian_cost_reference,
+            soft_start=p.cartesian_cost_scale_soft_start,
+            cartesian_distance_cost_scale=p.cartesian_distance_cost_scale,
+            cartesian_dist_sig_parameters=p.cartesian_dist_sig_parameters,
+            distance_cost_scale=p.distance_cost_scale,
+            dist_sig_parameters=p.dist_sig_parameters,
+            center_cost_scale=p.center_cost_scale,
+            l2_reg_constant=p.l2_reg_constant,
+            ca_start=1, ca_step=3, pair_iu=iu,
+        )
+        *_, metrics = PTA.hand_adc_step(
+            [l["kernel"] for l in params["encoder"]],
+            [l["bias"] for l in params["encoder"]],
+            [l["kernel"] for l in params["decoder"]],
+            [l["bias"] for l in params["decoder"]],
+            batch[0], batch[1], batch[2][:, 1::3, :], batch[3], batch[4],
+            jnp.asarray(5.0), hyper=hyper,
+        )
+        for k, v in terms.items():
+            if k in metrics:
+                np.testing.assert_allclose(
+                    float(metrics[k]), float(v), rtol=1e-4, atol=1e-7,
+                    err_msg=k,
+                )
+
+
+class TestSoAPort:
+    @pytest.mark.parametrize("n_res", [8, 9])  # even/odd dihedral splits
+    def test_matches_hand_step(self, n_res, rng):
+        net, d, hyper, n_atoms, nD = _problem(rng, n_res=n_res)
+        enc_w, enc_b, dec_w, dec_b = net
+        step = jnp.asarray(5.0)
+        gh = PTA.hand_adc_step(enc_w, enc_b, dec_w, dec_b, d["angles"],
+                               d["dihedrals"], d["ca"], d["distances"],
+                               d["side"], step, hyper=hyper)
+        consts = PTA.make_adc_consts(n_atoms, nD, 1, 3)
+        ca3 = (d["ca"][..., 0], d["ca"][..., 1], d["ca"][..., 2])
+        gs = PTA.adc_soa_step(enc_w, enc_b, dec_w, dec_b, d["angles"],
+                              d["dihedrals"], ca3, d["distances"], d["side"],
+                              step, consts, hyper)
+        for a, b in zip(gh[:4], gs[:4]):
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(x, y, atol=2e-5)
+
+
+class TestFusedChunkInterpret:
+    def test_matches_sequential_oracle(self, rng):
+        from encodermap_tpu.ops.pallas_train import _adam_update
+
+        net, d, hyper, n_atoms, nD = _problem(rng, B=16)
+        enc_w, enc_b, dec_w, dec_b = net
+        steps, B = 3, 16
+        params = (list(enc_w) + list(dec_w)
+                  + [b[None, :] for b in enc_b] + [b[None, :] for b in dec_b])
+        mu = [jnp.zeros_like(x) for x in params]
+        nu = [jnp.zeros_like(x) for x in params]
+        batches = dict(
+            angles=jnp.stack([d["angles"]] * steps),
+            dihedrals=jnp.stack([d["dihedrals"]] * steps),
+            side=jnp.stack([d["side"]] * steps),
+            distances=jnp.stack([d["distances"]] * steps),
+            cax=jnp.stack([d["ca"][..., 0]] * steps),
+            cay=jnp.stack([d["ca"][..., 1]] * steps),
+            caz=jnp.stack([d["ca"][..., 2]] * steps),
+        )
+        consts = PTA.make_adc_consts(n_atoms, nD, 1, 3)
+        new_p, _, _, metrics = PTA.adc_fused_chunk(
+            params, mu, nu, 4.0, 4.0, batches, consts, n_enc=3, hyper=hyper,
+            interpret=True,
+        )
+        p_o, m_o, v_o = list(params), list(mu), list(nu)
+        mets = []
+        for s in range(steps):
+            gew, geb, gdw, gdb, met = PTA.adc_soa_step(
+                p_o[:3], p_o[6:9], p_o[3:6], p_o[9:12],
+                batches["angles"][s], batches["dihedrals"][s],
+                (batches["cax"][s], batches["cay"][s], batches["caz"][s]),
+                batches["distances"][s], batches["side"][s],
+                jnp.asarray(4.0 + s), consts, hyper,
+            )
+            grads = (list(gew) + list(gdw)
+                     + [g[None, :] for g in geb] + [g[None, :] for g in gdb])
+            mets.append(jnp.stack(met))
+            for i in range(12):
+                p_o[i], m_o[i], v_o[i] = _adam_update(
+                    p_o[i], m_o[i], v_o[i], grads[i], 4.0 + s + 1.0, 1e-3
+                )
+        for a, b in zip(new_p, p_o):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(metrics)[:, :10], np.asarray(jnp.stack(mets)),
+            atol=2e-4,
+        )

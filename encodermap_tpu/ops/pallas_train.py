@@ -83,12 +83,19 @@ def hand_step(
     center_cost_scale: float,
     l2_reg_constant: float,
     distance_cost_scale: float,
+    periodicity: float = float("inf"),
 ):
     """Forward + hand-derived gradients for the fused config.
+
+    ``periodicity < inf`` adds the dihedral-data handling: sin/cos fold-in,
+    polynomial-atan2 fold-out, min-image auto loss, and min-image pairwise
+    distances on the high-d side of the sigmoid loss.
 
     Returns (grads_enc_w, grads_enc_b, grads_dec_w, grads_dec_b, metrics)
     with metrics = (auto, center, reg, dist, total).
     """
+    from math import pi as _pi
+
     dot = functools.partial(
         jax.lax.dot_general, precision=jax.lax.Precision.HIGHEST
     )
@@ -104,9 +111,15 @@ def hand_step(
 
     B = batch.shape[0]
     d0 = batch.shape[1]
+    periodic = periodicity != float("inf")
 
     # ---------------- forward
-    acts_e = [batch]
+    if periodic:
+        xs = batch if periodicity == 2 * _pi else batch / periodicity * 2 * _pi
+        x0 = jnp.concatenate([jnp.sin(xs), jnp.cos(xs)], axis=1)
+    else:
+        x0 = batch
+    acts_e = [x0]
     n_enc = len(enc_w)
     for i in range(n_enc):
         z = mm(acts_e[-1], enc_w[i]) + enc_b[i]
@@ -118,18 +131,44 @@ def hand_step(
     for i in range(n_dec):
         z = mm(acts_d[-1], dec_w[i]) + dec_b[i]
         acts_d.append(jnp.tanh(z) if i < n_dec - 1 else z)
-    out = acts_d[-1]
+    dec_out = acts_d[-1]
+    if periodic:
+        from .pallas_train_adc import _poly_atan2
+
+        s_half, c_half = dec_out[:, :d0], dec_out[:, d0:]
+        norm2 = s_half * s_half + c_half * c_half
+        out = _poly_atan2(s_half, c_half)
+        if periodicity != 2 * _pi:
+            out = out / (2 * _pi) * periodicity
+    else:
+        out = dec_out
 
     # ---------------- losses
-    diff = batch - out
-    auto = auto_cost_scale * jnp.mean(jnp.abs(diff))
+    if periodic:
+        ad = jnp.abs(batch - out)
+        flip = jnp.where(ad <= periodicity - ad, 1.0, -1.0)
+        auto = auto_cost_scale * jnp.mean(jnp.minimum(ad, periodicity - ad))
+    else:
+        diff = batch - out
+        auto = auto_cost_scale * jnp.mean(jnp.abs(diff))
     center = center_cost_scale * jnp.mean(jnp.square(lat))
     reg = l2_reg_constant * (
         sum(jnp.sum(jnp.square(w)) for w in enc_w)
         + sum(jnp.sum(jnp.square(w)) for w in dec_w)
     )
     sig_h, a_h, b_h, sig_l, a_l, b_l = dist_sig_parameters
-    dh2 = _pairdist2(batch)
+    if periodic:
+        # min-image pairwise distances of the periodic inputs
+        # (ops/distances.pairwise_dist_periodic semantics, guards dropped —
+        # the adjoint is manual and the h-side carries no gradients)
+        dh2 = jnp.zeros((B, B), batch.dtype)
+        for k in range(d0):
+            col = batch[:, k]
+            dd_ = jnp.abs(col[:, None] - col[None, :])
+            dd_ = jnp.minimum(dd_, periodicity - dd_)
+            dh2 = dh2 + dd_ * dd_
+    else:
+        dh2 = _pairdist2(batch)
     dl2 = _pairdist2(lat)
     # match ops/distances.pairwise_dist: grad-guarded sqrt with re-zeroing
     mask_h = (dh2 == 0.0).astype(batch.dtype)
@@ -143,8 +182,17 @@ def hand_step(
     total = auto + center + reg + dist
 
     # ---------------- backward
-    # auto (mean_abs): d/d out = -scale * sign(diff) / (B * d0)
-    g_out = (-auto_cost_scale / (B * d0)) * jnp.sign(diff)
+    # auto (mean_abs): d/d out = -scale * sign/flip / (B * d0)
+    if periodic:
+        g_out = (auto_cost_scale / (B * d0)) * flip * jnp.sign(out - batch)
+        # atan2 fold-out pullback into the decoder output halves
+        if periodicity != 2 * _pi:
+            g_out = g_out / (2 * _pi) * periodicity
+        g_out = jnp.concatenate(
+            [g_out * c_half / norm2, -g_out * s_half / norm2], axis=1
+        )
+    else:
+        g_out = (-auto_cost_scale / (B * d0)) * jnp.sign(diff)
 
     # decoder backprop
     g_dec_w = [None] * n_dec
@@ -193,7 +241,7 @@ def hand_step(
     return g_enc_w, g_enc_b, g_dec_w, g_dec_b, metrics
 
 
-def fused_trainer_available(p, params) -> bool:
+def fused_trainer_available(p, params, input_dim: int = 0) -> bool:
     """Whether the fused kernel covers this configuration."""
     try:
         import jax
@@ -202,7 +250,9 @@ def fused_trainer_available(p, params) -> bool:
             return False
     except Exception:  # pragma: no cover
         return False
-    if p.periodicity != float("inf"):
+    if p.periodicity != float("inf") and input_dim > 32:
+        # the in-kernel min-image pairwise loop is per-dimension; beyond
+        # ~32 dims the XLA path's fused broadcast is faster
         return False
     acts = list(p.activation_functions)
     if acts[0] != "" or any(a != "tanh" for a in acts[1:-1]) or acts[-1] != "":
@@ -412,6 +462,7 @@ def make_fused_trainer(p, steps_per_scan: int, batch_size: int):
             center_cost_scale=float(p.center_cost_scale),
             l2_reg_constant=float(p.l2_reg_constant),
             distance_cost_scale=float(p.distance_cost_scale),
+            periodicity=float(p.periodicity),
         ),
     )
 

@@ -470,7 +470,8 @@ class EncoderMap(Autoencoder):
         if (self.sparse or self.custom_losses or self.custom_metrics
                 or type(self) is not EncoderMap):
             return None
-        if not fused_trainer_available(self.p, self.state.params):
+        if not fused_trainer_available(self.p, self.state.params,
+                                       self.input_dim):
             return None
         return make_fused_trainer(self.p, steps, self.p.batch_size)
 

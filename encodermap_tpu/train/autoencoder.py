@@ -467,8 +467,11 @@ class EncoderMap(Autoencoder):
 
         if not getattr(self.p, "fused_trainer", True):
             return None
-        if (self.sparse or self.custom_losses or self.custom_metrics
-                or type(self) is not EncoderMap):
+        if self.sparse or self.custom_losses or self.custom_metrics:
+            return None
+        # only for classes that keep EncoderMap's exact loss stack
+        # (DihedralEncoderMap qualifies — it only overrides generate())
+        if type(self)._loss_terms is not EncoderMap._loss_terms:
             return None
         if not fused_trainer_available(self.p, self.state.params,
                                        self.input_dim):

@@ -339,10 +339,26 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             )
         return self._trainer[steps]
 
+    @property
+    def mesh(self):
+        """Device mesh from ``p.mesh_shape``; None for single-device."""
+        if getattr(self, "_mesh", None) is None and self.p.mesh_shape:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(**self.p.mesh_shape)
+        return getattr(self, "_mesh", None)
+
     def _device_data(self) -> tuple:
         # NaNs stay: the densifiers zero-fill inside the graph (sparse mode);
         # dense mode has no NaNs by construction.
-        return tuple(jnp.asarray(d) for d in self.train_data)
+        data = tuple(jnp.asarray(d) for d in self.train_data)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("dp"))
+            data = tuple(jax.device_put(d, sh) for d in data)
+        return data
 
     def train(self) -> dict[str, np.ndarray]:
         start = int(self.state.step)

@@ -250,11 +250,31 @@ class Autoencoder(TrainerExtensions):
             cbs.append(CheckpointSaver(self, self.p.checkpoint_step))
         return cbs + self.callbacks
 
+    @property
+    def mesh(self):
+        """Device mesh from ``p.mesh_shape`` (e.g. {"dp": 8} or
+        {"dp": 4, "tp": 2}); None for single-device training."""
+        if getattr(self, "_mesh", None) is None and self.p.mesh_shape:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(**self.p.mesh_shape)
+        return getattr(self, "_mesh", None)
+
+    def _shard_leading(self, x):
+        """Shard an array's batch axis over the mesh's dp axis (GSPMD
+        inserts the collectives the all-pairs losses need)."""
+        mesh = self.mesh
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(mesh, P("dp")))
+
     def _device_data(self):
         data = self.train_data
         if self._nan_mask.any():
             data = np.nan_to_num(data, nan=0.0)
-        return jnp.asarray(data)
+        return self._shard_leading(jnp.asarray(data))
 
     def train(self) -> dict[str, np.ndarray]:
         """Run ``n_steps - current_training_step`` optimizer steps.
@@ -465,7 +485,7 @@ class EncoderMap(Autoencoder):
             make_fused_trainer,
         )
 
-        if not getattr(self.p, "fused_trainer", True):
+        if not getattr(self.p, "fused_trainer", True) or self.mesh is not None:
             return None
         if self.sparse or self.custom_losses or self.custom_metrics:
             return None

@@ -156,3 +156,49 @@ class TestDistributedHelpers:
         w.write_scalars(0, {"loss": 1.0})
         w.close()
         assert (tmp_path / "primary" / "train_metrics.jsonl").exists()
+
+
+class TestMeshShapeParameter:
+    """p.mesh_shape drives data-parallel training end-to-end (the config
+    surface for the dp x tp scale-out path)."""
+
+    def test_encodermap_trains_on_mesh(self, tmp_path, devices_ok):
+        import encodermap_tpu as em
+
+        data, _ = em.create_n_cube(3, points_along_edge=40, seed=0)
+        p = em.Parameters(
+            main_path=str(tmp_path), periodicity=float("inf"),
+            n_neurons=[16, 16, 2], n_steps=10, steps_per_scan=5,
+            batch_size=32, seed=0, mesh_shape={"dp": 8},
+        )
+        emap = em.EncoderMap(p, data.astype(np.float32))
+        assert emap.mesh is not None
+        assert emap._maybe_fused_trainer(5) is None  # mesh -> general path
+        dev = emap._device_data()
+        assert len(dev.sharding.device_set) == 8
+        h = emap.train()
+        assert np.isfinite(h["loss"]).all()
+
+    def test_adc_device_data_sharded(self, devices_ok, rng):
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.reference_impl import backmap_np
+
+        n_res, F = 4, 64
+        n_atoms = 3 * n_res
+        angles = rng.uniform(1.6, 2.4, (F, n_atoms - 2)).astype(np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (F, n_atoms - 3)).astype(
+            np.float32)
+        distances = rng.uniform(0.13, 0.155, (F, n_atoms - 1)).astype(
+            np.float32)
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        cvs = dict(central_angles=angles, central_dihedrals=dihedrals,
+                   central_cartesians=cart, central_distances=distances)
+        p = em.ADCParameters(batch_size=16, use_backbone_angles=True,
+                             use_sidechains=False, n_neurons=[8, 8, 2],
+                             mesh_shape={"dp": 8}, seed=0)
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        dev = emap._device_data()
+        assert len(dev[0].sharding.device_set) == 8

@@ -259,6 +259,8 @@ def fused_trainer_available(p, params, input_dim: int = 0) -> bool:
         return False
     if p.auto_cost_variant != "mean_abs":
         return False
+    if p.compute_dtype != "float32":
+        return False  # the kernel's precision choices assume f32 params
     for scale in (p.auto_cost_scale, p.center_cost_scale,
                   p.distance_cost_scale):
         if scale is None:

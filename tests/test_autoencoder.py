@@ -244,3 +244,16 @@ class TestTrainerExtensions:
         assert emap.train_data.shape[0] == 100
         with pytest.raises(AssertionError):
             emap.set_train_data(np.zeros((10, 99), np.float32))
+
+
+class TestComputeDtype:
+    def test_bfloat16_training(self, cube_data, tmp_path):
+        """compute_dtype='bfloat16' runs matmuls in bf16 and still trains."""
+        p = _small_params(tmp_path, n_steps=20, steps_per_scan=10,
+                          compute_dtype="bfloat16")
+        emap = EncoderMap(p, cube_data)
+        h = emap.train()
+        assert np.isfinite(h["loss"]).all()
+        assert h["loss"][-1] < h["loss"][0]
+        latent = emap.encode(cube_data[:10])
+        assert latent.dtype == np.float32  # outputs stay f32

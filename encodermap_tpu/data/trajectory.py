@@ -319,9 +319,23 @@ class SingleTraj:
         attr_name: Optional[str] = None,
         labels: Optional[list[str]] = None,
     ) -> None:
-        """Load a CV: by name shortcut ("central_dihedrals", ..., "all"), from
-        a numpy array, or from a Feature instance
+        """Load a CV: by name shortcut ("central_dihedrals", ..., "all"),
+        from an ``.npy``/``.txt`` file path, from a numpy array (or nested
+        list), or from a Feature instance
         (reference: ``info_single.py:1475-1665``)."""
+        from pathlib import Path as _Path
+
+        if isinstance(data, _Path):
+            data = str(data)
+        if isinstance(data, str) and data.endswith((".npy", ".txt")):
+            arr = (np.load(data) if data.endswith(".npy")
+                   else np.loadtxt(data))
+            name = attr_name or _Path(data).stem
+            return self.load_CV(np.asarray(arr), attr_name=name,
+                                labels=labels)
+        if isinstance(data, (list, tuple)) and data and not isinstance(
+                data[0], str):
+            data = np.asarray(data, dtype=np.float32)
         if isinstance(data, str):
             from ..loading.featurizer import SingleTrajFeaturizer
 
@@ -529,11 +543,15 @@ class TrajEnsemble:
         self,
         data: Any = "all",
         ensemble: bool = False,
+        attr_name: Optional[str] = None,
     ) -> None:
-        """Featurize all trajectories.
+        """Featurize all trajectories, or attach precomputed values.
 
-        With ``ensemble=True`` mixed topologies get NaN-padded feature
-        alignment via generic labels (reference:
+        Accepts feature-name shortcuts, a raw array shaped
+        ``(n_trajs, n_frames, ...)`` or a list of per-traj arrays (both need
+        ``attr_name``), matching the reference's dispatch
+        (``info_all.py:2414``). With ``ensemble=True`` mixed topologies get
+        NaN-padded feature alignment via generic labels (reference:
         ``trajinfo_utils.py:2357-2415``)."""
         if isinstance(data, str):
             data = [data]
@@ -546,6 +564,21 @@ class TrajEnsemble:
                     name if name in ("all", "full") else [name]
                 )
             feat.apply(ensemble=ensemble)
+            return
+        if isinstance(data, (list, tuple)) and len(data) == len(self.trajs):
+            assert attr_name is not None, "attr_name required for raw arrays"
+            for traj, arr in zip(self.trajs, data):
+                traj.load_CV(np.asarray(arr, dtype=np.float32),
+                             attr_name=attr_name)
+            return
+        if isinstance(data, np.ndarray):
+            assert attr_name is not None, "attr_name required for raw arrays"
+            if len(data) != len(self.trajs):
+                raise ValueError(
+                    f"leading dim {len(data)} != n_trajs {len(self.trajs)}"
+                )
+            for traj, arr in zip(self.trajs, data):
+                traj.load_CV(np.asarray(arr), attr_name=attr_name)
             return
         raise TypeError(f"cannot load CVs from {type(data)}")
 

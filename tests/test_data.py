@@ -214,3 +214,45 @@ class TestEnsembleHDF5:
             atol=1e-6,
         )
         assert back.trajs[1].top.n_atoms == trajs.trajs[1].top.n_atoms
+
+
+class TestLoadCVDispatch:
+    """load_CV/load_CVs accept .npy/.txt paths, raw arrays, and per-traj
+    lists with attr_name (reference test_trajinfo.py:770-800), using the
+    1YUG/1YUF NMR multi-model PDBs."""
+
+    def test_multi_model_pdb(self):
+        from encodermap_tpu.data import SingleTraj
+
+        t = SingleTraj("/root/reference/tests/data/1YUG.pdb")
+        assert t.xyz.shape == (15, 720, 3)
+        assert t.top.n_residues == 50
+
+    def test_file_and_array_dispatch(self):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        t1 = SingleTraj(D + "1YUG.pdb")
+        t2 = SingleTraj(D + "1YUF.pdb")[:15]
+        trajs = TrajEnsemble([t1, t2])
+
+        trajs.load_CVs(np.ones((2, 15, 300)), attr_name="ones")
+        assert np.all(trajs.CVs["ones"] == 1)
+        assert trajs.CVs["ones"].shape == (30, 300)
+
+        ref = np.load(D + "1YUG_numpy.npy")
+        trajs.load_CVs([ref, ref.tolist()], attr_name="numpy2")
+        assert trajs.CVs["numpy2"].shape == (30, 720)
+
+        t1.load_CV(D + "1YUG_numpy.npy")
+        assert t1.CVs["1YUG_numpy"].shape == (15, 720)
+        t1.load_CV(D + "1YUG_text.txt", attr_name="text")
+        np.testing.assert_allclose(t1.CVs["text"], ref, atol=1e-6)
+
+    def test_wrong_leading_dim_raises(self):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        trajs = TrajEnsemble([SingleTraj(D + "1YUG.pdb")])
+        with pytest.raises(ValueError, match="n_trajs"):
+            trajs.load_CVs(np.ones((3, 15, 4)), attr_name="x")

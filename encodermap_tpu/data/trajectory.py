@@ -553,6 +553,27 @@ class TrajEnsemble:
         (``info_all.py:2414``). With ``ensemble=True`` mixed topologies get
         NaN-padded feature alignment via generic labels (reference:
         ``trajinfo_utils.py:2357-2415``)."""
+        from pathlib import Path as _Path
+
+        if isinstance(data, _Path):
+            data = str(data)
+        if isinstance(data, str) and data.endswith(".nc"):
+            # xarray/netCDF datasets like the reference writes (NetCDF4 is
+            # HDF5-based, so h5py reads it without the netCDF4 package)
+            import h5py
+
+            with h5py.File(data, "r") as f:
+                n_trajs = len(self.trajs)
+                for name, dset in f.items():
+                    if (getattr(dset, "ndim", 0) >= 2
+                            and dset.shape[0] == n_trajs):
+                        arr = np.asarray(dset)
+                        for traj, part in zip(self.trajs, arr):
+                            part = part[: traj.n_frames]
+                            traj.load_CV(
+                                np.asarray(part, np.float32), attr_name=name
+                            )
+            return
         if isinstance(data, str):
             data = [data]
         if isinstance(data, (list, tuple)) and all(isinstance(d, str) for d in data):

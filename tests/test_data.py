@@ -249,6 +249,19 @@ class TestLoadCVDispatch:
         t1.load_CV(D + "1YUG_text.txt", attr_name="text")
         np.testing.assert_allclose(t1.CVs["text"], ref, atol=1e-6)
 
+    def test_netcdf_dataset(self):
+        """load_CVs from the reference's xarray-written .nc file (NetCDF4 is
+        HDF5; reference test_trajinfo.py:773)."""
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        trajs = TrajEnsemble([SingleTraj(D + "1YUG.pdb"),
+                              SingleTraj(D + "1YUF.pdb")[:15]])
+        trajs.load_CVs(D + "1YUG_and_1YUF_dataset.nc")
+        assert "numpy" in trajs.CVs and "text" in trajs.CVs
+        ref = np.load(D + "1YUG_numpy.npy")
+        np.testing.assert_allclose(trajs.trajs[0].CVs["numpy"], ref)
+
     def test_wrong_leading_dim_raises(self):
         from encodermap_tpu.data import SingleTraj, TrajEnsemble
 

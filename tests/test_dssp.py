@@ -132,3 +132,28 @@ class TestDigitizeDSSP:
         img = digitize_dssp(lowd, d, bins=10)
         assert img.shape == (10, 10, 3)
         assert img.min() >= 0 and img.max() <= 1
+
+
+@needs_data
+class TestRotateToHelix:
+    def test_straight_chain_becomes_helix(self):
+        """Cross-module integration: traj_rotate sets alpha-helical phi/psi
+        on the straight Ala10 chain and DSSP recognizes the helix (the
+        rotation machinery, sp2 oxygen positions from the PDB, and the
+        secondary-structure assignment all agree)."""
+        from types import SimpleNamespace
+
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.misc.backmapping_offline import traj_rotate
+
+        t = SingleTraj(DATA / "Ala10_straight.pdb")
+        idx = np.vstack([t.top.indices_phi, t.top.indices_psi])
+        targets = np.concatenate([
+            np.full(len(t.top.indices_phi), np.radians(-57)),
+            np.full(len(t.top.indices_psi), np.radians(-47)),
+        ])[None, :].astype(np.float32)
+        xyz = traj_rotate(t, targets, idx)
+        rotated = SimpleNamespace(xyz=xyz, top=t.top)
+        assert (compute_dssp(t)[0] == "C").all()
+        d = compute_dssp(rotated)[0]
+        assert (d[1:-1] == "H").all(), "".join(d)

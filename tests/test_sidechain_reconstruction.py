@@ -164,6 +164,24 @@ class TestReconstructSidechainsADC:
         assert xyz.shape == (4, spec.n_atoms, 3)
         assert np.isfinite(xyz).all()
 
+    def test_featurizer_consistency_glu7(self):
+        """chi3 coverage: 7x GLU has three chi dihedrals per residue."""
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        traj = SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb")
+        info = traj.top.sidechain_info()
+        assert info == {r: 3 for r in range(1, 8)}
+        spec = make_spec(info)
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_list_of_feats("full")
+        out = feat.get_output()
+        assert out["side_dihedrals"].shape[1] == 21
+        assert out["side_distances"].shape[1] == spec.n_sidechain_atoms
+        assert out["all_cartesians"].shape[1] == spec.n_atoms
+
     def test_featurizer_consistency(self):
         """The chi-derived features produce CV dims matching make_spec for a
         real topology (asp7: 7x ASP with chi1+chi2)."""

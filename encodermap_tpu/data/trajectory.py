@@ -165,6 +165,15 @@ class SingleTraj:
                 return
             with h5py.File(self.traj_file, "r") as ft:
                 self._n_frames_file = ft["coordinates"].shape[0]
+                # reference-written trajs.h5 embed CVs under /CVs
+                # (``info_all.py:2551``); attach frame-aligned ones to
+                # unsliced trajs (a slice would desynchronize the rows)
+                if "CVs" in ft and self.index is None:
+                    for name, dset in ft["CVs"].items():
+                        if (getattr(dset, "ndim", 0) >= 1
+                                and dset.shape[0] == self._n_frames_file
+                                and name not in self._CVs):
+                            self._CVs.add(name, np.asarray(dset))
 
     def load(self) -> None:
         """Materialize coordinates for the (composed) frame index."""

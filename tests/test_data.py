@@ -269,3 +269,22 @@ class TestLoadCVDispatch:
         trajs = TrajEnsemble([SingleTraj(D + "1YUG.pdb")])
         with pytest.raises(ValueError, match="n_trajs"):
             trajs.load_CVs(np.ones((3, 15, 4)), attr_name="x")
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/tests/data").exists(), reason="no data"
+)
+class TestEmbeddedH5CVs:
+    def test_reference_written_trajs_h5(self):
+        """CVs embedded under /CVs in a reference-written trajs.h5 are
+        auto-attached (frame-aligned variables only)."""
+        from encodermap_tpu.data import SingleTraj
+
+        t = SingleTraj(
+            "/root/reference/tests/data/1am7_corrected_with_CVs.h5"
+        )
+        assert t.n_frames == 51
+        assert "x_and_y_coordinate" in t.CVs
+        assert t.CVs["x_and_y_coordinate"].shape == (51, 2504, 2)
+        # the (15, 720) variable belongs to another traj -> skipped
+        assert "y_coordinate" not in t.CVs

@@ -116,3 +116,28 @@ class TestStack:
         assert stacked.n_atoms == 2 * a.n_atoms
         assert stacked.n_frames == 5
         assert stacked.top.n_chains >= 2
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/tests/data/PFFP_MD_fin_protonly.gro").exists(),
+    reason="no reference data",
+)
+class TestPFFPScale:
+    def test_gro_xtc_featurization_at_scale(self):
+        """The 125-mer PFFP system (6375 atoms, GRO topology + XTC):
+        full-scale smoke of the native readers and the featurizer."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = SingleTraj(
+            "/root/reference/tests/data/PFFP_MD_fin_protonly_dt_100.xtc",
+            "/root/reference/tests/data/PFFP_MD_fin_protonly.gro",
+        )
+        assert t.xyz.shape == (11, 6375, 3)
+        assert t.top.n_residues == 500
+        f = SingleTrajFeaturizer(t)
+        f.add_list_of_feats("all")
+        out = f.get_output()
+        assert out["central_cartesians"].shape == (11, 1500, 3)
+        assert out["central_dihedrals"].shape == (11, 1497)
+        assert np.isfinite(out["central_dihedrals"]).all()

@@ -610,6 +610,21 @@ class TrajEnsemble:
             for traj, arr in zip(self.trajs, data):
                 traj.load_CV(np.asarray(arr), attr_name=attr_name)
             return
+        # a pre-built EnsembleFeaturizer with recorded add_* calls
+        # (reference trajinfo_utils.py:2129-2174 accepts Featurizer objects)
+        from ..loading.featurizer import EnsembleFeaturizer
+
+        if isinstance(data, EnsembleFeaturizer):
+            data.apply(ensemble=ensemble)
+            return
+        # a single Feature instance, executed per trajectory (reference
+        # trajinfo_utils.py:1638-2447 accepts Feature objects); with
+        # ensemble=True the outputs are NaN-aligned like named features
+        if hasattr(data, "transform") and hasattr(data, "describe"):
+            feat = EnsembleFeaturizer(self)
+            feat.add_custom_feature(data)
+            feat.apply(ensemble=ensemble)
+            return
         raise TypeError(f"cannot load CVs from {type(data)}")
 
     # ------------------------------------------------------------------ batching

@@ -213,25 +213,56 @@ def _cv_name(f: F.Feature) -> str:
 class EnsembleFeaturizer:
     """Featurize a TrajEnsemble, NaN-pad-aligning across topologies.
 
-    Alignment uses the union of *generic* labels per CV, with values from
-    each topology scattered into their label's column and NaN elsewhere
-    (the masked-dense equivalent of the reference's sparse path,
-    ``featurizer.py:1984-2068``)."""
+    Exposes the full ``add_*`` surface of :class:`SingleTrajFeaturizer`
+    (the reference injects every add method via a metaclass,
+    ``featurizer.py:1450-1493``; here calls are recorded and replayed on a
+    per-topology featurizer, which builds topology-specific index tables
+    naturally).
+
+    Alignment uses the union of *generic* labels per CV over **all** member
+    trajectories, with values from each topology scattered into their
+    label's column and NaN elsewhere (the masked-dense equivalent of the
+    reference's sparse path, ``featurizer.py:1984-2068``). A CV absent from
+    some trajectory (e.g. side_dihedrals of an all-glycine chain) is filled
+    with all-NaN rows for that trajectory."""
 
     def __init__(self, trajs: Any, block_size: int = 4096) -> None:
         self.trajs = trajs
         self.block_size = block_size
-        self._which: list[Union[str, Sequence[str]]] = []
+        self._calls: list[tuple[str, tuple, dict]] = []
 
-    def add_list_of_feats(self, which="all") -> None:
-        self._which.append(which)
+    def add_list_of_feats(self, which="all", **kwargs) -> None:
+        self._calls.append(("add_list_of_feats", (which,), kwargs))
+
+    def __getattr__(self, name: str):
+        # record any SingleTrajFeaturizer add_* call for per-topology replay
+        if name.startswith("add_") and callable(
+            getattr(SingleTrajFeaturizer, name, None)
+        ):
+            def record(*args, **kwargs):
+                self._calls.append((name, args, kwargs))
+
+            record.__name__ = name
+            return record
+        raise AttributeError(
+            f"{type(self).__name__!r} object has no attribute {name!r}"
+        )
+
+    @property
+    def n_features(self) -> int:
+        return len(self._calls)
 
     def apply(self, ensemble: bool = False) -> None:
         per_traj: list[CVCollection] = []
         for traj in self.trajs:
             feat = SingleTrajFeaturizer(traj, self.block_size)
-            for w in self._which:
-                feat.add_list_of_feats(w, ensemble=ensemble)
+            for name, args, kwargs in self._calls:
+                if name == "add_list_of_feats":
+                    kw = dict(kwargs)
+                    kw.setdefault("ensemble", ensemble)
+                    feat.add_list_of_feats(*args, **kw)
+                else:
+                    getattr(feat, name)(*args, **kwargs)
             per_traj.append(feat.get_output(ensemble=ensemble))
 
         if not ensemble:
@@ -255,34 +286,118 @@ class EnsembleFeaturizer:
                     e.labels = apply_alignment_to_labels(e.labels or [],
                                                          res_map)
 
-        # union-of-generic-labels alignment with NaN fill
-        names = list(per_traj[0].keys())
+        # union of CV names over ALL trajs (a CV present only in later
+        # trajs — e.g. side_dihedrals when traj 0 is all-glycine — must
+        # still align)
+        names: list[str] = []
+        for cvs in per_traj:
+            for k in cvs:
+                if k not in names:
+                    names.append(k)
         for name in names:
-            all_labels: list[str] = []
-            for cvs in per_traj:
-                for lbl in cvs.entry(name).labels or []:
-                    if lbl not in all_labels:
-                        all_labels.append(lbl)
-            all_labels = _sorted_labels(name, all_labels)
-            index = {lbl: i for i, lbl in enumerate(all_labels)}
-            for traj, cvs in zip(self.trajs, per_traj):
+            is_3d = any(
+                name in cvs and cvs.entry(name).data.ndim == 3
+                for cvs in per_traj
+            )
+            if is_3d:
+                self._align_3d(name, per_traj)
+            else:
+                self._align_2d(name, per_traj)
+
+    def _align_2d(self, name: str, per_traj: list[CVCollection]) -> None:
+        all_labels: list[str] = []
+        for cvs in per_traj:
+            if name not in cvs:
+                continue
+            for lbl in cvs.entry(name).labels or []:
+                if lbl not in all_labels:
+                    all_labels.append(lbl)
+        all_labels = _sorted_labels(name, all_labels)
+        index = {lbl: i for i, lbl in enumerate(all_labels)}
+        for traj, cvs in zip(self.trajs, per_traj):
+            if name in cvs:
                 e = cvs.entry(name)
-                if e.data.ndim == 3:  # cartesians: (frames, atoms, 3)
-                    width = len(all_labels) // 3
-                    padded = np.full(
-                        (len(e.data), width, 3), np.nan, np.float32
-                    )
-                    cols = [
-                        index[lbl] // 3 for lbl in (e.labels or [])[::3]
-                    ]
-                    padded[:, cols] = e.data
-                else:
-                    padded = np.full(
-                        (len(e.data), len(all_labels)), np.nan, np.float32
-                    )
-                    cols = [index[lbl] for lbl in (e.labels or [])]
-                    padded[:, cols] = e.data
-                traj._CVs.add(name, padded, all_labels, e.indices)
+                padded = np.full(
+                    (len(e.data), len(all_labels)), np.nan, np.float32
+                )
+                cols = [index[lbl] for lbl in (e.labels or [])]
+                padded[:, cols] = e.data
+                indices = e.indices
+            else:
+                padded = np.full(
+                    (traj.n_frames, len(all_labels)), np.nan, np.float32
+                )
+                indices = None
+            traj._CVs.add(name, padded, all_labels, indices)
+
+    def _align_3d(self, name: str, per_traj: list[CVCollection]) -> None:
+        """Cartesian CVs: align at the *atom* level. Per-coordinate labels
+        are grouped into atom labels by dropping the axis token, so the
+        alignment holds even if a topology's label triplets were interleaved
+        or axis-ordered differently."""
+        atom_union: list[str] = []
+        rep_triplet: dict[str, list[str]] = {}
+        per_traj_atoms: list[Optional[list[str]]] = []
+        for cvs in per_traj:
+            if name not in cvs:
+                per_traj_atoms.append(None)
+                continue
+            e = cvs.entry(name)
+            atoms = _atom_labels(e.labels or [])
+            per_traj_atoms.append(atoms)
+            for a, lbls in atoms:
+                if a not in rep_triplet:
+                    atom_union.append(a)
+                    rep_triplet[a] = lbls
+        atom_union = _sorted_labels(name, atom_union)
+        index = {a: i for i, a in enumerate(atom_union)}
+        all_labels = [lbl for a in atom_union for lbl in rep_triplet[a]]
+        for traj, cvs, atoms in zip(self.trajs, per_traj, per_traj_atoms):
+            if atoms is not None:
+                e = cvs.entry(name)
+                padded = np.full(
+                    (len(e.data), len(atom_union), 3), np.nan, np.float32
+                )
+                cols = [index[a] for a, _ in atoms]
+                padded[:, cols] = e.data
+                indices = e.indices
+            else:
+                padded = np.full(
+                    (traj.n_frames, len(atom_union), 3), np.nan, np.float32
+                )
+                indices = None
+            traj._CVs.add(name, padded, all_labels, indices)
+
+
+_AXIS_TOKENS = frozenset("XYZxyz")
+
+
+def _atom_labels(labels: list[str]) -> list[tuple[str, list[str]]]:
+    """Group per-coordinate cartesian labels into (atom_label, triplet)
+    pairs by dropping the axis token (e.g. "CENTERPOS X 3" -> "CENTERPOS 3").
+    Labels may appear in any order; each atom must occur exactly 3 times."""
+    order: list[str] = []
+    groups: dict[str, list[str]] = {}
+    for lbl in labels:
+        parts = lbl.split()
+        stripped_parts = []
+        dropped = False
+        for p in parts:
+            if not dropped and p in _AXIS_TOKENS:
+                dropped = True
+                continue
+            stripped_parts.append(p)
+        key = " ".join(stripped_parts)
+        if key not in groups:
+            order.append(key)
+            groups[key] = []
+        groups[key].append(lbl)
+    bad = {k: v for k, v in groups.items() if len(v) != 3}
+    if bad:
+        raise ValueError(
+            f"cartesian labels do not group into XYZ triplets: {bad}"
+        )
+    return [(k, groups[k]) for k in order]
 
 
 def _sorted_labels(name: str, labels: list[str]) -> list[str]:

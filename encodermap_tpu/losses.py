@@ -28,6 +28,7 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
+from .ops.pallas_sigmoid import fused_or_reference
 from .parameters import ADCParameters, Parameters
 
 __all__ = [
@@ -85,8 +86,6 @@ def sigmoid_loss(
     """
     # Large batches on TPU route through the fused Pallas kernel (identical
     # math, O(1) memory in batch); small batches / CPU use the XLA path.
-    from .ops.pallas_sigmoid import fused_or_reference
-
     return fused_or_reference(
         y_true, y_pred, tuple(dist_sig_parameters), periodicity
     )

@@ -41,17 +41,22 @@ _COV_RADII = {
 def guess_bonds(top: Topology, xyz: np.ndarray, tolerance: float = 1.3
                 ) -> list[tuple[int, int]]:
     """Distance-based bond guessing on one frame (standard covalent-radii
-    criterion, like mdtraj's topology bond guesser)."""
+    criterion, like mdtraj's topology bond guesser).
+
+    Same/adjacent-residue pairs cover every covalent bond in a linear
+    protein chain; a second pass over sulfur atoms picks up disulfide
+    bridges (CYS SG-SG), the one bond that spans arbitrarily distant
+    residues — the reference handles these explicitly in
+    ``mdtraj_backmapping`` (``misc/backmapping.py:1027-1790``)."""
     xyz = np.asarray(xyz)
     if xyz.ndim == 3:
         xyz = xyz[0]
-    n = len(xyz)
     radii = np.array(
         [_COV_RADII.get(a.element.upper(), 0.08) for a in top.atoms]
     )
-    bonds = []
-    # only test pairs within the same or adjacent residues (bonds never span
-    # further in proteins) to stay O(n) on host
+    bonds = set()
+    # only test pairs within the same or adjacent residues (covalent bonds
+    # along the chain never span further) to stay O(n) on host
     for res_i, res in enumerate(top.residues):
         atoms_here = [a.index for a in res.atoms]
         atoms_next = (
@@ -60,15 +65,23 @@ def guess_bonds(top: Topology, xyz: np.ndarray, tolerance: float = 1.3
             else []
         )
         candidates = atoms_here + atoms_next
-        for ii, a in enumerate(atoms_here):
+        for a in atoms_here:
             for b in candidates:
                 if b <= a:
                     continue
                 cutoff = (radii[a] + radii[b]) * tolerance
                 d = np.linalg.norm(xyz[a] - xyz[b])
                 if d < cutoff:
-                    bonds.append((a, b))
-    return bonds
+                    bonds.add((a, b))
+    # disulfide-bridge pass: S-S pairs across any residue distance
+    sulfurs = [a.index for a in top.atoms if a.element.upper() == "S"]
+    for i, a in enumerate(sulfurs):
+        for b in sulfurs[i + 1:]:
+            lo, hi = (a, b) if a < b else (b, a)
+            cutoff = (radii[lo] + radii[hi]) * tolerance
+            if np.linalg.norm(xyz[lo] - xyz[hi]) < cutoff:
+                bonds.add((lo, hi))
+    return sorted(bonds)
 
 
 def near_and_far_masks(

@@ -516,14 +516,16 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             data = self._split_stacked(data)
         arrs = tuple(jnp.asarray(np.asarray(d, np.float32)) for d in data)
 
-        def _encode(inputs):
+        def _encode(params, inputs):
             if self.p.reconstruct_sidechains:
-                return adc.encode_sidechains(self.state.params, self.p, inputs)
+                return adc.encode_sidechains(params, self.p, inputs)
             if self.sparse:
-                inputs = adc.densify_inputs(self.state.params, self.p, inputs)
-            return adc.encode(self.state.params, self.p, inputs)
+                inputs = adc.densify_inputs(params, self.p, inputs)
+            return adc.encode(params, self.p, inputs)
 
-        fn = jax.jit(_encode)
+        # self.sparse can flip via set_train_data -> it is part of the key
+        jfn = self._cached_jit(f"encode_sparse={self.sparse}", _encode)
+        fn = lambda inputs: jfn(self.state.params, inputs)
         # encode() only consumes the trained groups; pad tuple to 5 slots
         if len(arrs) < 5:
             arrs = arrs + tuple([jnp.zeros((arrs[0].shape[0], 0))] * (5 - len(arrs)))
@@ -551,16 +553,18 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         (``autoencoder.py:2502``)."""
         latent = jnp.asarray(np.asarray(latent, np.float32))
         if self.p.reconstruct_sidechains:
-            fn = jax.jit(
-                lambda z: adc.decode_sidechains(
-                    self.state.params, self.p, z, self.shapes
-                )
+            fn = self._cached_jit(
+                "decode_sidechains",
+                lambda params, z: adc.decode_sidechains(
+                    params, self.p, z, self.shapes
+                ),
             )
-            return tuple(np.asarray(o) for o in fn(latent))
-        fn = jax.jit(
-            lambda z: adc.decode(self.state.params, self.p, z, self.shapes)
+            return tuple(np.asarray(o) for o in fn(self.state.params, latent))
+        fn = self._cached_jit(
+            "decode",
+            lambda params, z: adc.decode(params, self.p, z, self.shapes),
         )
-        out_angles, out_dihedrals, out_side = fn(latent)
+        out_angles, out_dihedrals, out_side = fn(self.state.params, latent)
         if out_angles is None:
             mean = self.train_data[0].mean(0, keepdims=True)
             out_angles = np.broadcast_to(mean, (len(latent), mean.shape[1]))
@@ -610,8 +614,9 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             cd = self.train_data[3].mean(0, keepdims=True)
             sd = self.train_data[6].mean(0, keepdims=True)
             B = len(points)
-            fn = jax.jit(
-                lambda *a: backmap_sidechains_fast(self.sidechain_spec, *a)
+            fn = self._cached_jit(
+                "generate_backmap_sidechains",
+                lambda *a: backmap_sidechains_fast(self.sidechain_spec, *a),
             )
             xyz = fn(
                 jnp.broadcast_to(jnp.asarray(cd), (B, cd.shape[1])),
@@ -626,7 +631,7 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             distances.mean(0, keepdims=True),
             (len(points), distances.shape[1]),
         )
-        fn = jax.jit(backmap_op)
+        fn = self._cached_jit("generate_backmap", backmap_op)
         xyz = fn(
             jnp.asarray(mean_lengths),
             jnp.asarray(out_angles, jnp.float32),

@@ -68,6 +68,20 @@ class TrainerExtensions:
         )
         self._trainer = None
 
+    def _cached_jit(self, key: str, fn):
+        """Compile ``fn`` once per (instance, key) and reuse it across calls.
+
+        Inference helpers must pass ``params`` as an *argument* to ``fn``
+        rather than closing over ``self.state.params``: a fresh
+        ``jax.jit(lambda ...)`` per call starts with an empty jit cache, so
+        every ``encode()`` would retrace — and on the remote-compile TPU
+        platform recompile — from scratch.
+        """
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = jax.jit(fn)
+        return cache[key]
+
     def _custom_loss_terms(self, params, batch) -> dict:
         return {name: fn(params, batch) for name, fn in self.custom_losses}
 
@@ -384,13 +398,17 @@ class Autoencoder(TrainerExtensions):
         """Project data to the latent space (reference: ``autoencoder.py:1110``)."""
         if data is None:
             data = self.train_data
-        fn = jax.jit(lambda x: seq.encode(self.state.params, self.p, x))
-        return self._batched_apply(fn, data)
+        fn = self._cached_jit(
+            "encode", lambda params, x: seq.encode(params, self.p, x)
+        )
+        return self._batched_apply(lambda x: fn(self.state.params, x), data)
 
     def decode(self, latent: np.ndarray) -> np.ndarray:
         """Decode latent points back to input space (``autoencoder.py:1147``)."""
-        fn = jax.jit(lambda z: seq.decode(self.state.params, self.p, z))
-        return self._batched_apply(fn, latent)
+        fn = self._cached_jit(
+            "decode", lambda params, z: seq.decode(params, self.p, z)
+        )
+        return self._batched_apply(lambda z: fn(self.state.params, z), latent)
 
     def generate(self, latent: np.ndarray) -> np.ndarray:
         """Alias of :meth:`decode` for the base class (``autoencoder.py:1177``)."""

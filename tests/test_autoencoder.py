@@ -10,6 +10,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from encodermap_tpu import EncoderMap, Parameters, create_n_cube
@@ -108,6 +109,94 @@ class TestEncoderMapEndToEnd:
         assert back.shape == (100, 3)
         gen = emap.generate(np.zeros((7, 2), np.float32))
         assert gen.shape == (7, 3)
+
+    def test_encode_decode_no_retrace(self, cube_data, tmp_path):
+        """Repeated encode/decode calls — and calls after a parameter
+        update — must reuse one compiled function instead of constructing a
+        fresh jax.jit per call (a full retrace, and on the remote-compile
+        TPU platform a minutes-long RPC)."""
+        from encodermap_tpu.models import sequential as seq
+
+        p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
+        emap = EncoderMap(p, cube_data, read_only=True)
+
+        traces = {"encode": 0, "decode": 0}
+        orig_enc, orig_dec = seq.encode, seq.decode
+
+        def counting_enc(*a, **k):
+            traces["encode"] += 1
+            return orig_enc(*a, **k)
+
+        def counting_dec(*a, **k):
+            traces["decode"] += 1
+            return orig_dec(*a, **k)
+
+        seq.encode, seq.decode = counting_enc, counting_dec
+        try:
+            z1 = emap.encode(cube_data[:32])
+            emap.encode(cube_data[:32])
+            emap.decode(z1)
+            emap.decode(z1)
+            assert traces == {"encode": 1, "decode": 1}
+
+            # params are call args, not baked-in constants: an update must
+            # change the output without triggering a retrace
+            emap.state = emap.state.replace(
+                params=jax.tree_util.tree_map(
+                    lambda x: x + 0.05, emap.state.params
+                )
+            )
+            z2 = emap.encode(cube_data[:32])
+            assert traces["encode"] == 1
+            assert not np.allclose(z1, z2)
+        finally:
+            seq.encode, seq.decode = orig_enc, orig_dec
+
+    def test_adc_encode_decode_no_retrace(self, rng, tmp_path):
+        """Same guarantee for the ADC class (encode/decode/generate)."""
+        from encodermap_tpu.models import adc
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.reference_impl import backmap_np
+
+        n_atoms, F = 12, 48
+        angles = rng.uniform(1.6, 2.4, (F, n_atoms - 2)).astype(np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (F, n_atoms - 3)).astype(
+            np.float32)
+        distances = rng.uniform(0.13, 0.155, (F, n_atoms - 1)).astype(
+            np.float32)
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        cvs = dict(central_angles=angles, central_dihedrals=dihedrals,
+                   central_cartesians=cart, central_distances=distances)
+        p = ADCParameters(batch_size=16, use_backbone_angles=True,
+                          use_sidechains=False, n_neurons=[8, 8, 2], seed=0)
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+
+        traces = {"encode": 0, "decode": 0}
+        orig_enc, orig_dec = adc.encode, adc.decode
+
+        def counting_enc(*a, **k):
+            traces["encode"] += 1
+            return orig_enc(*a, **k)
+
+        def counting_dec(*a, **k):
+            traces["decode"] += 1
+            return orig_dec(*a, **k)
+
+        adc.encode, adc.decode = counting_enc, counting_dec
+        try:
+            z = emap.encode()
+            emap.encode()
+            assert traces["encode"] == 1
+            emap.decode(z[:8])
+            emap.decode(z[:8])
+            assert traces["decode"] == 1
+            emap.generate(z[:4])
+            emap.generate(z[:4])
+            assert "generate_backmap" in emap._jit_cache
+        finally:
+            adc.encode, adc.decode = orig_enc, orig_dec
 
     def test_single_sample_encode(self, cube_data, tmp_path):
         p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)

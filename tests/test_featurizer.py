@@ -172,6 +172,152 @@ class TestEnsembleAlignment:
         trajs = load([DATA / "asp7.xtc"], [DATA / "asp7.pdb"])
         assert isinstance(Featurizer(trajs), EnsembleFeaturizer)
 
+    def test_ensemble_full_add_surface(self):
+        """EnsembleFeaturizer exposes every SingleTrajFeaturizer add_*
+        method (the reference injects them via a metaclass,
+        ``featurizer.py:1450-1493``): a custom add_distances over an
+        asp7+glu7 ensemble NaN-aligns on the label union."""
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+        feat = EnsembleFeaturizer(trajs)
+        feat.add_distances([[0, 10], [5, 20]], periodic=False)
+        feat.add_backbone_torsions()
+        feat.apply(ensemble=True)
+
+        d = trajs.CVs["DistanceFeature"]
+        assert d.shape[0] == trajs.n_frames
+        # asp7 and glu7 label the same atom indices differently -> the
+        # union is wider than one topology and each traj's rows are NaN in
+        # the other's columns, finite in its own
+        n0 = trajs.trajs[0].n_frames
+        labels = trajs.trajs[0]._CVs.entry("DistanceFeature").labels
+        assert d.shape[1] == 4 and len(labels) == 4
+        assert np.isnan(d[:n0]).sum() == 2 * n0
+        assert np.isfinite(d[:n0]).sum() == 2 * n0
+        bt = trajs.CVs["BackboneTorsionFeature"]
+        assert bt.shape[0] == trajs.n_frames
+
+    def test_ensemble_unknown_attr_raises(self):
+        trajs = load([DATA / "asp7.xtc"], [DATA / "asp7.pdb"])
+        feat = EnsembleFeaturizer(trajs)
+        with pytest.raises(AttributeError):
+            feat.add_nonexistent_feature()
+        with pytest.raises(AttributeError):
+            feat.get_outputs  # not an add_* method
+
+    def test_cv_missing_from_first_traj(self):
+        """Ala10 (alanine: no chi dihedrals) + asp7: side_dihedrals exist
+        only for the *second* traj; the union must still carry them and
+        fill Ala10's frames with NaN (regression for the first-traj
+        name-union bug)."""
+        from encodermap_tpu.data.trajectory import TrajEnsemble
+
+        trajs = TrajEnsemble([
+            SingleTraj(DATA / "Ala10_straight.pdb"),
+            SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb"),
+        ])
+        trajs.load_CVs("all", ensemble=True)
+        sd = trajs.CVs["side_dihedrals"]
+        n0 = trajs.trajs[0].n_frames
+        assert sd.shape[1] == 14  # 7 ASP residues x (chi1, chi2)
+        assert np.all(np.isnan(sd[:n0]))
+        assert np.all(np.isfinite(sd[n0:]))
+
+    def test_cv_key_missing_entirely(self):
+        """A CV key absent from one traj's collection (not just 0-width)
+        is NaN-filled for that traj."""
+        from encodermap_tpu.data.cvstore import CVCollection
+
+        class FakeTraj:
+            def __init__(self, n):
+                self.n_frames = n
+                self._CVs = CVCollection()
+
+        t0, t1 = FakeTraj(3), FakeTraj(2)
+        feat = EnsembleFeaturizer.__new__(EnsembleFeaturizer)
+        feat.trajs = [t0, t1]
+        cvs0 = CVCollection()  # lacks "foo" entirely
+        cvs1 = CVCollection()
+        cvs1.add("foo", np.ones((2, 2), np.float32), ["A 1", "A 2"])
+        feat._align_2d("foo", [cvs0, cvs1])
+        assert np.all(np.isnan(t0._CVs["foo"]))
+        np.testing.assert_array_equal(t1._CVs["foo"], np.ones((2, 2)))
+
+    def test_load_cvs_accepts_feature_object(self):
+        """TrajEnsemble.load_CVs takes a Feature instance (reference
+        ``trajinfo_utils.py:1638-2447``)."""
+        from encodermap_tpu.loading import features as F
+
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "asp7.xtc"],
+            [DATA / "asp7.pdb"],
+        )
+        feature = F.DistanceFeature(
+            trajs.trajs[0].top, [[0, 10]], periodic=False
+        )
+        trajs.load_CVs(feature)
+        d = trajs.CVs["DistanceFeature"]
+        assert d.shape == (trajs.n_frames, 1)
+        assert np.all(np.isfinite(d))
+
+    def test_load_cvs_accepts_featurizer_object(self):
+        """TrajEnsemble.load_CVs takes a pre-built EnsembleFeaturizer with
+        recorded add_* calls."""
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+        feat = EnsembleFeaturizer(trajs)
+        feat.add_list_of_feats(["central_dihedrals"])
+        trajs.load_CVs(feat, ensemble=True)
+        cd = trajs.CVs["central_dihedrals"]
+        assert cd.shape == (trajs.n_frames, 3 * 7 - 3)
+        assert np.all(np.isfinite(cd))  # same chain length -> no padding
+
+    def test_cartesian_alignment_interleaved_labels(self):
+        """The 3-D alignment must not assume label triplets are contiguous
+        or (X, Y, Z)-ordered in the union: atom-level grouping handles
+        interleaved per-axis label orders."""
+        from encodermap_tpu.data.cvstore import CVCollection
+        from encodermap_tpu.loading.featurizer import _atom_labels
+
+        # interleaved: all X labels, then all Y, then all Z
+        inter = [f"POS {ax} {k}" for ax in "XYZ" for k in (1, 2)]
+        atoms = _atom_labels(inter)
+        assert [a for a, _ in atoms] == ["POS 1", "POS 2"]
+        assert atoms[0][1] == ["POS X 1", "POS Y 1", "POS Z 1"]
+
+        class FakeTraj:
+            def __init__(self, n):
+                self.n_frames = n
+                self._CVs = CVCollection()
+
+        t0, t1 = FakeTraj(2), FakeTraj(2)
+        feat = EnsembleFeaturizer.__new__(EnsembleFeaturizer)
+        feat.trajs = [t0, t1]
+        cvs0 = CVCollection()
+        lbl0 = [f"POS {ax} {k}" for k in (1, 2) for ax in "XYZ"]
+        cvs0.add("pos", np.ones((2, 2, 3), np.float32), lbl0)
+        cvs1 = CVCollection()
+        # traj 1 contributes atoms (2, 3) with X/Y/Z triplets intact but a
+        # different atom order
+        lbl1 = [f"POS {ax} {k}" for k in (3, 2) for ax in "XYZ"]
+        data1 = np.stack(
+            [np.full((2, 3), 3.0), np.full((2, 3), 2.0)], axis=1
+        ).astype(np.float32)
+        cvs1.add("pos", data1, lbl1)
+        feat._align_3d("pos", [cvs0, cvs1])
+
+        a0 = t0._CVs["pos"]
+        a1 = t1._CVs["pos"]
+        assert a0.shape == a1.shape == (2, 3, 3)
+        # union atom order: 1, 2, 3
+        assert np.all(a0[:, :2] == 1.0) and np.all(np.isnan(a0[:, 2]))
+        assert np.all(np.isnan(a1[:, 0]))
+        assert np.all(a1[:, 1] == 2.0) and np.all(a1[:, 2] == 3.0)
+
 
 class TestClustalWAlignment:
     def test_alignment_relabels_and_aligns(self, tmp_path):

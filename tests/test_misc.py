@@ -375,6 +375,70 @@ class TestProlineHandling:
         assert "skipping 5 unrotatable" in capsys.readouterr().out
 
 
+@needs_data
+class TestDisulfideBridges:
+    """Cross-residue S-S bonds enter the rotation graph; dihedrals inside a
+    disulfide-closed loop are unrotatable and the bridge geometry survives
+    backmapping (reference ``misc/backmapping.py:1027-1790``)."""
+
+    @pytest.fixture(scope="class")
+    def yuf(self):
+        from encodermap_tpu.data import SingleTraj
+
+        # 1YUF: 46-residue domain with 3 disulfide bridges
+        # (CYS8-CYS21, CYS16-CYS32, CYS34-CYS43)
+        return SingleTraj(DATA / "1YUF.pdb")
+
+    def test_guess_bonds_finds_ss_bridges(self, yuf):
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        bonds = guess_bonds(yuf.top, yuf.xyz[0])
+        ss = [
+            (a, b) for a, b in bonds
+            if yuf.top.atom(a).element.upper() == "S"
+            and yuf.top.atom(b).element.upper() == "S"
+        ]
+        assert len(ss) == 3
+        # bridges span non-adjacent residues — the same/adjacent-residue
+        # pass alone can never find them
+        spans = [
+            abs(yuf.top.atom(a).residue.index - yuf.top.atom(b).residue.index)
+            for a, b in ss
+        ]
+        assert min(spans) >= 9
+
+    def test_bridges_preserved_after_backmap(self, yuf, capsys):
+        from encodermap_tpu.misc.backmapping_offline import (
+            backmap_topology,
+            guess_bonds,
+            near_and_far_masks,
+        )
+
+        top, base = yuf.top, yuf.xyz[0]
+        bonds = guess_bonds(top, base)
+        ss = [
+            (a, b) for a, b in bonds
+            if top.atom(a).element.upper() == "S"
+            and top.atom(b).element.upper() == "S"
+        ]
+        quads = np.vstack([top.indices_phi, top.indices_psi])
+        masks, rotatable = near_and_far_masks(top, quads, bonds=bonds)
+        # backbone bonds inside any S-S-closed loop are ring bonds
+        assert (~rotatable).sum() > 10
+        assert rotatable.sum() > 10  # termini outside the loops still rotate
+
+        rng = np.random.default_rng(1)
+        targets = rng.uniform(-3, 3, (2, len(quads))).astype(np.float32)
+        out = backmap_topology(top, base, targets)
+        assert "unrotatable" in capsys.readouterr().out
+        before = np.array([np.linalg.norm(base[a] - base[b]) for a, b in ss])
+        for frame in out:
+            after = np.array(
+                [np.linalg.norm(frame[a] - frame[b]) for a, b in ss]
+            )
+            np.testing.assert_allclose(after, before, atol=1e-3)
+
+
 class TestTrajRotate:
     """traj_rotate: the mdtraj_rotate analog (reference misc/rotate.py:117)."""
 

@@ -179,6 +179,133 @@ class TestMeshShapeParameter:
         h = emap.train()
         assert np.isfinite(h["loss"]).all()
 
+    def _adc_cvs(self, rng, n_res=4, F=64, side=True):
+        from tests.reference_impl import backmap_np
+
+        n_atoms = 3 * n_res
+        angles = rng.uniform(1.6, 2.4, (F, n_atoms - 2)).astype(np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (F, n_atoms - 3)).astype(
+            np.float32)
+        distances = rng.uniform(0.13, 0.155, (F, n_atoms - 1)).astype(
+            np.float32)
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        cvs = dict(central_angles=angles, central_dihedrals=dihedrals,
+                   central_cartesians=cart, central_distances=distances)
+        if side:
+            cvs["side_dihedrals"] = rng.uniform(
+                -np.pi, np.pi, (F, 2 * n_res)).astype(np.float32)
+        return cvs
+
+    def test_sharded_adc_step_matches_single_device(self, devices_ok, rng):
+        """The flagship ADC train step — scan backmap, all 8 losses,
+        soft-start — on a dp=4 x tp=2 mesh must reproduce the single-device
+        loss and updated params (GSPMD only changes layout). This is the
+        SURVEY 2.8 composition proof: batch dp sharding over the
+        associative-scan backmapping chain."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        cvs = self._adc_cvs(rng)
+        p = em.ADCParameters(
+            batch_size=32, use_backbone_angles=True, use_sidechains=True,
+            n_neurons=[16, 16, 2], seed=7,
+            cartesian_cost_scale_soft_start=(0, 4),
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        step = emap._make_train_step()
+        order = ("central_angles", "central_dihedrals", "central_cartesians",
+                 "central_distances", "side_dihedrals")
+        batch = tuple(jnp.asarray(cvs[k][:32]) for k in order)
+
+        ref_state, ref_metrics = jax.jit(step)(emap.state, batch)
+
+        mesh = make_mesh(n_devices=8, tp=2)
+        params = shard_params_tp(emap.state.params, mesh)
+        state = emap.state.replace(
+            params=params, opt_state=emap.optimizer.init(params)
+        )
+        sharded_batch = shard_batch(batch, mesh)
+        with mesh:
+            out_state, out_metrics = jax.jit(step)(state, sharded_batch)
+
+        for k in ref_metrics:
+            assert float(out_metrics[k]) == pytest.approx(
+                float(ref_metrics[k]), rel=1e-5, abs=1e-7
+            ), k
+        for ref_l, out_l in zip(
+            ref_state.params["encoder"] + ref_state.params["decoder"],
+            out_state.params["encoder"] + out_state.params["decoder"],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(out_l["kernel"]), np.asarray(ref_l["kernel"]),
+                atol=1e-5,
+            )
+
+    def test_sharded_adc_mean_angles_cross_shard(self, devices_ok, rng):
+        """use_backbone_angles=False routes the MeanAngles batch mean — a
+        cross-shard reduction over the dp axis — into the backmap chain; the
+        sharded loss must still match single-device."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        cvs = self._adc_cvs(rng, side=False)
+        p = em.ADCParameters(
+            batch_size=32, use_backbone_angles=False, use_sidechains=False,
+            n_neurons=[16, 16, 2], seed=3,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        step = emap._make_train_step()
+        order = ("central_angles", "central_dihedrals", "central_cartesians",
+                 "central_distances")
+        batch = tuple(jnp.asarray(cvs[k][:32]) for k in order)
+
+        ref_state, ref_metrics = jax.jit(step)(emap.state, batch)
+
+        mesh = make_mesh(n_devices=8)  # pure dp: every reduction crosses shards
+        state = emap.state.replace(
+            params=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                emap.state.params,
+            )
+        )
+        sharded_batch = shard_batch(batch, mesh)
+        with mesh:
+            out_state, out_metrics = jax.jit(step)(state, sharded_batch)
+
+        assert float(out_metrics["loss"]) == pytest.approx(
+            float(ref_metrics["loss"]), rel=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_state.params["encoder"][0]["kernel"]),
+            np.asarray(ref_state.params["encoder"][0]["kernel"]),
+            atol=1e-5,
+        )
+
+    def test_sharded_adc_scan_trainer(self, devices_ok, rng, tmp_path):
+        """End-to-end: ADCParameters(mesh_shape=...) drives the scan trainer
+        (on-device batch sampling + multi-step lax.scan) over the mesh."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        cvs = self._adc_cvs(rng)
+        p = em.ADCParameters(
+            main_path=str(tmp_path), batch_size=16, use_backbone_angles=True,
+            use_sidechains=True, n_neurons=[16, 16, 2], seed=0,
+            n_steps=6, steps_per_scan=3, mesh_shape={"dp": 4, "tp": 2},
+            summary_step=100,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p)
+        assert emap.mesh is not None
+        h = emap.train()
+        assert len(h["loss"]) == 6
+        assert np.isfinite(h["loss"]).all()
+
     def test_adc_device_data_sharded(self, devices_ok, rng):
         import encodermap_tpu as em
         from encodermap_tpu.train.adc_autoencoder import (

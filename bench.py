@@ -24,7 +24,11 @@ import time
 import numpy as np
 
 
-def bench_train(n_warm_chunks: int = 2, n_chunks: int = 5) -> float:
+def bench_train(n_warm_chunks: int = 2, n_chunks: int = 5,
+                periodic: bool = False) -> float:
+    """Config 1 (cube, non-periodic) and, with ``periodic=True``, config 2
+    (backbone-dihedral-style data with the periodicity-aware sigmoid loss,
+    ala-dipeptide scale: 4 dihedral features)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,13 +37,17 @@ def bench_train(n_warm_chunks: int = 2, n_chunks: int = 5) -> float:
     steps_per_scan = 4000  # long chunks amortize host->tunnel dispatch
     p = Parameters(
         n_neurons=[128, 128, 2],
-        periodicity=float("inf"),
+        periodicity=2 * np.pi if periodic else float("inf"),
         batch_size=256,
         n_steps=10**9,  # irrelevant; we drive chunks manually
         steps_per_scan=steps_per_scan,
         seed=0,
     )
-    data, _ = create_n_cube(3, points_along_edge=500, seed=0)
+    if periodic:
+        data = np.random.default_rng(0).uniform(
+            -np.pi, np.pi, (125000, 4)).astype(np.float32)
+    else:
+        data, _ = create_n_cube(3, points_along_edge=500, seed=0)
     emap = EncoderMap(p, data.astype(np.float32), read_only=True)
     trainer = emap._get_trainer()
     dev_data = jnp.asarray(emap.train_data)
@@ -153,6 +161,124 @@ def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
     return n_chunks * steps_per_scan * p.batch_size / dt
 
 
+def bench_featurize(n_frames: int = 1024, block: int = 512) -> float:
+    """BASELINE config 4a: multi-trajectory-scale featurization throughput
+    (frames/sec) on a real protein — 1am7 lysozyme, 158 residues / 2504
+    atoms (diUbi is 152 residues), full ADC feature set incl. sidechain
+    dihedrals, computed on device."""
+    from encodermap_tpu.data import SingleTraj
+    from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+    t = SingleTraj(
+        "/root/reference/tests/data/1am7_corrected.xtc",
+        "/root/reference/tests/data/1am7_protein.pdb",
+    )
+    t2 = t[np.resize(np.arange(t.n_frames), n_frames)]
+    t2.xyz  # decode XTC outside the timed region
+
+    feat = SingleTrajFeaturizer(t2, block_size=block)
+    feat.add_list_of_feats("all")
+    feat.get_output()  # compile + warmup
+
+    t0 = time.perf_counter()
+    out = feat.get_output()
+    # get_output returns host numpy: already synced
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out["central_dihedrals"]).all()
+    return n_frames / dt
+
+
+def bench_generate(n_res: int = 158, batch: int = 2048, reps: int = 3
+                   ) -> float:
+    """BASELINE config 4b: generate() throughput (conformations/sec) at
+    lysozyme/diUbi scale — decoder MLP + associative-scan backmapping to
+    474-atom backbones, via the real user path (latent in, xyz out)."""
+    from encodermap_tpu import ADCParameters
+    from encodermap_tpu.train.adc_autoencoder import (
+        AngleDihedralCartesianEncoderMap,
+    )
+
+    rng = np.random.default_rng(0)
+    n_atoms = 3 * n_res
+    F = 512
+    cvs = {
+        "central_angles": rng.uniform(1.6, 2.4, (F, n_atoms - 2)).astype(
+            np.float32),
+        "central_dihedrals": rng.uniform(
+            -np.pi, np.pi, (F, n_atoms - 3)).astype(np.float32),
+        "central_cartesians": rng.uniform(0, 2, (F, n_atoms, 3)).astype(
+            np.float32),
+        "central_distances": rng.uniform(
+            0.13, 0.155, (F, n_atoms - 1)).astype(np.float32),
+        "side_dihedrals": rng.uniform(-np.pi, np.pi, (F, 2 * n_res)).astype(
+            np.float32),
+    }
+    p = ADCParameters(
+        batch_size=256, use_backbone_angles=True, use_sidechains=True,
+        n_neurons=[128, 128, 2], seed=0,
+    )
+    emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+    points = rng.standard_normal((batch, 2)).astype(np.float32)
+    xyz = emap.generate(points)  # compile + warmup (cached jits after this)
+    assert xyz.shape == (batch, n_atoms, 3)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        xyz = emap.generate(points)  # returns host numpy: synced
+    dt = time.perf_counter() - t0
+    assert np.isfinite(xyz).all()
+    return reps * batch / dt
+
+
+def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
+                    n_chunks: int = 3) -> float:
+    """BASELINE config 5: out-of-core training throughput (samples/sec)
+    from an on-disk million-frame HDF5 through HDF5BatchSource +
+    PrefetchSource (host batch sampling overlaps device compute)."""
+    import jax.numpy as jnp
+
+    from encodermap_tpu import EncoderMap, Parameters
+    from encodermap_tpu.train.core import (
+        HDF5BatchSource,
+        PrefetchSource,
+        make_streaming_trainer,
+    )
+
+    path = "/tmp/embench_stream_1m.h5"
+    if not _os.path.exists(path):
+        import h5py
+
+        data = np.random.default_rng(0).standard_normal(
+            (1_000_000, 6)).astype(np.float32)
+        with h5py.File(path, "w") as f:
+            f.create_group("CVs").create_dataset("features", data=data)
+
+    p = Parameters(
+        periodicity=float("inf"), n_neurons=[128, 128, 2], batch_size=batch,
+        n_steps=10**9, steps_per_scan=steps_per_scan, seed=0,
+    )
+    proto = np.random.default_rng(1).standard_normal((64, 6)).astype(np.float32)
+    emap = EncoderMap(p, proto, read_only=True)
+    trainer = make_streaming_trainer(emap._make_train_step(), steps_per_scan)
+    src = PrefetchSource(
+        HDF5BatchSource(path, ["features"], batch, steps_per_scan), depth=3
+    )
+    try:
+        state = emap.state
+        state, m = trainer(state, jnp.asarray(next(src)[0]))  # compile+warm
+        float(np.asarray(m["loss"])[-1])
+
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            state, m = trainer(state, jnp.asarray(next(src)[0]))
+        final = float(np.asarray(m["loss"])[-1])
+        dt = time.perf_counter() - t0
+    finally:
+        src.close()
+    assert np.isfinite(final)
+    return n_chunks * steps_per_scan * batch / dt
+
+
 def _retry(fn, attempts: int = 3, wait: float = 120.0):
     """The remote TPU tunnel occasionally drops a claim mid-session
     (FAILED_PRECONDITION); retry after letting the claim expire."""
@@ -169,8 +295,12 @@ def _retry(fn, attempts: int = 3, wait: float = 120.0):
 
 def main() -> None:
     train_sps = _retry(bench_train)
+    periodic_sps = _retry(lambda: bench_train(periodic=True))
     backmap_cps = _retry(bench_backmap)
     adc_sps = _retry(bench_adc)
+    feat_fps = _retry(bench_featurize)
+    gen_cps = _retry(bench_generate)
+    stream_sps = _retry(bench_streaming)
     target = 1e5
     print(
         json.dumps(
@@ -179,9 +309,14 @@ def main() -> None:
                 "value": round(train_sps, 1),
                 "unit": "samples/sec",
                 "vs_baseline": round(train_sps / target, 3),
+                "periodic_train_samples_per_sec_dihedrals": round(
+                    periodic_sps, 1),
                 "backmap_conformations_per_sec_456atoms": round(backmap_cps, 1),
                 "backmap_vs_baseline": round(backmap_cps / target, 3),
                 "adc_train_samples_per_sec_trpcage": round(adc_sps, 1),
+                "featurize_frames_per_sec_1am7": round(feat_fps, 1),
+                "generate_conformations_per_sec_1am7": round(gen_cps, 1),
+                "streaming_train_samples_per_sec_1m_h5": round(stream_sps, 1),
             }
         )
     )

@@ -37,9 +37,13 @@ class _PatchedTopology(Topology):
         self._extra_bonds: list[tuple[int, int]] = []
         self._not_dihedrals: set[tuple[str, str]] = set()
 
-    def indices_chi(self, n: int) -> np.ndarray:
+    def chi_table(self, n: int) -> dict[str, list[str]]:
         base = dict(CHI_ATOMS[f"chi{n}"])
         base.update(self._custom_chi.get(f"chi{n}", {}))
+        return base
+
+    def indices_chi(self, n: int) -> np.ndarray:
+        base = self.chi_table(n)
         out = []
         for r in self._protein_residues():
             names = base.get(r.name)

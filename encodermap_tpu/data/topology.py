@@ -255,9 +255,16 @@ class Topology:
             )
         return np.asarray(out, dtype=np.int64).reshape(-1, 4)
 
+    def chi_table(self, n: int) -> dict[str, list[str]]:
+        """resname -> atom names for CHI-n. Subclasses (CustomTopology's
+        patched topologies) merge user-defined residues here, which makes
+        every chi-derived feature (side dihedrals/angles/distances/
+        cartesians) honor unnatural amino acids."""
+        return CHI_ATOMS[f"chi{n}"]
+
     def indices_chi(self, n: int) -> np.ndarray:
         """(m, 4) CHI-n quadruplets over all residues that define it."""
-        table = CHI_ATOMS[f"chi{n}"]
+        table = self.chi_table(n)
         out = []
         for r in self._protein_residues():
             names = table.get(r.name.upper()[:3] if r.name not in table else r.name)
@@ -302,7 +309,7 @@ class Topology:
         for i, r in enumerate(self._protein_residues(), start=1):
             count = 0
             for n in range(1, 6):
-                table = CHI_ATOMS[f"chi{n}"]
+                table = self.chi_table(n)
                 names = table.get(r.name)
                 if names and all(r.atom(nm) is not None for nm in names):
                     count += 1

@@ -376,6 +376,30 @@ class SingleTraj:
             return
         raise TypeError(f"cannot load CV from {type(data)}")
 
+    def load_custom_topology(self, custom: Any) -> None:
+        """Patch this trajectory's topology with user residue definitions
+        (unnatural amino acids), so every chi-derived feature honors them
+        (reference ``SingleTraj.load_custom_topology``,
+        ``info_single.py:1388``).
+
+        ``custom`` is a :class:`CustomTopology` or a dict
+        ``{resname: {"chi1": [4 atom names], ...}}``.
+        """
+        from .custom_topology import CustomTopology
+
+        if isinstance(custom, CustomTopology):
+            ct = CustomTopology(self.top)
+            ct._custom_chi = custom._custom_chi
+            ct._dihedral_overrides = custom._dihedral_overrides
+            ct._extra_bonds = list(custom._extra_bonds)
+            ct._not_dihedrals = custom._not_dihedrals
+            ct._protein_names = custom._protein_names
+        else:
+            ct = CustomTopology(self.top)
+            for resname, tables in dict(custom).items():
+                ct.add_residue(resname, **tables)
+        self._top = ct.apply()
+
     def __getattr__(self, name: str):
         # CV access as attributes (reference behavior)
         if name.startswith("_"):
@@ -626,6 +650,12 @@ class TrajEnsemble:
             feat.apply(ensemble=ensemble)
             return
         raise TypeError(f"cannot load CVs from {type(data)}")
+
+    def load_custom_topology(self, custom: Any) -> None:
+        """Apply user residue definitions (unnatural AAs) to every member
+        trajectory (reference ``TrajEnsemble.load_custom_topology``)."""
+        for t in self.trajs:
+            t.load_custom_topology(custom)
 
     # ------------------------------------------------------------------ batching
     def batch_iterator(

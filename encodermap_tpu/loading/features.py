@@ -557,7 +557,7 @@ class AllCartesians(CentralCartesians):
         central = list(_central_chain(top))
         side = []
         for r in top.residues:
-            seq = _sidechain_sequence(r)
+            seq = _sidechain_sequence(r, top)
             side.extend(a.index for a in seq[2:])  # branch atoms (CB...)
         self._indices = np.asarray(central + side, np.int64)
         self.generic_labels = generic_labels
@@ -613,7 +613,7 @@ class SideChainBondDistances(DistanceFeature):
     ) -> None:
         pairs = []
         for r in top.residues:
-            seq = _sidechain_sequence(r)
+            seq = _sidechain_sequence(r, top)
             for a, b in zip(seq[1:-1], seq[2:]):  # skip N; CA->CB first
                 pairs.append((a.index, b.index))
         pairs = np.asarray(pairs, np.int64).reshape(-1, 2)
@@ -642,7 +642,7 @@ class SideChainCartesians(Feature):
         super().__init__(top)
         side = []
         for r in top.residues:
-            seq = _sidechain_sequence(r)
+            seq = _sidechain_sequence(r, top)
             side.extend(a.index for a in seq[2:])  # drop N, CA
         self._indices = np.asarray(side, np.int64)
 
@@ -701,7 +701,7 @@ class SideChainAngles(AngleFeature):
     ) -> None:
         triplets = []
         for r in top.residues:
-            seq = _sidechain_sequence(r)
+            seq = _sidechain_sequence(r, top)
             for a, b, c in zip(seq[:-2], seq[1:-1], seq[2:]):
                 triplets.append((a.index, b.index, c.index))
         triplets = np.asarray(triplets, np.int64).reshape(-1, 3)
@@ -719,13 +719,17 @@ class SideChainAngles(AngleFeature):
         return [f"SIDECHANGLE {k}" for k in range(len(self._indices))]
 
 
-def _sidechain_sequence(residue) -> list:
+def _sidechain_sequence(residue, top: Optional[Topology] = None) -> list:
     """The residue's union of chi-participating atoms in index order
     (mirrors the reference's ``sidechain_indices_by_residue``,
-    ``trajinfo_utils.py:1303-1318``): for ASP -> [N, CA, CB, CG, OD1]."""
+    ``trajinfo_utils.py:1303-1318``): for ASP -> [N, CA, CB, CG, OD1].
+
+    ``top`` supplies the chi tables, so CustomTopology-patched topologies
+    with unnatural residues are honored; falls back to standard CHI_ATOMS."""
     atoms = {}
     for n in range(1, 6):
-        names = CHI_ATOMS[f"chi{n}"].get(residue.name)
+        table = top.chi_table(n) if top is not None else CHI_ATOMS[f"chi{n}"]
+        names = table.get(residue.name)
         if not names:
             continue
         found = [residue.atom(nm) for nm in names]
@@ -796,7 +800,8 @@ class SideChainDihedrals(DihedralFeature):
         prot = [r for r in top.residues if r.is_protein]
         for ri, r in enumerate(prot, start=1):
             for n in range(1, 6):
-                names = CHI_ATOMS[f"chi{n}"].get(r.name)
+                # top.chi_table honors CustomTopology unnatural-AA entries
+                names = top.chi_table(n).get(r.name)
                 if not names:
                     continue
                 atoms = [r.atom(nm) for nm in names]

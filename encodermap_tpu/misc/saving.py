@@ -30,6 +30,7 @@ __all__ = [
     "save_checkpoint",
     "latest_checkpoint",
     "load_checkpoint",
+    "load_checkpoint_rng",
 ]
 
 
@@ -114,15 +115,22 @@ def save_checkpoint(
     opt_state: Any = None,
     parameters: Any = None,
     prefix: str = "saved_model",
+    rng: Any = None,
 ) -> str:
-    """Write ``{prefix}_{step}.npz`` (+ ``.opt.npz``) and refresh
-    ``parameters.json`` with the current step."""
+    """Write ``{prefix}_{step}.npz`` (+ ``.opt.npz``, ``.rng.npy``) and
+    refresh ``parameters.json`` with the current step.
+
+    ``rng`` (the TrainState PRNG key) makes resumed training reproduce an
+    uninterrupted run *exactly* — on-device batch sampling continues the
+    same key chain."""
     main_path = Path(main_path)
     main_path.mkdir(parents=True, exist_ok=True)
     ckpt = main_path / f"{prefix}_{step}.npz"
     save_pytree(params, ckpt)
     if opt_state is not None:
         save_pytree(opt_state, main_path / f"{prefix}_{step}.opt.npz")
+    if rng is not None:
+        np.save(main_path / f"{prefix}_{step}.rng.npy", np.asarray(rng))
     if parameters is not None:
         parameters.current_training_step = int(step)
         parameters.save(main_path / "parameters.json")
@@ -150,7 +158,8 @@ def load_checkpoint(
     path: Union[str, Path], prefix: str = "saved_model"
 ) -> tuple[Any, Optional[Any], int]:
     """Load (params, opt_state_or_None, step) from a checkpoint file or the
-    newest checkpoint in a directory."""
+    newest checkpoint in a directory. See :func:`load_checkpoint_rng` for
+    the stored PRNG key."""
     path = Path(path)
     if path.is_dir():
         found = latest_checkpoint(path, prefix)
@@ -163,6 +172,23 @@ def load_checkpoint(
     opt_file = Path(str(path)[: -len(".npz")] + ".opt.npz")
     opt_state = str(opt_file) if opt_file.exists() else None
     return params, opt_state, step
+
+
+def load_checkpoint_rng(
+    path: Union[str, Path], prefix: str = "saved_model"
+) -> Optional[np.ndarray]:
+    """The PRNG key stored next to a checkpoint, or None (old checkpoints
+    without one fall back to a fresh seed-derived key)."""
+    path = Path(path)
+    if path.is_dir():
+        found = latest_checkpoint(path, prefix)
+        if found is None:
+            return None
+        path = Path(found[0])
+    rng_file = Path(str(path)[: -len(".npz")] + ".rng.npy")
+    if rng_file.exists():
+        return np.load(rng_file)
+    return None
 
 
 def load_pytree_into(template: Any, path: Union[str, Path]) -> Any:

@@ -303,10 +303,10 @@ def _quat_rotate_mat(q, M):
 
 @jax.custom_vjp
 def _one_way(dihedrals: Array, cartesian: Array) -> Array:
-    # A fused Pallas VMEM scan (ops/pallas_scan.py) was measured at parity
-    # with this XLA path on v5e (2.46 vs 2.61M conf/s at (512, 456)) — XLA's
-    # O(n)-work associative_scan beats the kernel's O(n log n) Hillis-Steele
-    # rounds, so the plain path stays the default.
+    # A fused Pallas VMEM scan was measured at parity with this XLA path on
+    # v5e (2.46 vs 2.61M conf/s at (512, 456)) — XLA's O(n)-work
+    # associative_scan beats the kernel's O(n log n) Hillis-Steele rounds,
+    # so the plain path stays the default (see docs/mosaic_findings.md).
     return _one_way_impl(dihedrals, cartesian)[0]
 
 

@@ -41,6 +41,31 @@ import numpy as np
 __all__ = ["hand_step", "fused_chunk", "fused_trainer_available"]
 
 
+_ATAN_COEFFS = (0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
+                0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580)
+
+
+def _poly_atan2(s, c):
+    """atan2 via odd Remez polynomial on [0, 1] + range reduction
+    (max err ~2.4e-7; Mosaic has no atan/atan2 primitive)."""
+    from math import pi
+
+    ax, ay = jnp.abs(c), jnp.abs(s)
+    hi = ay > ax
+    num = jnp.where(hi, ax, ay)
+    den = jnp.where(hi, ay, ax)
+    den = jnp.where(den == 0.0, 1.0, den)
+    z = num / den
+    z2 = z * z
+    acc = jnp.full_like(z, _ATAN_COEFFS[-1])
+    for k in range(len(_ATAN_COEFFS) - 2, -1, -1):
+        acc = acc * z2 + _ATAN_COEFFS[k]
+    r = z * acc
+    r = jnp.where(hi, (pi / 2) - r, r)
+    r = jnp.where(c < 0.0, pi - r, r)
+    return jnp.where(s < 0.0, -r, r)
+
+
 def _sig(r, sig, a, b):
     c = 2.0 ** (a / b) - 1.0
     return 1.0 - (1.0 + c * (r / sig) ** a) ** (-b / a)
@@ -133,8 +158,6 @@ def hand_step(
         acts_d.append(jnp.tanh(z) if i < n_dec - 1 else z)
     dec_out = acts_d[-1]
     if periodic:
-        from .pallas_train_adc import _poly_atan2
-
         s_half, c_half = dec_out[:, :d0], dec_out[:, d0:]
         norm2 = s_half * s_half + c_half * c_half
         out = _poly_atan2(s_half, c_half)

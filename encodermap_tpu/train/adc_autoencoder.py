@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import losses as L
-from ..misc.saving import load_checkpoint, load_pytree_into, save_checkpoint
+from ..misc.saving import (
+    load_checkpoint,
+    load_checkpoint_rng,
+    load_pytree_into,
+    save_checkpoint,
+)
 from ..misc.summaries import MetricsWriter
 from ..models import adc
 from ..ops.backmap import backmap as backmap_op
@@ -51,6 +56,20 @@ CV_ORDER = (
 )
 
 
+def _needed_cv_names(p: ADCParameters) -> list[str]:
+    """The CV names this parameter set trains on, in model input order."""
+    if p.reconstruct_sidechains:
+        return [
+            "central_angles", "central_dihedrals", "all_cartesians",
+            "central_distances", "side_angles", "side_dihedrals",
+            "side_distances",
+        ]
+    needed = list(CV_ORDER[:4])
+    if p.use_sidechains:
+        needed.append("side_dihedrals")
+    return needed
+
+
 def _extract_cvs(trajs: Any, p: ADCParameters) -> tuple[np.ndarray, ...]:
     """Pull the 5 CV arrays out of a TrajEnsemble-like object or a mapping."""
     if isinstance(trajs, Mapping):
@@ -61,16 +80,7 @@ def _extract_cvs(trajs: Any, p: ADCParameters) -> tuple[np.ndarray, ...]:
         raise TypeError(
             f"Expected a TrajEnsemble or a dict of CV arrays, got {type(trajs)}"
         )
-    if p.reconstruct_sidechains:
-        needed = [
-            "central_angles", "central_dihedrals", "all_cartesians",
-            "central_distances", "side_angles", "side_dihedrals",
-            "side_distances",
-        ]
-    else:
-        needed = list(CV_ORDER[:4])
-        if p.use_sidechains:
-            needed.append("side_dihedrals")
+    needed = _needed_cv_names(p)
     missing = [k for k in needed if k not in cvs]
     if missing:
         raise ValueError(
@@ -435,11 +445,33 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
     def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
         """Out-of-core ADC training from a host superbatch source (tuples of
         the 5/7 CV stacks), replacing the reference's HDF5-generator
-        streaming (``info_all.py:3080-3154``)."""
-        from .core import run_streaming
+        streaming (``info_all.py:3080-3154``).
 
+        ``source`` may also be a path to an HDF5 file — either a flat
+        ``CVs/`` group or an ensemble file written by
+        :meth:`TrajEnsemble.save` — in which case batches are sampled
+        lazily from disk and the CVs never fully materialize in RAM::
+
+            trajs.load_CVs("all"); trajs.save("ens.h5")
+            emap = AngleDihedralCartesianEncoderMap.from_ensemble_h5(
+                "ens.h5", p)
+            emap.train_streaming("ens.h5")
+        """
+        from .core import HDF5BatchSource, run_streaming
+
+        owned = None
+        if isinstance(source, (str, Path)):
+            source = owned = HDF5BatchSource(
+                source, _needed_cv_names(self.p), self.p.batch_size,
+                self.p.steps_per_scan,
+                seed=self.p.seed if self.p.seed is not None else 0,
+            )
         n = n_steps if n_steps is not None else self.p.n_steps
-        history = run_streaming(self, source, n)
+        try:
+            history = run_streaming(self, source, n)
+        finally:
+            if owned is not None:
+                owned.close()
         self.history = history
         self.p.current_training_step = int(self.state.step)
         if not self.read_only:
@@ -605,37 +637,53 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             return backmap_topology(
                 t, base, out_dihedrals, dihedral_indices=quads
             )
-        points = np.asarray(points, np.float32)
-        decoded = self.decode(points)
+        # decode + backmap run as ONE jitted program: no intermediate
+        # device->host->device round-trip of the decoded angles (which on
+        # the remote-TPU tunnel costs a dispatch + two transfers per call)
+        points = jnp.asarray(np.asarray(points, np.float32))
         if self.p.reconstruct_sidechains:
             from ..ops.backmap_sidechains import backmap_sidechains_fast
 
-            out_ca, out_cdi, out_sa, out_sdi = decoded
-            cd = self.train_data[3].mean(0, keepdims=True)
-            sd = self.train_data[6].mean(0, keepdims=True)
-            B = len(points)
-            fn = self._cached_jit(
-                "generate_backmap_sidechains",
-                lambda *a: backmap_sidechains_fast(self.sidechain_spec, *a),
-            )
+            def _gen_sc(params, z, cd, sd):
+                out_ca, out_cdi, out_sa, out_sdi = adc.decode_sidechains(
+                    params, self.p, z, self.shapes
+                )
+                B = z.shape[0]
+                return backmap_sidechains_fast(
+                    self.sidechain_spec,
+                    jnp.broadcast_to(cd, (B, cd.shape[1])),
+                    out_ca, out_cdi,
+                    jnp.broadcast_to(sd, (B, sd.shape[1])),
+                    out_sa, out_sdi,
+                )
+
+            fn = self._cached_jit("generate_fused_sidechains", _gen_sc)
             xyz = fn(
-                jnp.broadcast_to(jnp.asarray(cd), (B, cd.shape[1])),
-                jnp.asarray(out_ca), jnp.asarray(out_cdi),
-                jnp.broadcast_to(jnp.asarray(sd), (B, sd.shape[1])),
-                jnp.asarray(out_sa), jnp.asarray(out_sdi),
+                self.state.params, points,
+                jnp.asarray(self.train_data[3].mean(0, keepdims=True)),
+                jnp.asarray(self.train_data[6].mean(0, keepdims=True)),
             )
             return np.asarray(xyz)
-        out_angles, out_dihedrals = decoded[0], decoded[1]
-        distances = self.train_data[3]
-        mean_lengths = np.broadcast_to(
-            distances.mean(0, keepdims=True),
-            (len(points), distances.shape[1]),
-        )
-        fn = self._cached_jit("generate_backmap", backmap_op)
+
+        def _gen(params, z, mean_lengths, mean_angles):
+            out_angles, out_dihedrals, _ = adc.decode(
+                params, self.p, z, self.shapes
+            )
+            B = z.shape[0]
+            if out_angles is None:  # MeanAngles substitution
+                out_angles = jnp.broadcast_to(
+                    mean_angles, (B, mean_angles.shape[1])
+                )
+            lengths = jnp.broadcast_to(
+                mean_lengths, (B, mean_lengths.shape[1])
+            )
+            return backmap_op(lengths, out_angles, out_dihedrals)
+
+        fn = self._cached_jit("generate_fused", _gen)
         xyz = fn(
-            jnp.asarray(mean_lengths),
-            jnp.asarray(out_angles, jnp.float32),
-            jnp.asarray(out_dihedrals, jnp.float32),
+            self.state.params, points,
+            jnp.asarray(self.train_data[3].mean(0, keepdims=True)),
+            jnp.asarray(self.train_data[0].mean(0, keepdims=True)),
         )
         return np.asarray(xyz)
 
@@ -647,7 +695,34 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         return save_checkpoint(
             self.p.main_path, self.state.params, step,
             opt_state=self.state.opt_state, parameters=self.p,
+            rng=self.state.rng,
         )
+
+    @classmethod
+    def from_ensemble_h5(
+        cls,
+        path: Union[str, Path],
+        parameters: Optional[ADCParameters] = None,
+        prototype_frames: int = 4,
+        **kwargs: Any,
+    ) -> "AngleDihedralCartesianEncoderMap":
+        """Build an ADC model whose input shapes come from an on-disk
+        ensemble HDF5 (written by :meth:`TrajEnsemble.save`) without loading
+        the CVs into RAM — only ``prototype_frames`` frames per CV are read
+        to derive shapes and sparse-mode detection. Pair with
+        ``train_streaming(path)`` for fully out-of-core training."""
+        from .core import HDF5BatchSource
+
+        p = parameters if parameters is not None else ADCParameters()
+        src = HDF5BatchSource(
+            path, _needed_cv_names(p), batch_size=prototype_frames,
+            steps_per_scan=1, seed=0,
+        )
+        try:
+            proto = src.read_prototype(prototype_frames)
+        finally:
+            src.close()
+        return cls(parameters=p, dataset=proto, **kwargs)
 
     @classmethod
     def from_checkpoint(
@@ -675,4 +750,7 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             out.state = out.state.replace(
                 opt_state=load_pytree_into(out.state.opt_state, opt_npz)
             )
+        rng = load_checkpoint_rng(ckpt_path)
+        if rng is not None:
+            out.state = out.state.replace(rng=jnp.asarray(rng))
         return out

@@ -27,7 +27,12 @@ import numpy as np
 
 from .. import losses as L
 from ..misc.misc import create_n_cube
-from ..misc.saving import load_checkpoint, load_pytree_into, save_checkpoint
+from ..misc.saving import (
+    load_checkpoint,
+    load_checkpoint_rng,
+    load_pytree_into,
+    save_checkpoint,
+)
 from ..misc.summaries import MetricsWriter
 from ..models import sequential as seq
 from ..parameters import Parameters
@@ -430,6 +435,7 @@ class Autoencoder(TrainerExtensions):
             step,
             opt_state=self.state.opt_state,
             parameters=self.p,
+            rng=self.state.rng,
         )
 
     @classmethod
@@ -464,6 +470,9 @@ class Autoencoder(TrainerExtensions):
             out.state = out.state.replace(
                 opt_state=load_pytree_into(out.state.opt_state, opt_npz)
             )
+        rng = load_checkpoint_rng(ckpt_path)
+        if rng is not None:
+            out.state = out.state.replace(rng=jnp.asarray(rng))
         return out
 
     @classmethod

@@ -152,7 +152,17 @@ def make_streaming_trainer(
 
 class HDF5BatchSource:
     """Random-batch sampler reading CVs straight from an HDF5 file — the
-    out-of-core path for million-frame ensembles.
+    out-of-core path for million-frame ensembles (the reference streams the
+    same way through an HDF5-generator ``tf.data`` pipeline,
+    ``trajinfo/info_all.py:2870-3078``).
+
+    Two on-disk layouts are supported:
+
+    * flat: one group (default ``"CVs"``) holding one dataset per CV name;
+    * ensemble: the layout :meth:`TrajEnsemble.save` writes — ``traj_N/CVs/
+      <name>`` per member trajectory. The per-traj datasets are virtually
+      concatenated along the frame axis (they must be width-aligned, which
+      ``load_CVs(..., ensemble=True)`` guarantees).
 
     Yields tuples of ``(steps_per_scan, batch, ...)`` numpy stacks suitable
     for :func:`make_streaming_trainer`.
@@ -162,32 +172,76 @@ class HDF5BatchSource:
                  steps_per_scan: int, group: str = "CVs",
                  seed: int = 0) -> None:
         import h5py
+        import numpy as np
 
-        self.path = path
+        self.path = str(path)
         self.cv_names = list(cv_names)
         self.batch_size = batch_size
         self.steps_per_scan = steps_per_scan
         self.group = group
         self._h5 = h5py.File(path, "r")
-        g = self._h5[group] if group else self._h5
-        self._dsets = [g[name] for name in self.cv_names]
-        self.n_frames = self._dsets[0].shape[0]
-        self._rng = __import__("numpy").random.default_rng(seed)
+        traj_groups = sorted(
+            (k for k in self._h5 if k.startswith("traj_") and "CVs" in self._h5[k]),
+            key=lambda k: int(k.split("_")[1]),
+        )
+        if group and group in self._h5:
+            self._dset_groups = [[self._h5[group][n] for n in self.cv_names]]
+        elif traj_groups:
+            self._dset_groups = [
+                [self._h5[f"{k}/CVs"][n] for n in self.cv_names]
+                for k in traj_groups
+            ]
+        else:
+            g = self._h5[group] if group else self._h5
+            self._dset_groups = [[g[n] for n in self.cv_names]]
+        lengths = [dsets[0].shape[0] for dsets in self._dset_groups]
+        self._offsets = np.concatenate([[0], np.cumsum(lengths)])
+        self.n_frames = int(self._offsets[-1])
+        self._rng = np.random.default_rng(seed)
 
     def __iter__(self):
         return self
 
+    def _read_rows(self, k: int, idx):
+        """Gather rows of CV #k across the virtually-concatenated groups.
+        ``idx`` must be sorted ascending (h5py fancy-index requirement)."""
+        import numpy as np
+
+        parts = []
+        for gi, dsets in enumerate(self._dset_groups):
+            lo, hi = self._offsets[gi], self._offsets[gi + 1]
+            local = idx[(idx >= lo) & (idx < hi)] - lo
+            if len(local):
+                parts.append(dsets[k][local])
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
     def __next__(self):
         import numpy as np
 
-        out = [[] for _ in self._dsets]
+        n_cv = len(self.cv_names)
+        out = [[] for _ in range(n_cv)]
         for _ in range(self.steps_per_scan):
             idx = np.sort(
                 self._rng.choice(self.n_frames, self.batch_size, replace=False)
             )
-            for k, d in enumerate(self._dsets):
-                out[k].append(d[idx])
+            for k in range(n_cv):
+                out[k].append(self._read_rows(k, idx))
         return tuple(np.stack(parts) for parts in out)
+
+    def read_prototype(self, n: int = 4):
+        """First ``n`` frames of *every* member group, concatenated — a
+        small deterministic sample that sees each topology (so NaN-aligned
+        ensemble columns are visible for sparse-mode detection)."""
+        import numpy as np
+
+        out = []
+        for k in range(len(self.cv_names)):
+            parts = [
+                dsets[k][: min(n, dsets[k].shape[0])]
+                for dsets in self._dset_groups
+            ]
+            out.append(np.concatenate(parts, axis=0).astype(np.float32))
+        return tuple(out)
 
     def close(self):
         self._h5.close()

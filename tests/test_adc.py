@@ -150,3 +150,44 @@ class TestADCCheckpoint:
         )
         np.testing.assert_allclose(latent, emap2.encode(), atol=1e-6)
         assert int(emap2.state.step) == 10
+
+    def test_resume_mid_soft_start(self, cvs, tmp_path):
+        """save -> load -> train-more with the checkpoint landing in the
+        MIDDLE of the soft-start cartesian ramp: the reloaded run must
+        continue the schedule exactly where the uninterrupted run is (the
+        schedule is a pure function of the checkpointed global step)."""
+        soft = dict(cartesian_cost_scale=10.0,
+                    cartesian_cost_scale_soft_start=(5, 25))
+
+        # uninterrupted 30-step run as the oracle
+        p_full = _params(tmp_path / "full", n_steps=30, steps_per_scan=5,
+                         **soft)
+        full = AngleDihedralCartesianEncoderMap(cvs, p_full)
+        h_full = full.train()
+
+        # 15 steps (mid-ramp), checkpoint, reload, train to 30
+        p_a = _params(tmp_path / "resume", n_steps=15, steps_per_scan=5,
+                      **soft)
+        a = AngleDihedralCartesianEncoderMap(cvs, p_a)
+        h_a = a.train()
+        assert 0.0 < h_a["cartesian_cost_scale"][-1] < 10.0  # mid-ramp
+
+        b = AngleDihedralCartesianEncoderMap.from_checkpoint(
+            cvs, tmp_path / "resume"
+        )
+        assert int(b.state.step) == 15
+        b.p.n_steps = 30
+        h_b = b.train()
+        assert int(b.state.step) == 30
+        scales = np.concatenate(
+            [h_a["cartesian_cost_scale"], h_b["cartesian_cost_scale"]]
+        )
+        np.testing.assert_allclose(
+            scales, h_full["cartesian_cost_scale"], atol=1e-6
+        )
+        # identical data/seed/schedule -> identical loss curve across the
+        # save/load boundary (optimizer state incl. Adam moments restored)
+        np.testing.assert_allclose(
+            np.concatenate([h_a["loss"], h_b["loss"]]), h_full["loss"],
+            rtol=1e-5, atol=1e-6,
+        )

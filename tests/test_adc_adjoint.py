@@ -1,15 +1,14 @@
-# tests/test_pallas_train_adc.py
-"""The hand-derived ADC train step and its SoA/Pallas ports: analytic
-gradients vs autodiff (machine precision), value parity with the
-production loss assembly, and kernel-vs-oracle equivalence."""
+# tests/test_adc_adjoint.py
+"""The hand-derived ADC train-step adjoint: analytic gradients vs autodiff
+(machine precision) and value parity with the production loss assembly."""
 
 import numpy as np
-import pytest
+
 
 import jax
 import jax.numpy as jnp
 
-from encodermap_tpu.ops import pallas_train_adc as PTA
+from encodermap_tpu.ops import adc_adjoint as PTA
 
 
 def _problem(rng, n_res=8, B=8, dtype=jnp.float32, hidden=32):
@@ -138,72 +137,3 @@ class TestHandADCStep:
                     float(metrics[k]), float(v), rtol=1e-4, atol=1e-7,
                     err_msg=k,
                 )
-
-
-class TestSoAPort:
-    @pytest.mark.parametrize("n_res", [8, 9])  # even/odd dihedral splits
-    def test_matches_hand_step(self, n_res, rng):
-        net, d, hyper, n_atoms, nD = _problem(rng, n_res=n_res)
-        enc_w, enc_b, dec_w, dec_b = net
-        step = jnp.asarray(5.0)
-        gh = PTA.hand_adc_step(enc_w, enc_b, dec_w, dec_b, d["angles"],
-                               d["dihedrals"], d["ca"], d["distances"],
-                               d["side"], step, hyper=hyper)
-        consts = PTA.make_adc_consts(n_atoms, nD, 1, 3)
-        ca3 = (d["ca"][..., 0], d["ca"][..., 1], d["ca"][..., 2])
-        gs = PTA.adc_soa_step(enc_w, enc_b, dec_w, dec_b, d["angles"],
-                              d["dihedrals"], ca3, d["distances"], d["side"],
-                              step, consts, hyper)
-        for a, b in zip(gh[:4], gs[:4]):
-            for x, y in zip(a, b):
-                np.testing.assert_allclose(x, y, atol=2e-5)
-
-
-class TestFusedChunkInterpret:
-    def test_matches_sequential_oracle(self, rng):
-        from encodermap_tpu.ops.pallas_train import _adam_update
-
-        net, d, hyper, n_atoms, nD = _problem(rng, B=16)
-        enc_w, enc_b, dec_w, dec_b = net
-        steps, B = 3, 16
-        params = (list(enc_w) + list(dec_w)
-                  + [b[None, :] for b in enc_b] + [b[None, :] for b in dec_b])
-        mu = [jnp.zeros_like(x) for x in params]
-        nu = [jnp.zeros_like(x) for x in params]
-        batches = dict(
-            angles=jnp.stack([d["angles"]] * steps),
-            dihedrals=jnp.stack([d["dihedrals"]] * steps),
-            side=jnp.stack([d["side"]] * steps),
-            distances=jnp.stack([d["distances"]] * steps),
-            cax=jnp.stack([d["ca"][..., 0]] * steps),
-            cay=jnp.stack([d["ca"][..., 1]] * steps),
-            caz=jnp.stack([d["ca"][..., 2]] * steps),
-        )
-        consts = PTA.make_adc_consts(n_atoms, nD, 1, 3)
-        new_p, _, _, metrics = PTA.adc_fused_chunk(
-            params, mu, nu, 4.0, 4.0, batches, consts, n_enc=3, hyper=hyper,
-            interpret=True,
-        )
-        p_o, m_o, v_o = list(params), list(mu), list(nu)
-        mets = []
-        for s in range(steps):
-            gew, geb, gdw, gdb, met = PTA.adc_soa_step(
-                p_o[:3], p_o[6:9], p_o[3:6], p_o[9:12],
-                batches["angles"][s], batches["dihedrals"][s],
-                (batches["cax"][s], batches["cay"][s], batches["caz"][s]),
-                batches["distances"][s], batches["side"][s],
-                jnp.asarray(4.0 + s), consts, hyper,
-            )
-            grads = (list(gew) + list(gdw)
-                     + [g[None, :] for g in geb] + [g[None, :] for g in gdb])
-            mets.append(jnp.stack(met))
-            for i in range(12):
-                p_o[i], m_o[i], v_o[i] = _adam_update(
-                    p_o[i], m_o[i], v_o[i], grads[i], 4.0 + s + 1.0, 1e-3
-                )
-        for a, b in zip(new_p, p_o):
-            np.testing.assert_allclose(a, b, atol=1e-5)
-        np.testing.assert_allclose(
-            np.asarray(metrics)[:, :10], np.asarray(jnp.stack(mets)),
-            atol=2e-4,
-        )

@@ -194,7 +194,9 @@ class TestEncoderMapEndToEnd:
             assert traces["decode"] == 1
             emap.generate(z[:4])
             emap.generate(z[:4])
-            assert "generate_backmap" in emap._jit_cache
+            # decode+backmap fused into one cached jit, traced exactly once
+            assert "generate_fused" in emap._jit_cache
+            assert traces["decode"] == 2
         finally:
             adc.encode, adc.decode = orig_enc, orig_dec
 

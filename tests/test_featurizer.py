@@ -319,6 +319,43 @@ class TestEnsembleAlignment:
         assert np.all(a1[:, 1] == 2.0) and np.all(a1[:, 2] == 3.0)
 
 
+class TestUnnaturalAminoAcids:
+    """Ensemble featurization with CustomTopology-defined residues (the
+    analog of reference ``tests/test_featurizer.py:2465``)."""
+
+    def test_custom_chi_flows_into_ensemble_alignment(self):
+        """asp7 with a user-defined ASP chi3 + stock glu7 (real chi3): the
+        custom dihedral must appear in the featurized CVs and NaN-align
+        into the same generic CHI3 columns as glu7's."""
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+        # teach ASP a (geometrically fake but well-defined) chi3
+        trajs.trajs[0].load_custom_topology(
+            {"ASP": {"chi3": ["CB", "CG", "OD1", "OD2"]}}
+        )
+        trajs.load_CVs(["side_dihedrals"], ensemble=True)
+        sd = trajs.CVs["side_dihedrals"]
+        labels = trajs.trajs[0]._CVs.entry("side_dihedrals").labels
+        chi3_cols = [i for i, l in enumerate(labels) if "CHI3" in l]
+        assert len(chi3_cols) == 7  # one shared CHI3 column per residue
+        # BOTH trajs now fill the chi3 columns (asp7 via the custom table)
+        assert np.all(np.isfinite(sd[:, chi3_cols]))
+        assert sd.shape[1] == 21  # 7 residues x (chi1, chi2, chi3)
+
+    def test_custom_topology_object_roundtrip(self):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        ct = CustomTopology(traj.top)
+        ct.add_residue("ASP", chi3=["CB", "CG", "OD1", "OD2"])
+        traj.load_custom_topology(ct)
+        assert len(traj.top.indices_chi(3)) == 7
+        info = traj.top.sidechain_info()
+        assert all(v == 3 for v in info.values())
+
+
 class TestClustalWAlignment:
     def test_alignment_relabels_and_aligns(self, tmp_path):
         """Two copies of asp7 with a shifted alignment: the shifted sequence's

@@ -322,6 +322,75 @@ class TestDashboard:
         with pytest.raises(ImportError, match="InteractivePlotting"):
             Dashboard(autoencoder=None)
 
+    @pytest.fixture(scope="class")
+    def session(self, tmp_path_factory):
+        """A DashboardSession over a small trained EncoderMap (headless —
+        the page callback logic needs no dash)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.plot.dashboard import DashboardSession
+
+        tmp = tmp_path_factory.mktemp("dash")
+        data, _ = em.create_n_cube(3, points_along_edge=20, seed=0)
+        p = em.Parameters(
+            main_path=str(tmp), periodicity=float("inf"),
+            n_neurons=[8, 8, 2], n_steps=10, steps_per_scan=5,
+            batch_size=32, seed=0,
+        )
+        emap = em.EncoderMap(p, data.astype(np.float32))
+        emap.train()
+        return DashboardSession(emap, main_path=str(tmp))
+
+    def test_home_page_status(self, session):
+        from encodermap_tpu.plot.dashboard import HomePage
+
+        s = HomePage(session).status()
+        assert s["model"] == "EncoderMap"
+        assert s["trained_steps"] == 10
+        assert s["n_trajs"] == 0
+
+    def test_projection_page_lasso_cluster_path(self, session, tmp_path):
+        from encodermap_tpu.plot.dashboard import ProjectionPage
+
+        page = ProjectionPage(session)
+        d = page.figure_data()
+        assert len(d["x"]) == len(session.autoencoder.train_data)
+
+        # lasso covering everything selects everything
+        lo_x, hi_x = min(d["x"]) - 1, max(d["x"]) + 1
+        lo_y, hi_y = min(d["y"]) - 1, max(d["y"]) + 1
+        n = page.select_lasso(
+            {"x": [lo_x, hi_x, hi_x, lo_x], "y": [lo_y, lo_y, hi_y, hi_y]}
+        )
+        assert n == len(d["x"])
+        msg = page.write_cluster("headless")
+        assert "wrote cluster" in msg
+
+        msg = page.generate_path([(0.0, 0.0), (1.0, 1.0)], n=7)
+        assert "7 conformations" in msg
+        out = np.load(session.main_path / "generated" / "path_linear_7.npy")
+        assert out.shape == (7, 3)
+
+    @needs_data
+    def test_upload_traj_top_pages(self, session):
+        from encodermap_tpu.plot.dashboard import (
+            TopPage,
+            TrajPage,
+            UploadPage,
+        )
+
+        assert TrajPage(session).table_rows() == []
+        msg = UploadPage(session).load_trajs(
+            [str(DATA / "asp7.xtc")], [str(DATA / "asp7.pdb")]
+        )
+        assert "Loaded 1" in msg
+        rows = TrajPage(session).table_rows()
+        assert len(rows) == 1 and rows[0]["n_frames"] == 100
+
+        top = TopPage(session)
+        assert len(top.options()) == 1
+        desc = top.describe_top(0)
+        assert desc and desc[0].startswith("ASP1")
+
 
 class TestConfig2AlaDipeptide:
     def test_backbone_dihedrals_to_2d(self, tmp_path):

@@ -85,6 +85,66 @@ class TestStreaming:
         assert history["loss"][-10:].mean() < history["loss"][:10].mean()
 
 
+class TestEnsembleH5Streaming:
+    """The joined halves: TrajEnsemble.save() -> HDF5BatchSource ->
+    ADC train_streaming, without the CVs ever fully materializing in RAM
+    (reference: lazy HDF5 batch_iterator, ``info_all.py:2870-3078``)."""
+
+    DATA = __import__("pathlib").Path("/root/reference/tests/data")
+
+    @pytest.fixture(scope="class")
+    def ensemble_h5(self, tmp_path_factory):
+        if not self.DATA.exists():
+            pytest.skip("reference test data not mounted")
+        import encodermap_tpu as em
+
+        trajs = em.load(
+            [self.DATA / "asp7.xtc", self.DATA / "glu7.xtc"],
+            [self.DATA / "asp7.pdb", self.DATA / "glu7.pdb"],
+        )
+        trajs.load_CVs("all", ensemble=True)
+        path = tmp_path_factory.mktemp("ens") / "trajs.h5"
+        trajs.save(path)
+        return str(path), trajs
+
+    def test_source_reads_ensemble_layout(self, ensemble_h5):
+        path, trajs = ensemble_h5
+        src = HDF5BatchSource(
+            path, ["central_angles", "central_dihedrals"], batch_size=16,
+            steps_per_scan=3,
+        )
+        assert src.n_frames == trajs.n_frames
+        sb = next(src)
+        assert sb[0].shape == (3, 16, trajs.CVs["central_angles"].shape[1])
+        proto = src.read_prototype(2)
+        # 2 frames from each of the two member trajs
+        assert proto[0].shape[0] == 4
+        src.close()
+
+    def test_adc_trains_from_disk(self, ensemble_h5, tmp_path):
+        """from_ensemble_h5 + train_streaming(path): fully out-of-core; the
+        mixed asp7/glu7 topology routes through sparse (NaN-masked) mode."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        path, trajs = ensemble_h5
+        p = em.ADCParameters(
+            main_path=str(tmp_path / "stream_adc"), batch_size=32,
+            n_steps=8, steps_per_scan=4, use_backbone_angles=True,
+            use_sidechains=True, n_neurons=[16, 16, 2], seed=0,
+        )
+        emap = AngleDihedralCartesianEncoderMap.from_ensemble_h5(path, p)
+        # only the prototype lives in RAM
+        assert len(emap.train_data[0]) == 8  # 4 frames x 2 trajs
+        assert emap.sparse  # glu7 chi3 columns are NaN for asp7
+        h = emap.train_streaming(path)
+        assert len(h["loss"]) == 8
+        assert np.isfinite(h["loss"]).all()
+        assert int(emap.state.step) == 8
+
+
 class TestShardedStreaming:
     def test_config5_streaming_plus_dp(self, h5_cvs, tmp_path):
         """BASELINE config 5 shape: out-of-core streaming combined with

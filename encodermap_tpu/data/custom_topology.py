@@ -155,6 +155,45 @@ class CustomTopology:
         self._not_dihedrals.add((kind, residue_name))
         return self
 
+    def to_json(self) -> str:
+        """Serialize the residue definitions (NOT the topology) so custom
+        amino acids survive HDF5 save/load round trips, mirroring the
+        reference's persistence of CustomTopology alongside trajectories
+        (``trajinfo_utils.py:583-1565``)."""
+        import json
+
+        return json.dumps({
+            "custom_chi": self._custom_chi,
+            "dihedral_overrides": [
+                [k[0], k[1], v] for k, v in self._dihedral_overrides.items()
+            ],
+            "extra_bonds": [list(e) for e in self._extra_bonds],
+            "not_dihedrals": sorted(list(t) for t in self._not_dihedrals),
+            "protein_names": sorted(self._protein_names),
+        })
+
+    @classmethod
+    def from_json(cls, top: Topology, text: str) -> "CustomTopology":
+        """Rebuild definitions from :meth:`to_json` onto ``top``."""
+        import json
+
+        data = json.loads(text)
+        ct = cls(top)
+        ct._custom_chi = {
+            k: {r: list(v) for r, v in tbl.items()}
+            for k, tbl in data.get("custom_chi", {}).items()
+        }
+        ct._dihedral_overrides = {
+            (kind, res): list(names)
+            for kind, res, names in data.get("dihedral_overrides", [])
+        }
+        ct._extra_bonds = [tuple(e) for e in data.get("extra_bonds", [])]
+        ct._not_dihedrals = {
+            tuple(t) for t in data.get("not_dihedrals", [])
+        }
+        ct._protein_names = set(data.get("protein_names", []))
+        return ct
+
     def apply(self) -> _PatchedTopology:
         """Build the patched Topology."""
         out = _PatchedTopology()
@@ -166,6 +205,7 @@ class CustomTopology:
         out._custom_chi = self._custom_chi
         out._dihedral_overrides = self._dihedral_overrides
         out._not_dihedrals = self._not_dihedrals
+        out._custom_def_json = self.to_json()
         for entry in self._extra_bonds:
             res_name, a_name, b_name = entry
             for res in out.residues:

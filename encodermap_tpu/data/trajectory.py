@@ -161,6 +161,12 @@ class SingleTraj:
                 from .mdtraj_h5 import topology_from_json
 
                 self._top = topology_from_json(f["topology"][0].decode())
+                if "custom_topology" in f.attrs:
+                    from .custom_topology import CustomTopology
+
+                    self._top = CustomTopology.from_json(
+                        self._top, f.attrs["custom_topology"]
+                    ).apply()
             if top_only:
                 return
             with h5py.File(self.traj_file, "r") as ft:
@@ -279,6 +285,35 @@ class SingleTraj:
         out._top = self._top
         if len(self._CVs):
             out._CVs = self._CVs.index_frames(item)
+        return out
+
+    def atom_slice(self, atom_indices: Any) -> "SingleTraj":
+        """New trajectory restricted to the given atoms (ascending order),
+        with a subset topology — the analog of mdtraj/reference
+        ``SingleTraj.atom_slice`` (``info_single.py:2210``). CVs are NOT
+        carried over (their atom indices would dangle)."""
+        idx = np.unique(np.asarray(atom_indices, np.int64))
+        self.load()
+        keep = set(idx.tolist())
+        new_top = Topology()
+        for res in self.top.residues:
+            sel = [a for a in res.atoms if a.index in keep]
+            if not sel:
+                continue
+            new_res = new_top.add_residue(res.name, res.resSeq,
+                                          res.chain_index)
+            for a in sel:
+                new_top.add_atom(a.name, a.element, new_res)
+        out = SingleTraj(
+            self.traj_file, self.top_file, traj_num=self.traj_num,
+            common_str=self.common_str,
+        )
+        out._top = new_top
+        out._xyz = self.xyz[:, idx]
+        out._time = self.time
+        out._unitcell = self._unitcell
+        out._n_frames_file = self.n_frames
+        out.index = None
         return out
 
     def __len__(self) -> int:
@@ -434,6 +469,10 @@ class SingleTraj:
                 "topology",
                 data=np.asarray([topology_to_json(self.top).encode()]),
             )
+            # custom residue definitions (unnatural AAs) survive round trips
+            custom = getattr(self.top, "_custom_def_json", None)
+            if custom is not None:
+                f.attrs["custom_topology"] = custom
         if len(self._CVs):
             self._CVs.to_hdf5(path)
 
@@ -511,6 +550,12 @@ class TrajEnsemble:
                     common_str=g.attrs.get("common_str", ""),
                 )
                 t._top = topology_from_json(g["topology"][0].decode())
+                if "custom_topology" in g.attrs:
+                    from .custom_topology import CustomTopology
+
+                    t._top = CustomTopology.from_json(
+                        t._top, g.attrs["custom_topology"]
+                    ).apply()
                 t._xyz = g["coordinates"][:]
                 t._time = g["time"][:]
                 t._n_frames_file = len(t._xyz)
@@ -795,6 +840,9 @@ class TrajEnsemble:
                 )
                 g.attrs["traj_file"] = t.traj_file
                 g.attrs["common_str"] = t.common_str
+                custom = getattr(t.top, "_custom_def_json", None)
+                if custom is not None:
+                    g.attrs["custom_topology"] = custom
         for t in self.trajs:
             if len(t._CVs):
                 t._CVs.to_hdf5(path, group=f"traj_{t.traj_num}/CVs")

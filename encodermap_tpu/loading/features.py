@@ -69,6 +69,10 @@ class Feature:
     name: str = "Feature"
     #: whether values live in a periodic (angular) space
     periodic: bool = False
+    #: True when transform() reads atoms ONLY through self._indices — the
+    #: featurizer may then slice xyz down to the union of needed atoms and
+    #: remap, slashing host->device transfer for solvated systems
+    remappable: bool = False
 
     def __init__(self, top: Topology) -> None:
         self.top = top
@@ -76,6 +80,18 @@ class Feature:
     @property
     def indices(self) -> Optional[np.ndarray]:
         return getattr(self, "_indices", None)
+
+    def remap(self, mapping: np.ndarray) -> Optional["Feature"]:
+        """A shallow copy whose atom indices are translated through
+        ``mapping`` (old index -> sliced-xyz index), or None when this
+        feature cannot be remapped."""
+        if not self.remappable or self.indices is None:
+            return None
+        import copy
+
+        out = copy.copy(self)
+        out._indices = np.asarray(mapping)[self._indices]
+        return out
 
     def describe(self) -> list[str]:
         raise NotImplementedError
@@ -130,6 +146,7 @@ class SelectionFeature(Feature):
     """Flattened xyz of selected atoms (reference ``features.py:834``)."""
 
     name = "SelectionFeature"
+    remappable = True
 
     def __init__(self, top: Topology, indexes: Sequence[int]) -> None:
         super().__init__(top)
@@ -151,6 +168,7 @@ class DistanceFeature(Feature):
     """Distances between atom pairs (reference ``features.py:1490``)."""
 
     name = "DistanceFeature"
+    remappable = True
 
     def __init__(self, top: Topology, pairs: Sequence, periodic: bool = True) -> None:
         super().__init__(top)
@@ -216,6 +234,7 @@ class AngleFeature(Feature):
     """Angles over atom triplets (reference ``features.py:966``)."""
 
     name = "AngleFeature"
+    remappable = True
     periodic = True
 
     def __init__(
@@ -255,6 +274,7 @@ class DihedralFeature(Feature):
 
     name = "DihedralFeature"
     periodic = True
+    remappable = True
 
     def __init__(
         self, top: Topology, dih_indexes: Sequence, deg: bool = False,
@@ -473,6 +493,7 @@ class AlignFeature(SelectionFeature):
     """Superposed xyz of selected atoms (reference ``features.py:1721``)."""
 
     name = "AlignFeature"
+    remappable = False  # reads align_indices + a fixed ref frame
 
     def __init__(
         self, top: Topology, ref_xyz: np.ndarray, indexes: Sequence[int],
@@ -519,6 +540,7 @@ class CentralCartesians(Feature):
     """xyz of the central N-CA-C chain (reference ``features.py:3697``)."""
 
     name = "CentralCartesians"
+    remappable = True
 
     def __init__(self, top: Topology, generic_labels: bool = False,
                  periodic: bool = True) -> None:
@@ -634,6 +656,8 @@ class SideChainCartesians(Feature):
     """xyz of sidechain branch atoms (chi-union minus backbone), grouped per
     residue in the order the sidechain backmap layer expects
     (reference ``features.py:3855``)."""
+
+    remappable = True
 
     name = "SideChainCartesians"
 

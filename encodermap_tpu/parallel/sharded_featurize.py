@@ -60,14 +60,19 @@ class ShardedFeaturizer:
         return self._inner.features
 
     def get_output(self, ensemble: bool = False) -> CVCollection:
-        """Run all features, frame blocks sharded over the dp axis."""
+        """Run all features, frame blocks sharded over the dp axis. Only
+        the union of feature-referenced atoms is shipped to the devices
+        (see ``SingleTrajFeaturizer._remap_to_union``)."""
+        from ..loading.featurizer import SingleTrajFeaturizer
+
         feats = self._inner.features
+        run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(feats)
         traj = self.traj
         n_frames = traj.n_frames
         data_sharding = NamedSharding(self.mesh, P("dp"))
 
         def run_block(xyz_block, box_block):
-            return [f.transform(xyz_block, box_block) for f in feats]
+            return [f.transform(xyz_block, box_block) for f in run_feats]
 
         run = jax.jit(run_block)
 
@@ -80,9 +85,10 @@ class ShardedFeaturizer:
             if pad:
                 idx = np.concatenate([idx, np.full(pad, stop - 1)])
             sub = traj[idx]
-            xyz = jax.device_put(
-                np.asarray(sub.xyz, np.float32), data_sharding
-            )
+            xyz_np = np.asarray(sub.xyz, np.float32)
+            if atom_union is not None:
+                xyz_np = xyz_np[:, atom_union]
+            xyz = jax.device_put(xyz_np, data_sharding)
             box = sub.unitcell_vectors
             box_j = (
                 jax.device_put(np.asarray(box, np.float32), data_sharding)
@@ -112,13 +118,15 @@ class ShardedFeaturizer:
         ``to_netcdf`` analog)."""
         import h5py
 
+        from ..loading.featurizer import SingleTrajFeaturizer, _cv_name
+
         feats = self._inner.features
+        run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(feats)
         traj = self.traj
         n_frames = traj.n_frames
-        from ..loading.featurizer import _cv_name
 
         def run_block(xyz_block, box_block):
-            return [f.transform(xyz_block, box_block) for f in feats]
+            return [f.transform(xyz_block, box_block) for f in run_feats]
 
         run = jax.jit(run_block)
         data_sharding = NamedSharding(self.mesh, P("dp"))
@@ -136,8 +144,10 @@ class ShardedFeaturizer:
                 if pad:
                     idx = np.concatenate([idx, np.full(pad, stop - 1)])
                 sub = traj[idx]
-                xyz = jax.device_put(np.asarray(sub.xyz, np.float32),
-                                     data_sharding)
+                xyz_np = np.asarray(sub.xyz, np.float32)
+                if atom_union is not None:
+                    xyz_np = xyz_np[:, atom_union]
+                xyz = jax.device_put(xyz_np, data_sharding)
                 box = sub.unitcell_vectors
                 box_j = (
                     jax.device_put(np.asarray(box, np.float32), data_sharding)

@@ -288,3 +288,69 @@ class TestEmbeddedH5CVs:
         assert t.CVs["x_and_y_coordinate"].shape == (51, 2504, 2)
         # the (15, 720) variable belongs to another traj -> skipped
         assert "y_coordinate" not in t.CVs
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/tests/data").exists(), reason="no data"
+)
+class TestAtomSlice:
+    def test_atom_slice_backbone(self):
+        """atom_slice keeps the selected atoms + a consistent subset
+        topology (reference SingleTraj.atom_slice)."""
+        from encodermap_tpu.data import SingleTraj
+
+        D = "/root/reference/tests/data/"
+        t = SingleTraj(D + "asp7.xtc", D + "asp7.pdb")
+        bb = [a.index for a in t.top.atoms if a.name in ("N", "CA", "C")]
+        sub = t.atom_slice(bb)
+        assert sub.top.n_atoms == len(bb)
+        assert sub.n_frames == t.n_frames
+        np.testing.assert_allclose(sub.xyz, t.xyz[:, bb])
+        # residue structure preserved
+        assert sub.top.n_residues == t.top.n_residues
+        assert all(len(r.atoms) == 3 for r in sub.top.residues)
+        # dihedral tables of the subset topology are consistent
+        assert len(sub.top.indices_phi) == 6  # 7 residues -> 6 phi
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/tests/data").exists(), reason="no data"
+)
+class TestCustomTopologyPersistence:
+    """Custom amino-acid definitions survive HDF5 save/load round trips
+    (the analog of reference test_trajinfo.py::
+    test_save_and_load_custom_amino_acids)."""
+
+    def test_single_traj_h5_roundtrip(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj
+
+        D = "/root/reference/tests/data/"
+        t = SingleTraj(D + "asp7.xtc", D + "asp7.pdb")
+        t.load_custom_topology({"ASP": {"chi3": ["CB", "CG", "OD1", "OD2"]}})
+        assert len(t.top.indices_chi(3)) == 7
+        t.save(tmp_path / "custom.h5")
+
+        t2 = SingleTraj(str(tmp_path / "custom.h5"))
+        assert len(t2.top.indices_chi(3)) == 7
+        assert t2.top.chi_table(3)["ASP"] == ["CB", "CG", "OD1", "OD2"]
+
+    def test_ensemble_h5_roundtrip(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        trajs = TrajEnsemble([
+            SingleTraj(D + "asp7.xtc", D + "asp7.pdb", traj_num=0),
+            SingleTraj(D + "glu7.xtc", D + "glu7.pdb", traj_num=1),
+        ])
+        trajs.trajs[0].load_custom_topology(
+            {"ASP": {"chi3": ["CB", "CG", "OD1", "OD2"]}}
+        )
+        trajs.save(tmp_path / "ens_custom.h5")
+
+        back = TrajEnsemble.from_dataset(tmp_path / "ens_custom.h5")
+        assert len(back.trajs[0].top.indices_chi(3)) == 7  # custom
+        assert len(back.trajs[1].top.indices_chi(3)) == 7  # genuine GLU chi3
+        # featurization of the reloaded ensemble honors the custom chi
+        back.load_CVs(["side_dihedrals"], ensemble=True)
+        sd = back.CVs["side_dihedrals"]
+        assert sd.shape[1] == 21 and np.isfinite(sd).all()

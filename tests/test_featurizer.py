@@ -403,3 +403,50 @@ class TestClustalWAlignment:
         maps = residue_to_column_maps(seqs)
         assert maps["seq1"] == {1: 1, 2: 2, 3: 4, 4: 5}
         assert maps["seq2"][3] == 3
+
+
+class TestAtomUnionSlicing:
+    """Featurization ships only the union of referenced atoms to the device
+    (big transfer win for solvated systems); values must be identical to
+    the full-xyz path."""
+
+    def test_union_smaller_and_values_identical(self, asp7):
+        feat = SingleTrajFeaturizer(asp7)
+        feat.add_list_of_feats("all")
+        run_feats, union = feat._remap_to_union(feat.features)
+        assert union is not None
+        assert 0 < len(union) < asp7.top.n_atoms
+        out = feat.get_output()
+
+        # force the full-xyz path by adding a non-remappable feature
+        feat2 = SingleTrajFeaturizer(asp7)
+        feat2.add_list_of_feats("all")
+        feat2.add_minrmsd_to_ref(asp7.xyz[0])
+        _, union2 = feat2._remap_to_union(feat2.features)
+        assert union2 is None
+        out2 = feat2.get_output()
+        for name in ("central_angles", "central_dihedrals",
+                     "central_cartesians", "central_distances",
+                     "side_dihedrals"):
+            np.testing.assert_array_equal(out[name], out2[name])
+
+    def test_labels_and_indices_keep_original_atoms(self, asp7):
+        feat = SingleTrajFeaturizer(asp7)
+        feat.add_list_of_feats(["central_distances"])
+        out = feat.get_output()
+        e = out.entry("central_distances")
+        chain = asp7.top.central_atom_indices()
+        # stored indices reference the ORIGINAL topology numbering
+        np.testing.assert_array_equal(e.indices[:, 0], chain[:-1])
+
+    def test_periodic_distances_sliced(self, asp7):
+        """MIC distances are unaffected by the atom slicing."""
+        n = asp7.top.n_atoms
+        feat = SingleTrajFeaturizer(asp7)
+        feat.add_distances([[0, n - 1]], periodic=True)
+        sliced = feat.get_output()["DistanceFeature"]
+        feat2 = SingleTrajFeaturizer(asp7)
+        feat2.add_distances([[0, n - 1]], periodic=True)
+        feat2.add_minrmsd_to_ref(asp7.xyz[0])  # forces full path
+        full = feat2.get_output()["DistanceFeature"]
+        np.testing.assert_array_equal(sliced, full)

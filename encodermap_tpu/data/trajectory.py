@@ -453,6 +453,7 @@ class SingleTraj:
         from .mdtraj_h5 import topology_to_json
 
         self.load()
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(path, "w") as f:
             f.create_dataset("coordinates", data=self.xyz)
             f.create_dataset("time", data=self.time)
@@ -828,6 +829,7 @@ class TrajEnsemble:
 
         from .mdtraj_h5 import topology_to_json
 
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(path, "w") as f:
             for t in self.trajs:
                 t.load()

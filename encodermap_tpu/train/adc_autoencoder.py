@@ -468,7 +468,8 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             )
         n = n_steps if n_steps is not None else self.p.n_steps
         try:
-            history = run_streaming(self, source, n)
+            history = run_streaming(self, source, n,
+                                    sharding=self._streaming_sharding())
         finally:
             if owned is not None:
                 owned.close()

@@ -87,6 +87,16 @@ class TrainerExtensions:
             cache[key] = jax.jit(fn)
         return cache[key]
 
+    def _streaming_sharding(self):
+        """NamedSharding for (steps, batch, ...) superbatches: batch axis
+        over the mesh's dp axis; None without a mesh."""
+        mesh = self.mesh
+        if mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(mesh, P(None, "dp"))
+
     def _custom_loss_terms(self, params, batch) -> dict:
         return {name: fn(params, batch) for name, fn in self.custom_losses}
 
@@ -375,11 +385,14 @@ class Autoencoder(TrainerExtensions):
     def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
         """Out-of-core training from a host superbatch source (e.g.
         :class:`encodermap_tpu.train.core.HDF5BatchSource`) — the
-        million-frame path where CVs never fully materialize on device."""
+        million-frame path where CVs never fully materialize on device.
+        With ``p.mesh_shape`` set, each uploaded superbatch is sharded over
+        the mesh's dp axis (BASELINE config 5: streaming + data-parallel)."""
         from .core import run_streaming
 
         n = n_steps if n_steps is not None else self.p.n_steps
-        history = run_streaming(self, source, n)
+        history = run_streaming(self, source, n,
+                                sharding=self._streaming_sharding())
         self.history = history
         self.p.current_training_step = int(self.state.step)
         if not self.read_only:

@@ -163,22 +163,12 @@ class SingleTrajFeaturizer:
         shipped to the device — for solvated systems this cuts the
         host->device transfer by the solvent fraction (often 10-100x)."""
         traj = self.traj
-        xyz = np.asarray(traj.xyz, np.float32)
         box = traj.unitcell_vectors
         out = CVCollection()
 
         feats = self.features
-        run_feats, atom_union = self._remap_to_union(feats)
-        if atom_union is not None:
-            xyz = xyz[:, atom_union]
-
-        def run_block(xyz_block, box_block):
-            results = []
-            for f in run_feats:
-                results.append(f.transform(xyz_block, box_block))
-            return results
-
-        run = jax.jit(run_block) if box is None else jax.jit(run_block)
+        run, slice_xyz = make_feature_runner(feats)
+        xyz = slice_xyz(np.asarray(traj.xyz, np.float32))
         blocks: list[list[np.ndarray]] = [[] for _ in feats]
         for i in range(0, len(xyz), self.block_size):
             xb = jnp.asarray(xyz[i : i + self.block_size])
@@ -221,6 +211,29 @@ class SingleTrajFeaturizer:
         if any(r is None for r in remapped):
             return feats, None
         return remapped, atom_union
+
+
+def make_feature_runner(feats):
+    """Shared block runner with atom-union slicing, used by both the
+    single-traj and the mesh-sharded featurizers so the atom-union contract
+    lives in exactly one place.
+
+    Returns ``(run, slice_xyz)``: ``slice_xyz(xyz_np)`` restricts host xyz
+    to the union of feature-referenced atoms (identity when any feature is
+    not remappable); ``run(xyz_block, box_block)`` is the jitted program
+    applying every feature to a (sliced) block.
+    """
+    run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(feats)
+
+    def run_block(xyz_block, box_block):
+        return [f.transform(xyz_block, box_block) for f in run_feats]
+
+    run = jax.jit(run_block)
+
+    def slice_xyz(xyz_np):
+        return xyz_np if atom_union is None else xyz_np[:, atom_union]
+
+    return run, slice_xyz
 
 
 #: Feature class -> CV name used in trajectory CV stores

@@ -60,41 +60,22 @@ def _mm_t2(a, b):
 
 
 # --------------------------------------------------------------------------
-# building blocks shared with ops/backmap.py semantics
+# building blocks shared with ops/backmap.py: the SoA quaternion primitives
+# are imported (one source of truth); the *_fwd/*_bwd functions below are
+# deliberately DIFFERENT formulations from backmap's custom_vjp pair — they
+# keep every intermediate so the loss pullbacks compose in closed form —
+# and their agreement with the production op is what the tests assert.
 # --------------------------------------------------------------------------
+
+from .backmap import (  # noqa: E402
+    _quat_compose as _quat_mul,
+    _quat_conj,
+    _quat_rotate as _quat_rot,
+)
 
 
 def _rev_cumsum(x, axis=1):
     return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
-
-
-def _quat_mul(f, g):
-    fw, fx, fy, fz = f
-    gw, gx, gy, gz = g
-    return (
-        fw * gw - fx * gx - fy * gy - fz * gz,
-        fw * gx + fx * gw + fy * gz - fz * gy,
-        fw * gy - fx * gz + fy * gw + fz * gx,
-        fw * gz + fx * gy - fy * gx + fz * gw,
-    )
-
-
-def _quat_rot(q, v):
-    w, x, y, z = q
-    vx, vy, vz = v
-    tx = 2.0 * (y * vz - z * vy)
-    ty = 2.0 * (z * vx - x * vz)
-    tz = 2.0 * (x * vy - y * vx)
-    return (
-        vx + w * tx + (y * tz - z * ty),
-        vy + w * ty + (z * tx - x * tz),
-        vz + w * tz + (x * ty - y * tx),
-    )
-
-
-def _quat_conj(q):
-    w, x, y, z = q
-    return (w, -x, -y, -z)
 
 
 def _one_way_fwd(d, x):

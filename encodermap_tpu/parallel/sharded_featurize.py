@@ -62,19 +62,15 @@ class ShardedFeaturizer:
     def get_output(self, ensemble: bool = False) -> CVCollection:
         """Run all features, frame blocks sharded over the dp axis. Only
         the union of feature-referenced atoms is shipped to the devices
-        (see ``SingleTrajFeaturizer._remap_to_union``)."""
-        from ..loading.featurizer import SingleTrajFeaturizer
+        (same contract as ``SingleTrajFeaturizer``, via
+        ``make_feature_runner``)."""
+        from ..loading.featurizer import make_feature_runner
 
         feats = self._inner.features
-        run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(feats)
+        run, slice_xyz = make_feature_runner(feats)
         traj = self.traj
         n_frames = traj.n_frames
         data_sharding = NamedSharding(self.mesh, P("dp"))
-
-        def run_block(xyz_block, box_block):
-            return [f.transform(xyz_block, box_block) for f in run_feats]
-
-        run = jax.jit(run_block)
 
         parts: list[list[np.ndarray]] = [[] for _ in feats]
         for start in range(0, n_frames, self.block_size):
@@ -85,10 +81,9 @@ class ShardedFeaturizer:
             if pad:
                 idx = np.concatenate([idx, np.full(pad, stop - 1)])
             sub = traj[idx]
-            xyz_np = np.asarray(sub.xyz, np.float32)
-            if atom_union is not None:
-                xyz_np = xyz_np[:, atom_union]
-            xyz = jax.device_put(xyz_np, data_sharding)
+            xyz = jax.device_put(
+                slice_xyz(np.asarray(sub.xyz, np.float32)), data_sharding
+            )
             box = sub.unitcell_vectors
             box_j = (
                 jax.device_put(np.asarray(box, np.float32), data_sharding)
@@ -118,17 +113,12 @@ class ShardedFeaturizer:
         ``to_netcdf`` analog)."""
         import h5py
 
-        from ..loading.featurizer import SingleTrajFeaturizer, _cv_name
+        from ..loading.featurizer import make_feature_runner, _cv_name
 
         feats = self._inner.features
-        run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(feats)
+        run, slice_xyz = make_feature_runner(feats)
         traj = self.traj
         n_frames = traj.n_frames
-
-        def run_block(xyz_block, box_block):
-            return [f.transform(xyz_block, box_block) for f in run_feats]
-
-        run = jax.jit(run_block)
         data_sharding = NamedSharding(self.mesh, P("dp"))
 
         with h5py.File(path, "a") as fh:
@@ -144,10 +134,9 @@ class ShardedFeaturizer:
                 if pad:
                     idx = np.concatenate([idx, np.full(pad, stop - 1)])
                 sub = traj[idx]
-                xyz_np = np.asarray(sub.xyz, np.float32)
-                if atom_union is not None:
-                    xyz_np = xyz_np[:, atom_union]
-                xyz = jax.device_put(xyz_np, data_sharding)
+                xyz = jax.device_put(
+                    slice_xyz(np.asarray(sub.xyz, np.float32)), data_sharding
+                )
                 box = sub.unitcell_vectors
                 box_j = (
                     jax.device_put(np.asarray(box, np.float32), data_sharding)

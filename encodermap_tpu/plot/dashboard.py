@@ -122,7 +122,7 @@ class UploadPage:
     def load_project(self, project: str) -> str:
         from ..kondata import get_from_kondata
 
-        out = get_from_kondata(project, mk_parentdirs=True)
+        out = get_from_kondata(project, silence_overwrite_message=True)
         return f"Fetched project {project!r} to {out}."
 
     def layout(self):
@@ -339,11 +339,18 @@ class ProjectionPage:
             n_sel = self.select_lasso(selected["lassoPoints"])
             trigger = dash.ctx.triggered_id
             if trigger == "path-btn":
+                if n_sel < 2:
+                    return (
+                        f"{n_sel} point(s) selected — a path needs at "
+                        f"least 2; widen the lasso"
+                    )
                 sel = self.session.interactive.selection
                 latent = self.session.interactive.latent[sel]
                 # path through the selection: sweep along its first axis
                 order = np.argsort(latent[:, 0])
                 ctrl = latent[order][:: max(1, len(order) // 8)]
+                if len(ctrl) < 2:
+                    ctrl = latent[order][[0, -1]]
                 return self.generate_path(ctrl, mode="linear")
             return f"{n_sel} selected; " + self.write_cluster(
                 f"dash_{cluster_clicks}"

@@ -94,6 +94,10 @@ class InteractivePlotting:
                 polygon, like the reference's BezierBuilder).
         """
         pts = np.asarray(points, np.float32)
+        if pts.ndim != 2 or len(pts) < 2:
+            raise ValueError(
+                f"a path needs at least 2 control points, got {pts.shape}"
+            )
         ts = np.linspace(0, 1, n)
         if mode == "bezier":
             from math import comb
@@ -107,6 +111,10 @@ class InteractivePlotting:
         elif mode == "linear":
             seg_lengths = np.linalg.norm(np.diff(pts, axis=0), axis=1)
             t = np.concatenate([[0], np.cumsum(seg_lengths)])
+            if t[-1] == 0.0:  # all control points coincide
+                return self.autoencoder.generate(
+                    np.broadcast_to(pts[:1], (n, pts.shape[1])).copy()
+                )
             t = t / t[-1]
             path = np.stack(
                 [np.interp(ts, t, pts[:, i]) for i in range(pts.shape[1])],

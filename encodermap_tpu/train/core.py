@@ -288,15 +288,22 @@ class PrefetchSource:
         self._thread.start()
 
     def close(self) -> None:
-        """Stop the worker (consumer abandoned the stream early)."""
+        """Stop the worker and wait for it to fully exit.
+
+        Must NOT return while the worker is mid-read: callers that own the
+        underlying source (e.g. an HDF5 file) close it right after, and
+        h5py is not safe against a concurrent close. The worker can finish
+        its current item (it never blocks on put once the stop event is
+        set), so joining to completion terminates promptly."""
         self._stop.set()
-        # drain so a blocked put can finish
-        try:
-            while True:
-                self._queue.get_nowait()
-        except Exception:
-            pass
-        self._thread.join(timeout=2.0)
+        while self._thread.is_alive():
+            # drain so a blocked put can finish
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except Exception:
+                pass
+            self._thread.join(timeout=0.2)
 
     def __iter__(self):
         return self

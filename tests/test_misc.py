@@ -612,3 +612,98 @@ class TestInteractiveTools:
                 SimpleNamespace(xyz=np.zeros((3, 5, 3))),
                 rng.standard_normal((100, 2)), path,
             )
+
+
+class TestReviewRegressions:
+    """Regressions from the round-2 code review."""
+
+    def test_path_rejects_single_control_point(self, rng):
+        from encodermap_tpu.plot.interactive import InteractivePlotting
+
+        class FakeAE:
+            train_data = rng.standard_normal((10, 3)).astype(np.float32)
+
+            class p:
+                main_path = "."
+
+            def encode(self, data):
+                return np.asarray(data)[:, :2]
+
+            def generate(self, z):
+                return np.asarray(z)
+
+        session = InteractivePlotting(FakeAE())
+        with pytest.raises(ValueError, match="at least 2"):
+            session.path([(0.0, 0.0)], n=5)
+
+    def test_path_coincident_control_points(self, rng):
+        """All-identical control points (degenerate lasso) must not produce
+        NaN — the path collapses to the single point."""
+        from encodermap_tpu.plot.interactive import InteractivePlotting
+
+        class FakeAE:
+            train_data = rng.standard_normal((10, 3)).astype(np.float32)
+
+            class p:
+                main_path = "."
+
+            def encode(self, data):
+                return np.asarray(data)[:, :2]
+
+            def generate(self, z):
+                return np.asarray(z)
+
+        session = InteractivePlotting(FakeAE())
+        out = session.path([(1.0, 2.0), (1.0, 2.0)], n=4)
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out, np.tile([1.0, 2.0], (4, 1)))
+
+    def test_dashboard_load_project_signature(self, monkeypatch):
+        """UploadPage.load_project must call get_from_kondata with a valid
+        signature (regression: passed a nonexistent kwarg)."""
+        import encodermap_tpu.kondata as kondata
+        from encodermap_tpu.plot.dashboard import DashboardSession, UploadPage
+
+        calls = {}
+
+        def fake(dataset_name, **kwargs):
+            import inspect
+
+            sig = inspect.signature(kondata.get_from_kondata)
+            sig.bind(dataset_name, **kwargs)  # raises on bad kwargs
+            calls["name"] = dataset_name
+            return "/tmp/fake_project"
+
+        monkeypatch.setattr(kondata, "get_from_kondata", fake)
+        page = UploadPage(DashboardSession())
+        msg = page.load_project("two_state")
+        assert calls["name"] == "two_state"
+        assert "two_state" in msg
+
+    def test_prefetch_close_waits_for_worker(self):
+        """close() must not return while the worker is mid-item (the owner
+        closes the underlying file right after)."""
+        import threading
+        import time
+
+        from encodermap_tpu.train.core import PrefetchSource
+
+        in_read = threading.Event()
+        reading = {"active": False, "violation": False}
+
+        class SlowSource:
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                reading["active"] = True
+                in_read.set()
+                time.sleep(0.5)  # a long h5 read
+                reading["active"] = False
+                return 1
+
+        src = PrefetchSource(SlowSource(), depth=1)
+        in_read.wait(timeout=5)
+        src.close()
+        # after close returns, the worker must be fully out of __next__
+        assert reading["active"] is False

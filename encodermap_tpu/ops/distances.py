@@ -119,19 +119,29 @@ def triu_indices_mask(n: int) -> np.ndarray:
     return mask
 
 
+#: feature dim at/above which the full-matrix path switches to the Gram
+#: identity (one MXU matmul). Below it, direct differences are faster
+#: (the K=d matmul leaves the MXU idle at d=2-3) and exact.
+_GRAM_MIN_DIM = 16
+
+
 @partial(jax.jit, static_argnames=("squared", "flat"))
 def pairwise_dist(
     positions: Array, squared: bool = False, flat: bool = False
 ) -> Array:
     """All-pairs Euclidean distance.
 
-    Computed from coordinate differences (pure VPU elementwise work). The
-    Gram-matrix identity the reference uses (``||a-b||^2 = ||a||^2 - 2<a,b>
-    + ||b||^2``) maps to a K=d batched matmul, which for d = 2-3 leaves the
-    MXU idle and loses precision to cancellation; direct differences are
-    both faster at these shapes and exact. For ``flat=True`` only the
-    n*(n-1)/2 upper-triangle pairs are ever materialized (two static
-    gathers), halving memory traffic in forward and backward.
+    Low-dim inputs (latent spaces, xyz) use direct coordinate differences:
+    the Gram-matrix identity ``||a-b||^2 = ||a||^2 - 2<a,b> + ||b||^2``
+    maps to a K=d batched matmul, which for d = 2-3 leaves the MXU idle and
+    loses precision to cancellation. High-dim inputs (d >= 16: the
+    feature/pair vectors of the sigmoid losses) DO take the Gram identity
+    — one HIGHEST-precision MXU matmul instead of materializing the
+    (b, n, n, d) difference tensor on the VPU; this is also the
+    formulation the reference itself uses (``misc/distances.py:179-255``).
+    For ``flat=True`` only the n*(n-1)/2 upper-triangle pairs are ever
+    materialized (two static gathers), halving memory traffic in forward
+    and backward.
 
     Args:
         positions: ``(n, d)`` or batched ``(b, n, d)`` points.
@@ -153,9 +163,24 @@ def pairwise_dist(
         n = positions.shape[1]
         iu = np.triu_indices(n, k=1)
         diff = positions[:, iu[0], :] - positions[:, iu[1], :]
+        d2 = jnp.sum(jnp.square(diff), axis=-1)
+    elif positions.shape[-1] >= _GRAM_MIN_DIM:
+        sq = jnp.sum(jnp.square(positions), axis=-1)
+        gram = jnp.einsum(
+            "bnd,bmd->bnm", positions, positions,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+        # cancellation can leave tiny negatives / a nonzero diagonal;
+        # clamp and pin the diagonal to an exact 0 so the grad guard and
+        # the reference's zero-diagonal semantics hold
+        d2 = jnp.maximum(d2, 0.0)
+        n = d2.shape[-1]
+        eye = jnp.eye(n, dtype=d2.dtype)
+        d2 = d2 * (1.0 - eye)
     else:
         diff = positions[:, :, None, :] - positions[:, None, :, :]
-    d2 = jnp.sum(jnp.square(diff), axis=-1)
+        d2 = jnp.sum(jnp.square(diff), axis=-1)
 
     if squared:
         return d2

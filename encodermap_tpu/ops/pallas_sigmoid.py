@@ -260,8 +260,15 @@ def fused_or_reference(h, l, params, periodicity, min_batch: int = 16384):
 
     sig_h, a_h, b_h, sig_l, a_l, b_l = params
     if periodicity == float("inf"):
+        # high-dim h routes through the Gram identity inside pairwise_dist:
+        # one MXU matmul vs a (B, B, d) VPU difference tensor — measured
+        # 3.8x faster fwd+bwd at (B=256, d=190) on v5e
         dist_h = pairwise_dist(h)
     else:
+        # min-image has no bilinear form -> full-matrix VPU path. An
+        # upper-triangle-only variant (half the elementwise work) was
+        # measured 8x SLOWER on v5e: 32k-row irregular gathers do not
+        # vectorize on TPU. Keep the dense broadcasted form XLA fuses.
         dist_h = pairwise_dist_periodic(h, periodicity)
     dist_l = pairwise_dist(l)
     return jnp.mean(

@@ -82,9 +82,12 @@ class TestHandStep:
 
 
 class TestFusedChunk:
-    def test_matches_step_by_step_oracle(self, rng):
+    def test_matches_step_by_step_oracle(self):
         """The kernel (interpreter mode) reproduces hand_step + clip + Adam
         applied sequentially."""
+        # own fixed seed: the shared session rng makes the data depend on
+        # test order, and the tight tolerances below are data-marginal
+        rng = np.random.default_rng(42)
         dims = [3, 16, 16, 2]
         hyper = dict(learning_rate=1e-3, losses=LOSSES)
         enc_w, enc_b, dec_w, dec_b = _random_net(rng, dims)

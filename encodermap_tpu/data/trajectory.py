@@ -319,6 +319,16 @@ class SingleTraj:
     def __len__(self) -> int:
         return self.n_frames
 
+    def get_single_frame(self, key: int) -> "SingleTraj":
+        """Frame ``key`` as a 1-frame trajectory (reference
+        ``info_single.py:1365``)."""
+        return self[int(key)]
+
+    def __add__(self, y: "SingleTraj") -> "TrajEnsemble":
+        """Adding two trajectories yields a TrajEnsemble (reference
+        ``info_single.py:2152``)."""
+        return TrajEnsemble([self, y])
+
     # ------------------------------------------------------------------ dihedral indices
     @property
     def indices_phi(self) -> np.ndarray:
@@ -702,6 +712,46 @@ class TrajEnsemble:
         trajectory (reference ``TrajEnsemble.load_custom_topology``)."""
         for t in self.trajs:
             t.load_custom_topology(custom)
+
+    def subsample(self, stride: Optional[int] = None,
+                  total: Optional[int] = None) -> "TrajEnsemble":
+        """Sub-sampled ensemble: every ``stride``-th frame of each member
+        trajectory independently, or ``total`` evenly spaced frames over
+        the concatenated ensemble (reference ``info_all.py:2701``)."""
+        if stride is not None and total is None:
+            return TrajEnsemble(
+                [t[slice(None, None, stride)] for t in self.trajs]
+            )
+        if total is not None and stride is None:
+            idx = np.unique(
+                np.round(np.linspace(0, self.n_frames - 1, total)).astype(int)
+            )
+            bounds = np.cumsum([0] + [t.n_frames for t in self.trajs])
+            parts = []
+            for ti, t in enumerate(self.trajs):
+                local = idx[(idx >= bounds[ti]) & (idx < bounds[ti + 1])]
+                if len(local):
+                    parts.append(t[local - bounds[ti]])
+            return TrajEnsemble(parts)
+        raise ValueError("Provide either stride or total (exactly one).")
+
+    def get_single_frame(self, key: int) -> SingleTraj:
+        """Frame ``key`` of the concatenated ensemble as a 1-frame traj
+        (reference ``info_all.py:2753``)."""
+        bounds = np.cumsum([0] + [t.n_frames for t in self.trajs])
+        if not 0 <= key < bounds[-1]:
+            raise IndexError(
+                f"frame {key} out of range for {bounds[-1]}-frame ensemble"
+            )
+        ti = int(np.searchsorted(bounds, key, side="right")) - 1
+        return self.trajs[ti][int(key - bounds[ti])]
+
+    def __add__(self, y: "TrajEnsemble") -> "TrajEnsemble":
+        """Concatenate two ensembles along the trajectory axis (reference
+        ``info_all.py:3315``)."""
+        if not getattr(y, "trajs", None):
+            raise ValueError(f"{y} contains no trajectories")
+        return TrajEnsemble(list(self.trajs) + list(y.trajs))
 
     # ------------------------------------------------------------------ batching
     def batch_iterator(

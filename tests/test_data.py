@@ -354,3 +354,60 @@ class TestCustomTopologyPersistence:
         back.load_CVs(["side_dihedrals"], ensemble=True)
         sd = back.CVs["side_dihedrals"]
         assert sd.shape[1] == 21 and np.isfinite(sd).all()
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/tests/data").exists(), reason="no data"
+)
+class TestEnsembleConveniences:
+    """subsample / get_single_frame / addition (reference info_all.py:2701,
+    2753, 3315; info_single.py:1365, 2152)."""
+
+    def _trajs(self):
+        from encodermap_tpu.data import load
+
+        D = "/root/reference/tests/data/"
+        return load([D + "asp7.xtc", D + "glu7.xtc"],
+                    [D + "asp7.pdb", D + "glu7.pdb"])
+
+    def test_subsample_stride(self):
+        trajs = self._trajs()
+        sub = trajs.subsample(stride=10)
+        # each member is strided independently
+        assert sub.n_trajs == 2
+        assert sub.n_frames == sum(
+            len(range(0, t.n_frames, 10)) for t in trajs.trajs
+        )
+        np.testing.assert_allclose(sub.trajs[0].xyz[1], trajs.trajs[0].xyz[10])
+
+    def test_subsample_total(self):
+        trajs = self._trajs()
+        sub = trajs.subsample(total=20)
+        assert abs(sub.n_frames - 20) <= 1
+        with pytest.raises(ValueError):
+            trajs.subsample()
+        with pytest.raises(ValueError):
+            trajs.subsample(stride=2, total=5)
+
+    def test_get_single_frame(self):
+        trajs = self._trajs()
+        n0 = trajs.trajs[0].n_frames
+        f = trajs.get_single_frame(n0 + 2)  # frame 2 of the SECOND traj
+        assert f.n_frames == 1
+        np.testing.assert_allclose(f.xyz[0], trajs.trajs[1].xyz[2])
+        with pytest.raises(IndexError):
+            trajs.get_single_frame(trajs.n_frames)
+
+    def test_addition(self):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        a = SingleTraj(D + "asp7.xtc", D + "asp7.pdb")
+        b = SingleTraj(D + "glu7.xtc", D + "glu7.pdb")
+        both = a + b
+        assert isinstance(both, TrajEnsemble)
+        assert both.n_trajs == 2
+        trajs = self._trajs()
+        doubled = trajs + trajs
+        assert doubled.n_trajs == 4
+        assert doubled.n_frames == 2 * trajs.n_frames

@@ -170,6 +170,15 @@ class SingleTrajFeaturizer:
         run, slice_xyz = make_feature_runner(feats)
         xyz = slice_xyz(np.asarray(traj.xyz, np.float32))
         blocks: list[list[np.ndarray]] = [[] for _ in feats]
+
+        def flush(res):
+            # host read = device sync; deferring it by one block lets the
+            # next block's upload+compute overlap this download (double
+            # buffering under JAX's async dispatch)
+            for j, r in enumerate(res):
+                blocks[j].append(np.asarray(r))
+
+        pending = None
         for i in range(0, len(xyz), self.block_size):
             xb = jnp.asarray(xyz[i : i + self.block_size])
             bb = (
@@ -178,8 +187,11 @@ class SingleTrajFeaturizer:
                 else None
             )
             res = run(xb, bb)
-            for j, r in enumerate(res):
-                blocks[j].append(np.asarray(r))
+            if pending is not None:
+                flush(pending)
+            pending = res
+        if pending is not None:
+            flush(pending)
 
         for f, parts in zip(feats, blocks):
             data = np.concatenate(parts, axis=0) if parts else np.zeros((0, 0))

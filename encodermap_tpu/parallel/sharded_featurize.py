@@ -73,6 +73,16 @@ class ShardedFeaturizer:
         data_sharding = NamedSharding(self.mesh, P("dp"))
 
         parts: list[list[np.ndarray]] = [[] for _ in feats]
+
+        def flush(results, pad):
+            # deferred host read: overlaps the next block's upload+compute
+            for j, r in enumerate(results):
+                r = np.asarray(r)
+                if pad:
+                    r = r[: len(r) - pad]
+                parts[j].append(r)
+
+        pending = None
         for start in range(0, n_frames, self.block_size):
             stop = min(start + self.block_size, n_frames)
             # pad the final block to a dp multiple (trimmed after)
@@ -90,11 +100,11 @@ class ShardedFeaturizer:
                 if box is not None else None
             )
             results = run(xyz, box_j)
-            for j, r in enumerate(results):
-                r = np.asarray(r)
-                if pad:
-                    r = r[: len(r) - pad]
-                parts[j].append(r)
+            if pending is not None:
+                flush(*pending)
+            pending = (results, pad)
+        if pending is not None:
+            flush(*pending)
 
         out = CVCollection()
         from ..loading.featurizer import _cv_name

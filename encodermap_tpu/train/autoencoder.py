@@ -474,8 +474,16 @@ class Autoencoder(TrainerExtensions):
                 f"({p.current_training_step}). Pass use_previous_model=True to "
                 f"load this intermediate checkpoint anyway."
             )
-        if train_data is None and p.using_hypercube:
-            train_data = None  # hypercube is regenerated in __init__
+        if train_data is None and not p.using_hypercube:
+            # silently regenerating hypercube data here would build a model
+            # whose train_data dim disagrees with the loaded weights —
+            # raise the reference's descriptive error instead
+            # (``autoencoder.py:3230`` test contract)
+            raise ValueError(
+                f"The model in {directory} was trained on user data "
+                f"(using_hypercube=False). Pass that data via "
+                f"from_checkpoint(..., train_data=...) to reload it."
+            )
         out = cls(parameters=p, train_data=train_data,
                   model_params=_tree_to_jax(model_params), sparse=sparse, **kwargs)
         out.state = out.state.replace(step=jnp.asarray(step, jnp.int32))

@@ -263,6 +263,31 @@ class TestSaveLoad:
         assert "already been trained" in capsys.readouterr().out
 
 
+class TestReloadErrors:
+    def test_reload_without_data_raises_descriptive_error(
+        self, cube_data, tmp_path
+    ):
+        """Reloading a model trained on user data without passing that data
+        must raise a descriptive error instead of silently substituting
+        hypercube data of the wrong dimension (reference
+        ``test_autoencoder.py:3230``)."""
+        p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
+        emap = EncoderMap(p, cube_data)
+        emap.train()
+        with pytest.raises(ValueError, match="train_data"):
+            EncoderMap.from_checkpoint(tmp_path)
+        # hypercube-trained models still reload without data
+        p2 = Parameters(
+            main_path=str(tmp_path / "hyper"), periodicity=float("inf"),
+            n_neurons=[16, 16, 2], n_steps=2, steps_per_scan=2,
+            batch_size=32, seed=0,
+        )
+        emap2 = EncoderMap(p2)  # no data -> hypercube
+        emap2.train()
+        reloaded = EncoderMap.from_checkpoint(tmp_path / "hyper")
+        assert reloaded.input_dim == emap2.input_dim
+
+
 class TestCallbacks:
     def test_early_stop(self, cube_data, tmp_path):
         from encodermap_tpu.train.callbacks import EarlyStop

@@ -285,6 +285,64 @@ class TestMeshShapeParameter:
             atol=1e-5,
         )
 
+    def test_sharded_sidechain_reconstruction_step(self, devices_ok):
+        """The 7-input reconstruct_sidechains model (three-phase sidechain
+        backmap scan) also reproduces single-device loss/params when
+        dp-sharded."""
+        import jax as _jax
+
+        import encodermap_tpu as em
+        from encodermap_tpu.ops.backmap_sidechains import backmap_sidechains
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.test_sidechain_reconstruction import INFO, _random_inputs
+
+        rng = np.random.default_rng(4)
+        spec, inputs = _random_inputs(rng, INFO, B=32)
+        cd, ca, cdi, sd, sa, sdi = inputs
+        xyz = np.asarray(
+            _jax.jit(lambda *a: backmap_sidechains(spec, *a))(*inputs)
+        )
+        cvs = {
+            "central_angles": ca, "central_dihedrals": cdi,
+            "all_cartesians": xyz, "central_distances": cd,
+            "side_angles": sa, "side_dihedrals": sdi, "side_distances": sd,
+        }
+        p = em.ADCParameters(
+            n_neurons=[16, 16, 2], batch_size=32,
+            reconstruct_sidechains=True, sidechain_info=INFO,
+            use_backbone_angles=True, use_sidechains=True, seed=0,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        step = emap._make_train_step()
+        order = ("central_angles", "central_dihedrals", "all_cartesians",
+                 "central_distances", "side_angles", "side_dihedrals",
+                 "side_distances")
+        batch = tuple(jnp.asarray(cvs[k][:32]) for k in order)
+
+        ref_state, ref_metrics = jax.jit(step)(emap.state, batch)
+
+        mesh = make_mesh(n_devices=8)
+        state = emap.state.replace(
+            params=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                emap.state.params,
+            )
+        )
+        with mesh:
+            out_state, out_metrics = jax.jit(step)(
+                state, shard_batch(batch, mesh)
+            )
+        assert float(out_metrics["loss"]) == pytest.approx(
+            float(ref_metrics["loss"]), rel=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_state.params["decoder"][0]["kernel"]),
+            np.asarray(ref_state.params["decoder"][0]["kernel"]),
+            atol=1e-5,
+        )
+
     def test_sharded_adc_scan_trainer(self, devices_ok, rng, tmp_path):
         """End-to-end: ADCParameters(mesh_shape=...) drives the scan trainer
         (on-device batch sampling + multi-step lax.scan) over the mesh."""

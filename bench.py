@@ -298,6 +298,9 @@ def main() -> None:
     periodic_sps = _retry(lambda: bench_train(periodic=True))
     backmap_cps = _retry(bench_backmap)
     adc_sps = _retry(bench_adc)
+    adc_lysozyme_sps = _retry(
+        lambda: bench_adc(n_res=158, n_frames=2048, n_chunks=3)
+    )
     feat_fps = _retry(bench_featurize)
     gen_cps = _retry(bench_generate)
     stream_sps = _retry(bench_streaming)
@@ -314,6 +317,8 @@ def main() -> None:
                 "backmap_conformations_per_sec_456atoms": round(backmap_cps, 1),
                 "backmap_vs_baseline": round(backmap_cps / target, 3),
                 "adc_train_samples_per_sec_trpcage": round(adc_sps, 1),
+                "adc_train_samples_per_sec_lysozyme_158res": round(
+                    adc_lysozyme_sps, 1),
                 "featurize_frames_per_sec_1am7": round(feat_fps, 1),
                 "generate_conformations_per_sec_1am7": round(gen_cps, 1),
                 "streaming_train_samples_per_sec_1m_h5": round(stream_sps, 1),

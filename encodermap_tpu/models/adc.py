@@ -225,6 +225,19 @@ def cartesian_pwd_slice(p: ADCParameters, cartesians: Array) -> Array:
     return pairwise_dist(sliced, flat=True)
 
 
+def cartesian_pwd_matrix(p: ADCParameters, cartesians: Array) -> Array:
+    """Same CA slice as :func:`cartesian_pwd_slice` but returning the FULL
+    ``(B, n, n)`` distance matrix. Used for the cartesian loss on the
+    *backmapped* coordinates: the dense matrix's backward is a reduction,
+    whereas the flat triu gather's backward is an index scatter that costs
+    ~2 ms at 158 residues on TPU (the forward values are identical pairs)."""
+    start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
+    stop = p.cartesian_pwd_stop
+    step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
+    sliced = cartesians[:, start:stop:step]
+    return pairwise_dist(sliced)
+
+
 def forward(params: dict, p: ADCParameters, inputs: tuple, shapes: ADCShapes
             ) -> tuple:
     """Full ADC forward pass.

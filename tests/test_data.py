@@ -411,3 +411,42 @@ class TestEnsembleConveniences:
         doubled = trajs + trajs
         assert doubled.n_trajs == 4
         assert doubled.n_frames == 2 * trajs.n_frames
+
+
+@pytest.mark.skipif(
+    not Path("/root/reference/tests/data").exists(), reason="no data"
+)
+class TestCVsSurviveIndexing:
+    """CVs stay frame-aligned through slicing and subsampling (reference
+    test_trajinfo.py::test_CVs_stay_after_subsample /
+    test_traj_ensemble_subsample_CVs_stay_consistent)."""
+
+    def test_single_traj_slice_keeps_cvs(self):
+        from encodermap_tpu.data import SingleTraj
+
+        D = "/root/reference/tests/data/"
+        t = SingleTraj(D + "asp7.xtc", D + "asp7.pdb")
+        t.load_CV("central_dihedrals")
+        full = t.CVs["central_dihedrals"].copy()
+        sub = t[::7]
+        np.testing.assert_allclose(sub.CVs["central_dihedrals"], full[::7])
+        np.testing.assert_allclose(sub.xyz, t.xyz[::7])
+        # chained indexing composes on both coordinates and CVs
+        sub2 = sub[[0, 2]]
+        np.testing.assert_allclose(
+            sub2.CVs["central_dihedrals"], full[::7][[0, 2]]
+        )
+
+    def test_ensemble_subsample_keeps_cvs(self):
+        from encodermap_tpu.data import load
+
+        D = "/root/reference/tests/data/"
+        trajs = load([D + "asp7.xtc", D + "glu7.xtc"],
+                     [D + "asp7.pdb", D + "glu7.pdb"])
+        trajs.load_CVs(["central_dihedrals"], ensemble=True)
+        full = trajs.CVs["central_dihedrals"].copy()
+        sub = trajs.subsample(stride=10)
+        got = sub.CVs["central_dihedrals"]
+        n0 = trajs.trajs[0].n_frames
+        expected = np.concatenate([full[:n0][::10], full[n0:][::10]])
+        np.testing.assert_allclose(got, expected)

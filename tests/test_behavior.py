@@ -114,3 +114,44 @@ class TestActivationWiring:
         emap = EncoderMap(p, data)
         history = emap.train()
         assert np.isfinite(history["loss"]).all()
+
+
+@pytest.mark.slow
+class TestLysozymeScaleIntegration:
+    """End-to-end at production protein scale (1am7 lysozyme: 158 residues,
+    2504 atoms): featurize from XTC -> ADC train -> generate, all real
+    data. CPU-sized step counts; the throughput story lives in bench.py."""
+
+    def test_featurize_train_generate(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        D = "/root/reference/tests/data/"
+        if not __import__("pathlib").Path(D).exists():
+            pytest.skip("reference data not mounted")
+        traj = em.load(D + "1am7_corrected.xtc", D + "1am7_protein.pdb")
+        trajs = em.TrajEnsemble([traj])
+        trajs.load_CVs("all")
+        n_res = 158
+        assert trajs.CVs["central_cartesians"].shape[1] == 3 * n_res
+
+        p = em.ADCParameters(
+            main_path=str(tmp_path), batch_size=16, n_steps=6,
+            steps_per_scan=3, use_backbone_angles=True, use_sidechains=True,
+            n_neurons=[64, 64, 2], seed=0, checkpoint_step=10**6,
+            summary_step=10**6,
+        )
+        emap = AngleDihedralCartesianEncoderMap(trajs, p)
+        h = emap.train()
+        assert np.isfinite(h["loss"]).all()
+
+        latent = emap.encode()
+        assert latent.shape == (traj.n_frames, 2)
+        xyz = emap.generate(latent[:2])
+        assert xyz.shape == (2, 3 * n_res, 3)
+        assert np.isfinite(xyz).all()
+        # generated backbones carry physical bond lengths
+        bonds = np.linalg.norm(np.diff(xyz, axis=1), axis=-1)
+        assert 0.1 < bonds.mean() < 0.2

@@ -319,6 +319,18 @@ class SingleTraj:
     def __len__(self) -> int:
         return self.n_frames
 
+    def _shallow_copy(self) -> "SingleTraj":
+        """Copy sharing coordinate arrays but owning its own CV collection
+        and identity fields (traj_num, common_str) — mutating the copy's
+        metadata or adding CVs leaves the original untouched."""
+        import copy as _copy
+
+        out = _copy.copy(self)
+        cvs = CVCollection()
+        cvs._entries = dict(self._CVs._entries)
+        out._CVs = cvs
+        return out
+
     def get_single_frame(self, key: int) -> "SingleTraj":
         """Frame ``key`` as a 1-frame trajectory (reference
         ``info_single.py:1365``)."""
@@ -524,6 +536,11 @@ class TrajEnsemble:
             raise ValueError("tops must have length 1 or len(trajs)")
         for i, t in enumerate(trajs):
             if isinstance(t, SingleTraj):
+                if t.traj_num is not None and t.traj_num != i:
+                    # renumbering would mutate a traj that may belong to
+                    # another ensemble (e.g. ens + ens self-addition) —
+                    # renumber a shallow copy instead
+                    t = t._shallow_copy()
                 t.traj_num = i
                 self.trajs.append(t)
             else:

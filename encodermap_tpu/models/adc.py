@@ -214,15 +214,21 @@ def decode(
     return out_angles, out_dihedrals, out_side
 
 
-def cartesian_pwd_slice(p: ADCParameters, cartesians: Array) -> Array:
-    """Slice the atoms used for the pairwise-distance costs (default: CA
-    atoms of an N-CA-C backbone, i.e. ``1::3``), then flat pairwise dists
-    (``models/layers.py:1252-1266``)."""
+def _ca_slice(p: ADCParameters, cartesians: Array) -> Array:
+    """The atoms used for the pairwise-distance costs (default: CA atoms of
+    an N-CA-C backbone, i.e. ``1::3``) — single source of the slice
+    defaults so the sigmoid-loss pairs and the cartesian-loss matrix can
+    never desynchronize."""
     start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
     stop = p.cartesian_pwd_stop
     step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
-    sliced = cartesians[:, start:stop:step]
-    return pairwise_dist(sliced, flat=True)
+    return cartesians[:, start:stop:step]
+
+
+def cartesian_pwd_slice(p: ADCParameters, cartesians: Array) -> Array:
+    """CA slice -> flat upper-triangle pairwise dists
+    (``models/layers.py:1252-1266``)."""
+    return pairwise_dist(_ca_slice(p, cartesians), flat=True)
 
 
 def cartesian_pwd_matrix(p: ADCParameters, cartesians: Array) -> Array:
@@ -231,11 +237,7 @@ def cartesian_pwd_matrix(p: ADCParameters, cartesians: Array) -> Array:
     *backmapped* coordinates: the dense matrix's backward is a reduction,
     whereas the flat triu gather's backward is an index scatter that costs
     ~2 ms at 158 residues on TPU (the forward values are identical pairs)."""
-    start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
-    stop = p.cartesian_pwd_stop
-    step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
-    sliced = cartesians[:, start:stop:step]
-    return pairwise_dist(sliced)
+    return pairwise_dist(_ca_slice(p, cartesians))
 
 
 def forward(params: dict, p: ADCParameters, inputs: tuple, shapes: ADCShapes
@@ -248,6 +250,14 @@ def forward(params: dict, p: ADCParameters, inputs: tuple, shapes: ADCShapes
     Returns:
         (out_angles, out_dihedrals, out_side_dihedrals_or_None,
          back_cartesians, inp_pairwise, out_pairwise, latent)
+
+    Note:
+        ``out_pairwise`` (flat upper-triangle pairs of the backmapped CAs)
+        mirrors the reference model's output contract
+        (``models.py:385-1060``); the training losses differentiate
+        through the dense-matrix form instead (``cartesian_loss_matrix``),
+        so inside the jitted train step this output is dead code XLA
+        eliminates — it is kept for API/inspection parity.
     """
     angles, dihedrals, cartesians, distances = inputs[:4]
 

@@ -112,7 +112,11 @@ def pairwise_dist_periodic(positions: Array, periodicity: float) -> Array:
     Reference: ``misc/distances.py:144-176``.
     """
     assert positions.ndim == 2, "positions must be (n_points, n_dims)"
-    if positions.shape[-1] >= _GRAM_MIN_DIM:
+    # periodicity=inf degenerates to plain Euclidean; the decomposition
+    # below would produce inf * 0 = NaN in the correction term, so only
+    # finite periodicities take it (the elementwise fallback handles inf
+    # exactly like the reference: min-image of inf is |b - a|)
+    if positions.shape[-1] >= _GRAM_MIN_DIM and np.isfinite(periodicity):
         sq = jnp.sum(jnp.square(positions), axis=-1)
         gram = jnp.einsum(
             "nd,md->nm", positions, positions,

@@ -398,7 +398,7 @@ class TestEnsembleConveniences:
         with pytest.raises(IndexError):
             trajs.get_single_frame(trajs.n_frames)
 
-    def test_addition(self):
+    def test_addition(self, tmp_path):
         from encodermap_tpu.data import SingleTraj, TrajEnsemble
 
         D = "/root/reference/tests/data/"
@@ -411,6 +411,25 @@ class TestEnsembleConveniences:
         doubled = trajs + trajs
         assert doubled.n_trajs == 4
         assert doubled.n_frames == 2 * trajs.n_frames
+        # the sum renumbers COPIES: operands stay intact, traj_nums unique
+        assert [t.traj_num for t in trajs.trajs] == [0, 1]
+        assert [t.traj_num for t in doubled.trajs] == [0, 1, 2, 3]
+        # and the sum is saveable (traj_N group names must not collide)
+        doubled.save(tmp_path / "doubled.h5")
+        back = TrajEnsemble.from_dataset(tmp_path / "doubled.h5")
+        assert back.n_trajs == 4 and back.n_frames == doubled.n_frames
+
+    def test_addition_does_not_leak_cvs(self):
+        """CVs loaded on the sum must not appear on the operands'
+        members (the renumbered copies own their CV collections)."""
+        trajs = self._trajs()
+        doubled = trajs + trajs
+        doubled.trajs[2].load_CV(
+            np.zeros((doubled.trajs[2].n_frames, 1), np.float32),
+            attr_name="marker",
+        )
+        assert "marker" in doubled.trajs[2]._CVs
+        assert "marker" not in trajs.trajs[0]._CVs
 
 
 @pytest.mark.skipif(

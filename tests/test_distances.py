@@ -103,3 +103,23 @@ class TestSigmoid:
         f = sigmoid(4.5, 12, 6)
         assert float(f(jnp.asarray(0.0))) == pytest.approx(0.0, abs=1e-7)
         assert float(f(jnp.asarray(1e6))) == pytest.approx(1.0, abs=1e-5)
+
+
+class TestPeriodicInfHighDim:
+    def test_inf_periodicity_high_dim_no_nan(self, rng):
+        """pairwise_dist_periodic(inf) must stay finite for d >= 16 (the
+        min-image decomposition would produce inf * 0 = NaN; inf routes to
+        the elementwise fallback)."""
+        from encodermap_tpu.ops.distances import (
+            pairwise_dist,
+            pairwise_dist_periodic,
+        )
+        import jax.numpy as jnp
+
+        x = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+        d = pairwise_dist_periodic(x, float("inf"))
+        assert np.isfinite(np.asarray(d)).all()
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(pairwise_dist(x)[0]) + 1e-12,
+            atol=1e-5,
+        )

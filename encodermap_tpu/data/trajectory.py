@@ -730,6 +730,27 @@ class TrajEnsemble:
         for t in self.trajs:
             t.load_custom_topology(custom)
 
+    @property
+    def id(self) -> np.ndarray:
+        """``(n_frames, 2)`` array of [traj_num, frame] for every frame of
+        the concatenated ensemble (reference ``info_all.py`` ``id``)."""
+        out = []
+        for t in self.trajs:
+            out.append(
+                np.stack(
+                    [np.full(t.n_frames, t.traj_num), np.arange(t.n_frames)],
+                    axis=1,
+                )
+            )
+        return np.concatenate(out, axis=0)
+
+    def split_into_frames(self) -> "TrajEnsemble":
+        """An ensemble of 1-frame trajectories, one per frame (reference
+        ``info_all.py:1977``)."""
+        return TrajEnsemble(
+            [t[i] for t in self.trajs for i in range(t.n_frames)]
+        )
+
     def subsample(self, stride: Optional[int] = None,
                   total: Optional[int] = None) -> "TrajEnsemble":
         """Sub-sampled ensemble: every ``stride``-th frame of each member

@@ -469,3 +469,17 @@ class TestCVsSurviveIndexing:
         n0 = trajs.trajs[0].n_frames
         expected = np.concatenate([full[:n0][::10], full[n0:][::10]])
         np.testing.assert_allclose(got, expected)
+
+    def test_id_and_split_into_frames(self):
+        trajs = self._trajs()
+        ids = trajs.id
+        assert ids.shape == (trajs.n_frames, 2)
+        n0 = trajs.trajs[0].n_frames
+        np.testing.assert_array_equal(ids[:n0, 0], 0)
+        np.testing.assert_array_equal(ids[n0:, 0], 1)
+        np.testing.assert_array_equal(ids[:n0, 1], np.arange(n0))
+
+        small = trajs.subsample(total=6)
+        frames = small.split_into_frames()
+        assert frames.n_trajs == small.n_frames
+        assert all(t.n_frames == 1 for t in frames.trajs)

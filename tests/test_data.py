@@ -471,7 +471,11 @@ class TestCVsSurviveIndexing:
         np.testing.assert_allclose(got, expected)
 
     def test_id_and_split_into_frames(self):
-        trajs = self._trajs()
+        from encodermap_tpu.data import load
+
+        D = "/root/reference/tests/data/"
+        trajs = load([D + "asp7.xtc", D + "glu7.xtc"],
+                     [D + "asp7.pdb", D + "glu7.pdb"])
         ids = trajs.id
         assert ids.shape == (trajs.n_frames, 2)
         n0 = trajs.trajs[0].n_frames

@@ -117,6 +117,26 @@ class TestDihedralChain:
         expected = ref.dihedrals_to_cartesian_np(di, cart)
         np.testing.assert_allclose(out, expected, atol=5e-4)
 
+    def test_extreme_chain_1000_residues(self, rng):
+        """3000-atom chain (1000 residues — far beyond any reference use
+        case): the rotation-only quaternion scan + bond cumsum must stay
+        accurate where a naive affine-composition scan catastrophically
+        cancels in f32 (ops/backmap.py docstring derivation)."""
+        n_atoms = 3000
+        lengths, angles = _random_chain(rng, 2, n_atoms)
+        cart = ref.chain_in_plane_np(lengths, angles).astype(np.float32)
+        di = rng.uniform(-np.pi, np.pi, (2, n_atoms - 3)).astype(np.float32)
+        out = np.asarray(
+            dihedrals_to_cartesian(jnp.asarray(di), jnp.asarray(cart))
+        )
+        expected = ref.dihedrals_to_cartesian_np(di, cart)
+        # absolute positions drift with chain length; bond GEOMETRY must
+        # stay exact and positions within ~2e-3 nm even at this scale
+        np.testing.assert_allclose(out, expected, atol=2e-3)
+        bonds = np.linalg.norm(np.diff(out, axis=1), axis=-1)
+        bonds_ref = np.linalg.norm(np.diff(expected, axis=1), axis=-1)
+        np.testing.assert_allclose(bonds, bonds_ref, atol=1e-5)
+
 
 class TestBackmapPipeline:
     def test_matches_oracle(self, rng):

@@ -277,12 +277,31 @@ class SingleTraj:
 
     # ------------------------------------------------------------------ indexing
     def __getitem__(self, item) -> "SingleTraj":
+        # normalize so a scalar index yields a 1-frame traj whose CVs KEEP
+        # their frame axis (a raw int would drop it in the CV store)
+        if isinstance(item, (int, np.integer)):
+            item = np.asarray([item])
         new_index = self._frame_index[item]
         out = SingleTraj(
             self.traj_file, self.top_file, index=np.atleast_1d(new_index),
             traj_num=self.traj_num, common_str=self.common_str,
         )
         out._top = self._top
+        if self._n_frames_file is not None:
+            # inherit the known file frame count: grouped ensemble HDF5
+            # members cannot re-count it from traj_file
+            out._n_frames_file = self._n_frames_file
+        if self._xyz is not None:
+            # materialized trajs (stack/join/from_dataset/generated frames)
+            # may not be re-readable from traj_file (e.g. grouped ensemble
+            # HDF5) — slice in memory instead of re-reading lazily. The
+            # composed `index` is KEPT so `.id` still reports original
+            # file frame numbers.
+            out._xyz = self._xyz[item]
+            if self._time is not None:
+                out._time = self._time[item]
+            if self._unitcell is not None:
+                out._unitcell = self._unitcell[item]
         if len(self._CVs):
             out._CVs = self._CVs.index_frames(item)
         return out
@@ -337,9 +356,10 @@ class SingleTraj:
         return self[int(key)]
 
     def __add__(self, y: "SingleTraj") -> "TrajEnsemble":
-        """Adding two trajectories yields a TrajEnsemble (reference
+        """Adding two trajectories yields a TrajEnsemble of shallow copies
+        (the operands keep their own traj_num/CVs; reference
         ``info_single.py:2152``)."""
-        return TrajEnsemble([self, y])
+        return TrajEnsemble([self._shallow_copy(), y._shallow_copy()])
 
     # ------------------------------------------------------------------ dihedral indices
     @property
@@ -732,13 +752,19 @@ class TrajEnsemble:
 
     @property
     def id(self) -> np.ndarray:
-        """``(n_frames, 2)`` array of [traj_num, frame] for every frame of
-        the concatenated ensemble (reference ``info_all.py`` ``id``)."""
+        """``(n_frames, 2)`` array of [traj_num, original_file_frame] for
+        every frame of the concatenated ensemble — frame numbers are the
+        ORIGINAL file indices (a subsampled ensemble reports e.g.
+        0, 10, 20, ...), matching the reference's frame bookkeeping
+        (``info_single.py:908``)."""
+        if not self.trajs:
+            return np.zeros((0, 2), np.int64)
         out = []
         for t in self.trajs:
             out.append(
                 np.stack(
-                    [np.full(t.n_frames, t.traj_num), np.arange(t.n_frames)],
+                    [np.full(t.n_frames, t.traj_num),
+                     np.asarray(t._frame_index)],
                     axis=1,
                 )
             )
@@ -786,10 +812,14 @@ class TrajEnsemble:
 
     def __add__(self, y: "TrajEnsemble") -> "TrajEnsemble":
         """Concatenate two ensembles along the trajectory axis (reference
-        ``info_all.py:3315``)."""
+        ``info_all.py:3315``). Every member is shallow-copied so the sum
+        shares coordinate data with, but never mutates, the operands
+        (renumbering or loading CVs on the sum leaves them untouched)."""
         if not getattr(y, "trajs", None):
             raise ValueError(f"{y} contains no trajectories")
-        return TrajEnsemble(list(self.trajs) + list(y.trajs))
+        return TrajEnsemble(
+            [t._shallow_copy() for t in list(self.trajs) + list(y.trajs)]
+        )
 
     # ------------------------------------------------------------------ batching
     def batch_iterator(

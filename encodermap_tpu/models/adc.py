@@ -214,15 +214,19 @@ def decode(
     return out_angles, out_dihedrals, out_side
 
 
-def _ca_slice(p: ADCParameters, cartesians: Array) -> Array:
-    """The atoms used for the pairwise-distance costs (default: CA atoms of
-    an N-CA-C backbone, i.e. ``1::3``) — single source of the slice
-    defaults so the sigmoid-loss pairs and the cartesian-loss matrix can
-    never desynchronize."""
+def _ca_slice_spec(p: ADCParameters) -> slice:
+    """The atom slice used for the pairwise-distance costs (default: CA
+    atoms of an N-CA-C backbone, i.e. ``1::3``) — the single source of the
+    slice defaults for cartesian_pwd_slice/_matrix AND
+    sidechain_pwd_indices, so they can never desynchronize."""
     start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
     stop = p.cartesian_pwd_stop
     step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
-    return cartesians[:, start:stop:step]
+    return slice(start, stop, step)
+
+
+def _ca_slice(p: ADCParameters, cartesians: Array) -> Array:
+    return cartesians[:, _ca_slice_spec(p)]
 
 
 def cartesian_pwd_slice(p: ADCParameters, cartesians: Array) -> Array:
@@ -376,10 +380,7 @@ def sidechain_pwd_indices(p: ADCParameters, spec) -> np.ndarray:
     slice of the backbone plus the last atom of each sidechain branch
     (reference ``PairwiseDistances.__init__``, ``layers.py:1183-1208``)."""
     n_backbone = spec.n_residues * 3
-    start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
-    stop = p.cartesian_pwd_stop
-    step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
-    idx = list(np.arange(n_backbone)[start:stop:step])
+    idx = list(np.arange(n_backbone)[_ca_slice_spec(p)])
     # branch-end atoms: walk the per-residue branch column layout
     col = n_backbone
     for r in range(1, spec.n_residues + 1):

@@ -421,14 +421,17 @@ class TestEnsembleConveniences:
 
     def test_addition_does_not_leak_cvs(self):
         """CVs loaded on the sum must not appear on the operands'
-        members (the renumbered copies own their CV collections)."""
+        members — EVERY member of the sum is a copy, including those
+        whose traj_num did not change (regression: indices 0-1 aliased)."""
         trajs = self._trajs()
         doubled = trajs + trajs
-        doubled.trajs[2].load_CV(
-            np.zeros((doubled.trajs[2].n_frames, 1), np.float32),
-            attr_name="marker",
-        )
-        assert "marker" in doubled.trajs[2]._CVs
+        assert doubled.trajs[0] is not trajs.trajs[0]
+        for k in (0, 2):
+            doubled.trajs[k].load_CV(
+                np.zeros((doubled.trajs[k].n_frames, 1), np.float32),
+                attr_name="marker",
+            )
+            assert "marker" in doubled.trajs[k]._CVs
         assert "marker" not in trajs.trajs[0]._CVs
 
 
@@ -483,7 +486,38 @@ class TestCVsSurviveIndexing:
         np.testing.assert_array_equal(ids[n0:, 0], 1)
         np.testing.assert_array_equal(ids[:n0, 1], np.arange(n0))
 
+        # id reports ORIGINAL file frame numbers after subsampling
+        sub = trajs.subsample(stride=10)
+        np.testing.assert_array_equal(sub.id[:3, 1], [0, 10, 20])
+
         small = trajs.subsample(total=6)
         frames = small.split_into_frames()
         assert frames.n_trajs == small.n_frames
         assert all(t.n_frames == 1 for t in frames.trajs)
+        # per-frame CVs keep their frame axis through int indexing
+        trajs.load_CVs(["central_dihedrals"], ensemble=True)
+        split = trajs.split_into_frames()
+        cd = split.CVs["central_dihedrals"]
+        assert cd.shape == (trajs.n_frames, 18)
+        # empty-ensemble id is a well-formed (0, 2) array
+        assert TrajEnsemble([]).id.shape == (0, 2)
+
+    def test_from_dataset_frames_accessible(self, tmp_path):
+        """Frame-indexing materialized (ensemble-HDF5-loaded) trajs must
+        slice in memory, not re-read the grouped file lazily (regression:
+        KeyError 'coordinates')."""
+        from encodermap_tpu.data import load
+
+        D = "/root/reference/tests/data/"
+        trajs = load([D + "asp7.xtc", D + "glu7.xtc"],
+                     [D + "asp7.pdb", D + "glu7.pdb"])
+        trajs.save(tmp_path / "ens.h5")
+        back = TrajEnsemble.from_dataset(tmp_path / "ens.h5")
+        f = back.get_single_frame(3)
+        assert f.n_frames == 1
+        np.testing.assert_allclose(f.xyz[0], back.trajs[0].xyz[3])
+        frames = back.split_into_frames()
+        assert frames.n_trajs == back.n_frames
+        np.testing.assert_allclose(
+            frames.trajs[-1].xyz[0], back.trajs[-1].xyz[-1]
+        )

@@ -552,6 +552,9 @@ class TrajEnsemble:
         common_str: Optional[Sequence[str]] = None,
     ) -> None:
         self.trajs: list[SingleTraj] = []
+        #: Path of the ensemble HDF5 this object is backed by (set by
+        #: from_dataset/save); enables lazy, out-of-core batch_iterator
+        self._source_h5: Optional[str] = None
         if tops is not None and len(tops) not in (1, len(trajs)):
             raise ValueError("tops must have length 1 or len(trajs)")
         for i, t in enumerate(trajs):
@@ -611,7 +614,9 @@ class TrajEnsemble:
                 if "CVs" in g:
                     t._CVs = CVCollection.from_hdf5(path, group=f"{name}/CVs")
                 out.append(t)
-        return cls(out)
+        ens = cls(out)
+        ens._source_h5 = str(path)
+        return ens
 
     # ------------------------------------------------------------------ basic
     @property
@@ -823,18 +828,66 @@ class TrajEnsemble:
 
     # ------------------------------------------------------------------ batching
     def batch_iterator(
-        self, batch_size: int, cv_names: Sequence[str], seed: Optional[int] = None
+        self,
+        batch_size: int,
+        cv_names: Sequence[str],
+        seed: Optional[int] = None,
+        lazy: Union[bool, str, Path, None] = None,
     ) -> Iterator[tuple[np.ndarray, ...]]:
-        """Infinite random-batch iterator over stacked CVs (host side),
-        replacing the reference's HDF5-generator `tf.data` pipeline
-        (``info_all.py:2870-3154``)."""
+        """Infinite random-batch iterator over the ensemble's CVs,
+        replacing the reference's lazy HDF5 iterator + `tf.data` pipeline
+        (``info_all.py:2870-3154``).
+
+        When the ensemble is backed by an on-disk HDF5 dataset (built via
+        :meth:`from_dataset` or after :meth:`save`), batches are sampled
+        straight from the file through slab reads
+        (:class:`~encodermap_tpu.train.core.HDF5BatchSource`) and the
+        stacked CV arrays are NEVER materialized in RAM — the reference's
+        out-of-core design (``info_all.py:2870-3078``). Pass ``lazy=False``
+        to force in-memory iteration, or ``lazy=<path>`` to stream from a
+        specific ensemble h5.
+        """
+        path = (
+            str(lazy)
+            if isinstance(lazy, (str, Path))
+            else (self._source_h5 if lazy is not False else None)
+        )
+        if path is not None:
+            src = None
+            try:
+                from ..train.core import HDF5BatchSource
+
+                # resident slab of ~64k frames -> one sequential read per
+                # ~64k/batch_size batches
+                k = max(1, 65536 // max(1, batch_size))
+                src = HDF5BatchSource(
+                    path, cv_names, batch_size, steps_per_scan=k,
+                    seed=seed if seed is not None else 0,
+                )
+            except KeyError:
+                src = None  # CVs not on disk -> in-memory fallback
+            if src is not None:
+                return self._lazy_batches(src)
         cvs = self.CVs
         arrays = [cvs[name] for name in cv_names]
         n = len(arrays[0])
         rng = np.random.default_rng(seed)
-        while True:
-            idx = rng.integers(0, n, batch_size)
-            yield tuple(a[idx] for a in arrays)
+
+        def gen():
+            while True:
+                idx = rng.integers(0, n, batch_size)
+                yield tuple(a[idx] for a in arrays)
+
+        return gen()
+
+    @staticmethod
+    def _lazy_batches(src) -> Iterator[tuple[np.ndarray, ...]]:
+        try:
+            for superbatch in src:
+                for i in range(superbatch[0].shape[0]):
+                    yield tuple(a[i] for a in superbatch)
+        finally:
+            src.close()
 
     # ------------------------------------------------------------------ analysis
     def cluster(
@@ -966,6 +1019,7 @@ class TrajEnsemble:
         for t in self.trajs:
             if len(t._CVs):
                 t._CVs.to_hdf5(path, group=f"traj_{t.traj_num}/CVs")
+        self._source_h5 = str(path)
 
     def __repr__(self) -> str:
         return (

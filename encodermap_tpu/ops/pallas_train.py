@@ -16,10 +16,13 @@ overhead, not math (measured ~37 us/step on v5e where the raw FLOPs need
 * forward, hand-derived backprop, gradient clip, and Adam all happen in
   registers/VMEM.
 
-Scope (asserted by ``fused_trainer_available``): non-periodic EncoderMap
-(the bench/BASELINE config-1 family) with tanh hidden layers, linear latent
-and output, and the standard 4-loss stack (auto mean_abs + center + l2 reg
-+ sigmoid distance). Everything else uses the general JAX path.
+Scope (asserted by ``fused_trainer_available``): the plain EncoderMap
+family — non-periodic (BASELINE config 1) AND periodic dihedral data
+(config 2: sin/cos fold-in, atan2 output, min-image auto + pairwise
+costs; see ``periodicity`` handling below) — with tanh hidden layers,
+linear latent and output, and the standard 4-loss stack (auto mean_abs +
+center + l2 reg + sigmoid distance). Everything else (ADC, custom
+activations/variants) uses the general JAX path.
 
 The hand-derived backprop (``hand_step``) is itself a plain-JAX function
 tested against ``jax.grad`` of the production loss to machine precision —

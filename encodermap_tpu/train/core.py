@@ -22,7 +22,7 @@ autoencoder.py:967-1029``):
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import flax.struct
 import jax
@@ -156,6 +156,21 @@ class HDF5BatchSource:
     same way through an HDF5-generator ``tf.data`` pipeline,
     ``trajinfo/info_all.py:2870-3078``).
 
+    Sampling is slab-based, matching the reference's contiguous-read
+    design: per superbatch ONE contiguous random window of
+    ``slab_frames`` rows is read per CV (at most two h5py reads each,
+    for wrap-around), shuffled resident in RAM, and the
+    ``steps_per_scan x batch`` samples are carved from it with numpy
+    fancy-indexing. Per-sample scattered h5py gathers (the previous
+    design) cost ~1000 seeks per chunk and capped streaming at ~180k
+    samples/s; the slab read is pure sequential I/O. Successive
+    superbatches draw new random windows, so training still covers the
+    whole file.
+
+    When the file (or slab) holds fewer rows than a batch needs, samples
+    repeat (with-replacement semantics) instead of raising — the
+    reference's ``replace`` flag behavior (``info_all.py:2870-2960``).
+
     Two on-disk layouts are supported:
 
     * flat: one group (default ``"CVs"``) holding one dataset per CV name;
@@ -170,7 +185,7 @@ class HDF5BatchSource:
 
     def __init__(self, path: str, cv_names, batch_size: int,
                  steps_per_scan: int, group: str = "CVs",
-                 seed: int = 0) -> None:
+                 seed: int = 0, slab_frames: Optional[int] = None) -> None:
         import h5py
         import numpy as np
 
@@ -179,6 +194,7 @@ class HDF5BatchSource:
         self.batch_size = batch_size
         self.steps_per_scan = steps_per_scan
         self.group = group
+        self.slab_frames = slab_frames
         self._h5 = h5py.File(path, "r")
         traj_groups = sorted(
             (k for k in self._h5 if k.startswith("traj_") and "CVs" in self._h5[k]),
@@ -202,31 +218,47 @@ class HDF5BatchSource:
     def __iter__(self):
         return self
 
-    def _read_rows(self, k: int, idx):
-        """Gather rows of CV #k across the virtually-concatenated groups.
-        ``idx`` must be sorted ascending (h5py fancy-index requirement)."""
+    def _read_contiguous(self, k: int, start: int, length: int):
+        """Rows ``[start, start + length)`` of CV #k across the
+        virtually-concatenated groups — pure sequential h5py reads."""
         import numpy as np
 
         parts = []
         for gi, dsets in enumerate(self._dset_groups):
             lo, hi = self._offsets[gi], self._offsets[gi + 1]
-            local = idx[(idx >= lo) & (idx < hi)] - lo
-            if len(local):
-                parts.append(dsets[k][local])
+            s, e = max(start, lo), min(start + length, hi)
+            if s < e:
+                parts.append(dsets[k][s - lo : e - lo])
         return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+    def _read_slab(self, k: int, start: int, length: int):
+        """Contiguous slab with wrap-around at the end of the file."""
+        import numpy as np
+
+        if start + length <= self.n_frames:
+            return self._read_contiguous(k, start, length)
+        head = self._read_contiguous(k, start, self.n_frames - start)
+        tail = self._read_contiguous(k, 0, length - (self.n_frames - start))
+        return np.concatenate([head, tail], axis=0)
 
     def __next__(self):
         import numpy as np
 
-        n_cv = len(self.cv_names)
-        out = [[] for _ in range(n_cv)]
-        for _ in range(self.steps_per_scan):
-            idx = np.sort(
-                self._rng.choice(self.n_frames, self.batch_size, replace=False)
-            )
-            for k in range(n_cv):
-                out[k].append(self._read_rows(k, idx))
-        return tuple(np.stack(parts) for parts in out)
+        total = self.steps_per_scan * self.batch_size
+        S = self.slab_frames if self.slab_frames else total
+        S = max(1, min(S, self.n_frames))
+        start = int(self._rng.integers(0, self.n_frames))
+        # shuffled resident indices; rows repeat only when the slab holds
+        # fewer frames than the superbatch consumes
+        reps = -(-total // S)
+        idx = np.concatenate(
+            [self._rng.permutation(S) for _ in range(reps)]
+        )[:total].reshape(self.steps_per_scan, self.batch_size)
+        out = []
+        for k in range(len(self.cv_names)):
+            slab = self._read_slab(k, start, S)
+            out.append(slab[idx])
+        return tuple(out)
 
     def read_prototype(self, n: int = 4):
         """First ``n`` frames of *every* member group, concatenated — a

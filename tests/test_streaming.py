@@ -59,6 +59,48 @@ class TestStreaming:
         assert np.isfinite(history["loss"]).all()
         assert int(emap.state.step) == 12
 
+    def test_slab_covers_file_and_wraps(self, h5_cvs):
+        """Slab sampling: each superbatch comes from one contiguous window
+        (with wrap-around) and successive superbatches cover the file."""
+        import h5py
+
+        path, data = h5_cvs
+        # tag rows with their index to track provenance
+        with h5py.File(path, "r+") as f:
+            f["CVs/features"][:, 0] = np.arange(1000)
+        src = HDF5BatchSource(path, ["features"], batch_size=50,
+                              steps_per_scan=4, seed=3)
+        seen = set()
+        for _ in range(40):
+            sb = next(src)[0]
+            rows = sb[..., 0].astype(int).ravel()
+            seen.update(rows.tolist())
+            # one superbatch = 200 draws from a 200-frame window: no repeats
+            assert len(set(rows.tolist())) == 200
+        assert len(seen) > 900  # random windows cover nearly everything
+        src.close()
+
+    def test_batch_larger_than_file(self, h5_cvs):
+        """batch_size > n_frames must repeat samples, not raise (the old
+        choice(replace=False) crashed here)."""
+        import h5py
+
+        path, _ = h5_cvs
+        src = HDF5BatchSource(path, ["features"], batch_size=1500,
+                              steps_per_scan=2, seed=0)
+        sb = next(src)[0]
+        assert sb.shape == (2, 1500, 6)
+        assert np.isfinite(sb).all()
+        src.close()
+
+    def test_slab_frames_override(self, h5_cvs):
+        path, _ = h5_cvs
+        src = HDF5BatchSource(path, ["features"], batch_size=16,
+                              steps_per_scan=4, slab_frames=32, seed=0)
+        sb = next(src)[0]
+        assert sb.shape == (4, 16, 6)
+        src.close()
+
     def test_streaming_matches_loss_scale(self, h5_cvs, tmp_path):
         """Streaming training decreases the loss like in-memory training."""
         path, data = h5_cvs
@@ -120,6 +162,63 @@ class TestEnsembleH5Streaming:
         # 2 frames from each of the two member trajs
         assert proto[0].shape[0] == 4
         src.close()
+
+    def test_slab_spans_group_boundary(self, ensemble_h5):
+        """A slab window crossing the traj_0/traj_1 boundary concatenates
+        contiguous reads from both groups."""
+        path, trajs = ensemble_h5
+        n0 = trajs.trajs[0].n_frames
+        src = HDF5BatchSource(
+            path, ["central_dihedrals"], batch_size=8, steps_per_scan=2,
+            slab_frames=16, seed=0,
+        )
+        # force a window straddling the boundary
+        slab = src._read_slab(0, n0 - 8, 16)
+        assert slab.shape[0] == 16
+        ref = trajs.CVs["central_dihedrals"][n0 - 8 : n0 + 8]
+        np.testing.assert_array_equal(slab, ref)
+        # and wrap-around past the end of the whole file
+        wrapped = src._read_slab(0, src.n_frames - 4, 12)
+        assert wrapped.shape[0] == 12
+        np.testing.assert_array_equal(
+            wrapped[:4], trajs.CVs["central_dihedrals"][-4:]
+        )
+        np.testing.assert_array_equal(
+            wrapped[4:], trajs.CVs["central_dihedrals"][:8]
+        )
+        src.close()
+
+    def test_lazy_batch_iterator_never_materializes_cvs(self, ensemble_h5):
+        """TrajEnsemble.batch_iterator on a disk-backed ensemble streams from
+        the h5 file; the stacked .CVs property is never built (reference's
+        lazy iterator, ``info_all.py:2870-3078``)."""
+        from encodermap_tpu.data.trajectory import TrajEnsemble
+
+        path, trajs = ensemble_h5
+        assert trajs._source_h5 == path
+        n_di = trajs.trajs[0]._CVs["central_dihedrals"].shape[1]
+
+        class Trap(TrajEnsemble):
+            @property
+            def CVs(self):
+                raise AssertionError(".CVs materialized in lazy mode")
+
+        trap = Trap(trajs.trajs)
+        trap._source_h5 = path
+        it = trap.batch_iterator(
+            batch_size=16, cv_names=["central_angles", "central_dihedrals"],
+            seed=0,
+        )
+        for _ in range(3):
+            batch = next(it)
+            assert batch[0].shape[0] == 16
+            assert batch[1].shape == (16, n_di)
+        it.close()
+        # without a disk source (or lazy=False) the RAM path still works
+        batch = next(
+            trajs.batch_iterator(8, ["central_dihedrals"], seed=0, lazy=False)
+        )
+        assert batch[0].shape == (8, n_di)
 
     def test_adc_trains_from_disk(self, ensemble_h5, tmp_path):
         """from_ensemble_h5 + train_streaming(path): fully out-of-core; the

@@ -161,13 +161,26 @@ def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
     return n_chunks * steps_per_scan * p.batch_size / dt
 
 
-def bench_featurize(n_frames: int = 1024, block: int = 512) -> float:
+def bench_featurize(n_frames: int = 1024, block: int = 512
+                    ) -> tuple[float, float]:
     """BASELINE config 4a: multi-trajectory-scale featurization throughput
     (frames/sec) on a real protein — 1am7 lysozyme, 158 residues / 2504
     atoms (diUbi is 152 residues), full ADC feature set incl. sidechain
-    dihedrals, computed on device."""
+    dihedrals, computed on device.
+
+    Returns ``(user_path_fps, device_only_fps)``: the user path includes
+    the host->device xyz upload through this dev setup's TPU tunnel (which
+    dominates at ~9 MB/block); the device-only number loops the jitted
+    feature program over device-resident xyz (fori_loop with per-iteration
+    perturbation so nothing is CSE'd) and reflects the framework/chip."""
+    import jax
+    import jax.numpy as jnp
+
     from encodermap_tpu.data import SingleTraj
-    from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+    from encodermap_tpu.loading.featurizer import (
+        SingleTrajFeaturizer,
+        make_feature_runner,
+    )
 
     t = SingleTraj(
         "/root/reference/tests/data/1am7_corrected.xtc",
@@ -185,7 +198,29 @@ def bench_featurize(n_frames: int = 1024, block: int = 512) -> float:
     # get_output returns host numpy: already synced
     dt = time.perf_counter() - t0
     assert np.isfinite(out["central_dihedrals"]).all()
-    return n_frames / dt
+    user_fps = n_frames / dt
+
+    # device-only companion: same jitted feature program, xyz resident
+    run, slice_xyz = make_feature_runner(feat.features)
+    xyz = jnp.asarray(slice_xyz(np.asarray(t2.xyz[:block], np.float32)))
+    box = t2.unitcell_vectors
+    bb = jnp.asarray(box[:block]) if box is not None else None
+    iters = 20
+
+    @jax.jit
+    def loop(x):
+        def body(i, acc):
+            res = run(x + i.astype(jnp.float32) * 1e-6, bb)
+            return acc + sum(jnp.sum(r) for r in res)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))
+
+    float(np.asarray(loop(xyz)))  # compile + warm
+    t0 = time.perf_counter()
+    s = loop(xyz)
+    float(np.asarray(s))
+    dev_fps = iters * block / (time.perf_counter() - t0)
+    return user_fps, dev_fps
 
 
 def bench_generate(n_res: int = 158, batch: int = 2048, reps: int = 3
@@ -227,7 +262,46 @@ def bench_generate(n_res: int = 158, batch: int = 2048, reps: int = 3
         xyz = emap.generate(points)  # returns host numpy: synced
     dt = time.perf_counter() - t0
     assert np.isfinite(xyz).all()
-    return reps * batch / dt
+    user_cps = reps * batch / dt
+
+    # device-only companion: the same fused decode+backmap program looped
+    # on device (the user path above downloads ~11 MB of xyz per call
+    # through the dev tunnel, which dominates at this batch size)
+    import jax
+    import jax.numpy as jnp
+
+    from encodermap_tpu.models import adc
+    from encodermap_tpu.ops.backmap import backmap as backmap_op
+
+    z = jnp.asarray(points)
+    mean_lengths = jnp.asarray(emap.train_data[3].mean(0, keepdims=True))
+    mean_angles = jnp.asarray(emap.train_data[0].mean(0, keepdims=True))
+    params = emap.state.params
+    iters = 50
+
+    @jax.jit
+    def loop(params, z):
+        def body(i, acc):
+            zz = z + i.astype(jnp.float32) * 1e-4
+            out_angles, out_dihedrals, _ = adc.decode(
+                params, emap.p, zz, emap.shapes
+            )
+            B = zz.shape[0]
+            if out_angles is None:
+                out_angles = jnp.broadcast_to(
+                    mean_angles, (B, mean_angles.shape[1])
+                )
+            lengths = jnp.broadcast_to(mean_lengths, (B, mean_lengths.shape[1]))
+            return acc + jnp.sum(backmap_op(lengths, out_angles, out_dihedrals))
+
+        return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))
+
+    float(np.asarray(loop(params, z)))  # compile + warm
+    t0 = time.perf_counter()
+    s = loop(params, z)
+    float(np.asarray(s))
+    dev_cps = iters * batch / (time.perf_counter() - t0)
+    return user_cps, dev_cps
 
 
 def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
@@ -301,8 +375,8 @@ def main() -> None:
     adc_lysozyme_sps = _retry(
         lambda: bench_adc(n_res=158, n_frames=2048, n_chunks=3)
     )
-    feat_fps = _retry(bench_featurize)
-    gen_cps = _retry(bench_generate)
+    feat_fps, feat_dev_fps = _retry(bench_featurize)
+    gen_cps, gen_dev_cps = _retry(bench_generate)
     stream_sps = _retry(bench_streaming)
     target = 1e5
     print(
@@ -320,7 +394,9 @@ def main() -> None:
                 "adc_train_samples_per_sec_lysozyme_158res": round(
                     adc_lysozyme_sps, 1),
                 "featurize_frames_per_sec_1am7": round(feat_fps, 1),
+                "featurize_device_only_fps": round(feat_dev_fps, 1),
                 "generate_conformations_per_sec_1am7": round(gen_cps, 1),
+                "generate_device_only_cps": round(gen_dev_cps, 1),
                 "streaming_train_samples_per_sec_1m_h5": round(stream_sps, 1),
             }
         )

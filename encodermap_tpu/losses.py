@@ -35,6 +35,7 @@ __all__ = [
     "sigmoid_loss",
     "distance_loss",
     "cartesian_distance_loss",
+    "cartesian_distance_loss_matrix",
     "cartesian_loss",
     "cartesian_loss_matrix",
     "auto_loss",
@@ -79,6 +80,7 @@ def sigmoid_loss(
     y_pred: Array,
     dist_sig_parameters: tuple,
     periodicity: float,
+    h_precision: str = "highest",
 ) -> Array:
     """Sketch-map sigmoid cost between all-pairs distances of ``y_true``
     (high-D, optionally periodic) and ``y_pred`` (latent, Euclidean).
@@ -88,7 +90,8 @@ def sigmoid_loss(
     # Large batches on TPU route through the fused Pallas kernel (identical
     # math, O(1) memory in batch); small batches / CPU use the XLA path.
     return fused_or_reference(
-        y_true, y_pred, tuple(dist_sig_parameters), periodicity
+        y_true, y_pred, tuple(dist_sig_parameters), periodicity,
+        h_precision=h_precision,
     )
 
 
@@ -114,6 +117,43 @@ def cartesian_distance_loss(
         return jnp.asarray(0.0, jnp.float32)
     cost = sigmoid_loss(
         inp_pairwise, latent, p.cartesian_dist_sig_parameters, float("inf")
+    )
+    return cost * p.cartesian_distance_cost_scale
+
+
+def cartesian_distance_loss_matrix(
+    inp_mat: Array, latent: Array, p: ADCParameters
+) -> Array:
+    """:func:`cartesian_distance_loss` fed with the FULL ``(B, n, n)``
+    CA-distance matrices (already computed for the cartesian cost) instead
+    of flat upper-triangle vectors.
+
+    Exactly the same loss value: every unordered pair appears twice in a
+    matrix row and the diagonal is zero, so the batch-pairwise row
+    distances scale by exactly ``sqrt(2)`` — and sketch-map's sigmoid
+    absorbs that via ``sig -> sqrt(2) sig`` (its shape coefficient depends
+    only on a, b):
+
+        sig(sqrt(2) r; sqrt(2) sig, a, b) == sig(r; sig, a, b).
+
+    Why: the flat form needs a 2 x (B, n(n-1)/2, 3) static triu gather of
+    the coordinates first — ~40 % of the whole 158-residue ADC step on
+    v5e (irregular gathers are POISON on TPU; see docs/adc_ablation_r3).
+    The matrix rows are gather-free. The (B, B) Gram over the n^2-wide
+    rows runs at "high" (3-pass bf16) MXU precision: no gradient flows
+    through the high-D side, and at lysozyme scale (d = 158^2) the value
+    agrees with the HIGHEST-precision flat form to ~1e-7 relative.
+    """
+    if p.cartesian_distance_cost_scale is None:
+        return jnp.asarray(0.0, jnp.float32)
+    from math import sqrt
+
+    sig_h, a_h, b_h, sig_l, a_l, b_l = p.cartesian_dist_sig_parameters
+    params = (sig_h * sqrt(2.0), a_h, b_h, sig_l, a_l, b_l)
+    B = inp_mat.shape[0]
+    cost = sigmoid_loss(
+        inp_mat.reshape(B, -1), latent, params, float("inf"),
+        h_precision="high",
     )
     return cost * p.cartesian_distance_cost_scale
 

@@ -243,15 +243,21 @@ def _quat_rotate(q, v):
 
 def _one_way_impl(dihedrals: Array, cartesian: Array) -> tuple[Array, tuple]:
     """Forward pass; returns the result and the residuals the analytic
-    adjoint needs (cumulative quaternions, rotated bonds, axis info)."""
+    adjoint needs (cumulative quaternions, rotated bonds, axis info).
+
+    EVERYTHING per-rotation lives in structure-of-arrays layout — tuples
+    of ``(batch, n)`` component planes with the chain dim in the TPU lane
+    axis. Stacked ``(batch, n, 3)`` / ``(batch, n, 3, 3)`` tensors tile as
+    (sublane, lane) = (n, 3) / (3, 3) and waste 125/128 lanes; at 158
+    residues the SoA form of this fwd+bwd is what keeps the ADC step from
+    being layout-bound (measured on v5e, see docs/adc_ablation_r3.json).
+    """
     # B_i: rotation about the fixed original axis through atoms (i+1, i+2).
-    # Quaternion structure-of-arrays layout: all per-rotation state is
-    # (batch, n) with the chain dim in TPU lanes.
-    p1 = cartesian[:, 1:-2, :]  # atom i+1 for i in [0, n)
-    p2 = cartesian[:, 2:-1, :]  # atom i+2
-    u = p2 - p1
-    ulen = jnp.sqrt(jnp.sum(jnp.square(u), axis=-1, keepdims=True))
-    axis = u / ulen
+    ux = cartesian[:, 2:-1, 0] - cartesian[:, 1:-2, 0]
+    uy = cartesian[:, 2:-1, 1] - cartesian[:, 1:-2, 1]
+    uz = cartesian[:, 2:-1, 2] - cartesian[:, 1:-2, 2]
+    ulen = jnp.sqrt(ux * ux + uy * uy + uz * uz)  # (B, n)
+    ax, ay, az = ux / ulen, uy / ulen, uz / ulen
 
     # The reference's x @ R_rodrigues(axis, -dihedral) equals, in column
     # convention, a rotation by +dihedral about axis; as a quaternion:
@@ -259,7 +265,7 @@ def _one_way_impl(dihedrals: Array, cartesian: Array) -> tuple[Array, tuple]:
     half = 0.5 * dihedrals
     cw = jnp.cos(half)
     s = jnp.sin(half)
-    q = (cw, s * axis[..., 0], s * axis[..., 1], s * axis[..., 2])
+    q = (cw, s * ax, s * ay, s * az)
 
     # cumulative rotation C_i = B_0 ∘ ... ∘ B_i (B_i applied first)
     q_scan = jax.lax.associative_scan(_quat_compose, q, axis=1)
@@ -269,13 +275,20 @@ def _one_way_impl(dihedrals: Array, cartesian: Array) -> tuple[Array, tuple]:
     )
 
     # rotated bond vectors for bonds (k-1, k), k = 2..n+2, then cumsum
-    bonds = cartesian[:, 2:, :] - cartesian[:, 1:-1, :]
-    v = (bonds[..., 0], bonds[..., 1], bonds[..., 2])
-    rx, ry, rz = _quat_rotate(q_cum, v)
-    rotated_bonds = jnp.stack([rx, ry, rz], axis=-1)
-    moved = cartesian[:, 1:2, :] + jnp.cumsum(rotated_bonds, axis=1)
+    bx = cartesian[:, 2:, 0] - cartesian[:, 1:-1, 0]
+    by = cartesian[:, 2:, 1] - cartesian[:, 1:-1, 1]
+    bz = cartesian[:, 2:, 2] - cartesian[:, 1:-1, 2]
+    rx, ry, rz = _quat_rotate(q_cum, (bx, by, bz))
+    moved = jnp.stack(
+        [
+            cartesian[:, 1:2, 0] + jnp.cumsum(rx, axis=1),
+            cartesian[:, 1:2, 1] + jnp.cumsum(ry, axis=1),
+            cartesian[:, 1:2, 2] + jnp.cumsum(rz, axis=1),
+        ],
+        axis=-1,
+    )
     out = jnp.concatenate([cartesian[:, :2, :], moved], axis=1)
-    return out, (q_scan, q_cum, rotated_bonds, axis, ulen, dihedrals)
+    return out, (q_scan, q_cum, (rx, ry, rz), (ax, ay, az), ulen, dihedrals)
 
 
 def _rev_cumsum(x: Array, axis: int = 1) -> Array:
@@ -283,22 +296,47 @@ def _rev_cumsum(x: Array, axis: int = 1) -> Array:
     return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
 
 
+#: chain length above which the adjoint's suffix sums ride the MXU
+_SUFFIX_MM_MIN = 96
+
+
+def _suffix_sums(planes: list) -> list:
+    """Suffix sums along the chain axis for a list of ``(B, m)`` planes.
+
+    On TPU ONE einsum against a constant triangular mask computes all
+    planes at once on the MXU (3-pass bf16: ~2^-19 relative error on the
+    ~470-term sums): the adjoint needs 15 such sums per half-chain, and
+    the elementwise flip-cumsum-flip form costs O(log n) masked-shift
+    rounds per plane on the VPU — it dominated the 158-residue ADC
+    backward (docs/adc_ablation_r3.json). Short chains and CPU keep the
+    exact elementwise form.
+    """
+    m = planes[0].shape[1]
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if m < _SUFFIX_MM_MIN or not on_tpu:
+        return [_rev_cumsum(x) for x in planes]
+    # mask[m', i] = 1 iff m' >= i  ->  out[b, i] = sum_{m' >= i} x[b, m']
+    mask = jnp.asarray(np.tril(np.ones((m, m), np.float32)))
+    stacked = jnp.stack(planes, axis=1)  # (B, k, m)
+    out = jnp.einsum(
+        "bkm,mi->bki", stacked, mask, precision=jax.lax.Precision.HIGH
+    )
+    return [out[:, j] for j in range(len(planes))]
+
+
 def _quat_conj(q):
     w, x, y, z = q
     return (w, -x, -y, -z)
 
 
-def _quat_rotate_mat(q, M):
-    """Apply the rotation of q to each COLUMN of (batch, n, 3, 3) matrices,
-    i.e. R(q) @ M, using the SoA quaternion rotate."""
-    cols = [
-        _quat_rotate(q, (M[..., 0, c], M[..., 1, c], M[..., 2, c]))
-        for c in range(3)
-    ]
-    return jnp.stack(
-        [jnp.stack([cols[c][r] for c in range(3)], axis=-1) for r in range(3)],
-        axis=-2,
-    )
+def _quat_rotate_mat3(q, M):
+    """``R(q) @ M`` for a 3x3 matrix given as a nested tuple ``M[i][j]`` of
+    ``(batch, n)`` component planes (SoA): rotate each column as a vector."""
+    cols = [_quat_rotate(q, (M[0][j], M[1][j], M[2][j])) for j in range(3)]
+    return tuple(tuple(cols[j][i] for j in range(3)) for i in range(3))
 
 
 @jax.custom_vjp
@@ -335,25 +373,35 @@ def _one_way_bwd(res, g):
     q_scan, q_cum, r, axis, ulen, dihedrals = res
     B, n = dihedrals.shape
     dtype = g.dtype
+    rx, ry, rz = r
+    ax, ay, az = axis
 
-    # suffix sums of the output cotangent over atoms k = 2..n+2
-    G = _rev_cumsum(g[:, 2:, :])  # (B, n+1, 3): G[m-2] = sum_{k>=m} g_k
+    # suffix sums of the output cotangent over atoms k = 2..n+2, as SoA
+    # component planes (B, n+1): G[m-2] = sum_{k>=m} g_k
+    G = tuple(_suffix_sums([g[:, 2:, c] for c in range(3)]))
+    Gx, Gy, Gz = G
 
     # --- bond pullback: b_bar_m = R_{c(m)}^T G_m
-    q_conj = _quat_conj(q_cum)
-    bbx, bby, bbz = _quat_rotate(q_conj, (G[..., 0], G[..., 1], G[..., 2]))
-    b_bar = jnp.stack([bbx, bby, bbz], axis=-1)  # (B, n+1, 3)
+    b_bar = _quat_rotate(_quat_conj(q_cum), G)  # 3 x (B, n+1)
 
-    # --- torsion pullback. Bond m sits at array index m-2, so the suffix
-    # "m >= i+2" starts at index i.
-    t = jnp.cross(r, G)  # r_m x G_m, (B, n+1, 3)
-    T = _rev_cumsum(t)  # T[m-2] = sum_{m'>=m} t
-    a_fin = r[:, :n, :] / ulen  # r_{i+2} / |u_i|, i = 0..n-1 -> (B, n, 3)
-    d_bar = jnp.sum(a_fin * T[:, :n, :], axis=-1)
+    # --- torsion pullback (t = r_m x G_m, suffix-summed) and the moment
+    # matrix M_i = suffix_{m>=i+2} r_m G_m^T: 12 suffix sums, batched into
+    # one pass. Bond m sits at array index m-2, so "m >= i+2" starts at
+    # index i.
+    rc = (rx, ry, rz)
+    sums = _suffix_sums(
+        [ry * Gz - rz * Gy, rz * Gx - rx * Gz, rx * Gy - ry * Gx]
+        + [rc[i] * G[j] for i in range(3) for j in range(3)]
+    )
+    Tx, Ty, Tz = sums[0], sums[1], sums[2]
+    # a_fin = r_{i+2} / |u_i| (the final axis direction), i = 0..n-1
+    d_bar = (
+        rx[:, :n] * Tx[:, :n] + ry[:, :n] * Ty[:, :n] + rz[:, :n] * Tz[:, :n]
+    ) / ulen
 
-    # --- axis pullback
-    outer = r[..., :, None] * G[..., None, :]  # r_m G_m^T, (B, n+1, 3, 3)
-    M = _rev_cumsum(outer)[:, :n]  # M_i = suffix from m = i+2, (B, n, 3, 3)
+    M = tuple(
+        tuple(sums[3 + 3 * i + j][:, :n] for j in range(3)) for i in range(3)
+    )
     # N_i = R_i^T M_i R_{i-1}: rotate columns by R_i^T, then rows by R_{i-1}^T
     q_i = tuple(c[:, :n] for c in q_scan)
     ident = lambda c, v: jnp.concatenate(
@@ -362,41 +410,47 @@ def _one_way_bwd(res, g):
     q_im1 = (ident(q_scan[0], 1.0),) + tuple(
         ident(c, 0.0) for c in q_scan[1:]
     )
-    halfN = _quat_rotate_mat(_quat_conj(q_i), M)  # R_i^T M_i
+    halfN = _quat_rotate_mat3(_quat_conj(q_i), M)  # R_i^T M_i
     # (R_i^T M_i) R_{i-1} = (R_{i-1}^T (R_i^T M_i)^T)^T
-    N = jnp.swapaxes(
-        _quat_rotate_mat(_quat_conj(q_im1), jnp.swapaxes(halfN, -1, -2)),
-        -1, -2,
+    halfNT = tuple(tuple(halfN[j][i] for j in range(3)) for i in range(3))
+    tmp = _quat_rotate_mat3(_quat_conj(q_im1), halfNT)
+    N = tuple(tuple(tmp[j][i] for j in range(3)) for i in range(3))
+    vee = (
+        N[1][2] - N[2][1],
+        N[2][0] - N[0][2],
+        N[0][1] - N[1][0],
     )
-    vee = jnp.stack(
-        [
-            N[..., 1, 2] - N[..., 2, 1],
-            N[..., 2, 0] - N[..., 0, 2],
-            N[..., 0, 1] - N[..., 1, 0],
-        ],
-        axis=-1,
+    sin_d = jnp.sin(dihedrals)
+    cos1 = 1.0 - jnp.cos(dihedrals)
+    a = (ax, ay, az)
+    a_bar = tuple(
+        sin_d * vee[i]
+        + cos1
+        * (
+            # (N + N^T) @ a
+            (N[i][0] + N[0][i]) * ax
+            + (N[i][1] + N[1][i]) * ay
+            + (N[i][2] + N[2][i]) * az
+        )
+        for i in range(3)
     )
-    sin_d = jnp.sin(dihedrals)[..., None]
-    cos_d = jnp.cos(dihedrals)[..., None]
-    Na = jnp.einsum("...ij,...j->...i", N, axis,
-                    precision=jax.lax.Precision.HIGHEST)
-    NTa = jnp.einsum("...ji,...j->...i", N, axis,
-                     precision=jax.lax.Precision.HIGHEST)
-    a_bar = sin_d * vee + (1.0 - cos_d) * (Na + NTa)
-    u_bar = (
-        a_bar - axis * jnp.sum(axis * a_bar, axis=-1, keepdims=True)
-    ) / ulen
+    dot = ax * a_bar[0] + ay * a_bar[1] + az * a_bar[2]
+    u_bar = tuple((a_bar[i] - a[i] * dot) / ulen for i in range(3))
 
-    # --- assemble q_bar (planar-cartesian cotangent)
-    q_bar = jnp.zeros((B, n + 3, 3), dtype)
-    q_bar = q_bar.at[:, 0].set(g[:, 0])
-    q_bar = q_bar.at[:, 1].set(g[:, 1] + jnp.sum(g[:, 2:], axis=1))
-    # bonds b_m = q_m - q_{m-1}, m = 2..n+2
-    q_bar = q_bar.at[:, 2:].add(b_bar)
-    q_bar = q_bar.at[:, 1:-1].add(-b_bar)
-    # axes u_i = q_{i+2} - q_{i+1}, i = 0..n-1
-    q_bar = q_bar.at[:, 2:-1].add(u_bar)
-    q_bar = q_bar.at[:, 1:-2].add(-u_bar)
+    # --- assemble q_bar (planar-cartesian cotangent) per component
+    comps = []
+    for c in range(3):
+        v = jnp.zeros((B, n + 3), dtype)
+        v = v.at[:, 0].set(g[:, 0, c])
+        v = v.at[:, 1].set(g[:, 1, c] + jnp.sum(g[:, 2:, c], axis=1))
+        # bonds b_m = q_m - q_{m-1}, m = 2..n+2
+        v = v.at[:, 2:].add(b_bar[c])
+        v = v.at[:, 1:-1].add(-b_bar[c])
+        # axes u_i = q_{i+2} - q_{i+1}, i = 0..n-1
+        v = v.at[:, 2:-1].add(u_bar[c])
+        v = v.at[:, 1:-2].add(-u_bar[c])
+        comps.append(v)
+    q_bar = jnp.stack(comps, axis=-1)
     return d_bar.astype(dihedrals.dtype), q_bar
 
 

@@ -158,9 +158,20 @@ def triu_indices_mask(n: int) -> np.ndarray:
 _GRAM_MIN_DIM = 16
 
 
-@partial(jax.jit, static_argnames=("squared", "flat"))
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@partial(jax.jit, static_argnames=("squared", "flat", "precision", "method"))
 def pairwise_dist(
-    positions: Array, squared: bool = False, flat: bool = False
+    positions: Array,
+    squared: bool = False,
+    flat: bool = False,
+    precision: str = "highest",
+    method: str = "auto",
 ) -> Array:
     """All-pairs Euclidean distance.
 
@@ -181,6 +192,13 @@ def pairwise_dist(
         squared: return squared distances.
         flat: return only the strict upper triangle (pdist-like), flattened
             row-major — matches the reference's ``flat=True``.
+        precision: MXU precision for the Gram matmul — "highest" (6-pass,
+            default), "high" (3-pass bf16, ~f32-accurate for well-scaled
+            data at half the MXU cost), or "default".
+        method: "auto" picks Gram for d >= 16 and direct differences below;
+            "gram"/"direct" force a path (e.g. Gram for xyz when n is large
+            enough that the ``(b, n, n, 3)`` difference tensor's HBM
+            traffic dominates). Ignored when ``flat``.
 
     Returns:
         ``(b, n, n)`` matrix, or ``(b, n*(n-1)/2)`` when ``flat``. A 2-D input
@@ -192,16 +210,20 @@ def pairwise_dist(
     if positions.ndim == 2:
         positions = positions[None]
 
+    use_gram = (
+        method == "gram"
+        or (method == "auto" and positions.shape[-1] >= _GRAM_MIN_DIM)
+    )
     if flat:
         n = positions.shape[1]
         iu = np.triu_indices(n, k=1)
         diff = positions[:, iu[0], :] - positions[:, iu[1], :]
         d2 = jnp.sum(jnp.square(diff), axis=-1)
-    elif positions.shape[-1] >= _GRAM_MIN_DIM:
+    elif use_gram:
         sq = jnp.sum(jnp.square(positions), axis=-1)
         gram = jnp.einsum(
             "bnd,bmd->bnm", positions, positions,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_PRECISIONS[precision],
         )
         d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
         # cancellation can leave tiny negatives / a nonzero diagonal;

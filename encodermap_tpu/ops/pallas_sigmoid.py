@@ -244,7 +244,8 @@ def _vjp_bwd(params, periodicity, res, g):
 fused_sigmoid_loss.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def fused_or_reference(h, l, params, periodicity, min_batch: int = 16384):
+def fused_or_reference(h, l, params, periodicity, min_batch: int = 16384,
+                       h_precision: str = "highest"):
     """Route to the fused kernel only where it wins.
 
     Measured on a v5e chip: at B <= 8192 XLA's fused O(B^2) path is equally
@@ -252,7 +253,12 @@ def fused_or_reference(h, l, params, periodicity, min_batch: int = 16384):
     Pallas kernel's value is MEMORY: it runs in O(B) while XLA materializes
     B^2 matrices (e.g. B=128k would need ~130 GB). Default routing therefore
     uses Pallas only for very large batches (or when callers lower
-    ``min_batch`` explicitly)."""
+    ``min_batch`` explicitly).
+
+    ``h_precision`` sets the MXU precision of the high-dimensional side's
+    Gram matmul (no gradient ever flows there — the reference likewise
+    treats the input batch as constant), so callers with very wide ``h``
+    can drop to "high" (3-pass bf16) for half the MXU passes."""
     n = h.shape[0]
     if available() and n >= min_batch and n % _TILE_J == 0:
         return fused_sigmoid_loss(h, l, params, periodicity)
@@ -263,7 +269,7 @@ def fused_or_reference(h, l, params, periodicity, min_batch: int = 16384):
         # high-dim h routes through the Gram identity inside pairwise_dist:
         # one MXU matmul vs a (B, B, d) VPU difference tensor — measured
         # 3.8x faster fwd+bwd at (B=256, d=190) on v5e
-        dist_h = pairwise_dist(h)
+        dist_h = pairwise_dist(h, precision=h_precision)
     else:
         # min-image has no bilinear form -> full-matrix VPU path. An
         # upper-triangle-only variant (half the elementwise work) was

@@ -216,8 +216,16 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             "cartesian_loss": L.cartesian_loss_matrix(inp_mat, out_mat, p,
                                                       scale=scale),
             "distance_loss": L.distance_loss(enc_inp, latent, p),
-            "cartesian_distance_loss": L.cartesian_distance_loss(
-                inp_pair, latent, p
+            # matrix form: same value as the flat-pair loss, but reuses
+            # inp_mat instead of the triu coordinate gather (which was
+            # ~40% of the 158-res step; docs/adc_ablation_r3.json) —
+            # inp_pair/out_pair then go dead and XLA eliminates them.
+            # Below ~64 CAs the gather is cheap and the matrix doubles the
+            # Gram width, so small proteins keep the flat form.
+            "cartesian_distance_loss": (
+                L.cartesian_distance_loss_matrix(inp_mat, latent, p)
+                if inp_mat.shape[-1] >= 64
+                else L.cartesian_distance_loss(inp_pair, latent, p)
             ),
             "center_loss": L.center_loss(latent, p),
             "regularization_loss": L.regularization_loss(
@@ -258,8 +266,11 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             "cartesian_loss": L.cartesian_loss_matrix(inp_mat, out_mat, p,
                                                       scale=scale),
             "distance_loss": L.distance_loss(enc_inp, latent, p),
-            "cartesian_distance_loss": L.cartesian_distance_loss(
-                inp_pair, latent, p
+            # matrix form above ~64 atoms — see _loss_terms
+            "cartesian_distance_loss": (
+                L.cartesian_distance_loss_matrix(inp_mat, latent, p)
+                if inp_mat.shape[-1] >= 64
+                else L.cartesian_distance_loss(inp_pair, latent, p)
             ),
             "center_loss": L.center_loss(latent, p),
             "regularization_loss": L.regularization_loss(

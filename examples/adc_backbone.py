@@ -4,12 +4,17 @@ trajectory, train on internal coordinates, generate new conformations
 (the TPU equivalent of the reference's ``examples/trp_cage.py`` /
 ``dihedral_to_cartesian_diubi.py`` workflows)."""
 
+import os
+
 import numpy as np
 
 import encodermap_tpu as em
 
 TRAJ = "/root/reference/tests/data/asp7.xtc"
 TOP = "/root/reference/tests/data/asp7.pdb"
+
+# CI hook: tests/test_examples.py runs every example with a tiny step count
+N_STEPS = int(os.environ.get("EM_EXAMPLE_STEPS", "1000"))
 
 
 def main() -> None:
@@ -18,8 +23,8 @@ def main() -> None:
 
     parameters = em.ADCParameters(
         main_path="runs/adc",
-        n_steps=1000,
-        steps_per_scan=100,
+        n_steps=N_STEPS,
+        steps_per_scan=min(100, N_STEPS),
         use_backbone_angles=True,
         use_sidechains=True,
         cartesian_cost_scale_soft_start=(100, 500),

@@ -2,9 +2,14 @@
 """Minimal EncoderMap example: project a noisy hypercube to 2D and generate
 new points (the TPU equivalent of the reference's ``examples/cube.py``)."""
 
+import os
+
 import numpy as np
 
 import encodermap_tpu as em
+
+# CI hook: tests/test_examples.py runs every example with a tiny step count
+N_STEPS = int(os.environ.get("EM_EXAMPLE_STEPS", "2000"))
 
 
 def main() -> None:
@@ -13,8 +18,8 @@ def main() -> None:
     parameters = em.Parameters(
         main_path="runs/cube",
         periodicity=float("inf"),
-        n_steps=2000,
-        steps_per_scan=200,
+        n_steps=N_STEPS,
+        steps_per_scan=min(200, N_STEPS),
     )
     emap = em.EncoderMap(parameters, data)
     emap.train()

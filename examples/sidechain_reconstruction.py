@@ -6,12 +6,17 @@ The reference covers this workflow in its sidechain-reconstruction tests
 asp7 (7x ASP, chi1+chi2 per residue). The decoder outputs all internal
 coordinates and the log-depth sidechain backmap rebuilds every atom."""
 
+import os
+
 import numpy as np
 
 import encodermap_tpu as em
 
 TRAJ = "/root/reference/tests/data/asp7.xtc"
 TOP = "/root/reference/tests/data/asp7.pdb"
+
+# CI hook: tests/test_examples.py runs every example with a tiny step count
+N_STEPS = int(os.environ.get("EM_EXAMPLE_STEPS", "2000"))
 
 
 def main() -> None:
@@ -21,8 +26,8 @@ def main() -> None:
 
     parameters = em.ADCParameters(
         main_path="runs/sidechains",
-        n_steps=2000,
-        steps_per_scan=200,
+        n_steps=N_STEPS,
+        steps_per_scan=min(200, N_STEPS),
         reconstruct_sidechains=True,
         sidechain_info=traj.top.sidechain_info(),
         use_backbone_angles=True,

@@ -12,12 +12,17 @@ XLA_FLAGS=--xla_force_host_platform_device_count=8 python \
 examples/streaming_multichip.py
 """
 
+import os
+
 import numpy as np
 
 import encodermap_tpu as em
 from encodermap_tpu.train.adc_autoencoder import (
     AngleDihedralCartesianEncoderMap,
 )
+
+# CI hook: tests/test_examples.py runs every example with a tiny step count
+N_STEPS = int(os.environ.get("EM_EXAMPLE_STEPS", "500"))
 
 TRAJS = ["/root/reference/tests/data/asp7.xtc",
          "/root/reference/tests/data/glu7.xtc"]
@@ -41,8 +46,8 @@ def main() -> None:
         use_backbone_angles=True,
         use_sidechains=True,
         batch_size=64,
-        n_steps=500,
-        steps_per_scan=100,
+        n_steps=N_STEPS,
+        steps_per_scan=min(100, N_STEPS),
         mesh_shape={"dp": n_dev} if n_dev > 1 else None,
         seed=0,
     )

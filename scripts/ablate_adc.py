@@ -122,13 +122,16 @@ def main() -> None:
     run("no_backmap", [(adc, "backmap_op", fake_backmap)])
     run("no_cartesian_matrix_loss", [(L, "cartesian_loss_matrix", zero_loss)])
     run("no_cartesian_distance_loss",
-        [(L, "cartesian_distance_loss", zero_loss)])
+        [(L, "cartesian_distance_loss", zero_loss),
+         (L, "cartesian_distance_loss_matrix", zero_loss)])
     run("no_distance_loss", [(L, "distance_loss", zero_loss)])
     run("no_sigmoid_losses", [(L, "cartesian_distance_loss", zero_loss),
+                              (L, "cartesian_distance_loss_matrix", zero_loss),
                               (L, "distance_loss", zero_loss)])
     run("mlp_only", [(adc, "backmap_op", fake_backmap),
                      (L, "cartesian_loss_matrix", zero_loss),
                      (L, "cartesian_distance_loss", zero_loss),
+                     (L, "cartesian_distance_loss_matrix", zero_loss),
                      (L, "distance_loss", zero_loss)])
 
     out = {"n_res": n_res, "batch": 256, "us_per_step": {

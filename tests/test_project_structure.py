@@ -71,6 +71,82 @@ class TestImportHygiene:
                         assert rel in allowed_tf, f"{rel} imports tensorflow"
 
 
+#: packages not installed in this environment (the data layer is
+#: self-contained) — importing them at module top level would break
+#: `import encodermap_tpu` outright, so they may only appear inside
+#: functions or import-gated blocks
+_ABSENT_DEPS = {
+    "mdtraj", "MDAnalysis", "xarray", "dask", "numba", "networkx",
+    "nglview", "plotly", "dash", "ipywidgets", "pyemma", "transformations",
+}
+
+
+class TestTopLevelImports:
+    @pytest.mark.parametrize("module_path", sorted(PKG.rglob("*.py")),
+                             ids=lambda p: str(p.relative_to(PKG)))
+    def test_no_absent_deps_at_module_top_level(self, module_path):
+        """Mirror of the reference's requirements-hygiene check
+        (``/root/reference/tests/test_project_structure.py:100-120``): the
+        package must import without any of the optional/absent packages."""
+        tree = ast.parse(module_path.read_text())
+        bad = []
+        for node in tree.body:  # module body only — gated imports are fine
+            if isinstance(node, ast.Import):
+                names = [a.name for a in node.names]
+            elif isinstance(node, ast.ImportFrom) and node.level == 0:
+                names = [node.module or ""]
+            else:
+                continue
+            for n in names:
+                if n.split(".")[0] in _ABSENT_DEPS:
+                    bad.append(n)
+        assert not bad, (
+            f"{module_path.relative_to(PKG)}: top-level import of absent "
+            f"dependency {bad}"
+        )
+
+
+class TestFileHeaders:
+    @pytest.mark.parametrize("module_path", sorted(PKG.rglob("*.py")),
+                             ids=lambda p: str(p.relative_to(PKG)))
+    def test_path_comment_header(self, module_path):
+        """Every source file opens with its repo-relative path comment —
+        the project's header convention (the analog of the reference's
+        license-header meta-test)."""
+        src = module_path.read_text()
+        if not src.strip():
+            return  # empty __init__ stubs
+        expected = f"# encodermap_tpu/{module_path.relative_to(PKG)}"
+        first = src.splitlines()[0].strip()
+        assert first == expected, (
+            f"{module_path.relative_to(PKG)}: first line {first!r} != "
+            f"{expected!r}"
+        )
+
+
+class TestAllExports:
+    def test___all___names_exist(self):
+        """Every name in a module's ``__all__`` must resolve on import —
+        broken exports rot silently otherwise."""
+        failures = {}
+        for mod in MODULES:
+            if mod.rsplit(".", 1)[-1].startswith("_") and not mod.endswith(
+                "__init__"
+            ):
+                continue
+            name = mod.replace(".__init__", "")
+            try:
+                m = importlib.import_module(name)
+            except Exception:  # covered by test_all_modules_importable
+                continue
+            missing = [
+                a for a in getattr(m, "__all__", []) if not hasattr(m, a)
+            ]
+            if missing:
+                failures[name] = missing
+        assert not failures, failures
+
+
 class TestReferenceCitations:
     def test_core_modules_cite_reference(self):
         """Docstrings must cite the reference files they re-implement so

@@ -253,6 +253,7 @@ def _one_way_impl(dihedrals: Array, cartesian: Array) -> tuple[Array, tuple]:
     being layout-bound (measured on v5e, see docs/adc_ablation_r3.json).
     """
     # B_i: rotation about the fixed original axis through atoms (i+1, i+2).
+    n = dihedrals.shape[1]
     ux = cartesian[:, 2:-1, 0] - cartesian[:, 1:-2, 0]
     uy = cartesian[:, 2:-1, 1] - cartesian[:, 1:-2, 1]
     uz = cartesian[:, 2:-1, 2] - cartesian[:, 1:-2, 2]
@@ -279,14 +280,20 @@ def _one_way_impl(dihedrals: Array, cartesian: Array) -> tuple[Array, tuple]:
     by = cartesian[:, 2:, 1] - cartesian[:, 1:-1, 1]
     bz = cartesian[:, 2:, 2] - cartesian[:, 1:-1, 2]
     rx, ry, rz = _quat_rotate(q_cum, (bx, by, bz))
-    moved = jnp.stack(
-        [
-            cartesian[:, 1:2, 0] + jnp.cumsum(rx, axis=1),
-            cartesian[:, 1:2, 1] + jnp.cumsum(ry, axis=1),
-            cartesian[:, 1:2, 2] + jnp.cumsum(rz, axis=1),
-        ],
-        axis=-1,
-    )
+    if n < _SUFFIX_MM_MIN:
+        # short chains: one cumsum over stacked components (op-count bound)
+        csum = jnp.cumsum(jnp.stack([rx, ry, rz], axis=1), axis=-1)
+        moved = cartesian[:, 1:2, :] + jnp.swapaxes(csum, 1, 2)
+    else:
+        # long chains: per-component cumsums avoid the transpose relayout
+        moved = jnp.stack(
+            [
+                cartesian[:, 1:2, 0] + jnp.cumsum(rx, axis=1),
+                cartesian[:, 1:2, 1] + jnp.cumsum(ry, axis=1),
+                cartesian[:, 1:2, 2] + jnp.cumsum(rz, axis=1),
+            ],
+            axis=-1,
+        )
     out = jnp.concatenate([cartesian[:, :2, :], moved], axis=1)
     return out, (q_scan, q_cum, (rx, ry, rz), (ax, ay, az), ulen, dihedrals)
 
@@ -317,7 +324,12 @@ def _suffix_sums(planes: list) -> list:
     except Exception:
         on_tpu = False
     if m < _SUFFIX_MM_MIN or not on_tpu:
-        return [_rev_cumsum(x) for x in planes]
+        # ONE cumsum over the stacked planes (identical per-row numerics):
+        # k separate cumsum ops each carry fixed launch/relayout overhead,
+        # which dominates at short chain lengths
+        stacked = jnp.stack(planes, axis=1)  # (B, k, m)
+        out = jnp.flip(jnp.cumsum(jnp.flip(stacked, -1), axis=-1), -1)
+        return [out[:, j] for j in range(len(planes))]
     # mask[m', i] = 1 iff m' >= i  ->  out[b, i] = sum_{m' >= i} x[b, m']
     mask = jnp.asarray(np.tril(np.ones((m, m), np.float32)))
     stacked = jnp.stack(planes, axis=1)  # (B, k, m)
@@ -437,16 +449,32 @@ def _one_way_bwd(res, g):
     dot = ax * a_bar[0] + ay * a_bar[1] + az * a_bar[2]
     u_bar = tuple((a_bar[i] - a[i] * dot) / ulen for i in range(3))
 
-    # --- assemble q_bar (planar-cartesian cotangent) per component
+    # --- assemble q_bar (planar-cartesian cotangent)
+    if n < _SUFFIX_MM_MIN:
+        # short chains: components stacked on axis 1 so each slice-update
+        # is ONE op, not three (op-count bound at small n)
+        g_sw = jnp.swapaxes(g, 1, 2)  # (B, 3, n+3)
+        bb = jnp.stack(b_bar, axis=1)  # (B, 3, n+1)
+        ub = jnp.stack(u_bar, axis=1)  # (B, 3, n)
+        v = jnp.zeros((B, 3, n + 3), dtype)
+        v = v.at[:, :, 0].set(g_sw[:, :, 0])
+        v = v.at[:, :, 1].set(g_sw[:, :, 1] + jnp.sum(g_sw[:, :, 2:], axis=2))
+        # bonds b_m = q_m - q_{m-1}, m = 2..n+2
+        v = v.at[:, :, 2:].add(bb)
+        v = v.at[:, :, 1:-1].add(-bb)
+        # axes u_i = q_{i+2} - q_{i+1}, i = 0..n-1
+        v = v.at[:, :, 2:-1].add(ub)
+        v = v.at[:, :, 1:-2].add(-ub)
+        q_bar = jnp.swapaxes(v, 1, 2)
+        return d_bar.astype(dihedrals.dtype), q_bar
+    # long chains: per-component updates avoid the (B, n, 3) transposes
     comps = []
     for c in range(3):
         v = jnp.zeros((B, n + 3), dtype)
         v = v.at[:, 0].set(g[:, 0, c])
         v = v.at[:, 1].set(g[:, 1, c] + jnp.sum(g[:, 2:, c], axis=1))
-        # bonds b_m = q_m - q_{m-1}, m = 2..n+2
         v = v.at[:, 2:].add(b_bar[c])
         v = v.at[:, 1:-1].add(-b_bar[c])
-        # axes u_i = q_{i+2} - q_{i+1}, i = 0..n-1
         v = v.at[:, 2:-1].add(u_bar[c])
         v = v.at[:, 1:-2].add(-u_bar[c])
         comps.append(v)

@@ -217,8 +217,12 @@ def pairwise_dist(
     if flat:
         n = positions.shape[1]
         iu = np.triu_indices(n, k=1)
-        diff = positions[:, iu[0], :] - positions[:, iu[1], :]
-        d2 = jnp.sum(jnp.square(diff), axis=-1)
+        # per-component gathers keep the pair axis in lanes (see below)
+        d2 = None
+        for c in range(positions.shape[-1]):
+            comp = positions[..., c]
+            sq = jnp.square(comp[:, iu[0]] - comp[:, iu[1]])
+            d2 = sq if d2 is None else d2 + sq
     elif use_gram:
         sq = jnp.sum(jnp.square(positions), axis=-1)
         gram = jnp.einsum(
@@ -234,8 +238,15 @@ def pairwise_dist(
         eye = jnp.eye(n, dtype=d2.dtype)
         d2 = d2 * (1.0 - eye)
     else:
-        diff = positions[:, :, None, :] - positions[:, None, :, :]
-        d2 = jnp.sum(jnp.square(diff), axis=-1)
+        # component-wise accumulation: d = 2-3 here, and a stacked
+        # (b, n, n, d) difference tensor puts d in the TPU lane axis
+        # (125/128 lanes idle); per-component (b, n, n) planes keep the
+        # VPU full in forward AND backward
+        d2 = None
+        for c in range(positions.shape[-1]):
+            comp = positions[..., c]
+            sq = jnp.square(comp[:, :, None] - comp[:, None, :])
+            d2 = sq if d2 is None else d2 + sq
 
     if squared:
         return d2

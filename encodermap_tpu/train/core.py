@@ -196,20 +196,27 @@ class HDF5BatchSource:
         self.group = group
         self.slab_frames = slab_frames
         self._h5 = h5py.File(path, "r")
-        traj_groups = sorted(
-            (k for k in self._h5 if k.startswith("traj_") and "CVs" in self._h5[k]),
-            key=lambda k: int(k.split("_")[1]),
-        )
-        if group and group in self._h5:
-            self._dset_groups = [[self._h5[group][n] for n in self.cv_names]]
-        elif traj_groups:
-            self._dset_groups = [
-                [self._h5[f"{k}/CVs"][n] for n in self.cv_names]
-                for k in traj_groups
-            ]
-        else:
-            g = self._h5[group] if group else self._h5
-            self._dset_groups = [[g[n] for n in self.cv_names]]
+        try:
+            traj_groups = sorted(
+                (k for k in self._h5
+                 if k.startswith("traj_") and "CVs" in self._h5[k]),
+                key=lambda k: int(k.split("_")[1]),
+            )
+            if group and group in self._h5:
+                self._dset_groups = [
+                    [self._h5[group][n] for n in self.cv_names]
+                ]
+            elif traj_groups:
+                self._dset_groups = [
+                    [self._h5[f"{k}/CVs"][n] for n in self.cv_names]
+                    for k in traj_groups
+                ]
+            else:
+                g = self._h5[group] if group else self._h5
+                self._dset_groups = [[g[n] for n in self.cv_names]]
+        except KeyError:
+            self._h5.close()  # don't leak the handle when CVs are absent
+            raise
         lengths = [dsets[0].shape[0] for dsets in self._dset_groups]
         self._offsets = np.concatenate([[0], np.cumsum(lengths)])
         self.n_frames = int(self._offsets[-1])

@@ -130,6 +130,21 @@ def regen() -> None:
 if __name__ == "__main__":
     import sys
 
+    # references must be generated in the SAME environment the pytest suite
+    # runs in — conftest's forced CPU AND the 8-virtual-device flag (the
+    # device-count changes XLA CPU thread partitioning, which changes
+    # reduction order enough to chaotically diverge the lysozyme curve)
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         regen()
     else:

@@ -141,6 +141,23 @@ class TestADCLosses:
         expected = np.abs(a - b).mean() / adc_p.cartesian_cost_reference
         assert out == pytest.approx(expected * adc_p.cartesian_cost_scale, abs=1e-5)
 
+    @pytest.mark.parametrize("n", [20, 158])
+    def test_cartesian_distance_loss_matrix_equals_flat(self, rng, adc_p, n):
+        """The dense-matrix form (used by the ADC step for >= 64 CAs) must
+        equal the flat-triu form EXACTLY: row distances scale by sqrt(2)
+        and the sqrt(2)-scaled sigma absorbs it (losses.py docstring)."""
+        from encodermap_tpu.ops.distances import pairwise_dist
+
+        pts = jnp.asarray(rng.uniform(0, 5, (32, n, 3)).astype(np.float32))
+        z = jnp.asarray(rng.standard_normal((32, 2)).astype(np.float32))
+        flat = float(
+            L.cartesian_distance_loss(pairwise_dist(pts, flat=True), z, adc_p)
+        )
+        mat = float(
+            L.cartesian_distance_loss_matrix(pairwise_dist(pts), z, adc_p)
+        )
+        assert mat == pytest.approx(flat, rel=1e-6)
+
     def test_soft_start_schedule(self):
         p = ADCParameters(
             cartesian_cost_scale=10.0, cartesian_cost_scale_soft_start=(100, 200)

@@ -684,6 +684,9 @@ class TrajEnsemble:
         (``info_all.py:2414``). With ``ensemble=True`` mixed topologies get
         NaN-padded feature alignment via generic labels (reference:
         ``trajinfo_utils.py:2357-2415``)."""
+        # in-memory CVs are about to change: a previously-saved backing h5
+        # would now be stale, so stop lazy batch_iterator from serving it
+        self._source_h5 = None
         from pathlib import Path as _Path
 
         if isinstance(data, _Path):
@@ -858,14 +861,15 @@ class TrajEnsemble:
                 from ..train.core import HDF5BatchSource
 
                 # resident slab of ~64k frames -> one sequential read per
-                # ~64k/batch_size batches
+                # ~64k/batch_size batches. seed=None keeps OS-entropy
+                # randomness like the in-memory path.
                 k = max(1, 65536 // max(1, batch_size))
                 src = HDF5BatchSource(
-                    path, cv_names, batch_size, steps_per_scan=k,
-                    seed=seed if seed is not None else 0,
+                    path, cv_names, batch_size, steps_per_scan=k, seed=seed,
                 )
-            except KeyError:
-                src = None  # CVs not on disk -> in-memory fallback
+            except (KeyError, OSError):
+                # CVs not on disk / file moved or deleted -> in-memory path
+                src = None
             if src is not None:
                 return self._lazy_batches(src)
         cvs = self.CVs

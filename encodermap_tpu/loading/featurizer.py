@@ -54,9 +54,9 @@ class SingleTrajFeaturizer:
         self.traj = traj
         self.block_size = block_size
         self.features: list[F.Feature] = []
-        # (n_features, run, slice_xyz): the jitted block program, memoized so
-        # repeated get_output calls — and same-topology ensemble members
-        # routed through get_output_for — never re-jit
+        # (feature-identity key, run, slice_xyz): the jitted block program,
+        # memoized so repeated get_output calls — and same-topology ensemble
+        # members routed through get_output_for — never re-jit
         self._runner: Optional[tuple] = None
 
     # ------------------------------------------------------------------ adders
@@ -169,9 +169,13 @@ class SingleTrajFeaturizer:
         return self.get_output_for(self.traj, ensemble=ensemble)
 
     def _get_runner(self):
-        if self._runner is None or self._runner[0] != len(self.features):
+        # keyed on the feature objects' identities: adding, removing, or
+        # replacing a feature (self.features is a public list) invalidates
+        # the cached jitted program
+        key = tuple(id(f) for f in self.features)
+        if self._runner is None or self._runner[0] != key:
             run, slice_xyz = make_feature_runner(self.features)
-            self._runner = (len(self.features), run, slice_xyz)
+            self._runner = (key, run, slice_xyz)
         return self._runner[1], self._runner[2]
 
     def get_output_for(self, traj, ensemble: bool = False) -> CVCollection:

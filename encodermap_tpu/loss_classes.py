@@ -106,6 +106,7 @@ class EncoderMapBaseLoss:
 
     @classmethod
     def from_config(cls, config: dict) -> "EncoderMapBaseLoss":
+        config = dict(config)  # never mutate the caller's dict
         p = config.pop("p")
         # same dispatch as the reference: ADC-only keys mark ADCParameters
         if "cartesian_pwd_start" in p:
@@ -140,7 +141,25 @@ class ADCBaseLoss(EncoderMapBaseLoss):
             parameters if parameters is not None else ADCParameters()
         )
 
+    #: parameters flag the model must have enabled for this loss's arrays
+    #: to exist in the batch/decode tuples (None = always available)
+    _requires: Optional[str] = None
+
     def attach(self, autoencoder) -> None:
+        p = autoencoder.p
+        if getattr(p, "reconstruct_sidechains", False):
+            raise ValueError(
+                f"{type(self).__name__}.attach() supports the standard ADC "
+                f"model only — reconstruct_sidechains=True models use the "
+                f"7-input batch ordering and forward_sidechains; subclass "
+                f"attach() for that family."
+            )
+        if self._requires and not getattr(p, self._requires, False):
+            raise ValueError(
+                f"{type(self).__name__} needs a model trained with "
+                f"{self._requires}=True (its input/output arrays are absent "
+                f"otherwise)."
+            )
         from .models import adc
 
         def term(params, batch):
@@ -186,6 +205,7 @@ class SideDihedralLoss(ADCBaseLoss):
     name = "side_dihedral_loss_class"
     _batch_index = 4
     _decode_index = 2
+    _requires = "use_sidechains"
 
     def call(self, y_true, y_pred):
         return L.side_dihedral_loss(y_true, y_pred, self.p)

@@ -185,7 +185,9 @@ class HDF5BatchSource:
 
     def __init__(self, path: str, cv_names, batch_size: int,
                  steps_per_scan: int, group: str = "CVs",
-                 seed: int = 0, slab_frames: Optional[int] = None) -> None:
+                 seed: Optional[int] = 0,
+                 slab_frames: Optional[int] = None) -> None:
+        """``seed=None`` draws OS entropy (non-reproducible streams)."""
         import h5py
         import numpy as np
 

@@ -55,9 +55,33 @@ class TestLossClasses:
 
         p = em.ADCParameters(dihedral_cost_scale=3.5)
         loss = DihedralLoss(p)
-        clone = DihedralLoss.from_config(loss.get_config())
+        cfg = loss.get_config()
+        clone = DihedralLoss.from_config(cfg)
         assert isinstance(clone.p, em.ADCParameters)
         assert clone.p.dihedral_cost_scale == 3.5
+        # from_config must not mutate the caller's dict: a stored config
+        # can build several instances
+        clone2 = DihedralLoss.from_config(cfg)
+        assert clone2.p.dihedral_cost_scale == 3.5
+
+    def test_attach_guards(self):
+        """attach() rejects model families whose batch layout it does not
+        understand instead of silently pairing wrong arrays."""
+        from encodermap_tpu.loss_classes import SideDihedralLoss
+
+        class FakeEmap:
+            p = em.ADCParameters(use_sidechains=False)
+
+        with pytest.raises(ValueError, match="use_sidechains"):
+            SideDihedralLoss(FakeEmap.p).attach(FakeEmap())
+
+        class FakeScEmap:
+            p = em.ADCParameters(
+                reconstruct_sidechains=True, sidechain_info={1: 2}
+            )
+
+        with pytest.raises(ValueError, match="reconstruct_sidechains"):
+            SideDihedralLoss(FakeScEmap.p).attach(FakeScEmap())
 
     def test_attach_reports_term_equal_to_builtin(self):
         """attach() registers the class as a custom loss; its per-step value

@@ -220,6 +220,33 @@ class TestEnsembleH5Streaming:
         )
         assert batch[0].shape == (8, n_di)
 
+    def test_lazy_falls_back_when_file_gone(self, ensemble_h5, tmp_path):
+        """A stale/deleted backing h5 must not break batch_iterator — the
+        in-memory CVs still serve."""
+        import shutil
+
+        from encodermap_tpu.data.trajectory import TrajEnsemble
+
+        path, trajs = ensemble_h5
+        copy = tmp_path / "gone.h5"
+        shutil.copy(path, copy)
+        ens = TrajEnsemble(trajs.trajs)
+        ens._source_h5 = str(copy)
+        copy.unlink()
+        batch = next(ens.batch_iterator(4, ["central_dihedrals"], seed=0))
+        assert batch[0].shape[0] == 4
+
+    def test_load_cvs_invalidates_stale_source(self, ensemble_h5):
+        """Recomputing CVs after save() must stop batch_iterator from
+        serving the (now stale) on-disk values."""
+        path, trajs = ensemble_h5
+        assert trajs._source_h5 == path
+        try:
+            trajs.load_CVs("central_dihedrals")
+            assert trajs._source_h5 is None
+        finally:
+            trajs._source_h5 = path  # restore for sibling tests
+
     def test_adc_trains_from_disk(self, ensemble_h5, tmp_path):
         """from_ensemble_h5 + train_streaming(path): fully out-of-core; the
         mixed asp7/glu7 topology routes through sparse (NaN-masked) mode."""

@@ -141,8 +141,10 @@ def cartesian_distance_loss_matrix(
     v5e (irregular gathers are POISON on TPU; see docs/adc_ablation_r3).
     The matrix rows are gather-free. The (B, B) Gram over the n^2-wide
     rows runs at "high" (3-pass bf16) MXU precision: no gradient flows
-    through the high-D side, and at lysozyme scale (d = 158^2) the value
-    agrees with the HIGHEST-precision flat form to ~1e-7 relative.
+    through the high-D side, and at lysozyme scale (d = 158^2, 40 nm
+    coordinate spans) the resulting loss is BIT-IDENTICAL to the
+    HIGHEST-precision value (measured on v5e,
+    scripts/precision_and_scale.py).
     """
     if p.cartesian_distance_cost_scale is None:
         return jnp.asarray(0.0, jnp.float32)

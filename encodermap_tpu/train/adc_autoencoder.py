@@ -207,7 +207,10 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # cartesian cost from FULL distance matrices: identical pair values,
         # but the backward through the backmapped coordinates is a dense
         # reduction instead of a triu-index scatter (~2 ms at 158 residues
-        # on TPU; see losses.cartesian_loss_matrix)
+        # on TPU; see losses.cartesian_loss_matrix). A matrix-free Pallas
+        # tile kernel was built and measured SLOWER at every scale tested
+        # (512-1024 residues) — XLA's dense fusions win; see
+        # docs/mosaic_findings.md ("blocked cartesian cost").
         inp_mat = adc.cartesian_pwd_matrix(p, inp_cartesians)
         out_mat = adc.cartesian_pwd_matrix(p, back_cartesians)
         terms = {

@@ -45,7 +45,7 @@ def make_cvs(n_res: int, n_frames: int) -> dict:
     }
 
 
-def time_step(emap, steps_per_scan=500, n_chunks=3) -> float:
+def time_step(emap, steps_per_scan=200, n_chunks=3) -> float:
     """Seconds per optimizer step (host-read synced)."""
     trainer = emap._get_trainer(steps_per_scan)
     data = emap._device_data()
@@ -73,7 +73,7 @@ def main() -> None:
     )
 
     n_res = int(sys.argv[1]) if len(sys.argv) > 1 else 158
-    cvs = make_cvs(n_res, 2048)
+    cvs = make_cvs(n_res, 1024)
     p_kw = dict(
         batch_size=256, n_steps=10**9, steps_per_scan=500,
         use_backbone_angles=True, use_sidechains=True, seed=0,
@@ -136,7 +136,8 @@ def main() -> None:
 
     out = {"n_res": n_res, "batch": 256, "us_per_step": {
         k: round(v * 1e6, 1) for k, v in results.items()}}
-    with open("/root/repo/docs/adc_ablation_r3.json", "w") as f:
+    suffix = "" if n_res == 158 else f"_{n_res}res"
+    with open(f"/root/repo/docs/adc_ablation_r3{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
 

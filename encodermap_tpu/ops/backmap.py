@@ -306,6 +306,10 @@ def _rev_cumsum(x: Array, axis: int = 1) -> Array:
 #: chain length above which the adjoint's suffix sums ride the MXU
 _SUFFIX_MM_MIN = 96
 
+#: test hook: force the matmul suffix-sum branch regardless of backend
+#: (lets the CPU suite validate the TPU-only code path exactly)
+_FORCE_SUFFIX_MM = False
+
 
 def _suffix_sums(planes: list) -> list:
     """Suffix sums along the chain axis for a list of ``(B, m)`` planes.
@@ -320,7 +324,7 @@ def _suffix_sums(planes: list) -> list:
     """
     m = planes[0].shape[1]
     try:
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _FORCE_SUFFIX_MM or jax.default_backend() in ("tpu", "axon")
     except Exception:
         on_tpu = False
     if m < _SUFFIX_MM_MIN or not on_tpu:

@@ -237,6 +237,46 @@ class TestAnalyticAdjoint:
         np.testing.assert_allclose(gc[0], ga[0], rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(gc[1], ga[1], rtol=2e-4, atol=2e-4)
 
+    def test_mxu_suffix_branch_matches_elementwise(self, rng):
+        """The TPU-only matmul suffix-sum branch of the adjoint
+        (ops/backmap._suffix_sums) must produce the same gradients as the
+        exact flip-cumsum form — forced on via the _FORCE_SUFFIX_MM test
+        hook so the CPU suite covers the branch (it is also validated
+        on-device by scripts/check_backmap_tpu.py)."""
+        import sys
+
+        import jax
+
+        bm = sys.modules["encodermap_tpu.ops.backmap"]
+        B, n_atoms = 2, 330  # half-chains > _SUFFIX_MM_MIN
+        dist = jnp.asarray(rng.uniform(1.0, 1.6, (B, n_atoms - 1)), jnp.float32)
+        ang = jnp.asarray(rng.uniform(1.5, 2.4, (B, n_atoms - 2)), jnp.float32)
+        dih = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (B, n_atoms - 3)), jnp.float32
+        )
+        w = jnp.asarray(rng.standard_normal((B, n_atoms, 3)), jnp.float32)
+
+        def g(a, d):
+            from encodermap_tpu.ops.backmap import backmap
+
+            return jnp.sum(backmap(dist, a, d) * w)
+
+        base = jax.grad(g, argnums=(0, 1))(ang, dih)
+        assert not bm._FORCE_SUFFIX_MM
+        bm._FORCE_SUFFIX_MM = True
+        try:
+            forced = jax.grad(g, argnums=(0, 1))(ang, dih)
+        finally:
+            bm._FORCE_SUFFIX_MM = False
+        # HIGH-precision (3-pass bf16) matmul sums of ~330 terms vs exact
+        # cumsums: compare relative to the gradient SCALE — small entries
+        # sit on large cancelling intermediates (same criterion as the
+        # on-device check, which measured ~1e-5)
+        for f, b in zip(forced, base):
+            scale = np.abs(np.asarray(b)).max()
+            err = np.abs(np.asarray(f) - np.asarray(b)).max() / scale
+            assert err < 1e-4, err
+
     def test_end_to_end_loss_grad(self, rng):
         """Gradient of a cartesian-style loss through the full backmap
         matches autodiff of the scan implementation."""

@@ -124,6 +124,39 @@ class TestLossParity:
         assert ours == pytest.approx(ref, abs=1e-5)
 
 
+    def test_cartesian_distance_loss_matrix_vs_reference_at_lysozyme_scale(
+        self, ref_tf1_misc, ref_distances, rng
+    ):
+        """The production ADC path's matrix-form CA-pair sigmoid cost
+        (dense rows + sqrt(2)-scaled sigma, routed in for >= 64 CAs) must
+        reproduce the REFERENCE's flat-pair pipeline — reference
+        pairwise_dist(flat=True) feeding the TF distance cost — at the
+        158-CA scale where the matrix form is actually used."""
+        from encodermap_tpu import ADCParameters
+        from encodermap_tpu.losses import cartesian_distance_loss_matrix
+        from encodermap_tpu.ops.distances import pairwise_dist
+
+        p = ADCParameters()
+        pos = rng.uniform(0, 6, (64, 158, 3)).astype(np.float32)
+        latent = rng.standard_normal((64, 2)).astype(np.float32)
+
+        h_ref = np.asarray(ref_distances.pairwise_dist(pos, flat=True))
+        ref = float(
+            np.asarray(
+                ref_tf1_misc.distance_cost(
+                    h_ref, latent, *p.cartesian_dist_sig_parameters,
+                    float("inf"),
+                )
+            )
+        )
+        ours = float(
+            cartesian_distance_loss_matrix(
+                pairwise_dist(jnp.asarray(pos)), jnp.asarray(latent), p
+            )
+        ) / p.cartesian_distance_cost_scale
+        assert ours == pytest.approx(ref, abs=1e-5)
+
+
 def jnp_to_tf(x):
     import tensorflow as tf
 

@@ -84,6 +84,45 @@ class TestGeneratedSecondaryStructure:
         assert abs((ss == "H").mean() - (ss_in == "H").mean()) < 0.10
         assert abs((ss == "E").mean() - (ss_in == "E").mean()) < 0.10
 
+    def test_ramachandran_of_generated_matches_input(self, trained):
+        """phi/psi distributions of generated structures (computed by OUR
+        dihedral kernel from the generated xyz — closing the
+        generate -> featurize loop) must occupy the same Ramachandran
+        region as the input ensemble."""
+        import jax.numpy as jnp
+
+        from encodermap_tpu.ops.geometry import compute_dihedrals
+
+        traj, trajs, emap = trained
+        t = traj.top
+        latent = emap.encode()
+        xyz = emap.generate(latent[:16], backend="topology", top=traj)
+
+        def phi_psi(xyz_arr):
+            phi = np.asarray(compute_dihedrals(
+                jnp.asarray(xyz_arr, jnp.float32), t.indices_phi
+            ))
+            psi = np.asarray(compute_dihedrals(
+                jnp.asarray(xyz_arr, jnp.float32), t.indices_psi
+            ))
+            return phi, psi
+
+        phi_g, psi_g = phi_psi(xyz)
+        phi_i, psi_i = phi_psi(traj.xyz)
+        # fraction of residues in the alpha-helical basin
+        # (phi in [-120, -30], psi in [-80, 10] degrees)
+        def helical_frac(phi, psi):
+            h = (
+                (phi > np.deg2rad(-120)) & (phi < np.deg2rad(-30))
+                & (psi > np.deg2rad(-80)) & (psi < np.deg2rad(10))
+            )
+            return h.mean()
+
+        f_in = helical_frac(phi_i, psi_i)
+        f_gen = helical_frac(phi_g, psi_g)
+        assert f_in > 0.3  # lysozyme: mostly helical
+        assert abs(f_gen - f_in) < 0.15, (f_gen, f_in)
+
     def test_generated_backbones_physically_sane(self, trained):
         """Scan-backend generate(): bond lengths in the physical range and
         no hard clashes between sequence-distant backbone atoms."""

@@ -22,7 +22,7 @@ from typing import Optional, Sequence, Union
 
 import numpy as np
 
-from .topology import CHI_ATOMS, Topology, _PROTEIN_RESIDUES
+from .topology import CHI_ATOMS, Topology
 
 __all__ = ["CustomTopology"]
 
@@ -43,10 +43,12 @@ class _PatchedTopology(Topology):
         return base
 
     def indices_chi(self, n: int) -> np.ndarray:
+        from .topology import chi_names_for
+
         base = self.chi_table(n)
         out = []
         for r in self._protein_residues():
-            names = base.get(r.name)
+            names = chi_names_for(base, r.name)
             if names is None:
                 continue
             atoms = [r.atom(nm) for nm in names]
@@ -197,9 +199,11 @@ class CustomTopology:
     def apply(self) -> _PatchedTopology:
         """Build the patched Topology."""
         out = _PatchedTopology()
-        _PROTEIN_RESIDUES.update(self._protein_names)
         for res in self.top.residues:
             new_res = out.add_residue(res.name, res.resSeq, res.chain_index)
+            if res.name in self._protein_names:
+                # scoped to THIS topology's residues — never the global set
+                new_res._force_protein = True
             for a in res.atoms:
                 out.add_atom(a.name, a.element, new_res)
         out._custom_chi = self._custom_chi

@@ -72,6 +72,29 @@ _PROTEIN_RESIDUES = {
     "LYN", "ACE", "NME", "NMA",
 }
 
+#: protonation/bond-state variant residue names -> parent residue, for chi
+#: table lookups (CHARMM/AMBER naming)
+RESIDUE_VARIANTS = {
+    "HSD": "HIS", "HSE": "HIS", "HSP": "HIS", "HID": "HIS", "HIE": "HIS",
+    "HIP": "HIS", "CYX": "CYS", "CYM": "CYS", "ASH": "ASP", "GLH": "GLU",
+    "LYN": "LYS",
+}
+
+
+def chi_names_for(table: dict, resname: str):
+    """Chi atom-name list for a residue, resolving variant names
+    (HSD -> HIS etc.) and 4-letter forms — the SINGLE lookup used by
+    indices_chi, sidechain_info, the patched CustomTopology, and every
+    chi-derived feature, so they can never disagree about which residues
+    carry chis."""
+    names = table.get(resname)
+    if names is None:
+        names = table.get(resname.upper()[:3])
+    if names is None:
+        base = RESIDUE_VARIANTS.get(resname.upper())
+        names = table.get(base) if base else None
+    return names
+
 _ELEMENT_MASSES = {
     "H": 1.008, "C": 12.011, "N": 14.007, "O": 15.999, "S": 32.06,
     "P": 30.974, "SE": 78.971, "FE": 55.845, "ZN": 65.38, "MG": 24.305,
@@ -108,7 +131,13 @@ class Residue:
 
     @property
     def is_protein(self) -> bool:
-        return self.name in _PROTEIN_RESIDUES
+        # _force_protein is set per-residue by CustomTopology.apply() for
+        # user-declared residues — scoped to that topology instead of
+        # mutating the module-global set (which would leak protein-ness
+        # onto unrelated topologies in the same process)
+        return getattr(self, "_force_protein", False) or (
+            self.name in _PROTEIN_RESIDUES
+        )
 
     def atom(self, name: str) -> Optional[Atom]:
         for a in self.atoms:
@@ -213,13 +242,25 @@ class Topology:
         return self.backbone_indices().reshape(-1)
 
     # ------------------------------------------------------------------ dihedral tables
+    @staticmethod
+    def _peptide_bonded(prev: Residue, cur: Residue) -> bool:
+        """Whether two filtered protein residues are plausibly
+        peptide-bonded successors: same chain AND contiguous resSeq
+        (diff 0 tolerates insertion codes; a crystal structure's
+        unresolved loop — resSeq 40 then 48 — or a residue dropped for an
+        incomplete backbone must NOT yield a torsion spanning the gap)."""
+        return (
+            cur.chain_index == prev.chain_index
+            and 0 <= cur.resSeq - prev.resSeq <= 1
+        )
+
     @property
     def indices_phi(self) -> np.ndarray:
         """(n-1, 4): C(i-1), N(i), CA(i), C(i)."""
         res = self._protein_residues()
         out = []
         for prev, cur in zip(res[:-1], res[1:]):
-            if cur.chain_index != prev.chain_index:
+            if not self._peptide_bonded(prev, cur):
                 continue
             out.append(
                 [prev.atom("C").index, cur.atom("N").index,
@@ -233,7 +274,7 @@ class Topology:
         res = self._protein_residues()
         out = []
         for cur, nxt in zip(res[:-1], res[1:]):
-            if cur.chain_index != nxt.chain_index:
+            if not self._peptide_bonded(cur, nxt):
                 continue
             out.append(
                 [cur.atom("N").index, cur.atom("CA").index,
@@ -247,7 +288,7 @@ class Topology:
         res = self._protein_residues()
         out = []
         for cur, nxt in zip(res[:-1], res[1:]):
-            if cur.chain_index != nxt.chain_index:
+            if not self._peptide_bonded(cur, nxt):
                 continue
             out.append(
                 [cur.atom("CA").index, cur.atom("C").index,
@@ -267,13 +308,7 @@ class Topology:
         table = self.chi_table(n)
         out = []
         for r in self._protein_residues():
-            names = table.get(r.name.upper()[:3] if r.name not in table else r.name)
-            if names is None:
-                # histidine/cys variants map onto the parent residue
-                base = {"HSD": "HIS", "HSE": "HIS", "HSP": "HIS", "HID": "HIS",
-                        "HIE": "HIS", "HIP": "HIS", "CYX": "CYS", "CYM": "CYS",
-                        "ASH": "ASP", "GLH": "GLU", "LYN": "LYS"}.get(r.name)
-                names = table.get(base) if base else None
+            names = chi_names_for(table, r.name)
             if names is None:
                 continue
             atoms = [r.atom(nm) for nm in names]
@@ -309,8 +344,7 @@ class Topology:
         for i, r in enumerate(self._protein_residues(), start=1):
             count = 0
             for n in range(1, 6):
-                table = self.chi_table(n)
-                names = table.get(r.name)
+                names = chi_names_for(self.chi_table(n), r.name)
                 if names and all(r.atom(nm) is not None for nm in names):
                     count += 1
             out[i] = count

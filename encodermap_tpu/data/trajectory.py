@@ -99,12 +99,14 @@ class SingleTraj:
                 self._top, xyz, cell = load_pdb(self.top_file)
                 if self.traj_file == self.top_file:
                     self._file_xyz = xyz
+                    self._file_box = cell
             elif self.top_file.endswith(".gro"):
                 from .formats import load_gro
 
                 self._top, xyz, cell = load_gro(self.top_file)
                 if self.traj_file == self.top_file:
                     self._file_xyz = xyz
+                    self._file_box = cell
             elif self.top_file.endswith((".h5", ".hdf5")):
                 self._load_h5(top_only=True)
             else:
@@ -128,14 +130,16 @@ class SingleTraj:
                 self._reader = XTCReader(self.traj_file)
                 self._n_frames_file = self._reader.n_frames
             elif self.traj_file.endswith(".pdb"):
-                _, xyz, _ = load_pdb(self.traj_file)
+                _, xyz, cell = load_pdb(self.traj_file)
                 self._file_xyz = xyz
+                self._file_box = cell
                 self._n_frames_file = len(xyz)
             elif self.traj_file.endswith(".gro"):
                 from .formats import load_gro
 
-                _, xyz, _ = load_gro(self.traj_file)
+                _, xyz, cell = load_gro(self.traj_file)
                 self._file_xyz = xyz
+                self._file_box = cell
                 self._n_frames_file = len(xyz)
             elif self.traj_file.endswith(".dcd"):
                 from .formats import DCDReader
@@ -201,14 +205,30 @@ class SingleTraj:
         elif self.traj_file.endswith((".pdb", ".gro")):
             if not hasattr(self, "_file_xyz"):
                 if self.traj_file.endswith(".pdb"):
-                    _, self._file_xyz, _ = load_pdb(self.traj_file)
+                    _, self._file_xyz, self._file_box = load_pdb(
+                        self.traj_file
+                    )
                 else:
                     from .formats import load_gro
 
-                    _, self._file_xyz, _ = load_gro(self.traj_file)
+                    _, self._file_xyz, self._file_box = load_gro(
+                        self.traj_file
+                    )
             self._xyz = self._file_xyz[idx]
             self._time = np.arange(len(idx), dtype=np.float32)
-            self._unitcell = None
+            # CRYST1 / gro box lines give per-frame box LENGTHS
+            # (orthorhombic); all-zero lines mean vacuum
+            box = getattr(self, "_file_box", None)
+            if box is not None:
+                box = np.asarray(box, np.float32)
+                if box.ndim == 1:
+                    box = np.broadcast_to(box, (len(self._file_xyz), 3))
+                box = box[np.minimum(idx, len(box) - 1)]
+                if np.abs(box).min() < 1e-12:
+                    box = None
+                else:
+                    box = np.stack([np.diag(v) for v in box])
+            self._unitcell = box
         elif self.traj_file.endswith(".dcd"):
             from .formats import DCDReader
 
@@ -232,16 +252,18 @@ class SingleTraj:
             import h5py
 
             with h5py.File(self.traj_file, "r") as f:
-                sorted_idx = np.sort(idx)
-                xyz = f["coordinates"][sorted_idx]
-                undo = np.argsort(np.argsort(idx))
-                self._xyz = xyz[undo]
+                # h5py fancy indexing requires strictly increasing UNIQUE
+                # indices; read unique rows once and scatter back so
+                # repeated frame selections (bootstrap resampling) work
+                uniq, inverse = np.unique(idx, return_inverse=True)
+                xyz = f["coordinates"][uniq]
+                self._xyz = xyz[inverse]
                 self._time = (
-                    f["time"][sorted_idx][undo] if "time" in f
+                    f["time"][uniq][inverse] if "time" in f
                     else np.arange(len(idx), dtype=np.float32)
                 )
                 if "cell_lengths" in f:
-                    cl = f["cell_lengths"][sorted_idx][undo]
+                    cl = f["cell_lengths"][uniq][inverse]
                     self._unitcell = np.stack([np.diag(v) for v in cl])
                 else:
                     self._unitcell = None
@@ -582,7 +604,16 @@ class TrajEnsemble:
     def from_dataset(cls, path: Union[str, Path]) -> "TrajEnsemble":
         """Rebuild an ensemble from one HDF5 file written by :meth:`save`
         (per-traj groups with coordinates, topology JSON, and CVs) —
-        reference ``info_all.py:1185``."""
+        reference ``info_all.py:1185``.
+
+        Note:
+            Member coordinates and per-traj CVs are materialized eagerly
+            (convenient for analysis-sized ensembles). For datasets too
+            large for RAM, skip this constructor: build the model with
+            :meth:`AngleDihedralCartesianEncoderMap.from_ensemble_h5`
+            (reads a tiny prototype) and train with
+            ``train_streaming(path)`` / iterate with the file-backed
+            ``batch_iterator`` — both stream from disk."""
         import h5py
 
         out = []
@@ -609,6 +640,9 @@ class TrajEnsemble:
                     ).apply()
                 t._xyz = g["coordinates"][:]
                 t._time = g["time"][:]
+                t._unitcell = (
+                    g["cell_vectors"][:] if "cell_vectors" in g else None
+                )
                 t._n_frames_file = len(t._xyz)
                 t.index = None
                 if "CVs" in g:
@@ -1011,6 +1045,9 @@ class TrajEnsemble:
                 g = f.create_group(f"traj_{t.traj_num}")
                 g.create_dataset("coordinates", data=t.xyz)
                 g.create_dataset("time", data=t.time)
+                if t.unitcell_vectors is not None:
+                    g.create_dataset("cell_vectors",
+                                     data=t.unitcell_vectors)
                 g.create_dataset(
                     "topology",
                     data=np.asarray([topology_to_json(t.top).encode()]),

@@ -242,6 +242,11 @@ class AngleFeature(Feature):
         cossin: bool = False, periodic: bool = True,
     ) -> None:
         super().__init__(top)
+        if deg and cossin:
+            raise ValueError(
+                "deg=True cannot combine with cossin=True (cos/sin values "
+                "are not angles; the reference forbids this too)"
+            )
         self._indices = np.asarray(indexes, np.int64).reshape(-1, 3)
         self.deg = deg
         self.cossin = cossin
@@ -281,6 +286,11 @@ class DihedralFeature(Feature):
         cossin: bool = False, periodic: bool = True,
     ) -> None:
         super().__init__(top)
+        if deg and cossin:
+            raise ValueError(
+                "deg=True cannot combine with cossin=True (cos/sin values "
+                "are not angles; the reference forbids this too)"
+            )
         self._indices = np.asarray(dih_indexes, np.int64).reshape(-1, 4)
         self.deg = deg
         self.cossin = cossin
@@ -750,10 +760,12 @@ def _sidechain_sequence(residue, top: Optional[Topology] = None) -> list:
 
     ``top`` supplies the chi tables, so CustomTopology-patched topologies
     with unnatural residues are honored; falls back to standard CHI_ATOMS."""
+    from ..data.topology import chi_names_for
+
     atoms = {}
     for n in range(1, 6):
         table = top.chi_table(n) if top is not None else CHI_ATOMS[f"chi{n}"]
-        names = table.get(residue.name)
+        names = chi_names_for(table, residue.name)
         if not names:
             continue
         found = [residue.atom(nm) for nm in names]
@@ -821,11 +833,14 @@ class SideChainDihedrals(DihedralFeature):
         quads = []
         labels = []
         generic = []
+        from ..data.topology import chi_names_for
+
         prot = [r for r in top.residues if r.is_protein]
         for ri, r in enumerate(prot, start=1):
             for n in range(1, 6):
-                # top.chi_table honors CustomTopology unnatural-AA entries
-                names = top.chi_table(n).get(r.name)
+                # top.chi_table honors CustomTopology unnatural-AA entries;
+                # chi_names_for resolves HSD/CYX/... variant names
+                names = chi_names_for(top.chi_table(n), r.name)
                 if not names:
                     continue
                 atoms = [r.atom(nm) for nm in names]

@@ -214,9 +214,14 @@ def backmap_topology(
 
     if side_dihedrals is not None:
         if side_indices is None:
-            side_indices = np.vstack(
-                [top.indices_chi(n) for n in range(1, 6) if len(top.indices_chi(n))]
-            )
+            # residue-major (residue, chi1..chi5) — the EXACT column order
+            # of the side_dihedrals CV (SideChainDihedrals), this
+            # argument's documented drop-in source. A chi-major
+            # vstack(indices_chi(1..5)) has the same row COUNT but pairs
+            # values with the wrong quadruplets for any multi-chi protein.
+            from ..loading.features import SideChainDihedrals
+
+            side_indices = SideChainDihedrals(top)._indices
         side_dihedrals = np.atleast_2d(np.asarray(side_dihedrals, np.float32))
         quads = np.vstack([quads, np.asarray(side_indices, np.int64)])
         targets = np.concatenate([targets, side_dihedrals], axis=1)

@@ -19,8 +19,9 @@ class TestGeneratedSecondaryStructure:
     @pytest.fixture(scope="class")
     def trained(self, tmp_path_factory):
         """1am7 lysozyme (158 res, ~42% helix) trained through the full
-        soft-start ramp (calibrated: loss 6.05 -> ~1.69 at 500 steps,
-        seed 0)."""
+        soft-start ramp (calibrated with the HID-chi-corrected 307-wide
+        side_dihedrals: loss -> ~1.34 at 900 steps, seed 0; generated
+        helix 0.402 / sheet 0.100 vs input 0.416 / 0.038)."""
         import encodermap_tpu as em
         from encodermap_tpu.train.adc_autoencoder import (
             AngleDihedralCartesianEncoderMap,
@@ -31,7 +32,7 @@ class TestGeneratedSecondaryStructure:
         trajs.load_CVs("all")
         p = em.ADCParameters(
             main_path=str(tmp_path_factory.mktemp("dssp")), batch_size=32,
-            n_steps=500, steps_per_scan=100, use_backbone_angles=True,
+            n_steps=900, steps_per_scan=100, use_backbone_angles=True,
             use_sidechains=True, n_neurons=[64, 64, 2], seed=0,
             checkpoint_step=10**6, summary_step=10**6,
             cartesian_cost_scale_soft_start=(50, 200),
@@ -58,7 +59,8 @@ class TestGeneratedSecondaryStructure:
         ss_gen = compute_dssp(fake)
         helix_gen = (ss_gen == "H").mean()
         sheet_gen = (ss_gen == "E").mean()
-        # calibrated slack: measured gen 0.410 vs input 0.416 helix
+        # calibrated slack: measured gen 0.402 / input 0.416 helix,
+        # gen 0.100 / input 0.038 sheet at 900 steps
         assert abs(helix_gen - helix_in) < 0.15, (helix_gen, helix_in)
         assert abs(sheet_gen - sheet_in) < 0.10, (sheet_gen, sheet_in)
 

@@ -39,13 +39,22 @@ def rmsd_centroid_of_cluster(
 ) -> tuple[int, np.ndarray]:
     """Frame index + pairwise-RMSD matrix of the cluster centroid: the frame
     with the largest similarity score ``exp(-beta * D / D.std())``
-    (reference ``clustering.py:93-129``)."""
+    (reference ``clustering.py:93-129``).
+
+    The returned index always refers to the ORIGINAL ``xyz`` frames, even
+    when the matrix was computed on a subsample (> ``max_frames``)."""
+    xyz = np.asarray(xyz, np.float32)
+    if len(xyz) > max_frames:
+        subsample = np.linspace(0, len(xyz) - 1, max_frames).astype(int)
+    else:
+        subsample = np.arange(len(xyz))
     distances = pairwise_rmsd_matrix(xyz, max_frames)
     beta = 1.0
-    index = int(
-        np.exp(-beta * distances / distances.std()).sum(axis=1).argmax()
-    )
-    return index, distances
+    std = distances.std()
+    if std == 0.0:  # all-identical frames: any frame is the centroid
+        return int(subsample[0]), distances
+    local = int(np.exp(-beta * distances / std).sum(axis=1).argmax())
+    return int(subsample[local]), distances
 
 
 def cluster_to_dict(clusters: np.ndarray) -> dict[int, np.ndarray]:

@@ -117,6 +117,13 @@ def get_full_common_str_and_ref(trajs, tops, common_str):
             for t, p, cs in zip(trajs, tops, common_str)
         ):
             return trajs, tops, common_str
+    if len(trajs) == len(tops):
+        # equal-length lists pair 1:1 (reference ``misc.py:304-310``):
+        # no common_str means no grouping; a single one applies to all
+        if not common_str:
+            return trajs, tops, [None] * len(trajs)
+        if len(common_str) == 1:
+            return trajs, tops, [common_str[0]] * len(trajs)
     if len(tops) == 1 and not common_str:
         return trajs, tops * len(trajs), [None] * len(trajs)
 

@@ -36,15 +36,21 @@ def trace(logdir: Union[str, Path]) -> Iterator[None]:
 @contextlib.contextmanager
 def block_timer(name: str = "block", sync: Optional[object] = None
                 ) -> Iterator[dict]:
-    """Wall-clock a block; ``out['seconds']`` afterwards. Remember that on
-    the remote TPU platform only a host read reliably syncs."""
+    """Wall-clock a block; ``out['seconds']`` afterwards.
+
+    Syncs via a HOST READ of ``sync``'s leaves — on the remote (axon) TPU
+    platform ``jax.block_until_ready`` returns early, so a host read is
+    the only reliable device sync (the same rule bench.py follows)."""
+    import numpy as _np
+
     out: dict = {"name": name}
     t0 = time.perf_counter()
     try:
         yield out
     finally:
         if sync is not None:
-            jax.block_until_ready(sync)
+            for leaf in jax.tree_util.tree_leaves(sync):
+                _np.asarray(leaf)
         out["seconds"] = time.perf_counter() - t0
         print(f"{name}: {out['seconds']*1000:.2f} ms")
 

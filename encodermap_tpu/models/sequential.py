@@ -30,6 +30,7 @@ from ..parameters import Parameters
 __all__ = [
     "layer_stack",
     "init_params",
+    "densify",
     "encode",
     "decode",
     "forward",
@@ -62,17 +63,40 @@ def layer_stack(p: Parameters, input_dim: int) -> tuple[list, list, int]:
 
 
 def init_params(
-    key: jax.Array, p: Parameters, input_dim: int, dtype: Any = jnp.float32
+    key: jax.Array, p: Parameters, input_dim: int, dtype: Any = jnp.float32,
+    sparse: bool = False,
 ) -> dict:
-    """Initialize {"encoder": [...], "decoder": [...]} parameter pytree."""
+    """Initialize {"encoder": [...], "decoder": [...]} parameter pytree.
+
+    ``sparse=True`` (NaN-padded ragged-ensemble inputs) adds a trainable
+    square Dense densifier applied to the zero-filled raw inputs before
+    the periodic fold-in — the masked-dense equivalent of the reference's
+    sparse-input Dense layer (``models.py:3165-3177``); with zero-filling,
+    ``x @ W`` equals the reference's sparse-dense matmul exactly."""
     enc_layers, dec_layers, eff_in = layer_stack(p, input_dim)
-    k_enc, k_dec = jax.random.split(key)
+    k_enc, k_dec, k_sp = jax.random.split(key, 3)
     enc_dims = [eff_in] + [d[0] for d in enc_layers]
     dec_dims = [enc_dims[-1]] + [d[0] for d in dec_layers]
-    return {
+    params = {
         "encoder": mlp_init(k_enc, enc_dims, dtype),
         "decoder": mlp_init(k_dec, dec_dims, dtype),
     }
+    if sparse:
+        from ..nn import dense_init
+
+        params["densifier"] = dense_init(k_sp, input_dim, input_dim, dtype)
+    return params
+
+
+def densify(params: dict, x: Array) -> Array:
+    """Zero-fill NaNs and apply the densifier when the model has one (else
+    identity). The densified vector is both the encoder input AND the
+    reconstruction target, mirroring the ADC sparse path."""
+    if "densifier" not in params:
+        return x
+    from ..nn import dense_apply
+
+    return dense_apply(params["densifier"], jnp.nan_to_num(x))
 
 
 def _acts(layer_data: list) -> list:
@@ -115,8 +139,10 @@ def forward(params: dict, p: Parameters, x: Array) -> Array:
 
 
 def regularization_sum(params: dict) -> Array:
-    """Sum of squared kernels over encoder+decoder (for the L2 loss)."""
-    return l2_sum(params)
+    """Sum of squared kernels over encoder+decoder (for the L2 loss) —
+    densifiers carry no regularizer, matching the reference's sparse
+    Dense layers."""
+    return l2_sum({"encoder": params["encoder"], "decoder": params["decoder"]})
 
 
 def _orig_input_dim(params: dict, p: Parameters) -> int:

@@ -54,13 +54,16 @@ def initialize(
     to call twice.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     import os
 
-    # TPU_WORKER_HOSTNAMES is set even on single-host TPU VMs; only a
-    # comma-separated list implies an actual pod.
+    # Decide from the ENVIRONMENT only — jax.process_count() (or any
+    # other device/backend query) would initialize the XLA backend, after
+    # which jax.distributed.initialize() raises RuntimeError ("must be
+    # called before any JAX computations are executed"), making pod init
+    # impossible. TPU_WORKER_HOSTNAMES is set even on single-host TPU
+    # VMs; only a comma-separated list implies an actual pod.
     multi_host_workers = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
     autodetectable = (
         coordinator_address is not None
@@ -69,7 +72,8 @@ def initialize(
         or multi_host_workers
     )
     if not autodetectable:
-        return  # single-process run
+        _initialized = True  # single-process run; later calls are no-ops
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

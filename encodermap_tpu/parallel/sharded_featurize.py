@@ -59,33 +59,29 @@ class ShardedFeaturizer:
     def features(self):
         return self._inner.features
 
-    def get_output(self, ensemble: bool = False) -> CVCollection:
-        """Run all features, frame blocks sharded over the dp axis. Only
-        the union of feature-referenced atoms is shipped to the devices
-        (same contract as ``SingleTrajFeaturizer``, via
-        ``make_feature_runner``)."""
-        from ..loading.featurizer import make_feature_runner
-
+    def _run_blocks(self):
+        """Yield per-block ``(device_results, pad)`` tuples, one block
+        BEHIND the dispatch: under JAX's async dispatch, the consumer's
+        host reads of block k overlap block k+1's upload+compute — the
+        single shared iteration used by both :meth:`get_output` and
+        :meth:`to_hdf5`. Only the union of feature-referenced atoms is
+        shipped to the devices (same contract as
+        ``SingleTrajFeaturizer``, via the inner featurizer's memoized
+        runner)."""
         feats = self._inner.features
-        run, slice_xyz = make_feature_runner(feats)
+        if not feats:
+            raise ValueError(
+                "no features registered — call add_* methods first"
+            )
+        run, slice_xyz = self._inner._get_runner()
         traj = self.traj
         n_frames = traj.n_frames
         data_sharding = NamedSharding(self.mesh, P("dp"))
 
-        parts: list[list[np.ndarray]] = [[] for _ in feats]
-
-        def flush(results, pad):
-            # deferred host read: overlaps the next block's upload+compute
-            for j, r in enumerate(results):
-                r = np.asarray(r)
-                if pad:
-                    r = r[: len(r) - pad]
-                parts[j].append(r)
-
         pending = None
         for start in range(0, n_frames, self.block_size):
             stop = min(start + self.block_size, n_frames)
-            # pad the final block to a dp multiple (trimmed after)
+            # pad the final block to a dp multiple (trimmed by the consumer)
             idx = np.arange(start, stop)
             pad = (-len(idx)) % self.dp
             if pad:
@@ -101,10 +97,28 @@ class ShardedFeaturizer:
             )
             results = run(xyz, box_j)
             if pending is not None:
-                flush(*pending)
+                yield pending
             pending = (results, pad)
         if pending is not None:
-            flush(*pending)
+            yield pending
+
+    @staticmethod
+    def _to_host(results, pad) -> list[np.ndarray]:
+        out = []
+        for r in results:
+            r = np.asarray(r)
+            if pad:
+                r = r[: len(r) - pad]
+            out.append(r)
+        return out
+
+    def get_output(self, ensemble: bool = False) -> CVCollection:
+        """Run all features, frame blocks sharded over the dp axis."""
+        feats = self._inner.features
+        parts: list[list[np.ndarray]] = [[] for _ in feats]
+        for results, pad in self._run_blocks():
+            for j, r in enumerate(self._to_host(results, pad)):
+                parts[j].append(r)
 
         out = CVCollection()
         from ..loading.featurizer import _cv_name
@@ -120,47 +134,27 @@ class ShardedFeaturizer:
         ensemble: bool = False,
     ) -> str:
         """Stream results into an HDF5 file (out-of-core over blocks, the
-        ``to_netcdf`` analog)."""
+        ``to_netcdf`` analog) — same deferred-read overlap as
+        :meth:`get_output` via the shared block iterator."""
         import h5py
 
-        from ..loading.featurizer import make_feature_runner, _cv_name
+        from ..loading.featurizer import _cv_name
 
         feats = self._inner.features
-        run, slice_xyz = make_feature_runner(feats)
-        traj = self.traj
-        n_frames = traj.n_frames
-        data_sharding = NamedSharding(self.mesh, P("dp"))
-
+        n_frames = self.traj.n_frames
         with h5py.File(path, "a") as fh:
             if group in fh:
                 del fh[group]
             g = fh.create_group(group)
             dsets = None
             row = 0
-            for start in range(0, n_frames, self.block_size):
-                stop = min(start + self.block_size, n_frames)
-                idx = np.arange(start, stop)
-                pad = (-len(idx)) % self.dp
-                if pad:
-                    idx = np.concatenate([idx, np.full(pad, stop - 1)])
-                sub = traj[idx]
-                xyz = jax.device_put(
-                    slice_xyz(np.asarray(sub.xyz, np.float32)), data_sharding
-                )
-                box = sub.unitcell_vectors
-                box_j = (
-                    jax.device_put(np.asarray(box, np.float32), data_sharding)
-                    if box is not None else None
-                )
-                results = [np.asarray(r) for r in run(xyz, box_j)]
-                if pad:
-                    results = [r[: len(r) - pad] for r in results]
+            for results, pad in self._run_blocks():
+                host = self._to_host(results, pad)
                 if dsets is None:
                     dsets = []
-                    for f, r in zip(feats, results):
-                        name = _cv_name(f)
+                    for f, r in zip(feats, host):
                         d = g.create_dataset(
-                            name, shape=(n_frames,) + r.shape[1:],
+                            _cv_name(f), shape=(n_frames,) + r.shape[1:],
                             dtype=np.float32,
                         )
                         labels = (
@@ -168,7 +162,7 @@ class ShardedFeaturizer:
                         )
                         d.attrs["labels"] = np.asarray(labels, dtype="S")
                         dsets.append(d)
-                for d, r in zip(dsets, results):
+                for d, r in zip(dsets, host):
                     d[row : row + len(r)] = r
-                row += len(results[0])
+                row += len(host[0])
         return str(path)

@@ -359,10 +359,6 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         ``autoencoder.py:2032``)."""
         return _extract_cvs(trajs, p)
 
-    def close(self) -> None:
-        if self._metrics_writer is not None:
-            self._metrics_writer.close()
-
     def _get_trainer(self, steps: Optional[int] = None):
         if steps is None:
             steps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
@@ -373,15 +369,6 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
                 self._make_train_step(), self.p.batch_size, steps
             )
         return self._trainer[steps]
-
-    @property
-    def mesh(self):
-        """Device mesh from ``p.mesh_shape``; None for single-device."""
-        if getattr(self, "_mesh", None) is None and self.p.mesh_shape:
-            from ..parallel.mesh import make_mesh
-
-            self._mesh = make_mesh(**self.p.mesh_shape)
-        return getattr(self, "_mesh", None)
 
     def _device_data(self) -> tuple:
         # NaNs stay: the densifiers zero-fill inside the graph (sparse mode);
@@ -394,64 +381,6 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             sh = NamedSharding(mesh, P("dp"))
             data = tuple(jax.device_put(d, sh) for d in data)
         return data
-
-    def train(self) -> dict[str, np.ndarray]:
-        start = int(self.state.step)
-        remaining = self.p.n_steps - start
-        if remaining <= 0:
-            print(
-                f"This model has already been trained for {start} steps. "
-                f"Increase p.n_steps to train further."
-            )
-            return self.history
-
-        sps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
-        data = self._device_data()
-        cbs: list[Callback] = [ProgressBar(self.p.n_steps), NaNInterrupt()]
-        if not self.read_only:
-            cbs.append(CheckpointSaver(self, self.p.checkpoint_step))
-            self._metrics_writer = MetricsWriter(
-                self.p.main_path, tensorboard=self.p.tensorboard
-            )
-        cbs += self.callbacks
-        for cb in cbs:
-            cb.on_train_begin(self)
-
-        history: dict[str, list] = {}
-        stop = False
-        done = 0
-        while done < remaining and not stop:
-            first_step = int(self.state.step)
-            # exact step count: the final chunk shrinks to the remainder so
-            # the optimizer never runs past n_steps
-            chunk = min(sps, remaining - done)
-            trainer = self._get_trainer(chunk)
-            self.state, metrics = trainer(self.state, data)
-            metrics = jax.device_get(metrics)
-            n = len(next(iter(metrics.values())))
-            for k, v in metrics.items():
-                history.setdefault(k, []).append(v)
-            if self._metrics_writer is not None:
-                stride = max(1, self.p.summary_step)
-                for i in range(n):
-                    step_i = first_step + i + 1
-                    if step_i % stride == 0:
-                        self._metrics_writer.write_scalars(
-                            step_i, {k: v[i] for k, v in metrics.items()}
-                        )
-            for cb in cbs:
-                if cb.on_chunk_end(first_step, metrics) is False:
-                    stop = True
-            done += n
-
-        for cb in cbs:
-            cb.on_train_end(self)
-        self.history = {k: np.concatenate(v) for k, v in history.items()}
-        self.p.current_training_step = int(self.state.step)
-        if not self.read_only:
-            self.p.save(Path(self.p.main_path) / "parameters.json")
-            self.save()
-        return self.history
 
     def add_images_to_tensorboard(
         self,
@@ -584,25 +513,65 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # self.sparse can flip via set_train_data -> it is part of the key
         jfn = self._cached_jit(f"encode_sparse={self.sparse}", _encode)
         fn = lambda inputs: jfn(self.state.params, inputs)
-        # encode() only consumes the trained groups; pad tuple to 5 slots
-        if len(arrs) < 5:
-            arrs = arrs + tuple([jnp.zeros((arrs[0].shape[0], 0))] * (5 - len(arrs)))
+        arrs = self._as_model_inputs(arrs)
         return np.asarray(fn(arrs))
+
+    def _as_model_inputs(self, arrs: tuple) -> tuple:
+        """Map a user tuple onto the model's input slots.
+
+        encode() documents ``(angles, dihedrals[, side_dihedrals])`` —
+        but the model reads side_dihedrals from slot 4 (cartesians and
+        distances occupy 2-3), so short tuples must be placed, not just
+        zero-padded on the right."""
+        full = 7 if self.p.reconstruct_sidechains else 5
+        if len(arrs) == full:
+            return arrs
+        B = arrs[0].shape[0]
+        z = jnp.zeros((B, 0), jnp.float32)
+        if self.p.reconstruct_sidechains:
+            if len(arrs) == 4:  # (central_angles, central_dihedrals,
+                ca, cdi, sa, sdi = arrs  # side_angles, side_dihedrals)
+                return (ca, cdi, z, z, sa, sdi, z)
+            raise ValueError(
+                f"encode() for reconstruct_sidechains models takes the "
+                f"4-tuple (central_angles, central_dihedrals, side_angles, "
+                f"side_dihedrals) or the full 7-CV tuple; got {len(arrs)} "
+                f"arrays"
+            )
+        if len(arrs) == 4:  # full CV tuple of a use_sidechains=False model
+            return arrs + (z,)
+        if len(arrs) == 3:  # (angles, dihedrals, side_dihedrals)
+            return (arrs[0], arrs[1], z, z, arrs[2])
+        if len(arrs) == 2:
+            if self.p.use_sidechains:
+                raise ValueError(
+                    "this model trains on side_dihedrals — pass (angles, "
+                    "dihedrals, side_dihedrals)"
+                )
+            return (arrs[0], arrs[1], z, z, z)
+        raise ValueError(
+            f"encode() takes (angles, dihedrals[, side_dihedrals]) or the "
+            f"full 5-CV tuple; got {len(arrs)} arrays"
+        )
 
     def _split_stacked(self, data: np.ndarray) -> tuple:
         """Split a stacked (angles|dihedrals|side) matrix by the known dims."""
         s = self.shapes
-        if not self.p.use_backbone_angles:
-            return (np.zeros((len(data), s.n_angles), np.float32), data)
-        cols = [s.n_angles, s.n_dihedrals]
+        cols = []
+        if self.p.use_backbone_angles:
+            cols.append(s.n_angles)
+        cols.append(s.n_dihedrals)
         if self.p.use_sidechains:
             cols.append(s.n_side_dihedrals)
         assert data.shape[1] == sum(cols), (data.shape, cols)
-        parts = np.split(data, np.cumsum(cols)[:-1], axis=1)
+        parts = list(np.split(data, np.cumsum(cols)[:-1], axis=1))
+        if not self.p.use_backbone_angles:
+            # angles aren't trained: supply a placeholder in slot 0
+            parts.insert(0, np.zeros((len(data), s.n_angles), np.float32))
+        a, d = parts[0], parts[1]
         if self.p.use_sidechains:
-            a, d, sd = parts
-            return (a, d, np.zeros((len(a), 0)), np.zeros((len(a), 0)), sd)
-        a, d = parts
+            return (a, d, np.zeros((len(a), 0)), np.zeros((len(a), 0)),
+                    parts[2])
         return (a, d)
 
     def decode(self, latent: np.ndarray) -> tuple:

@@ -103,6 +103,92 @@ class TrainerExtensions:
     def _custom_metric_terms(self, params, batch) -> dict:
         return {name: fn(params, batch) for name, fn in self.custom_metrics}
 
+    # ------------------------------------------------------------------ training loop
+    def _setup_callbacks(self) -> list:
+        cbs: list = [ProgressBar(self.p.n_steps), NaNInterrupt()]
+        if not self.read_only:
+            cbs.append(CheckpointSaver(self, self.p.checkpoint_step))
+        return cbs + self.callbacks
+
+    @property
+    def mesh(self):
+        """Device mesh from ``p.mesh_shape`` (e.g. {"dp": 8} or
+        {"dp": 4, "tp": 2}); None for single-device training."""
+        if getattr(self, "_mesh", None) is None and self.p.mesh_shape:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(**self.p.mesh_shape)
+        return getattr(self, "_mesh", None)
+
+    def close(self) -> None:
+        if self._metrics_writer is not None:
+            self._metrics_writer.close()
+
+    def train(self) -> dict:
+        """Run ``n_steps - current_training_step`` optimizer steps.
+
+        The SHARED scan-chunked loop for every autoencoder class (chunk
+        stepping with exact n_steps accounting, metric history, strided
+        summary writes, callback dispatch, final persistence); subclasses
+        provide ``_device_data``/``_get_trainer``/``_setup_callbacks``.
+        Returns the metric history (dict of per-step arrays), and as the
+        reference does, persists parameters + a final checkpoint.
+        """
+        start = int(self.state.step)
+        remaining = self.p.n_steps - start
+        if remaining <= 0:
+            print(
+                f"This model has already been trained for {start} steps. "
+                f"Increase p.n_steps to train further."
+            )
+            return self.history
+
+        sps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
+        data = self._device_data()
+        cbs = self._setup_callbacks()
+        if not self.read_only:
+            self._metrics_writer = MetricsWriter(
+                self.p.main_path, tensorboard=self.p.tensorboard
+            )
+        for cb in cbs:
+            cb.on_train_begin(self)
+
+        history: dict[str, list] = {}
+        stop = False
+        done = 0
+        while done < remaining and not stop:
+            first_step = int(self.state.step)
+            # exact step count: the final chunk shrinks to the remainder so
+            # the optimizer never runs past n_steps
+            chunk = min(sps, remaining - done)
+            trainer = self._get_trainer(chunk)
+            self.state, metrics = trainer(self.state, data)
+            metrics = jax.device_get(metrics)
+            n = len(next(iter(metrics.values())))
+            for k, v in metrics.items():
+                history.setdefault(k, []).append(v)
+            if self._metrics_writer is not None:
+                stride = max(1, self.p.summary_step)
+                for i in range(n):
+                    step_i = first_step + i + 1
+                    if step_i % stride == 0:
+                        self._metrics_writer.write_scalars(
+                            step_i, {k: v[i] for k, v in metrics.items()}
+                        )
+            for cb in cbs:
+                if cb.on_chunk_end(first_step, metrics) is False:
+                    stop = True
+            done += n
+
+        for cb in cbs:
+            cb.on_train_end(self)
+        self.history = {k: np.concatenate(v) for k, v in history.items()}
+        self.p.current_training_step = int(self.state.step)
+        if not self.read_only:
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+            self.save()
+        return self.history
+
     def plot_network(self) -> Optional[str]:
         """Draw the layer stack to ``main_path/network.png`` (the analog of
         the reference's keras ``plot_model`` call, ``autoencoder.py:1094``)."""
@@ -167,9 +253,10 @@ class Autoencoder(TrainerExtensions):
             train_data, _ = create_n_cube(seed=self.p.seed)
             self.p.using_hypercube = True
         train_data = np.asarray(train_data, np.float32)
-        # NaN inputs mark ragged multi-topology ensembles; keep the mask so
-        # losses can ignore missing values (the reference reroutes these into
-        # tf.sparse tensors; masked-dense is the TPU-friendly equivalent).
+        # NaN inputs mark ragged multi-topology ensembles -> sparse mode:
+        # zero-fill + a trainable square Dense densifier in the model (the
+        # reference reroutes these into tf.sparse tensors + a Dense layer,
+        # ``models.py:3165-3177``; masked-dense is the TPU equivalent).
         self._nan_mask = np.isnan(train_data)
         if self._nan_mask.any():
             self.sparse = True
@@ -184,7 +271,9 @@ class Autoencoder(TrainerExtensions):
         key = jax.random.PRNGKey(seed)
         k_model, k_train = jax.random.split(key)
         if model_params is None:
-            model_params = seq.init_params(k_model, self.p, self.input_dim)
+            model_params = seq.init_params(
+                k_model, self.p, self.input_dim, sparse=self.sparse
+            )
         self.optimizer = make_optimizer(self.p.learning_rate)
         self.state = TrainState.create(
             model_params, self.optimizer, k_train, step=self.p.current_training_step
@@ -211,6 +300,10 @@ class Autoencoder(TrainerExtensions):
     def _loss_terms(self, params: dict, batch: Array) -> dict[str, Array]:
         """All loss contributions for one batch; subclasses extend."""
         p = self.p
+        # sparse (NaN-padded) inputs run through the trainable densifier;
+        # the densified vector is both encoder input and reconstruction
+        # target (reference sparse path, ``models.py:3165-3177``)
+        batch = seq.densify(params, batch)
         latent = seq.encode(params, p, batch)
         out = seq.decode(params, p, latent)
         terms = {
@@ -273,22 +366,6 @@ class Autoencoder(TrainerExtensions):
             self._trainer[steps] = trainer
         return self._trainer[steps]
 
-    def _setup_callbacks(self) -> list[Callback]:
-        cbs: list[Callback] = [ProgressBar(self.p.n_steps), NaNInterrupt()]
-        if not self.read_only:
-            cbs.append(CheckpointSaver(self, self.p.checkpoint_step))
-        return cbs + self.callbacks
-
-    @property
-    def mesh(self):
-        """Device mesh from ``p.mesh_shape`` (e.g. {"dp": 8} or
-        {"dp": 4, "tp": 2}); None for single-device training."""
-        if getattr(self, "_mesh", None) is None and self.p.mesh_shape:
-            from ..parallel.mesh import make_mesh
-
-            self._mesh = make_mesh(**self.p.mesh_shape)
-        return getattr(self, "_mesh", None)
-
     def _shard_leading(self, x):
         """Shard an array's batch axis over the mesh's dp axis (GSPMD
         inserts the collectives the all-pairs losses need)."""
@@ -304,67 +381,6 @@ class Autoencoder(TrainerExtensions):
         if self._nan_mask.any():
             data = np.nan_to_num(data, nan=0.0)
         return self._shard_leading(jnp.asarray(data))
-
-    def train(self) -> dict[str, np.ndarray]:
-        """Run ``n_steps - current_training_step`` optimizer steps.
-
-        Returns the metric history (dict of per-step arrays), and as the
-        reference does, persists parameters + a final checkpoint.
-        """
-        start = int(self.state.step)
-        remaining = self.p.n_steps - start
-        if remaining <= 0:
-            print(
-                f"This model has already been trained for {start} steps. "
-                f"Increase p.n_steps to train further."
-            )
-            return self.history
-
-        sps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
-        data = self._device_data()
-        cbs = self._setup_callbacks()
-        if not self.read_only:
-            self._metrics_writer = MetricsWriter(
-                self.p.main_path, tensorboard=self.p.tensorboard
-            )
-        for cb in cbs:
-            cb.on_train_begin(self)
-
-        history: dict[str, list] = {}
-        stop = False
-        done = 0
-        while done < remaining and not stop:
-            first_step = int(self.state.step)
-            # exact step count: the final chunk shrinks to the remainder so
-            # the optimizer never runs past n_steps
-            chunk = min(sps, remaining - done)
-            trainer = self._get_trainer(chunk)
-            self.state, metrics = trainer(self.state, data)
-            metrics = jax.device_get(metrics)
-            n = len(next(iter(metrics.values())))
-            for k, v in metrics.items():
-                history.setdefault(k, []).append(v)
-            if self._metrics_writer is not None:
-                stride = max(1, self.p.summary_step)
-                for i in range(n):
-                    step_i = first_step + i + 1
-                    if step_i % stride == 0:
-                        self._metrics_writer.write_scalars(
-                            step_i, {k: v[i] for k, v in metrics.items()}
-                        )
-            for cb in cbs:
-                if cb.on_chunk_end(first_step, metrics) is False:
-                    stop = True
-            done += n
-
-        for cb in cbs:
-            cb.on_train_end(self)
-        self.history = {k: np.concatenate(v) for k, v in history.items()}
-        self.p.current_training_step = int(self.state.step)
-        if not self.read_only:
-            self.p.save(Path(self.p.main_path) / "parameters.json")
-            self.save()
-        return self.history
 
     def add_images_to_tensorboard(
         self,
@@ -417,7 +433,10 @@ class Autoencoder(TrainerExtensions):
         if data is None:
             data = self.train_data
         fn = self._cached_jit(
-            "encode", lambda params, x: seq.encode(params, self.p, x)
+            "encode",
+            lambda params, x: seq.encode(
+                params, self.p, seq.densify(params, x)
+            ),
         )
         return self._batched_apply(lambda x: fn(self.state.params, x), data)
 
@@ -500,10 +519,6 @@ class Autoencoder(TrainerExtensions):
     def _parameters_class(cls):
         return Parameters
 
-    def close(self) -> None:
-        if self._metrics_writer is not None:
-            self._metrics_writer.close()
-
 
 def _tree_to_jax(tree):
     return jax.tree_util.tree_map(jnp.asarray, tree)
@@ -519,6 +534,10 @@ class EncoderMap(Autoencoder):
 
     def _loss_terms(self, params: dict, batch: Array) -> dict[str, Array]:
         terms = super()._loss_terms(params, batch)
+        # densify here too (XLA CSEs the shared work with the base terms):
+        # the sigmoid distance cost must see the same vectors the
+        # autoencoder reconstructs
+        batch = seq.densify(params, batch)
         latent = seq.encode(params, self.p, batch)
         terms["distance_loss"] = L.distance_loss(batch, latent, self.p)
         return terms

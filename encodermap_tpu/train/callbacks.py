@@ -158,8 +158,10 @@ class NaNInterrupt(Callback):
     same divergence one step earlier without pulling params to host."""
 
     def on_chunk_end(self, first_step: int, metrics: dict) -> Optional[bool]:
-        loss = np.asarray(metrics.get("loss"))
-        if loss is not None and not np.all(np.isfinite(loss)):
+        if metrics.get("loss") is None:  # before asarray: asarray(None) is
+            return None                  # a 0-d object array, never None
+        loss = np.asarray(metrics["loss"])
+        if not np.all(np.isfinite(loss)):
             bad = int(np.argmax(~np.isfinite(loss)))
             print(f"NaN/Inf loss at step {first_step + bad}; stopping training.")
             return False
@@ -188,7 +190,15 @@ class ImageCallback(Callback):
             data = self.data
             if data is None:
                 data = self.autoencoder.train_data
-            latent = self.autoencoder.encode(np.asarray(data)[: self.max_points])
+            if isinstance(data, (tuple, list)):
+                # ADC models train on a tuple of CV arrays (ragged widths:
+                # np.asarray would raise); slice FRAMES of each member
+                data = tuple(
+                    np.asarray(d)[: self.max_points] for d in data
+                )
+            else:
+                data = np.asarray(data)[: self.max_points]
+            latent = self.autoencoder.encode(data)
             image_summary(
                 latent, last, self.autoencoder.p.main_path,
                 writer=getattr(self.autoencoder, "_metrics_writer", None),

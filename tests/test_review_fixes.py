@@ -156,6 +156,151 @@ class TestFeatureArgGuards:
             DihedralFeature(top, [[0, 1, 2, 3]], deg=True, cossin=True)
 
 
+class TestBaseSparseDensifier:
+    def test_nan_data_gets_trainable_densifier(self, tmp_path):
+        """Base EncoderMap sparse mode must train a densifier (reference
+        ``models.py:3165-3177``), not silently reconstruct fabricated
+        zeros."""
+        import encodermap_tpu as em
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((256, 6)).astype(np.float32)
+        data[:128, 4:] = np.nan  # ragged-ensemble NaN padding
+        p = em.Parameters(
+            main_path=str(tmp_path), periodicity=float("inf"),
+            n_neurons=[8, 8, 2], n_steps=30, steps_per_scan=10,
+            batch_size=32, seed=0, checkpoint_step=10**6,
+            summary_step=10**6,
+        )
+        emap = em.EncoderMap(p, data)
+        assert emap.sparse
+        assert "densifier" in emap.state.params
+        before = np.asarray(emap.state.params["densifier"]["kernel"]).copy()
+        h = emap.train()
+        assert np.isfinite(h["loss"]).all()
+        after = np.asarray(emap.state.params["densifier"]["kernel"])
+        assert not np.allclose(before, after)  # it actually trains
+        latent = emap.encode(data[:10])
+        assert latent.shape == (10, 2) and np.isfinite(latent).all()
+
+
+class TestADCEncodeTuples:
+    @pytest.fixture(scope="class")
+    def emap(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.reference_impl import backmap_np
+
+        rng = np.random.default_rng(0)
+        n_res, F = 5, 32
+        na = 3 * n_res
+        angles = rng.uniform(1.6, 2.4, (F, na - 2)).astype(np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (F, na - 3)).astype(np.float32)
+        distances = rng.uniform(0.13, 0.155, (F, na - 1)).astype(np.float32)
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        side = rng.uniform(-np.pi, np.pi, (F, 2 * n_res)).astype(np.float32)
+        cvs = {
+            "central_angles": angles, "central_dihedrals": dihedrals,
+            "central_cartesians": cart, "central_distances": distances,
+            "side_dihedrals": side,
+        }
+        p = em.ADCParameters(
+            batch_size=8, use_backbone_angles=True, use_sidechains=True,
+            n_neurons=[8, 8, 2], seed=0,
+        )
+        return AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+
+    def test_three_tuple_matches_full_tuple(self, emap):
+        """The documented (angles, dihedrals, side_dihedrals) form must
+        hit the same latent as the full 5-CV tuple (side data was
+        previously zero-padded into the cartesians slot)."""
+        a, d, cart, dist, sd = emap.train_data
+        full = emap.encode(emap.train_data)
+        short = emap.encode((a, d, sd))
+        np.testing.assert_allclose(short, full, atol=1e-6)
+
+    def test_stacked_matrix_matches(self, emap):
+        a, d, cart, dist, sd = emap.train_data
+        stacked = np.concatenate([a, d, sd], axis=1)
+        np.testing.assert_allclose(
+            emap.encode(stacked), emap.encode(emap.train_data), atol=1e-6
+        )
+
+    def test_two_tuple_without_side_raises(self, emap):
+        a, d, *_ = emap.train_data
+        with pytest.raises(ValueError, match="side_dihedrals"):
+            emap.encode((a, d))
+
+
+class TestADCImageCallback:
+    def test_add_images_to_tensorboard_trains(self, tmp_path):
+        """ImageCallback must handle the ADC's tuple train_data
+        (np.asarray on the ragged tuple raised ValueError before)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.reference_impl import backmap_np
+
+        rng = np.random.default_rng(0)
+        n_res, F = 4, 24
+        na = 3 * n_res
+        angles = rng.uniform(1.6, 2.4, (F, na - 2)).astype(np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (F, na - 3)).astype(np.float32)
+        distances = rng.uniform(0.13, 0.155, (F, na - 1)).astype(np.float32)
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        side = rng.uniform(-np.pi, np.pi, (F, 2 * n_res)).astype(np.float32)
+        cvs = {
+            "central_angles": angles, "central_dihedrals": dihedrals,
+            "central_cartesians": cart, "central_distances": distances,
+            "side_dihedrals": side,
+        }
+        p = em.ADCParameters(
+            main_path=str(tmp_path), batch_size=8, n_steps=4,
+            steps_per_scan=2, use_backbone_angles=True, use_sidechains=True,
+            n_neurons=[8, 8, 2], seed=0, checkpoint_step=10**6,
+            summary_step=10**6,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p)
+        emap.add_images_to_tensorboard(image_step=2)
+        h = emap.train()
+        assert np.isfinite(h["loss"]).all()
+        assert list(Path(tmp_path).glob("**/*.png"))
+
+
+class TestMiscHelpers:
+    def test_equal_length_lists_pair_one_to_one(self):
+        from encodermap_tpu.misc.misc import get_full_common_str_and_ref
+
+        trajs, tops, cs = get_full_common_str_and_ref(
+            ["a.xtc", "b.xtc"], ["a.pdb", "b.pdb"], []
+        )
+        assert tops == ["a.pdb", "b.pdb"]
+        assert cs == [None, None]
+        # a single common_str applies to every pair
+        _, _, cs1 = get_full_common_str_and_ref(
+            ["a.xtc", "b.xtc"], ["a.pdb", "b.pdb"], ["x"]
+        )
+        assert cs1 == ["x", "x"]
+
+    def test_centroid_index_maps_to_original_frames(self):
+        from encodermap_tpu.misc.clustering import rmsd_centroid_of_cluster
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((5, 3)).astype(np.float32)
+        # 120 noisy copies + no structure: index must index the ORIGINAL
+        xyz = base[None] + rng.normal(0, 0.1, (120, 5, 3)).astype(np.float32)
+        idx, D = rmsd_centroid_of_cluster(xyz, max_frames=50)
+        assert 0 <= idx < 120
+        assert D.shape == (50, 50)
+        # identical frames: degenerate std must not NaN
+        same = np.repeat(base[None], 10, axis=0)
+        idx2, _ = rmsd_centroid_of_cluster(same)
+        assert idx2 == 0
+
+
 class TestOfflineBackmapSideOrder:
     @needs_data
     def test_default_side_indices_match_cv_order(self):

@@ -174,7 +174,11 @@ def soft_start_scale(p: ADCParameters, step: Array) -> Array:
     if a is None or b is None:
         return jnp.asarray(scale, jnp.float32)
     step_f = step.astype(jnp.float32)
-    frac = jnp.clip((step_f - a) / float(b - a), 0.0, 1.0)
+    if a == b:
+        # instant switch-on: (step - a)/0 would be NaN exactly at step == a
+        frac = (step_f >= a).astype(jnp.float32)
+    else:
+        frac = jnp.clip((step_f - a) / float(b - a), 0.0, 1.0)
     return jnp.asarray(scale, jnp.float32) * frac
 
 

@@ -77,6 +77,14 @@ def decoder_splits(p: ADCParameters, shapes: ADCShapes) -> list[int]:
     """Sizes of the decoder-output groups (in unit-circle space), following
     ``_concatenate_inputs`` (``models.py:1942-2025``)."""
     if not p.use_backbone_angles:
+        if p.use_sidechains:
+            # the reference raises for this combination too
+            # (``models.py:2019-2025``) — silently dropping the sidechain
+            # group would build a decoder narrower than the encoder input
+            raise ValueError(
+                "use_sidechains=True requires use_backbone_angles=True "
+                "(the reference rejects this combination as well)"
+            )
         return [2 * shapes.n_dihedrals]
     splits = [2 * shapes.n_angles, 2 * shapes.n_dihedrals]
     if p.use_sidechains:

@@ -205,12 +205,10 @@ def _chain_in_plane_bwd(res, g):
 
 
 def _backmap_fwd(distances, angles, dihedrals):
-    fixed = jnp.where(
-        distances < 1e-5, jnp.ones_like(distances) * jnp.mean(distances),
-        distances,
-    )
+    # raw-distance mean, matching ops/backmap.backmap (the reference's
+    # negative-distance guard is dead code; see that docstring)
     mean_lengths = jnp.broadcast_to(
-        jnp.mean(fixed, axis=0, keepdims=True),
+        jnp.mean(distances, axis=0, keepdims=True),
         (angles.shape[0], distances.shape[1]),
     )
     chain, cres = _chain_in_plane_fwd(mean_lengths, angles)
@@ -284,7 +282,8 @@ def _dsig_over_r(r2, r, sig, a, b):
         return (b * c / sig**2) * (1.0 + c * r2 / sig**2) ** (-b / a - 1.0)
     r_safe = jnp.where(r2 == 0.0, 1.0, r)
     t = (r_safe / sig) ** a
-    out = b * c * t * (1.0 + t) ** (-b / a - 1.0) / jnp.square(r_safe)
+    # base (1 + c*t) matches the forward sigmoid (see pallas_train fix)
+    out = b * c * t * (1.0 + c * t) ** (-b / a - 1.0) / jnp.square(r_safe)
     return jnp.where(r2 == 0.0, 0.0, out)
 
 

@@ -567,10 +567,11 @@ def backmap(distances: Array, angles: Array, dihedrals: Array) -> Array:
     """The BackMapLayer computation: distances+angles+dihedrals -> xyz.
 
     Matches ``models/layers.py:913-987``:
-      1. replace negative/zero distances by the batch mean,
-      2. reduce distances to their batch mean (shape (1, n_bonds)),
-      3. chain_in_plane,
-      4. add pi to dihedrals and curl both tails into 3D.
+      1. reduce distances to their batch mean (shape (1, n_bonds)) —
+         the raw values: the reference computes a negative-distance
+         guard but never feeds it into the mean (dead code there),
+      2. chain_in_plane,
+      3. add pi to dihedrals and curl both tails into 3D.
 
     Args:
         distances: ``(batch, n_atoms - 1)``.
@@ -580,10 +581,11 @@ def backmap(distances: Array, angles: Array, dihedrals: Array) -> Array:
     Returns:
         ``(batch, n_atoms, 3)``.
     """
-    fixed = jnp.where(
-        distances < 1e-5, jnp.ones_like(distances) * jnp.mean(distances), distances
-    )
-    mean_lengths = jnp.mean(fixed, axis=0, keepdims=True)
+    # NOTE: the reference computes a `fixed_distances` guard (negative/zero
+    # -> batch mean) but then averages the RAW distances — the guard is
+    # dead code there (``models/layers.py:964-971``). Averaging raw
+    # distances here keeps bit-level parity on degenerate inputs.
+    mean_lengths = jnp.mean(distances, axis=0, keepdims=True)
     mean_lengths = jnp.broadcast_to(
         mean_lengths, (angles.shape[0],) + mean_lengths.shape[1:]
     )

@@ -332,9 +332,6 @@ def backmap_sidechains(
     side_cum = jnp.cumsum(side_distances, axis=1)
     start = spec.side_branch_start
     bond_i = spec.side_bond_index
-    branch_cum = side_cum[:, bond_i] - jnp.where(
-        start > 0, side_cum[:, start - 1], jnp.zeros((B, 1), dtype)[:, 0:1] * 0
-    )
     # careful with start == 0 (gather of -1): mask instead
     prev = jnp.where(
         (start - 1)[None, :] >= 0,

@@ -159,6 +159,14 @@ def fused_sigmoid_loss(h, l, params, periodicity):
     Requires ``B % 512 == 0`` (use :func:`fused_or_reference` for automatic
     routing/fallback).
 
+    WARNING: the custom VJP returns EXACT ZEROS for ``h`` — the
+    high-dimensional side is the input batch, which training never
+    differentiates (the reference likewise treats it as constant). Do NOT
+    route through this kernel if your ``h`` depends on trainable
+    parameters: the XLA path produces real h-gradients and this one
+    silently drops them (training behavior would change discontinuously
+    at the ``fused_or_reference`` batch-size threshold).
+
     Args:
         h: ``(B, D)`` high-dimensional batch (non-differentiable side).
         l: ``(B, d)`` latent batch (gradients flow here).

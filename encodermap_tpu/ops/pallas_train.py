@@ -83,7 +83,9 @@ def _dsig_over_r(r2, r, sig, a, b):
         return (b * c / sig**2) * base ** (-b / a - 1.0)
     r_safe = jnp.where(r2 == 0.0, 1.0, r)
     t = (r_safe / sig) ** a
-    out = b * c * t * (1.0 + t) ** (-b / a - 1.0) / jnp.square(r_safe)
+    # base is (1 + c*t) — matching the forward sigmoid (a missing c here
+    # silently scaled gradients 2-4x for a != 2; cf. pallas_sigmoid._sig_prime)
+    out = b * c * t * (1.0 + c * t) ** (-b / a - 1.0) / jnp.square(r_safe)
     return jnp.where(r2 == 0.0, 0.0, out)
 
 

@@ -127,13 +127,12 @@ def dihedrals_to_cartesian_np(dihedrals, cart):
 
 
 def backmap_np(distances, angles, dihedrals):
-    """The BackMapLayer pipeline: fix negatives -> batch-mean lengths ->
-    chain_in_plane -> +pi -> both-ways rotation."""
+    """The BackMapLayer pipeline: batch-mean lengths (of the RAW
+    distances, like the reference — its negative-distance guard is dead
+    code, ``models/layers.py:964-971``) -> chain_in_plane -> +pi ->
+    both-ways rotation."""
     distances = np.asarray(distances, np.float64)
-    fixed = np.where(
-        distances < 1e-5, np.ones_like(distances) * distances.mean(), distances
-    )
-    mean_lengths = fixed.mean(axis=0, keepdims=True)
+    mean_lengths = distances.mean(axis=0, keepdims=True)
     chain = chain_in_plane_np(mean_lengths, angles)
     return dihedrals_to_cartesian_np(np.asarray(dihedrals, np.float64) + PI, chain)
 

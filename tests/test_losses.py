@@ -172,6 +172,17 @@ class TestADCLosses:
         p = ADCParameters(cartesian_cost_scale=3.0)
         assert float(L.soft_start_scale(p, jnp.asarray(0))) == pytest.approx(3.0)
 
+    def test_soft_start_instant_switch(self):
+        """a == b (instant switch-on) must be a step function, not a 0/0
+        NaN exactly at step == a."""
+        p = ADCParameters(
+            cartesian_cost_scale=10.0,
+            cartesian_cost_scale_soft_start=(1000, 1000),
+        )
+        assert float(L.soft_start_scale(p, jnp.asarray(999))) == 0.0
+        assert float(L.soft_start_scale(p, jnp.asarray(1000))) == pytest.approx(10.0)
+        assert float(L.soft_start_scale(p, jnp.asarray(1001))) == pytest.approx(10.0)
+
     def test_cartesian_distance_loss(self, rng, adc_p):
         pwd = rng.uniform(0, 5, (16, 45)).astype(np.float32)
         z = rng.standard_normal((16, 2)).astype(np.float32)

@@ -56,6 +56,38 @@ class TestHandStep:
             for a, b in zip(g_ad, g_hand):
                 np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
 
+    @pytest.mark.parametrize("sig_params", [
+        (4.5, 12, 6, 1, 3, 4),   # a_l=3: exercises the general-a branch
+        (4.5, 12, 6, 1, 1, 2),   # a_l=1
+        (3.0, 6, 3, 1.5, 4, 4),  # non-default highs too
+    ])
+    def test_grads_match_autodiff_nondefault_sigmoid(self, rng, sig_params):
+        """The general-a branch of _dsig_over_r must match autodiff too —
+        a missing sigmoid coefficient here once scaled latent gradients
+        2-4x for a_l not in {2} and default-params tests never saw it."""
+        losses = dict(LOSSES, dist_sig_parameters=sig_params)
+        with jax.enable_x64(True):
+            enc_w, enc_b, dec_w, dec_b = _random_net(
+                rng, [3, 16, 16, 2], jnp.float64
+            )
+            batch = jnp.asarray(rng.standard_normal((32, 3)))
+
+            def total(flat):
+                n = len(enc_w)
+                return PT.hand_step(
+                    flat[:n], flat[2 * n:3 * n], flat[n:2 * n],
+                    flat[3 * n:], batch, **losses
+                )[4][-1]
+
+            flat = list(enc_w) + list(dec_w) + list(enc_b) + list(dec_b)
+            g_ad = jax.grad(total)(flat)
+            gew, geb, gdw, gdb, _ = PT.hand_step(
+                enc_w, enc_b, dec_w, dec_b, batch, **losses
+            )
+            g_hand = list(gew) + list(gdw) + list(geb) + list(gdb)
+            for a, b in zip(g_ad, g_hand):
+                np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
+
     def test_loss_matches_production_stack(self, rng):
         """hand_step's total equals the production loss assembly (same f32
         forward, so f32-level agreement)."""

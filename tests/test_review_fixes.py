@@ -270,6 +270,21 @@ class TestADCImageCallback:
         assert list(Path(tmp_path).glob("**/*.png"))
 
 
+class TestADCConfigGuards:
+    def test_sidechains_without_backbone_angles_rejected(self):
+        """The reference raises for use_sidechains=True +
+        use_backbone_angles=False (``models.py:2019-2025``); silently
+        dropping the sidechain decoder group built a structurally
+        inconsistent model here."""
+        import encodermap_tpu as em
+        from encodermap_tpu.models import adc
+
+        p = em.ADCParameters(use_sidechains=True, use_backbone_angles=False)
+        shapes = adc.ADCShapes(10, 9, 12, 11, 4)
+        with pytest.raises(ValueError, match="use_backbone_angles"):
+            adc.decoder_splits(p, shapes)
+
+
 class TestMiscHelpers:
     def test_equal_length_lists_pair_one_to_one(self):
         from encodermap_tpu.misc.misc import get_full_common_str_and_ref

@@ -104,6 +104,13 @@ class DCDReader:
             idx = np.arange(self.n_frames)
         else:
             idx = np.atleast_1d(np.asarray(indices, np.int64))
+            if len(idx) and (
+                idx.min() < -self.n_frames or idx.max() >= self.n_frames
+            ):
+                raise IndexError(
+                    f"frame index out of range for {self.n_frames}-frame "
+                    f"trajectory: {indices}"
+                )
             idx = np.where(idx < 0, idx + self.n_frames, idx)
         xyz = np.empty((len(idx), self.n_atoms, 3), np.float32)
         cells = np.empty((len(idx), 3), np.float32) if self._has_cell else None
@@ -206,6 +213,13 @@ class TRRReader:
             idx = np.arange(self.n_frames)
         else:
             idx = np.atleast_1d(np.asarray(indices, np.int64))
+            if len(idx) and (
+                idx.min() < -self.n_frames or idx.max() >= self.n_frames
+            ):
+                raise IndexError(
+                    f"frame index out of range for {self.n_frames}-frame "
+                    f"trajectory: {indices}"
+                )
             idx = np.where(idx < 0, idx + self.n_frames, idx)
         xyz = np.zeros((len(idx), self.n_atoms, 3), np.float32)
         box = np.zeros((len(idx), 3, 3), np.float32)

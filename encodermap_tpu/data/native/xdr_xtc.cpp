@@ -152,14 +152,18 @@ void decodeints(BitReader& br, int num_of_ints, int num_of_bits,
     }
     if (num_of_bits > 0) bytes[num_of_bytes++] = (int)br.read_bits(num_of_bits);
     for (int i = num_of_ints - 1; i > 0; --i) {
-        int num = 0;
+        // unsigned arithmetic, as in the reference xdrfile: with signed
+        // ints, (num << 8) overflows for sizes > 2^23 (remainder can
+        // reach sizes[i]-1 ~ 2^24) and signed division then decodes
+        // garbage coordinates silently
+        unsigned int num = 0;
         for (int j = num_of_bytes - 1; j >= 0; --j) {
-            num = (num << 8) | bytes[j];
-            int p = num / (int)sizes[i];
-            bytes[j] = p;
-            num = num - p * (int)sizes[i];
+            num = (num << 8) | (unsigned int)bytes[j];
+            unsigned int p = num / sizes[i];
+            bytes[j] = (int)p;
+            num = num - p * sizes[i];
         }
-        nums[i] = num;
+        nums[i] = (int)num;
     }
     nums[0] = bytes[0] | (bytes[1] << 8) | (bytes[2] << 16) | (bytes[3] << 24);
 }
@@ -183,6 +187,10 @@ int decompress_coords(XdrFile& xf, float* out /* n_atoms*3 */, int n_atoms_expec
     int minint[3], maxint[3];
     for (int i = 0; i < 3; ++i) minint[i] = xf.read_int();
     for (int i = 0; i < 3; ++i) maxint[i] = xf.read_int();
+    // corrupt headers with maxint < minint would make sizeint 0 (or
+    // wrap) and crash decodeints with a hardware divide-by-zero
+    for (int i = 0; i < 3; ++i)
+        if (maxint[i] < minint[i]) return -1;
 
     unsigned int sizeint[3], sizesmall[3], bitsizeint[3] = {0, 0, 0};
     for (int i = 0; i < 3; ++i)
@@ -246,6 +254,9 @@ int decompress_coords(XdrFile& xf, float* out /* n_atoms*3 */, int n_atoms_expec
         }
         if (run > 0) {
             for (int k = 0; k < run; k += 3) {
+                // a corrupt run length must not write past the caller's
+                // exact-size (lsize * 3) output buffer
+                if (i >= lsize) return -1;
                 decodeints(br, 3, smallidx, sizesmall, thiscoord);
                 ++i;
                 thiscoord[0] += prevcoord[0] - smallnum;
@@ -313,6 +324,12 @@ int xtc_scan(const char* path, int64_t* n_frames, int32_t* n_atoms,
              int64_t* offsets, int64_t max_offsets) {
     XdrFile xf(path);
     if (!xf.ok) return 1;
+    // file size: skip_coords fseeks, which succeeds PAST EOF — a frame
+    // whose payload extends beyond the file (truncated copy / live
+    // simulation) must not be counted, or a later whole-file read fails
+    std::fseek(xf.fp, 0, SEEK_END);
+    int64_t file_size = xf.tell();
+    std::fseek(xf.fp, 0, SEEK_SET);
     int64_t count = 0;
     int32_t natoms = -1;
     for (;;) {
@@ -326,7 +343,11 @@ int xtc_scan(const char* path, int64_t* n_frames, int32_t* n_atoms,
         xf.read_int();    // step
         xf.read_float();  // time
         if (!xf.skip(9 * 4)) return 4;  // box
-        if (!skip_coords(xf, natoms)) return 5;
+        if (!skip_coords(xf, natoms)) {
+            if (xf.eof()) break;  // truncated final frame
+            return 5;             // mid-file corruption stays an error
+        }
+        if (xf.tell() > file_size) break;  // payload past EOF
         if (offsets && count < max_offsets) offsets[count] = pos;
         ++count;
     }
@@ -459,15 +480,17 @@ void encodeints(BitWriter& bw, int num_of_ints, int num_of_bits,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Append one frame. Returns 0 on success.
-int xtc_write_frame(const char* path, int32_t n_atoms, int32_t step,
-                    float time, const float* box /* 9 floats */,
-                    const float* xyz /* n_atoms*3 */, float precision,
-                    int32_t append) {
-    XdrOut xf(path, append != 0);
-    if (!xf.ok) return 1;
+// Append one frame to an open file. Returns 0 on success.
+int write_frame_impl(XdrOut& xf, int32_t n_atoms, int32_t step,
+                     float time, const float* box /* 9 floats */,
+                     const float* xyz /* n_atoms*3 */, float precision) {
+    // non-finite coordinates would silently clamp into a 2^31-spanning
+    // fixed-point range whose sizeofint degenerates to 0 bits — the frame
+    // would read back as all-minint garbage. Refuse loudly instead.
+    for (int i = 0; i < n_atoms * 3; ++i)
+        if (!std::isfinite(xyz[i])) return 6;
     xf.write_int(XTC_MAGIC);
     xf.write_int(n_atoms);
     xf.write_int(step);
@@ -498,6 +521,11 @@ int xtc_write_frame(const char* path, int32_t n_atoms, int32_t step,
             if (iv > maxint[d]) maxint[d] = iv;
         }
     }
+    // refuse coordinate spans the fixed-point scheme cannot represent
+    // (±2e6 nm at default precision — far beyond physical systems)
+    for (int d = 0; d < 3; ++d)
+        if ((int64_t)maxint[d] - (int64_t)minint[d] + 1 > (int64_t)1 << 30)
+            return 7;
     for (int d = 0; d < 3; ++d) xf.write_int(minint[d]);
     for (int d = 0; d < 3; ++d) xf.write_int(maxint[d]);
 
@@ -547,6 +575,43 @@ int xtc_write_frame(const char* path, int32_t n_atoms, int32_t step,
     bw.data.resize(padded, 0);
     xf.write_raw(bw.data.data(), padded);
     return xf.ok ? 0 : 3;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Append one frame. Returns 0 on success.
+int xtc_write_frame(const char* path, int32_t n_atoms, int32_t step,
+                    float time, const float* box /* 9 floats */,
+                    const float* xyz /* n_atoms*3 */, float precision,
+                    int32_t append) {
+    XdrOut xf(path, append != 0);
+    if (!xf.ok) return 1;
+    return write_frame_impl(xf, n_atoms, step, time, box, xyz, precision);
+}
+
+// Write n frames in ONE open (the per-frame open/close of repeated
+// xtc_write_frame calls dominated large saves). box: n*9, xyz: n*natoms*3.
+// time/step may be null (frame index used). Returns 0 on success; on error
+// the failing frame index is written to *err_frame.
+int xtc_write_frames(const char* path, int32_t n_atoms, int64_t n,
+                     const int32_t* step, const float* time,
+                     const float* box, const float* xyz, float precision,
+                     int64_t* err_frame) {
+    XdrOut xf(path, false);
+    if (!xf.ok) return 1;
+    for (int64_t f = 0; f < n; ++f) {
+        int rc = write_frame_impl(
+            xf, n_atoms, step ? step[f] : (int32_t)f,
+            time ? time[f] : (float)f, box + (size_t)f * 9,
+            xyz + (size_t)f * n_atoms * 3, precision);
+        if (rc != 0) {
+            if (err_frame) *err_frame = f;
+            return rc;
+        }
+    }
+    return 0;
 }
 
 }  // extern "C"

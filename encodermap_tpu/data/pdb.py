@@ -60,6 +60,11 @@ def load_pdb(
                         float(line[15:24]) / 10.0,
                         float(line[24:33]) / 10.0,
                     )
+                    # "CRYST1 1.000 1.000 1.000" is the PDB convention
+                    # for "no crystal" (NMR/modeled structures) — a real
+                    # 0.1 nm box would wreck minimum-image distances
+                    if max(box) <= 0.11:
+                        box = None
                 except ValueError:
                     box = None
             elif rec in ("ATOM  ", "HETATM"):
@@ -101,10 +106,17 @@ def load_pdb(
         frames.append(coords)
 
     n_atoms = top.n_atoms
+    # some deposited ensembles have per-model extra atoms (waters/altlocs),
+    # making `frames` ragged — trim every model to model 1's atoms BEFORE
+    # stacking (np.asarray raises on ragged input under numpy 2.x)
+    if any(len(f) != n_atoms for f in frames):
+        frames = [f[:n_atoms] for f in frames]
+        if any(len(f) != n_atoms for f in frames):
+            raise ValueError(
+                f"{path}: a MODEL has fewer atoms ({min(map(len, frames))}) "
+                f"than model 1 ({n_atoms})"
+            )
     xyz = np.asarray(frames, dtype=np.float32)
-    if xyz.size and xyz.shape[1] != n_atoms:
-        # some files repeat atoms in later models inconsistently; trust model 1
-        xyz = xyz[:, :n_atoms]
     unitcell = None
     if box is not None:
         unitcell = np.tile(np.asarray(box, np.float32), (len(xyz), 1))

@@ -34,27 +34,47 @@ class XTCReader:
         self._lib.xtc_scan.restype = ctypes.c_int
         self._lib.xtc_read_frames.restype = ctypes.c_int
 
-        # first pass: count frames
         n_frames = ctypes.c_int64(0)
         n_atoms = ctypes.c_int32(0)
-        rc = self._lib.xtc_scan(
-            self.path.encode(), ctypes.byref(n_frames), ctypes.byref(n_atoms),
-            None, ctypes.c_int64(0),
-        )
-        if rc != 0:
-            raise IOError(f"xtc_scan failed with code {rc} for {path}")
-        self.n_frames = int(n_frames.value)
-        self.n_atoms = int(n_atoms.value)
-
-        # second pass: record offsets
-        self._offsets = np.zeros(self.n_frames, np.int64)
-        rc = self._lib.xtc_scan(
-            self.path.encode(), ctypes.byref(n_frames), ctypes.byref(n_atoms),
-            self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.c_int64(self.n_frames),
-        )
-        if rc != 0:
-            raise IOError(f"xtc_scan (offsets) failed with code {rc} for {path}")
+        # an XTC frame is >= ~60 bytes, so file_size/60 bounds the frame
+        # count — one scan pass with a buffer of that size (capped at 16M
+        # entries / 128 MB) instead of a count pass + an offsets pass
+        size = Path(self.path).stat().st_size
+        bound = size // 60 + 1
+        if bound <= 16_000_000:
+            buf = np.zeros(bound, np.int64)
+            rc = self._lib.xtc_scan(
+                self.path.encode(), ctypes.byref(n_frames),
+                ctypes.byref(n_atoms),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(bound),
+            )
+            if rc != 0:
+                raise IOError(f"xtc_scan failed with code {rc} for {path}")
+            self.n_frames = int(n_frames.value)
+            self.n_atoms = int(n_atoms.value)
+            self._offsets = buf[: self.n_frames].copy()
+        else:
+            # enormous file: count first, then record offsets exactly
+            rc = self._lib.xtc_scan(
+                self.path.encode(), ctypes.byref(n_frames),
+                ctypes.byref(n_atoms), None, ctypes.c_int64(0),
+            )
+            if rc != 0:
+                raise IOError(f"xtc_scan failed with code {rc} for {path}")
+            self.n_frames = int(n_frames.value)
+            self.n_atoms = int(n_atoms.value)
+            self._offsets = np.zeros(self.n_frames, np.int64)
+            rc = self._lib.xtc_scan(
+                self.path.encode(), ctypes.byref(n_frames),
+                ctypes.byref(n_atoms),
+                self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(self.n_frames),
+            )
+            if rc != 0:
+                raise IOError(
+                    f"xtc_scan (offsets) failed with code {rc} for {path}"
+                )
 
     def read(
         self, indices: Optional[Union[Sequence[int], slice]] = None
@@ -70,6 +90,13 @@ class XTCReader:
             idx = np.arange(self.n_frames)[indices]
         else:
             idx = np.asarray(indices, np.int64)
+            if len(idx) and (
+                idx.min() < -self.n_frames or idx.max() >= self.n_frames
+            ):
+                raise IndexError(
+                    f"frame index out of range for {self.n_frames}-frame "
+                    f"trajectory: {indices}"
+                )
             idx = np.where(idx < 0, idx + self.n_frames, idx)
         offsets = np.ascontiguousarray(self._offsets[idx])
         n = len(idx)
@@ -125,23 +152,49 @@ def write_xtc(
     lib = load_library("xdr_xtc")
     if lib is None:
         raise RuntimeError("native XTC encoder unavailable (g++ missing?)")
-    lib.xtc_write_frame.restype = ctypes.c_int
+    lib.xtc_write_frames.restype = ctypes.c_int
     xyz = np.ascontiguousarray(np.asarray(xyz, np.float32))
     n_frames, n_atoms, _ = xyz.shape
+    if n_frames == 0:
+        # still (re)create the file: silently keeping a stale file at the
+        # target path would masquerade as the new (empty) trajectory
+        open(path, "wb").close()
+        return str(path)
     if box is None:
         box = np.zeros((n_frames, 3, 3), np.float32)
     box = np.ascontiguousarray(np.asarray(box, np.float32).reshape(n_frames, 9))
-    for f in range(n_frames):
-        rc = lib.xtc_write_frame(
-            str(path).encode(),
-            ctypes.c_int32(n_atoms),
-            ctypes.c_int32(int(steps[f]) if steps is not None else f),
-            ctypes.c_float(float(time[f]) if time is not None else float(f)),
-            box[f].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            xyz[f].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.c_float(precision),
-            ctypes.c_int32(1 if f else 0),
+    step_arr = (
+        np.ascontiguousarray(np.asarray(steps, np.int32))
+        if steps is not None else None
+    )
+    time_arr = (
+        np.ascontiguousarray(np.asarray(time, np.float32))
+        if time is not None else None
+    )
+    err_frame = ctypes.c_int64(-1)
+    # one open for the whole trajectory (a per-frame append-reopen loop
+    # dominated large saves)
+    rc = lib.xtc_write_frames(
+        str(path).encode(),
+        ctypes.c_int32(n_atoms),
+        ctypes.c_int64(n_frames),
+        step_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if step_arr is not None else None,
+        time_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if time_arr is not None else None,
+        box.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(precision),
+        ctypes.byref(err_frame),
+    )
+    if rc == 6:
+        raise ValueError(
+            f"non-finite coordinates at frame {err_frame.value}; refusing "
+            f"to write a corrupt XTC"
         )
-        if rc != 0:
-            raise IOError(f"xtc_write_frame failed with code {rc} at frame {f}")
+    if rc != 0:
+        raise IOError(
+            f"xtc_write_frames failed with code {rc} at frame "
+            f"{err_frame.value}"
+        )
     return str(path)

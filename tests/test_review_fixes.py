@@ -77,6 +77,103 @@ class TestBoxPreservation:
         np.testing.assert_array_equal(xyz[0], t2[3].xyz[0])
 
 
+class TestNativeIORobustness:
+    def _write_sample(self, tmp_path, n_frames=5, n_atoms=20):
+        from encodermap_tpu.data.xtc import write_xtc
+
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(0, 4, (n_frames, n_atoms, 3)).astype(np.float32)
+        path = tmp_path / "t.xtc"
+        write_xtc(path, xyz)
+        return path, xyz
+
+    def test_truncated_final_frame_dropped_not_fatal(self, tmp_path):
+        """A mid-frame truncation (interrupted copy) must drop the partial
+        frame, not fail the whole file later (mdtraj behavior)."""
+        from encodermap_tpu.data.xtc import XTCReader
+
+        path, xyz = self._write_sample(tmp_path)
+        size = path.stat().st_size
+        with open(path, "r+b") as f:
+            f.truncate(size - 40)  # cut into the last frame's payload
+        r = XTCReader(path)
+        assert r.n_frames == 4
+        out, *_ = r.read()
+        np.testing.assert_allclose(out, xyz[:4], atol=1e-3)
+
+    def test_out_of_range_negative_index_raises(self, tmp_path):
+        from encodermap_tpu.data.xtc import XTCReader
+
+        path, _ = self._write_sample(tmp_path)
+        r = XTCReader(path)
+        with pytest.raises(IndexError):
+            r.read([-6])
+        with pytest.raises(IndexError):
+            r.read([5])
+        # valid negative indexing still works
+        np.testing.assert_array_equal(r.read([-1])[0], r.read([4])[0])
+
+    def test_nonfinite_coordinates_refused(self, tmp_path):
+        from encodermap_tpu.data.xtc import write_xtc
+
+        xyz = np.zeros((2, 12, 3), np.float32)
+        xyz[1, 3, 1] = np.inf
+        with pytest.raises(ValueError, match="non-finite"):
+            write_xtc(tmp_path / "bad.xtc", xyz)
+
+    def test_zero_frames_truncates_stale_file(self, tmp_path):
+        from encodermap_tpu.data.xtc import write_xtc
+
+        path = tmp_path / "z.xtc"
+        path.write_bytes(b"stale bytes")
+        write_xtc(path, np.zeros((0, 10, 3), np.float32))
+        assert path.stat().st_size == 0
+
+    def test_roundtrip_still_exact(self, tmp_path):
+        from encodermap_tpu.data.xtc import XTCReader
+
+        path, xyz = self._write_sample(tmp_path, n_frames=3, n_atoms=50)
+        out, *_ = XTCReader(path).read()
+        np.testing.assert_allclose(out, xyz, atol=1e-3)
+
+
+class TestPDBBoxConventions:
+    def test_dummy_cryst1_means_no_box(self, tmp_path):
+        from encodermap_tpu.data.pdb import load_pdb
+
+        pdb = tmp_path / "nmr.pdb"
+        pdb.write_text(
+            "CRYST1    1.000    1.000    1.000  90.00  90.00  90.00 P 1\n"
+            "ATOM      1  N   ALA A   1       0.000   0.000   0.000  "
+            "1.00  0.00           N\n"
+            "ATOM      2  CA  ALA A   1       1.500   0.000   0.000  "
+            "1.00  0.00           C\n"
+            "END\n"
+        )
+        top, xyz, cell = load_pdb(pdb)
+        assert cell is None  # the PDB 'no crystal' placeholder
+
+    def test_ragged_multi_model_trims_to_first(self, tmp_path):
+        from encodermap_tpu.data.pdb import load_pdb
+
+        def atom(i, x):
+            return (
+                f"ATOM  {i:5d}  CA  ALA A{i:4d}    {x:8.3f}   0.000   "
+                f"0.000  1.00  0.00           C\n"
+            )
+
+        pdb = tmp_path / "ragged.pdb"
+        pdb.write_text(
+            "MODEL        1\n" + atom(1, 1.0) + atom(2, 2.0)
+            + "ENDMDL\nMODEL        2\n"
+            + atom(1, 3.0) + atom(2, 4.0) + atom(3, 5.0)  # extra atom
+            + "ENDMDL\nEND\n"
+        )
+        top, xyz, cell = load_pdb(pdb)
+        assert xyz.shape == (2, 2, 3)
+        assert xyz[1, 0, 0] == pytest.approx(0.3)  # Angstrom -> nm
+
+
 class TestChiVariants:
     def test_hsd_histidine_gets_chis_everywhere(self):
         """CHARMM-named HSD histidine must appear in indices_chi,

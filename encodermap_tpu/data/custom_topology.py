@@ -42,20 +42,9 @@ class _PatchedTopology(Topology):
         base.update(self._custom_chi.get(f"chi{n}", {}))
         return base
 
-    def indices_chi(self, n: int) -> np.ndarray:
-        from .topology import chi_names_for
-
-        base = self.chi_table(n)
-        out = []
-        for r in self._protein_residues():
-            names = chi_names_for(base, r.name)
-            if names is None:
-                continue
-            atoms = [r.atom(nm) for nm in names]
-            if any(a is None for a in atoms):
-                continue
-            out.append([a.index for a in atoms])
-        return np.asarray(out, dtype=np.int64).reshape(-1, 4)
+    # NOTE: no indices_chi override — the base Topology.indices_chi already
+    # goes through self.chi_table(n), which is THIS class's extension point
+    # (a verbatim copy here would silently miss future base-class fixes)
 
     def _override_quad(
         self, kind: str, prev, cur, nxt
@@ -83,8 +72,16 @@ class _PatchedTopology(Topology):
         res = self._protein_residues()
         out = []
         for i, cur in enumerate(res):
+            # neighbors only count when peptide-bonded (same chain AND
+            # contiguous resSeq — the base class's gap guard): an
+            # unresolved-loop gap or a chain break must not supply a
+            # '-'/'+' override atom or a default torsion partner
             prev = res[i - 1] if i > 0 else None
+            if prev is not None and not self._peptide_bonded(prev, cur):
+                prev = None
             nxt = res[i + 1] if i + 1 < len(res) else None
+            if nxt is not None and not self._peptide_bonded(cur, nxt):
+                nxt = None
             if (kind, cur.name) in self._not_dihedrals:
                 continue
             quad = self._override_quad(kind, prev, cur, nxt)
@@ -92,13 +89,13 @@ class _PatchedTopology(Topology):
                 out.append(quad)
                 continue
             # defaults
-            if kind == "PHI" and prev is not None and prev.chain_index == cur.chain_index:
+            if kind == "PHI" and prev is not None:
                 out.append([prev.atom("C").index, cur.atom("N").index,
                             cur.atom("CA").index, cur.atom("C").index])
-            elif kind == "PSI" and nxt is not None and nxt.chain_index == cur.chain_index:
+            elif kind == "PSI" and nxt is not None:
                 out.append([cur.atom("N").index, cur.atom("CA").index,
                             cur.atom("C").index, nxt.atom("N").index])
-            elif kind == "OMEGA" and nxt is not None and nxt.chain_index == cur.chain_index:
+            elif kind == "OMEGA" and nxt is not None:
                 out.append([cur.atom("CA").index, cur.atom("C").index,
                             nxt.atom("N").index, nxt.atom("CA").index])
         return np.asarray(out, dtype=np.int64).reshape(-1, 4)
@@ -210,12 +207,25 @@ class CustomTopology:
         out._dihedral_overrides = self._dihedral_overrides
         out._not_dihedrals = self._not_dihedrals
         out._custom_def_json = self.to_json()
+        def resolve(res_index: int, name: str):
+            """Atom lookup honoring '-'/'+' previous/next-residue prefixes
+            (the neighbor-reference syntax the class docstring promises)."""
+            if name.startswith("-"):
+                if res_index == 0:
+                    return None
+                return out.residues[res_index - 1].atom(name[1:])
+            if name.startswith("+"):
+                if res_index + 1 >= len(out.residues):
+                    return None
+                return out.residues[res_index + 1].atom(name[1:])
+            return out.residues[res_index].atom(name)
+
         for entry in self._extra_bonds:
             res_name, a_name, b_name = entry
-            for res in out.residues:
+            for ri, res in enumerate(out.residues):
                 if res.name != res_name:
                     continue
-                a, b = res.atom(a_name), res.atom(b_name)
+                a, b = resolve(ri, a_name), resolve(ri, b_name)
                 if a is not None and b is not None:
                     out._extra_bonds.append((a.index, b.index))
         return out

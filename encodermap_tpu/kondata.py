@@ -54,18 +54,31 @@ def get_from_kondata(
                 print(f"using local dataset copy at {c}")
             return str(c)
 
-    # network fetch (only possible with egress)
+    # network fetch (only possible with egress). Download + extract into a
+    # TEMP sibling and rename atomically: a failed/partial attempt must
+    # never leave files in `output`, or the exists-and-non-empty check
+    # above would return the broken copy forever.
     try:
+        import shutil
+        import tarfile
+        import tempfile
         import urllib.request
 
-        output.mkdir(parents=True, exist_ok=True)
-        url = _FALLBACK_URLS[0].format(dataset=dataset_name)
-        target = output / f"{dataset_name}.tar"
-        urllib.request.urlretrieve(url, target)  # noqa: S310
-        import tarfile
-
-        with tarfile.open(target) as tf:
-            tf.extractall(output)  # noqa: S202
+        output.parent.mkdir(parents=True, exist_ok=True)
+        with tempfile.TemporaryDirectory(
+            dir=output.parent, prefix=f".{dataset_name}.dl."
+        ) as tmp:
+            tmp = Path(tmp)
+            url = _FALLBACK_URLS[0].format(dataset=dataset_name)
+            target = tmp / f"{dataset_name}.tar"
+            urllib.request.urlretrieve(url, target)  # noqa: S310
+            extract = tmp / "extracted"
+            extract.mkdir()
+            with tarfile.open(target) as tf:
+                tf.extractall(extract)  # noqa: S202
+            if output.exists():
+                shutil.rmtree(output)
+            shutil.move(str(extract), str(output))
         return str(output)
     except Exception as e:
         raise RuntimeError(
@@ -99,8 +112,15 @@ def load_project(
     if not load_autoencoder:
         return ensemble
 
-    ckpt_dirs = [d for d in root.iterdir() if d.is_dir() and
-                 (d / "parameters.json").exists()]
+    # deterministic selection: iterdir() order is filesystem-dependent;
+    # prefer the LAST run directory by name (runN sorts naturally enough
+    # for the reference's run0/run1/... convention)
+    ckpt_dirs = sorted(
+        (d for d in root.iterdir() if d.is_dir()
+         and (d / "parameters.json").exists()),
+        key=lambda d: (len(d.name), d.name),
+        reverse=True,
+    )
     if (root / "parameters.json").exists():
         ckpt_dirs.insert(0, root)
     if not ckpt_dirs:

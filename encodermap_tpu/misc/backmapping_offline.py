@@ -81,6 +81,11 @@ def guess_bonds(top: Topology, xyz: np.ndarray, tolerance: float = 1.3
             cutoff = (radii[lo] + radii[hi]) * tolerance
             if np.linalg.norm(xyz[lo] - xyz[hi]) < cutoff:
                 bonds.add((lo, hi))
+    # user-declared bonds from a CustomTopology (unnatural residues whose
+    # connectivity the distance criterion may miss) join the graph here —
+    # this is where the patched topology's _extra_bonds become observable
+    for a, b in getattr(top, "_extra_bonds", []):
+        bonds.add((min(a, b), max(a, b)))
     return sorted(bonds)
 
 

@@ -33,7 +33,13 @@ class MolData:
         self.angles = np.asarray(cvs["central_angles"])
         self.dihedrals = np.asarray(cvs["central_dihedrals"])
         self.central_cartesians = np.asarray(cvs["central_cartesians"])
-        self.cartesians = self.central_cartesians
+        # reference MolData.cartesians is the xyz of EVERY atom
+        # (``moldata.py:88,170`` fills it from all_cartesians) — aliasing
+        # the backbone-only array here would silently break atom-indexed
+        # downstream code
+        self.cartesians = np.concatenate(
+            [np.asarray(t.xyz, np.float32) for t in trajs.trajs], axis=0
+        )
         self.lengths = np.asarray(cvs["central_distances"])
         self.distances = self.lengths
         self.sidedihedrals = np.asarray(cvs["side_dihedrals"])

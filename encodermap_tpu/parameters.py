@@ -77,9 +77,14 @@ class ParametersFramework:
         return out
 
     def update(self, **kwargs: Any) -> None:
+        known = {f.name for f in fields(self)}
+        unknown = sorted(set(kwargs) - known)
+        if unknown:
+            # an explicit setter must not swallow typos silently
+            # (p.update(learning_rte=...) losing the change)
+            raise TypeError(f"unknown parameter(s): {unknown}")
         for k, v in kwargs.items():
-            if any(f.name == k for f in fields(self)):
-                setattr(self, k, v)
+            setattr(self, k, v)
 
     @property
     def defaults(self) -> dict[str, Any]:
@@ -103,9 +108,12 @@ class ParametersFramework:
         if dropped:
             print(f"Dropping unknown parameter keys: {dropped}")
         kwargs = {k: v for k, v in d.items() if k in known}
-        # legacy key migration (reference supports n_epochs -> n_steps)
+        # legacy key migration: the reference computes
+        # n_steps = n_epochs * n_steps_per_epoch (``parameters.py:336-341``)
         if "n_epochs" in d and "n_steps" not in kwargs:
-            kwargs["n_steps"] = d["n_epochs"]
+            kwargs["n_steps"] = int(d["n_epochs"]) * int(
+                d.get("n_steps_per_epoch", 1)
+            )
         return cls(**kwargs)
 
     def save(self, path: Optional[Union[str, Path]] = None) -> str:
@@ -150,9 +158,12 @@ class ParametersFramework:
         if d.get("periodicity") == "inf":
             d["periodicity"] = float("inf")
         p = cls.from_dict(d)
-        recorded = Path(p.main_path)
+        recorded = Path(p.main_path).resolve()
         actual = path.resolve().parent
-        if recorded != actual and not str(actual).startswith(str(recorded)):
+        # path-PART comparison, not startswith: '/work/run10' must not
+        # count as being inside '/work/run1'
+        inside = recorded == actual or recorded in actual.parents
+        if recorded != actual and not inside:
             print(
                 "seems like the parameter file was moved to another directory. "
                 "Parameter file is updated accordingly."

@@ -149,7 +149,10 @@ class TestMolData:
         n = len(md)
         assert md.angles.shape == (n, 19)
         assert md.dihedrals.shape == (n, 18)
-        assert md.cartesians.shape == (n, 21, 3)
+        # reference contract: cartesians = xyz of EVERY atom
+        # (``moldata.py:88``); central_cartesians is the backbone slice
+        assert md.cartesians.shape == (n, traj.top.n_atoms, 3)
+        assert md.central_cartesians.shape == (n, 21, 3)
         assert md.lengths.shape == (n, 20)
         assert md.sidedihedrals.shape[0] == n
 

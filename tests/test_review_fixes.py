@@ -220,6 +220,136 @@ class TestChiVariants:
         assert not other.residues[0].is_protein
 
 
+class TestCustomTopologyConsistency:
+    def test_patched_topology_honors_gap_guard(self):
+        """A CustomTopology-patched topology must skip torsions over
+        resSeq gaps exactly like the base class (the h5 round-trip
+        auto-applies CustomTopology, so divergence would silently change
+        feature tables on reload)."""
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top = _mini_top([
+            ("ALA", 40, 0, BB), ("GLY", 41, 0, BB),
+            ("SER", 48, 0, BB), ("VAL", 49, 0, BB),
+        ])
+        patched = CustomTopology(top).apply()
+        np.testing.assert_array_equal(patched.indices_phi, top.indices_phi)
+        np.testing.assert_array_equal(patched.indices_psi, top.indices_psi)
+        np.testing.assert_array_equal(
+            patched.indices_omega, top.indices_omega
+        )
+
+    def test_override_never_crosses_chains(self):
+        """A '-'-prefixed override atom must not resolve into the previous
+        CHAIN's last residue."""
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top = _mini_top([
+            ("ALA", 1, 0, BB), ("PEG", 2, 0, BB),
+            ("PEG", 1, 1, BB),  # chain B starts with the custom residue
+        ])
+        ct = CustomTopology(top)
+        ct.add_residue("PEG")
+        ct.override_dihedral("PHI", "PEG", ["-C", "N", "CA", "C"])
+        patched = ct.apply()
+        phi = patched.indices_phi
+        # only chain A's PEG gets a PHI (prev = ALA); chain B's has no
+        # peptide-bonded predecessor
+        assert len(phi) == 1
+        assert phi[0][0] == top.residues[0].atom("C").index
+
+    def test_neighbor_referenced_extra_bonds_resolve_and_feed_graph(self):
+        """bonds=[('C', '+N')] neighbor references (the documented syntax)
+        must resolve across residues and reach guess_bonds' graph."""
+        from encodermap_tpu.data.custom_topology import CustomTopology
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        top = _mini_top([
+            ("PEG", 1, 0, BB), ("PEG", 2, 0, BB),
+        ])
+        ct = CustomTopology(top)
+        ct.add_residue("PEG", bonds=[("C", "+N")])
+        patched = ct.apply()
+        c0 = patched.residues[0].atom("C").index
+        n1 = patched.residues[1].atom("N").index
+        assert (min(c0, n1), max(c0, n1)) in patched._extra_bonds
+        # place atoms far apart so the distance criterion would MISS the
+        # bond; only the declared extra bond can supply it
+        xyz = np.arange(patched.n_atoms * 3, dtype=np.float32).reshape(
+            -1, 3) * 10.0
+        bonds = guess_bonds(patched, xyz)
+        assert (min(c0, n1), max(c0, n1)) in bonds
+
+
+class TestParameterHygiene:
+    def test_n_epochs_migration_multiplies_steps_per_epoch(self, tmp_path):
+        import json
+
+        from encodermap_tpu import Parameters
+
+        f = tmp_path / "parameters.json"
+        f.write_text(json.dumps({
+            "main_path": str(tmp_path), "n_epochs": 100,
+            "n_steps_per_epoch": 1000,
+        }))
+        p = Parameters.from_file(f)
+        assert p.n_steps == 100_000  # reference: n_epochs * steps_per_epoch
+
+    def test_update_rejects_typos(self):
+        from encodermap_tpu import Parameters
+
+        p = Parameters()
+        with pytest.raises(TypeError, match="learning_rte"):
+            p.update(learning_rte=1e-4)
+        p.update(learning_rate=1e-4)
+        assert p.learning_rate == 1e-4
+
+    def test_sibling_prefix_dir_still_repairs_main_path(self, tmp_path):
+        """/work/run10 is NOT inside /work/run1 — the repair must fire."""
+        import json
+
+        from encodermap_tpu import Parameters
+
+        old = tmp_path / "run1"
+        new = tmp_path / "run10"
+        new.mkdir()
+        f = new / "parameters.json"
+        f.write_text(json.dumps({"main_path": str(old)}))
+        p = Parameters.from_file(f)
+        assert Path(p.main_path).resolve() == new.resolve()
+
+
+class TestMolDataContract:
+    @needs_data
+    def test_cartesians_is_all_atom(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.moldata import MolData
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        md = MolData(t)
+        assert md.cartesians.shape[1] == t.top.n_atoms  # every atom
+        assert md.central_cartesians.shape[1] == 3 * 7  # backbone only
+
+
+class TestKondataRobustness:
+    def test_failed_download_leaves_no_poisoned_dir(self, tmp_path,
+                                                    monkeypatch):
+        import urllib.request
+
+        from encodermap_tpu import kondata
+
+        def boom(url, target):
+            Path(target).write_bytes(b"partial")  # partial file written
+            raise OSError("network down")
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", boom)
+        out = tmp_path / "dset"
+        with pytest.raises(RuntimeError):
+            kondata.get_from_kondata("dset", output=out)
+        # a retry must not find a half-written directory
+        assert not out.exists()
+
+
 class TestSequenceGaps:
     def test_phi_psi_omega_skip_unresolved_loop(self):
         """A crystal structure's resSeq jump (unresolved loop) must not

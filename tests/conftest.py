@@ -17,19 +17,30 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# single-core box: persist XLA compiles across test runs/processes
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# single-core box: persist XLA compiles across test runs/processes.
+# MUST go through jax.config (like jax_platforms above): the sitecustomize
+# pre-imports jax before conftest runs, so the env vars are already bound
+# into config defaults and setting them here is silently ignored —
+# measured as a full recompile of every program on every pytest run.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture
+def rng(request):
+    """Per-test deterministic RNG: a session-scoped shared stream made every
+    test's data depend on which tests ran before it, so a marginal
+    tolerance could fail only under certain -k subsets and a full-suite
+    failure was not reproducible in isolation."""
+    import zlib
+
+    return np.random.default_rng(
+        zlib.crc32(request.node.nodeid.encode())
+    )

@@ -45,7 +45,7 @@ def _build_tf_twin(tf, params, p):
     """
     from encodermap_tpu.models.sequential import layer_stack
 
-    enc_layers, dec_layers, _ = layer_stack(p, input_dim=None or p_input_dim(params, p))
+    enc_layers, dec_layers, _ = layer_stack(p, input_dim=p_input_dim(params, p))
     enc_acts = [a for _, a in enc_layers]
     dec_acts = [a for _, a in dec_layers]
 
@@ -86,7 +86,6 @@ class TestDeterministicParity:
     @pytest.mark.parametrize("periodic", [False, True])
     def test_full_loss_stack(self, tf, ref_distances, rng, periodic):
         from encodermap_tpu import EncoderMap, Parameters
-        from encodermap_tpu.models import sequential as seq
 
         p = Parameters(
             main_path="/tmp/parity_run",
@@ -150,8 +149,9 @@ class TestDeterministicParity:
             ours["distance_loss"], distance_tf,
         )
 
-    def test_forward_outputs_match(self, tf, ref_distances, rng):
-        """Encoder/decoder outputs themselves agree elementwise."""
+    def test_forward_outputs_match(self, tf, rng):
+        """Encoder/decoder outputs themselves agree elementwise (needs
+        only the TF twin, not the reference mount)."""
         from encodermap_tpu import EncoderMap, Parameters
         from encodermap_tpu.models import sequential as seq
 

@@ -21,6 +21,16 @@ from encodermap_tpu.ops.distances import (
 from tests import reference_impl as ref
 
 
+class TestNumpyOracles:
+    def test_pairwise_dist_np_matches_scipy(self, rng):
+        """Exercise the numpy pairwise oracle itself (an unexercised
+        oracle rots silently)."""
+        x = rng.standard_normal((20, 4))
+        np.testing.assert_allclose(
+            ref.pairwise_dist_np(x), cdist(x, x), atol=1e-12
+        )
+
+
 class TestPairwiseDist:
     def test_matches_scipy_cdist(self, rng):
         x = rng.standard_normal((37, 5)).astype(np.float32)

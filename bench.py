@@ -201,16 +201,19 @@ def bench_featurize(n_frames: int = 1024, block: int = 512
     user_fps = n_frames / dt
 
     # device-only companion: same jitted feature program, xyz resident
+    from encodermap_tpu.ops import geometry as geom
+
     run, slice_xyz = make_feature_runner(feat.features)
     xyz = jnp.asarray(slice_xyz(np.asarray(t2.xyz[:block], np.float32)))
     box = t2.unitcell_vectors
     bb = jnp.asarray(box[:block]) if box is not None else None
+    triclinic = box is not None and geom.boxes_are_triclinic(box)
     iters = 20
 
     @jax.jit
     def loop(x):
         def body(i, acc):
-            res = run(x + i.astype(jnp.float32) * 1e-6, bb)
+            res = run(x + i.astype(jnp.float32) * 1e-6, bb, triclinic)
             return acc + sum(jnp.sum(r) for r in res)
 
         return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))

@@ -67,17 +67,23 @@ CHI_ATOMS: dict[str, dict[str, list[str]]] = {
 _PROTEIN_RESIDUES = {
     "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
     "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
-    # common variants
+    # common variants (CHARMM/AMBER/GROMACS protonation-state naming)
     "HSD", "HSE", "HSP", "HID", "HIE", "HIP", "CYX", "CYM", "ASH", "GLH",
     "LYN", "ACE", "NME", "NMA",
+    "LYSH", "ARGN", "HISA", "HISB", "HISH", "HIS1", "ASPH", "GLUH", "CYSH",
+    "CYS2",
 }
 
 #: protonation/bond-state variant residue names -> parent residue, for chi
-#: table lookups (CHARMM/AMBER naming)
+#: table lookups (CHARMM/AMBER/GROMACS naming)
 RESIDUE_VARIANTS = {
     "HSD": "HIS", "HSE": "HIS", "HSP": "HIS", "HID": "HIS", "HIE": "HIS",
     "HIP": "HIS", "CYX": "CYS", "CYM": "CYS", "ASH": "ASP", "GLH": "GLU",
     "LYN": "LYS",
+    # GROMACS force-field names
+    "LYSH": "LYS", "ARGN": "ARG", "HISA": "HIS", "HISB": "HIS",
+    "HISH": "HIS", "HIS1": "HIS", "ASPH": "ASP", "GLUH": "GLU",
+    "CYSH": "CYS", "CYS2": "CYS",
 }
 
 

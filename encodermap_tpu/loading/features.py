@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -328,26 +329,65 @@ class BackboneTorsionFeature(DihedralFeature):
     ) -> None:
         phi = top.indices_phi
         psi = top.indices_psi
-        self._labels = [f"PHI {i}" for i in range(len(phi))] + [
-            f"PSI {i}" for i in range(len(psi))
-        ]
-        idx = np.vstack([phi, psi]) if len(phi) or len(psi) else np.zeros((0, 4))
+        # the reference INTERLEAVES: (phi_1, psi_1, ..., phi_n, psi_n)
+        # (``features.py:2144-2147``) — an all-phi-then-all-psi stack would
+        # permute every column relative to reference-produced CVs. phi
+        # starts at residue 2 and psi ends at residue n-1, so pair phi_i
+        # with psi_{i+1} the way the reference's sorted indices do.
+        quads = list(phi) + list(psi)
+        order = np.argsort([int(q[1]) for q in quads], kind="stable")
+        idx = (
+            np.asarray([quads[i] for i in order], np.int64).reshape(-1, 4)
+            if quads else np.zeros((0, 4), np.int64)
+        )
         super().__init__(top, idx, deg, cossin, periodic)
 
 
 class ResidueMinDistanceFeature(Feature):
-    """Min distance between residue pairs (reference ``features.py:2223``)."""
+    """Min distance between residue pairs (reference ``features.py:2223``).
+
+    ``contacts="all"`` resolves to every residue pair at least 3 apart in
+    sequence (mdtraj ``compute_contacts`` convention the reference rides),
+    restricted to protein residues when ``ignore_nonprotein``.
+    ``count_contacts`` collapses the output to a single per-frame count of
+    pairs below ``threshold`` (reference ``features.py:2242-2255``).
+    """
 
     name = "ResidueMinDistanceFeature"
 
     def __init__(
-        self, top: Topology, contacts: Sequence, scheme: str = "closest-heavy",
+        self, top: Topology, contacts="all", scheme: str = "closest-heavy",
         threshold: Optional[float] = None, periodic: bool = True,
+        ignore_nonprotein: bool = True, count_contacts: bool = False,
     ) -> None:
         super().__init__(top)
+        if count_contacts and threshold is None:
+            raise ValueError(
+                "Cannot count contacts when no contact threshold is supplied."
+            )
+        if isinstance(contacts, str):
+            if contacts != "all":
+                raise ValueError(
+                    f"residue_pairs must be 'all' or an (n, 2) array, "
+                    f"got {contacts!r}"
+                )
+            # sequence separation >= 3 is measured on ORIGINAL residue
+            # indices, non-protein filtering applied afterwards (mdtraj's
+            # order of operations)
+            keep = {
+                r.index for r in top.residues
+                if (r.is_protein or not ignore_nonprotein)
+            }
+            n_res = top.n_residues
+            contacts = [
+                (i, j)
+                for i in range(n_res) for j in range(i + 3, n_res)
+                if i in keep and j in keep
+            ]
         self.contacts = np.asarray(contacts, np.int64).reshape(-1, 2)
         self.scheme = scheme
         self.threshold = threshold
+        self.count_contacts = count_contacts
         self.mic = periodic
         # per residue-pair: all heavy-atom cross pairs, reduced by min
         self._pair_blocks = []
@@ -363,22 +403,45 @@ class ResidueMinDistanceFeature(Feature):
                 a1 = [ca1.index] if ca1 else a1
             block = np.array([(i, j) for i in a0 for j in a1], np.int64)
             self._pair_blocks.append(block)
+        # one fused computation: concatenate all blocks, compute every
+        # atom-pair distance in ONE call, then segment-min per residue
+        # pair (a per-pair Python loop emitted N gather+min ops — small
+        # irregular ops are poison on TPU and bloat compile time)
+        if self._pair_blocks:
+            self._all_pairs = np.concatenate(self._pair_blocks, axis=0)
+            sizes = [len(b) for b in self._pair_blocks]
+            self._segments = np.repeat(np.arange(len(sizes)), sizes)
+            self._n_segments = len(sizes)
+        else:
+            self._all_pairs = np.zeros((0, 2), np.int64)
+            self._segments = np.zeros((0,), np.int64)
+            self._n_segments = 0
 
     def describe(self) -> list[str]:
+        # reference label format: "RES_DIST (scheme) RES1 - RES2", with a
+        # "counted " prefix (and a single column) for count_contacts
+        # (``features.py:2250-2296``)
+        prefix = f"RES_DIST ({self.scheme})"
+        if self.count_contacts:
+            prefix = "counted " + prefix
+            return [f"{prefix} number of contacts"]
         return [
-            f"RES_MINDIST: {self.top.residue(int(a))} - {self.top.residue(int(b))}"
+            f"{prefix} {self.top.residue(int(a))} - {self.top.residue(int(b))}"
             for a, b in self.contacts
         ]
 
     def transform(self, xyz, unitcell=None):
         box = unitcell if self.mic else None
-        outs = []
-        for block in self._pair_blocks:
-            d = geom.compute_distances(xyz, block, box)
-            outs.append(jnp.min(d, axis=1))
-        out = jnp.stack(outs, axis=1)
+        d = geom.compute_distances(xyz, self._all_pairs, box)
+        # segment min over the per-residue-pair blocks
+        out = jax.ops.segment_min(
+            d.T, jnp.asarray(self._segments),
+            num_segments=self._n_segments,
+        ).T
         if self.threshold is not None:
             out = (out < self.threshold).astype(jnp.float32)
+            if self.count_contacts:
+                out = jnp.sum(out, axis=1, keepdims=True)
         return out
 
 
@@ -452,17 +515,35 @@ class SideChainTorsions(DihedralFeature):
 
     def __init__(
         self, top: Topology, deg: bool = False, cossin: bool = False,
-        periodic: bool = True, which: str = "all",
+        periodic: bool = True, which="all",
     ) -> None:
         idx = []
         labels = []
-        chis = range(1, 6) if which == "all" else [int(which[-1])]
+        # 'which' accepts "all", one "chiN" string, or a sequence of them
+        # (the reference wraps lone strings and validates the options)
+        if isinstance(which, str):
+            which = [which]
+        if "all" in which:
+            chis = list(range(1, 6))
+        else:
+            valid = {f"chi{n}" for n in range(1, 6)}
+            bad = sorted(set(which) - valid)
+            if bad:
+                raise ValueError(
+                    f"'which' entries must be 'all' or chi1..chi5, got {bad}"
+                )
+            chis = sorted(int(w[-1]) for w in which)
         for n in chis:
             table = top.indices_chi(n)
             for quad in table:
                 idx.append(quad)
                 res = top.atom(int(quad[1])).residue
                 labels.append(f"CHI{n} {res.name} {res.resSeq}")
+        if not idx:
+            raise ValueError(
+                "Could not determine any side chain dihedrals for this "
+                "topology (the reference raises here too)"
+            )
         self._labels = labels
         idx = np.asarray(idx, np.int64).reshape(-1, 4)
         super().__init__(top, idx, deg, cossin, periodic)
@@ -529,7 +610,11 @@ class AlignFeature(SelectionFeature):
             _, R, t = kabsch_weighted(
                 frame[self.align_indices], self.ref[self.align_indices]
             )
-            return frame @ R.T + t
+            # HIGHEST: DEFAULT matmul precision is ~3e-3 on 3x3 products
+            # here (CLAUDE.md numerics rule for parity-feeding kernels)
+            return jnp.matmul(
+                frame, R.T, precision=jax.lax.Precision.HIGHEST
+            ) + t
 
         aligned = jax.vmap(align_one)(xyz)
         sel = aligned[:, self._indices]
@@ -644,7 +729,7 @@ class SideChainBondDistances(DistanceFeature):
         self, top: Topology, generic_labels: bool = False, periodic: bool = True
     ) -> None:
         pairs = []
-        for r in top.residues:
+        for r in top._protein_residues():  # same set as SideChainDihedrals
             seq = _sidechain_sequence(r, top)
             for a, b in zip(seq[1:-1], seq[2:]):  # skip N; CA->CB first
                 pairs.append((a.index, b.index))
@@ -675,7 +760,7 @@ class SideChainCartesians(Feature):
                  periodic: bool = True) -> None:
         super().__init__(top)
         side = []
-        for r in top.residues:
+        for r in top._protein_residues():  # same set as SideChainDihedrals
             seq = _sidechain_sequence(r, top)
             side.extend(a.index for a in seq[2:])  # drop N, CA
         self._indices = np.asarray(side, np.int64)
@@ -734,7 +819,7 @@ class SideChainAngles(AngleFeature):
         self, top: Topology, generic_labels: bool = False, periodic: bool = True
     ) -> None:
         triplets = []
-        for r in top.residues:
+        for r in top._protein_residues():  # same set as SideChainDihedrals
             seq = _sidechain_sequence(r, top)
             for a, b, c in zip(seq[:-2], seq[1:-1], seq[2:]):
                 triplets.append((a.index, b.index, c.index))
@@ -816,8 +901,12 @@ class CentralDihedrals(DihedralFeature):
             kind = {"N": "PSI", "CA": "OMEGA", "C": "PHI"}.get(
                 self.top.atom(int(quad[0])).name, "DIH"
             )
-            resnum = k // 3 + 1
-            out.append(f"CENTERDIH {kind} {resnum}")
+            # map onto the FULL (PSI, OMEGA, PHI)-per-residue pattern so
+            # omega=False datasets carry the same labels as omega=True
+            # ones (k // 3 alone duplicated labels without omega, and the
+            # ensemble aligner collapses duplicate labels into one column)
+            full_k = k if self.omega else (k // 2) * 3 + (k % 2) * 2
+            out.append(f"CENTERDIH {kind} {full_k // 3 + 1}")
         return out
 
 
@@ -835,7 +924,7 @@ class SideChainDihedrals(DihedralFeature):
         generic = []
         from ..data.topology import chi_names_for
 
-        prot = [r for r in top.residues if r.is_protein]
+        prot = top._protein_residues()
         for ri, r in enumerate(prot, start=1):
             for n in range(1, 6):
                 # top.chi_table honors CustomTopology unnatural-AA entries;

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.cvstore import CVCollection
+from ..ops import geometry as geom
 from . import features as F
 
 __all__ = ["Featurizer", "SingleTrajFeaturizer", "EnsembleFeaturizer"]
@@ -123,12 +124,17 @@ class SingleTrajFeaturizer:
     def add_selection(self, indexes) -> None:
         self.features.append(F.SelectionFeature(self.traj.top, indexes))
 
-    def add_residue_mindist(self, residue_pairs, scheme: str = "closest-heavy",
+    def add_residue_mindist(self, residue_pairs="all",
+                            scheme: str = "closest-heavy",
+                            ignore_nonprotein: bool = True,
                             threshold: Optional[float] = None,
-                            periodic: bool = True) -> None:
+                            periodic: bool = True,
+                            count_contacts: bool = False) -> None:
         self.features.append(
             F.ResidueMinDistanceFeature(
-                self.traj.top, residue_pairs, scheme, threshold, periodic
+                self.traj.top, residue_pairs, scheme, threshold, periodic,
+                ignore_nonprotein=ignore_nonprotein,
+                count_contacts=count_contacts,
             )
         )
 
@@ -183,6 +189,7 @@ class SingleTrajFeaturizer:
         topology: reuses this featurizer's features and jitted block
         program (one compile per topology, not per ensemble member)."""
         box = traj.unitcell_vectors
+        triclinic = box is not None and geom.boxes_are_triclinic(box)
         out = CVCollection()
 
         feats = self.features
@@ -205,7 +212,7 @@ class SingleTrajFeaturizer:
                 if box is not None
                 else None
             )
-            res = run(xb, bb)
+            res = run(xb, bb, triclinic)
             if pending is not None:
                 flush(pending)
             pending = res
@@ -251,15 +258,20 @@ def make_feature_runner(feats):
 
     Returns ``(run, slice_xyz)``: ``slice_xyz(xyz_np)`` restricts host xyz
     to the union of feature-referenced atoms (identity when any feature is
-    not remappable); ``run(xyz_block, box_block)`` is the jitted program
-    applying every feature to a (sliced) block.
+    not remappable); ``run(xyz_block, box_block, triclinic)`` is the jitted
+    program applying every feature to a (sliced) block. ``triclinic`` is a
+    STATIC flag (part of the jit cache key) deciding the MIC kernel at
+    trace time: orthorhombic cells skip the 27-image search, which is ~30x
+    the wrap cost (``ops/geometry.py::mic_mode``); compute it on host via
+    ``geom.boxes_are_triclinic(traj.unitcell_vectors)``.
     """
     run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(feats)
 
-    def run_block(xyz_block, box_block):
-        return [f.transform(xyz_block, box_block) for f in run_feats]
+    def run_block(xyz_block, box_block, triclinic: bool):
+        with geom.mic_mode(triclinic):
+            return [f.transform(xyz_block, box_block) for f in run_feats]
 
-    run = jax.jit(run_block)
+    run = jax.jit(run_block, static_argnums=2)
 
     def slice_xyz(xyz_np):
         return xyz_np if atom_union is None else xyz_np[:, atom_union]

@@ -13,10 +13,13 @@ C=O group of residue *i* and an N-H group of residue *j*,
 
     E = 0.084 * 332 * (1/r_ON + 1/r_CH - 1/r_OH - 1/r_CN)   [kcal/mol]
 
-with a bond when ``E < -0.5``. Amide hydrogens are reconstructed from the
-preceding carbonyl (H = N + (C_prev - O_prev)/|.|, the standard DSSP
-assumption for X-ray structures without protons); prolines and chain-initial
-residues donate nothing.
+with a bond when ``E < -0.5``. Amide hydrogens: explicit H atoms from the
+topology are used when present (MD trajectories carry real protons —
+mdtraj always reconstructs instead; this is a deliberate accuracy-over-
+identical-output choice); otherwise H is reconstructed from the preceding
+carbonyl as ``H = N + 1.01 * (C_prev - O_prev)/|.|`` (the 1.01-Angstrom
+N-H length, pydssp's convention). Prolines and chain-initial residues
+donate nothing.
 
 From the (frames, res, res) bond matrix the standard patterns are assigned
 with priority H > B > E > G > I > T > S:
@@ -197,9 +200,13 @@ def _assign(hb: np.ndarray, ca: np.ndarray, chain_id: np.ndarray) -> np.ndarray:
     # antiparallel(i,j) = (HB[i,j] & HB[j,i])     | (HB[i-1,j+1] & HB[j-1,i+1])
     para = (hbp(-1, 0) & swap(hbp(0, +1))) | (swap(hbp(-1, 0)) & hbp(0, +1))
     anti = (hbp(0, 0) & swap(hbp(0, 0))) | (hbp(-1, +1) & swap(hbp(-1, +1)))
+    # NOTE: no same-chain restriction — DSSP/mdtraj assign beta bridges
+    # ACROSS chains (beta sandwiches, domain-swapped dimers), and
+    # chain_id here derives from distance-detected breaks, so a single
+    # unresolved loop would otherwise suppress E for strands pairing
+    # across the gap
     sep = np.abs(i[:, None] - i[None, :]) >= 3
-    samechain = chain_id[:, None] == chain_id[None, :]
-    bridge_mat = (para | anti) & sep[None] & samechain[None]
+    bridge_mat = (para | anti) & sep[None]
     bridged = bridge_mat.any(axis=2)
     nb = np.zeros_like(bridged)
     nb[:, 1:] |= bridged[:, :-1]

@@ -23,6 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "compute_displacements",
@@ -31,10 +32,80 @@ __all__ = [
     "compute_dihedrals",
     "compute_center_of_mass",
     "compute_contacts",
+    "boxes_are_triclinic",
+    "mic_mode",
 ]
 
 Array = jax.Array
 _HI = jax.lax.Precision.HIGHEST
+
+
+#: neighbor lattice shifts searched for skewed (triclinic) cells — the
+#: per-component round is not the true minimum image near Wigner-Seitz
+#: cell corners, so the 26 surrounding images are checked like mdtraj's
+#: triclinic MIC kernel does
+_NEIGHBOR_SHIFTS = np.array(
+    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    np.float32,
+)
+
+#: trace-time override for the MIC kernel choice (None = decide from the
+#: box when concrete, else the safe general path). Set via :func:`mic_mode`
+#: by callers that know the cell family on the host BEFORE tracing — the
+#: flag must then be part of their jit cache key (a static argument), since
+#: it changes the traced program.
+_MIC_TRICLINIC_OVERRIDE: Optional[bool] = None
+
+
+def boxes_are_triclinic(box) -> bool:
+    """Host check: do any cells in ``box`` (``(..., 3, 3)`` row-vectors,
+    GROMACS reduced form) have significant off-diagonal components?
+
+    The threshold is RELATIVE to the cell size: XTC stores boxes in f32 and
+    orthorhombic cells routinely carry ~1e-7 off-diagonal noise (the 1am7
+    fixture has -2.6e-7 on a 6.06 nm cell) — skew below 1e-5 of the
+    diagonal is physically negligible and must not force the 27-image
+    search."""
+    b = np.asarray(box, np.float64)
+    off = b * (1.0 - np.eye(3))
+    scale = np.max(np.abs(b)) or 1.0
+    return bool(np.any(np.abs(off) > 1e-5 * scale))
+
+
+class mic_mode:
+    """Context manager pinning the MIC kernel at TRACE time.
+
+    ``with mic_mode(triclinic=False):`` makes :func:`_mic_wrap` emit the
+    cheap fractional-round wrap (exact for orthorhombic cells) instead of
+    the 27-image search. Callers that trace under this context MUST key
+    their jit cache on the flag (e.g. a static argument) — the featurizer
+    block runner does (``loading/featurizer.py::make_feature_runner``).
+    """
+
+    def __init__(self, triclinic: bool) -> None:
+        self.triclinic = bool(triclinic)
+
+    def __enter__(self):
+        global _MIC_TRICLINIC_OVERRIDE
+        self._prev = _MIC_TRICLINIC_OVERRIDE
+        _MIC_TRICLINIC_OVERRIDE = self.triclinic
+        return self
+
+    def __exit__(self, *exc):
+        global _MIC_TRICLINIC_OVERRIDE
+        _MIC_TRICLINIC_OVERRIDE = self._prev
+        return False
+
+
+def _mic_is_triclinic(box) -> bool:
+    """Trace-time decision for the MIC kernel: the :func:`mic_mode`
+    override wins; else a concrete (untraced) box is inspected on host;
+    else the safe general (triclinic) path."""
+    if _MIC_TRICLINIC_OVERRIDE is not None:
+        return _MIC_TRICLINIC_OVERRIDE
+    if not isinstance(box, jax.core.Tracer):
+        return boxes_are_triclinic(box)
+    return True
 
 
 def _mic_wrap(vecs: Array, box: Array) -> Array:
@@ -44,12 +115,32 @@ def _mic_wrap(vecs: Array, box: Array) -> Array:
         vecs: ``(..., 3)`` displacements.
         box: ``(3, 3)`` cell row-vectors (GROMACS reduced triclinic form:
             lower-triangular rows).
+
+    For orthorhombic cells the fractional round IS the minimum image — and
+    the 27-candidate search below is pure overhead (~30x the wrap cost), so
+    the kernel choice is made at trace time (:func:`_mic_is_triclinic`).
+    For skewed cells (rhombic dodecahedron etc.) the rounded image can be
+    beaten by a neighboring lattice combination, so all 27 candidates are
+    searched like mdtraj's triclinic MIC kernel does.
     """
-    # fractional coordinates; round to nearest lattice vector and subtract
+    # fractional coordinates; round to nearest lattice vector first
     inv = jnp.linalg.inv(box)
     frac = jnp.einsum("...i,ij->...j", vecs, inv, precision=_HI)
     frac = frac - jnp.round(frac)
-    return jnp.einsum("...i,ij->...j", frac, box, precision=_HI)
+    base = jnp.einsum("...i,ij->...j", frac, box, precision=_HI)
+    if not _mic_is_triclinic(box):
+        return base
+    # neighbor-image search: candidate = base - shift @ box
+    shift_vecs = jnp.einsum(
+        "si,ij->sj", jnp.asarray(_NEIGHBOR_SHIFTS, base.dtype), box,
+        precision=_HI,
+    )  # (27, 3)
+    cands = base[..., None, :] - shift_vecs  # (..., 27, 3)
+    d2 = jnp.sum(jnp.square(cands), axis=-1)
+    best = jnp.argmin(d2, axis=-1)
+    return jnp.take_along_axis(
+        cands, best[..., None, None], axis=-2
+    )[..., 0, :]
 
 
 def compute_displacements(

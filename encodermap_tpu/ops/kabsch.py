@@ -48,9 +48,13 @@ def kabsch_weighted(
     U, S, Vt = jnp.linalg.svd(C, full_matrices=False)
     det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], P.dtype)).at[2, 2].set(det)
-    R = U @ D @ Vt
-    t = q_bar - R @ p_bar
-    P_aligned = Pc @ R.T + q_bar
+    # HIGHEST everywhere R is formed/applied: this platform's DEFAULT
+    # matmul precision puts ~3e-3 error on 3x3 f32 products (CLAUDE.md),
+    # far above the 1e-5 parity bar the RMSD/Align features feed
+    hi = jax.lax.Precision.HIGHEST
+    R = jnp.matmul(jnp.matmul(U, D, precision=hi), Vt, precision=hi)
+    t = q_bar - jnp.matmul(R, p_bar, precision=hi)
+    P_aligned = jnp.matmul(Pc, R.T, precision=hi) + q_bar
     msd = jnp.sum(W[:, None] * jnp.square(P_aligned - Q))
     return jnp.sqrt(jnp.maximum(msd, 0.0)), R, t
 

@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.cvstore import CVCollection
+from ..ops import geometry as geom
 
 __all__ = ["ShardedFeaturizer"]
 
@@ -76,6 +77,8 @@ class ShardedFeaturizer:
         run, slice_xyz = self._inner._get_runner()
         traj = self.traj
         n_frames = traj.n_frames
+        all_box = traj.unitcell_vectors
+        triclinic = all_box is not None and geom.boxes_are_triclinic(all_box)
         data_sharding = NamedSharding(self.mesh, P("dp"))
 
         pending = None
@@ -95,7 +98,7 @@ class ShardedFeaturizer:
                 jax.device_put(np.asarray(box, np.float32), data_sharding)
                 if box is not None else None
             )
-            results = run(xyz, box_j)
+            results = run(xyz, box_j, triclinic)
             if pending is not None:
                 yield pending
             pending = (results, pad)

@@ -543,6 +543,241 @@ class TestMiscHelpers:
         assert idx2 == 0
 
 
+class TestFeatureFixes:
+    @needs_data
+    def test_residue_mindist_matches_bruteforce(self):
+        """The fused segment-min ResidueMinDistanceFeature (previously an
+        untested per-pair loop that referenced an unimported module) must
+        match a numpy brute force."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.features import ResidueMinDistanceFeature
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        contacts = [(0, 3), (1, 5), (2, 6)]
+        f = ResidueMinDistanceFeature(t.top, contacts, periodic=False)
+        out = np.asarray(f.transform(t.xyz[:5]))
+        assert out.shape == (5, 3)
+        for k, (r0, r1) in enumerate(contacts):
+            a0 = [a.index for a in t.top.residue(r0).atoms
+                  if a.element != "H"]
+            a1 = [a.index for a in t.top.residue(r1).atoms
+                  if a.element != "H"]
+            ref = np.min(
+                np.linalg.norm(
+                    t.xyz[:5][:, a0, None, :] - t.xyz[:5][:, None, a1, :],
+                    axis=-1,
+                ),
+                axis=(1, 2),
+            )
+            np.testing.assert_allclose(out[:, k], ref, atol=1e-5)
+
+    @needs_data
+    def test_residue_mindist_all_and_count_contacts(self):
+        """``add_residue_mindist()`` must work argument-free like the
+        reference (residue_pairs='all' -> every protein pair >= 3 apart in
+        sequence, reference ``featurizer.py:984-992``), and
+        ``count_contacts`` must collapse to a per-frame contact count with
+        the reference's 'counted' label (``features.py:2242-2255``)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.features import ResidueMinDistanceFeature
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        feat = SingleTrajFeaturizer(t)
+        feat.add_residue_mindist()  # argument-free, like the reference
+        f = feat.features[-1]
+        n_res = t.top.n_residues
+        expected_pairs = [(i, j) for i in range(n_res)
+                          for j in range(i + 3, n_res)]
+        assert [tuple(p) for p in f.contacts] == expected_pairs
+        assert f.describe()[0].startswith("RES_DIST (closest-heavy)")
+        out = np.asarray(f.transform(t.xyz[:4]))
+        assert out.shape == (4, len(expected_pairs))
+
+        # count_contacts: single column counting pairs below threshold
+        fc = ResidueMinDistanceFeature(
+            t.top, "all", threshold=0.8, periodic=False, count_contacts=True
+        )
+        cnt = np.asarray(fc.transform(t.xyz[:4]))
+        assert cnt.shape == (4, 1)
+        fd = ResidueMinDistanceFeature(t.top, "all", periodic=False)
+        ref_cnt = (np.asarray(fd.transform(t.xyz[:4])) < 0.8).sum(axis=1)
+        np.testing.assert_array_equal(cnt[:, 0], ref_cnt)
+        assert fc.describe() == ["counted RES_DIST (closest-heavy) "
+                                 "number of contacts"]
+
+        # count_contacts without a threshold is the reference's ValueError
+        with pytest.raises(ValueError, match="contact threshold"):
+            ResidueMinDistanceFeature(t.top, "all", count_contacts=True)
+
+    @needs_data
+    def test_backbone_torsions_interleaved(self):
+        """BackboneTorsionFeature columns alternate (phi_i, psi_i) like the
+        reference, not all-phi-then-all-psi."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.features import BackboneTorsionFeature
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        f = BackboneTorsionFeature(t.top)
+        # kind from the quad's first atom: phi starts at C(i-1), psi at N(i)
+        kinds = [
+            "PHI" if t.top.atom(int(q[0])).name == "C" else "PSI"
+            for q in f._indices
+        ]
+        # asp7 (7 residues): PSI_1, then (PHI_i, PSI_i) pairs, PHI_7 last —
+        # strict alternation, never the old all-phi-then-all-psi blocks
+        assert kinds == ["PSI"] + ["PHI", "PSI"] * 5 + ["PHI"], kinds
+
+    def test_central_dihedral_generic_labels_without_omega(self):
+        """omega=False generic labels must be unique and consistent with
+        the omega=True labeling (duplicates collapsed ensemble columns)."""
+        from encodermap_tpu.loading.features import CentralDihedrals
+
+        top = _mini_top([
+            ("ALA", 1, 0, BB), ("GLY", 2, 0, BB),
+            ("SER", 3, 0, BB), ("VAL", 4, 0, BB),
+        ])
+        full = CentralDihedrals(top).generic_describe()
+        no_omega = CentralDihedrals(top, omega=False).generic_describe()
+        assert len(set(no_omega)) == len(no_omega)  # unique
+        assert set(no_omega) == {l for l in full if "OMEGA" not in l}
+
+    def test_sidechain_torsions_which_list(self):
+        from encodermap_tpu.loading.features import SideChainTorsions
+
+        top = _mini_top([
+            ("ASP", 1, 0, BB + ["CB", "CG", "OD1", "OD2"]),
+        ])
+        f = SideChainTorsions(top, which=["chi1", "chi2"])
+        assert len(f.describe()) == 2
+        with pytest.raises(ValueError, match="chi1"):
+            SideChainTorsions(top, which=["chii7"])
+        gly = _mini_top([("GLY", 1, 0, BB)])
+        with pytest.raises(ValueError, match="side chain"):
+            SideChainTorsions(gly)
+
+    def test_sidechain_family_consistent_for_gromacs_variants(self):
+        """LYSH (GROMACS protonated lysine) must get consistent sidechain
+        features across the whole family — dihedrals previously saw 0
+        while cartesians/distances/angles saw the atoms."""
+        from encodermap_tpu.loading.features import (
+            SideChainAngles,
+            SideChainBondDistances,
+            SideChainCartesians,
+            SideChainDihedrals,
+        )
+
+        top = _mini_top([
+            ("LYSH", 1, 0, BB + ["CB", "CG", "CD", "CE", "NZ"]),
+            ("ALA", 2, 0, BB + ["CB"]),
+        ])
+        n_di = len(SideChainDihedrals(top)._indices)
+        assert n_di == 4  # chi1-4 of lysine
+        assert top.sidechain_info() == {1: 4, 2: 0}
+        # branch atoms: union of chi atoms minus N/CA = CB..NZ = 5
+        assert len(SideChainCartesians(top)._indices) == 5
+        assert len(SideChainBondDistances(top)._indices) == 5
+        assert len(SideChainAngles(top)._indices) == 5
+
+    def test_boxes_are_triclinic_relative_threshold(self):
+        """f32 XTC noise on an orthorhombic box (1am7 carries -2.6e-7 on a
+        6.06 nm cell) must NOT trigger the 27-image search; real skew
+        must."""
+        from encodermap_tpu.ops.geometry import boxes_are_triclinic
+
+        ortho_noisy = np.array(
+            [[6.06, 0, 0], [-2.6e-7, 6.06, 0], [-2.6e-7, -2.6e-7, 6.06]],
+            np.float32,
+        )
+        assert not boxes_are_triclinic(ortho_noisy)
+        dodec = np.array(
+            [[5.37, 0, 0], [0, 5.37, 0], [2.685, 2.685, 3.797]], np.float32
+        )
+        assert boxes_are_triclinic(dodec)
+
+    def test_orthorhombic_fast_path_matches_search(self):
+        """mic_mode(False) (the static fast path the featurizer picks for
+        orthorhombic cells) must agree with the general 27-image search."""
+        import jax
+        import jax.numpy as jnp
+
+        from encodermap_tpu.ops import geometry as geom
+
+        box = jnp.asarray(np.diag([4.0, 5.0, 6.0]).astype(np.float32))
+        rng = np.random.default_rng(1)
+        vecs = jnp.asarray(rng.uniform(-9, 9, (128, 3)).astype(np.float32))
+
+        def wrap(v, b, triclinic):
+            with geom.mic_mode(triclinic):
+                return geom._mic_wrap(v, b)
+
+        fast = np.asarray(jax.jit(wrap, static_argnums=2)(vecs, box, False))
+        full = np.asarray(jax.jit(wrap, static_argnums=2)(vecs, box, True))
+        np.testing.assert_allclose(fast, full, atol=1e-5)
+        # and the static flag genuinely selects different traced programs
+        j = jax.jit(wrap, static_argnums=2)
+        fast_txt = j.lower(vecs, box, False).as_text()
+        full_txt = j.lower(vecs, box, True).as_text()
+        assert len(fast_txt) < len(full_txt)
+
+    @needs_data
+    def test_featurizer_triclinic_flag_end_to_end(self):
+        """Same features computed through the featurizer (static-flag jit
+        path) and eagerly must agree for BOTH a triclinic traj (asp7,
+        dodecahedron) and a noisy-orthorhombic one (1am7 slice)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+        from encodermap_tpu.ops import geometry as geom
+
+        for xtc, pdb in [
+            ("asp7.xtc", "asp7.pdb"),
+            ("1am7_corrected.xtc", "1am7_protein.pdb"),
+        ]:
+            t = em.load(str(DATA / xtc), str(DATA / pdb))[:8]
+            ca = [a.index for a in t.top.atoms if a.name == "CA"]
+            pairs = [(ca[i], ca[i + 2]) for i in range(len(ca) - 2)]
+            f = SingleTrajFeaturizer(t)
+            f.add_distances(pairs, periodic=True)
+            out = f.get_output()
+            (name,) = list(out.keys())
+            got = out[name].data
+            feat = f.features[0]
+            eager = np.asarray(
+                feat.transform(t.xyz, t.unitcell_vectors)
+            )
+            np.testing.assert_allclose(got, eager, atol=2e-5)
+
+    def test_triclinic_minimum_image_true_minimum(self):
+        """A skewed (rhombic-dodecahedron-like) cell where per-component
+        rounding is NOT the minimum image: the wrapped displacement must
+        beat the naive round."""
+        import jax.numpy as jnp
+
+        from encodermap_tpu.ops.geometry import _mic_wrap
+
+        box = jnp.asarray(
+            [[4.0, 0.0, 0.0], [2.0, 3.4641, 0.0], [2.0, 1.1547, 3.2660]],
+            jnp.float32,
+        )  # dodecahedron-ish reduced cell
+        rng = np.random.default_rng(0)
+        vecs = jnp.asarray(
+            rng.uniform(-6, 6, (200, 3)).astype(np.float32)
+        )
+        wrapped = np.asarray(_mic_wrap(vecs, box))
+        # brute force over a generous 9^3 lattice neighborhood (the input
+        # vectors span several cells before wrapping)
+        shifts = np.array(
+            [[i, j, k] for i in range(-4, 5) for j in range(-4, 5)
+             for k in range(-4, 5)], np.float32) @ np.asarray(box)
+        best = np.min(
+            np.linalg.norm(np.asarray(vecs)[:, None, :] - shifts, axis=-1),
+            axis=1,
+        )
+        np.testing.assert_allclose(
+            np.linalg.norm(wrapped, axis=-1), best, atol=1e-4
+        )
+
+
 class TestOfflineBackmapSideOrder:
     @needs_data
     def test_default_side_indices_match_cv_order(self):

@@ -589,6 +589,7 @@ class AlignFeature(SelectionFeature):
     def __init__(
         self, top: Topology, ref_xyz: np.ndarray, indexes: Sequence[int],
         atom_indices: Optional[Sequence[int]] = None,
+        ref_atom_indices: Optional[Sequence[int]] = None,
     ) -> None:
         super().__init__(top, indexes)
         ref_xyz = np.asarray(ref_xyz)
@@ -598,6 +599,19 @@ class AlignFeature(SelectionFeature):
             self._indices if atom_indices is None
             else np.asarray(atom_indices, np.int64)
         )
+        # the reference structure may index its alignment atoms differently
+        # (e.g. a stripped topology); defaults to the same indices
+        # (reference ``features.py:1721`` / mdtraj superpose semantics)
+        self.ref_align_indices = (
+            self.align_indices if ref_atom_indices is None
+            else np.asarray(ref_atom_indices, np.int64)
+        )
+        if len(self.ref_align_indices) != len(self.align_indices):
+            raise ValueError(
+                f"atom_indices ({len(self.align_indices)}) and "
+                f"ref_atom_indices ({len(self.ref_align_indices)}) must "
+                f"select the same number of atoms"
+            )
         self.ref = jnp.asarray(ref_xyz, jnp.float32)
 
     def transform(self, xyz, unitcell=None):
@@ -608,7 +622,7 @@ class AlignFeature(SelectionFeature):
 
         def align_one(frame):
             _, R, t = kabsch_weighted(
-                frame[self.align_indices], self.ref[self.align_indices]
+                frame[self.align_indices], self.ref[self.ref_align_indices]
             )
             # HIGHEST: DEFAULT matmul precision is ~3e-3 on 3x3 products
             # here (CLAUDE.md numerics rule for parity-feeding kernels)

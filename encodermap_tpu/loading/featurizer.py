@@ -28,7 +28,8 @@ from ..data.cvstore import CVCollection
 from ..ops import geometry as geom
 from . import features as F
 
-__all__ = ["Featurizer", "SingleTrajFeaturizer", "EnsembleFeaturizer"]
+__all__ = ["Featurizer", "SingleTrajFeaturizer", "EnsembleFeaturizer",
+           "pairs"]
 
 #: features loaded by add_list_of_feats("all") — the ADC set, like the
 #: reference's 'all' shortcut
@@ -46,6 +47,45 @@ FULL_FEATS = ALL_FEATS + (
     "side_distances",
     "side_angles",
 )
+
+
+def pairs(sel, excluded_neighbors: int = 0) -> np.ndarray:
+    """All non-redundant index pairs from ``sel``, excluding pairs whose
+    *values* are within ``excluded_neighbors`` of each other (reference
+    ``featurizer.py:350-386``, vectorized)."""
+    sel = np.asarray(sel, np.int64)
+    a, b = np.triu_indices(len(sel), k=1)
+    lo = np.minimum(sel[a], sel[b])
+    hi = np.maximum(sel[a], sel[b])
+    keep = hi > lo + int(excluded_neighbors)
+    return np.stack([lo[keep], hi[keep]], axis=1)
+
+
+def _parse_pairwise_input(indices, indices2=None) -> np.ndarray:
+    """Pairwise-feature index handling (reference ``featurizer.py:307-347``):
+    an (n, 2) array passes through; a FLAT iterable of ints is sorted,
+    deduplicated and expanded to all intra-group pairs — or, with
+    ``indices2``, to the inter-group product (minus atoms already in the
+    first group)."""
+    arr = np.asarray(indices, np.int64)
+    if arr.ndim != 1:
+        return arr.reshape(-1, 2)
+    idx1 = np.unique(arr)
+    if indices2 is None:
+        a, b = np.triu_indices(len(idx1), k=1)
+        return np.stack([idx1[a], idx1[b]], axis=1)
+    idx2 = np.unique(np.asarray(indices2, np.int64))
+    idx2 = idx2[~np.isin(idx2, idx1)]
+    g1, g2 = np.meshgrid(idx1, idx2, indexing="ij")
+    return np.stack([g1.ravel(), g2.ravel()], axis=1)
+
+
+def _reference_xyz(reference) -> np.ndarray:
+    """Accept an ndarray of coordinates or any traj-like with ``.xyz``
+    (the reference type-checks for md.Trajectory, ``featurizer.py:875``)."""
+    if hasattr(reference, "xyz"):
+        return np.asarray(reference.xyz)
+    return np.asarray(reference)
 
 
 class SingleTrajFeaturizer:
@@ -83,18 +123,44 @@ class SingleTrajFeaturizer:
     def add_custom_feature(self, feature: F.Feature) -> None:
         self.features.append(feature)
 
-    def add_distances(self, pairs, periodic: bool = True) -> None:
-        self.features.append(F.DistanceFeature(self.traj.top, pairs, periodic))
-
-    def add_inverse_distances(self, pairs, periodic: bool = True) -> None:
+    def add_distances(self, indices, periodic: bool = True,
+                      indices2=None) -> None:
+        """Distances between atom pairs. ``indices`` is an (n, 2) pair array,
+        or a flat iterable of atom indices expanded to all intra-group pairs
+        (inter-group against ``indices2`` when given) — reference
+        ``featurizer.py:677-717``."""
+        atom_pairs = _parse_pairwise_input(indices, indices2)
         self.features.append(
-            F.InverseDistanceFeature(self.traj.top, pairs, periodic)
+            F.DistanceFeature(self.traj.top, atom_pairs, periodic)
         )
 
-    def add_contacts(self, pairs, threshold: float = 0.45,
-                     periodic: bool = True) -> None:
+    def add_distances_ca(self, periodic: bool = True,
+                         excluded_neighbors: int = 2) -> None:
+        """All CA-CA distances, excluding residues within
+        ``excluded_neighbors`` of each other in sequence (reference
+        ``featurizer.py:647-676``)."""
+        top = self.traj.top
+        ca = [(a.residue.index, a.index) for a in top.atoms if a.name == "CA"]
+        res_pairs = pairs([r for r, _ in ca], excluded_neighbors)
+        ca_of_res = dict(ca)
+        atom_pairs = np.array(
+            [[ca_of_res[ri], ca_of_res[rj]] for ri, rj in res_pairs],
+            np.int64,
+        ).reshape(-1, 2)
+        self.add_distances(atom_pairs, periodic=periodic)
+
+    def add_inverse_distances(self, indices, periodic: bool = True,
+                              indices2=None) -> None:
+        atom_pairs = _parse_pairwise_input(indices, indices2)
         self.features.append(
-            F.ContactFeature(self.traj.top, pairs, threshold, periodic)
+            F.InverseDistanceFeature(self.traj.top, atom_pairs, periodic)
+        )
+
+    def add_contacts(self, indices, threshold: float = 0.45,
+                     periodic: bool = True, indices2=None) -> None:
+        atom_pairs = _parse_pairwise_input(indices, indices2)
+        self.features.append(
+            F.ContactFeature(self.traj.top, atom_pairs, threshold, periodic)
         )
 
     def add_angles(self, indexes, deg: bool = False, cossin: bool = False,
@@ -121,8 +187,30 @@ class SingleTrajFeaturizer:
             F.SideChainTorsions(self.traj.top, deg, cossin, periodic, which)
         )
 
-    def add_selection(self, indexes) -> None:
-        self.features.append(F.SelectionFeature(self.traj.top, indexes))
+    def add_selection(self, indexes, reference=None, atom_indices=None,
+                      ref_atom_indices=None) -> None:
+        """Flattened xyz of selected atoms; with ``reference`` (coordinates
+        or a traj-like with ``.xyz``) every frame is superposed onto it
+        first, like the reference's AlignFeature routing
+        (``featurizer.py:848-890``)."""
+        if reference is None:
+            self.features.append(F.SelectionFeature(self.traj.top, indexes))
+        else:
+            self.features.append(
+                F.AlignFeature(
+                    self.traj.top, _reference_xyz(reference), indexes,
+                    atom_indices, ref_atom_indices,
+                )
+            )
+
+    def add_all(self, reference=None, atom_indices=None,
+                ref_atom_indices=None) -> None:
+        """All atom coordinates, flattened [x1, y1, z1, x2, ...]; optionally
+        superposed onto ``reference`` (reference ``featurizer.py:820-846``)."""
+        self.add_selection(
+            np.arange(self.traj.top.n_atoms), reference=reference,
+            atom_indices=atom_indices, ref_atom_indices=ref_atom_indices,
+        )
 
     def add_residue_mindist(self, residue_pairs="all",
                             scheme: str = "closest-heavy",
@@ -155,9 +243,11 @@ class SingleTrajFeaturizer:
             F.MinRmsdFeature(self.traj.top, ref_xyz, atom_indices)
         )
 
-    def add_align(self, ref_xyz, indexes, atom_indices=None) -> None:
+    def add_align(self, ref_xyz, indexes, atom_indices=None,
+                  ref_atom_indices=None) -> None:
         self.features.append(
-            F.AlignFeature(self.traj.top, ref_xyz, indexes, atom_indices)
+            F.AlignFeature(self.traj.top, ref_xyz, indexes, atom_indices,
+                           ref_atom_indices)
         )
 
     @property
@@ -219,9 +309,19 @@ class SingleTrajFeaturizer:
         if pending is not None:
             flush(pending)
 
+        seen: dict[str, int] = {}
         for f, parts in zip(feats, blocks):
             data = np.concatenate(parts, axis=0) if parts else np.zeros((0, 0))
             name = _cv_name(f)
+            # two features of the same class (e.g. add_distances_ca +
+            # add_distances) must not clobber each other's output: the
+            # second and later occurrences get _2, _3, ... suffixes (the
+            # first keeps the bare name, so single-feature CV names — the
+            # common case and the ADC contract — are unchanged)
+            k = seen.get(name, 0)
+            seen[name] = k + 1
+            if k:
+                name = f"{name}_{k + 1}"
             # labels/indices come from the ORIGINAL features (topology-true
             # atom indices), only the compute used remapped copies
             labels = f.generic_describe() if ensemble else f.describe()

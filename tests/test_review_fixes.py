@@ -610,6 +610,101 @@ class TestFeatureFixes:
         with pytest.raises(ValueError, match="contact threshold"):
             ResidueMinDistanceFeature(t.top, "all", count_contacts=True)
 
+    def test_pairs_and_parse_pairwise_input(self):
+        """The reference's pair-expansion helpers (``featurizer.py:307-386``):
+        flat int lists expand to intra-group pairs (or the inter-group
+        product minus shared atoms), with value-distance neighbor
+        exclusion."""
+        from encodermap_tpu.loading.featurizer import (
+            _parse_pairwise_input,
+            pairs,
+        )
+
+        # excluded_neighbors measures VALUE distance, pairs are value-sorted
+        p = pairs([0, 1, 2, 3, 4], excluded_neighbors=2)
+        assert [tuple(r) for r in p] == [(0, 3), (0, 4), (1, 4)]
+        p = pairs([4, 0, 2], excluded_neighbors=0)
+        assert sorted(tuple(r) for r in p) == [(0, 2), (0, 4), (2, 4)]
+
+        # flat list -> all unique intra-group pairs (sorted, deduplicated)
+        out = _parse_pairwise_input([3, 1, 1, 2])
+        assert [tuple(r) for r in out] == [(1, 2), (1, 3), (2, 3)]
+        # inter-group: product, atoms already in group 1 removed from group 2
+        out = _parse_pairwise_input([1, 2], indices2=[2, 5])
+        assert [tuple(r) for r in out] == [(1, 5), (2, 5)]
+        # (n, 2) arrays pass through untouched
+        out = _parse_pairwise_input([[7, 3], [2, 9]])
+        assert [tuple(r) for r in out] == [(7, 3), (2, 9)]
+
+    @needs_data
+    def test_add_distances_ca_and_add_all(self):
+        """The reference's add_distances_ca / add_all / aligning
+        add_selection surface (``featurizer.py:647-890``) must exist and
+        compute what it says."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        feat = SingleTrajFeaturizer(t)
+        feat.add_distances_ca(periodic=False)
+        f = feat.features[-1]
+        ca = [a.index for a in t.top.atoms if a.name == "CA"]
+        n_res = len(ca)  # asp7: one CA per residue
+        expected = [(ca[i], ca[j]) for i in range(n_res)
+                    for j in range(i + 1, n_res) if j - i > 2]
+        assert [tuple(r) for r in f._indices] == expected
+        d = np.asarray(f.transform(t.xyz[:3]))
+        ref = np.linalg.norm(
+            t.xyz[:3][:, [a for a, _ in expected]]
+            - t.xyz[:3][:, [b for _, b in expected]], axis=-1,
+        )
+        np.testing.assert_allclose(d, ref, atol=1e-5)
+
+        # add_all: flattened coordinates of every atom
+        feat2 = SingleTrajFeaturizer(t)
+        feat2.add_all()
+        out = np.asarray(feat2.features[-1].transform(t.xyz[:2]))
+        np.testing.assert_allclose(
+            out, t.xyz[:2].reshape(2, -1), atol=1e-6
+        )
+
+        # add_all with a reference: frame 0 as reference aligns frame 0
+        # onto itself (identity) and reduces other frames' RMSD
+        feat3 = SingleTrajFeaturizer(t)
+        feat3.add_all(reference=t.xyz[0])
+        al = np.asarray(feat3.features[-1].transform(t.xyz[:3]))
+        al = al.reshape(3, -1, 3)
+        np.testing.assert_allclose(al[0], t.xyz[0], atol=1e-4)
+        raw_rmsd = np.sqrt(((t.xyz[2] - t.xyz[0]) ** 2).sum(-1).mean())
+        ali_rmsd = np.sqrt(((al[2] - t.xyz[0]) ** 2).sum(-1).mean())
+        assert ali_rmsd <= raw_rmsd + 1e-6
+
+        # flat-iterable add_distances with indices2
+        feat4 = SingleTrajFeaturizer(t)
+        feat4.add_distances([0, 5], indices2=[9])
+        assert [tuple(r) for r in feat4.features[-1]._indices] == [
+            (0, 9), (5, 9)
+        ]
+
+    @needs_data
+    def test_same_class_features_do_not_clobber_output(self):
+        """Two features of the same class (e.g. add_distances_ca +
+        add_distances) previously collided on the class-name CV key and the
+        first one's columns were silently LOST from get_output."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        feat = SingleTrajFeaturizer(t)
+        feat.add_distances_ca(periodic=False)
+        feat.add_distances(np.array([[0, 5], [0, 9], [5, 9]]),
+                           periodic=False)
+        out = feat.get_output()
+        names = list(out.keys())
+        assert names == ["DistanceFeature", "DistanceFeature_2"]
+        assert out["DistanceFeature"].shape[1] == len(feat.features[0]._indices)
+        assert out["DistanceFeature_2"].shape[1] == 3
+
     @needs_data
     def test_backbone_torsions_interleaved(self):
         """BackboneTorsionFeature columns alternate (phi_i, psi_i) like the

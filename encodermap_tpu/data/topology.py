@@ -209,10 +209,26 @@ class Topology:
                 ],
                 dtype=np.int64,
             )
+        if expr == "sidechain":
+            return np.array(
+                [
+                    a.index
+                    for a in self.atoms
+                    if a.residue.is_protein
+                    and a.name not in ("N", "CA", "C", "O", "H", "HA", "OXT")
+                ],
+                dtype=np.int64,
+            )
         if expr.startswith("name "):
             names = set(expr[5:].split())
             return np.array(
                 [a.index for a in self.atoms if a.name in names], dtype=np.int64
+            )
+        if expr.startswith("resname "):
+            resnames = set(expr[len("resname "):].split())
+            return np.array(
+                [a.index for a in self.atoms if a.residue.name in resnames],
+                dtype=np.int64,
             )
         if expr.startswith("not element "):
             elements = {e.upper() for e in expr[len("not element "):].split()}

@@ -324,23 +324,47 @@ class BackboneTorsionFeature(DihedralFeature):
     name = "BackboneTorsionFeature"
 
     def __init__(
-        self, top: Topology, deg: bool = False, cossin: bool = False,
-        periodic: bool = True,
+        self, top: Topology, selstr: Optional[str] = None, deg: bool = False,
+        cossin: bool = False, periodic: bool = True,
     ) -> None:
-        phi = top.indices_phi
-        psi = top.indices_psi
-        # the reference INTERLEAVES: (phi_1, psi_1, ..., phi_n, psi_n)
-        # (``features.py:2144-2147``) — an all-phi-then-all-psi stack would
-        # permute every column relative to reference-produced CVs. phi
-        # starts at residue 2 and psi ends at residue n-1, so pair phi_i
-        # with psi_{i+1} the way the reference's sorted indices do.
-        quads = list(phi) + list(psi)
-        order = np.argsort([int(q[1]) for q in quads], kind="stable")
+        phi = np.asarray(top.indices_phi, np.int64).reshape(-1, 4)
+        psi = np.asarray(top.indices_psi, np.int64).reshape(-1, 4)
+        self.selstr = selstr
+        if selstr:
+            # the reference keeps a torsion when its SECOND atom (phi: N_i,
+            # psi: CA_i — both in residue i) is in the selection
+            # (``features.py:2131-2143``)
+            sel = np.asarray(top.select(selstr))
+            phi = phi[np.isin(phi[:, 1], sel)]
+            psi = psi[np.isin(psi[:, 1], sel)]
+        # reference-EXACT interleave (``features.py:2145-2148``): plain
+        # ``zip(phi, psi)``, so the k-th kept phi pairs with the k-th kept
+        # psi — for a full chain that is (phi_2, psi_1, phi_3, psi_2, ...)
+        # since phi starts at residue 2 and psi at residue 1. An
+        # all-phi-then-all-psi stack (or a residue-sorted interleave) would
+        # permute columns relative to reference-produced CVs. zip also
+        # truncates to the shorter list, as the reference does.
+        n = min(len(phi), len(psi))
         idx = (
-            np.asarray([quads[i] for i in order], np.int64).reshape(-1, 4)
-            if quads else np.zeros((0, 4), np.int64)
+            np.stack([phi[:n], psi[:n]], axis=1).reshape(-1, 4)
+            if n else np.zeros((0, 4), np.int64)
         )
         super().__init__(top, idx, deg, cossin, periodic)
+
+    def describe(self) -> list[str]:
+        # reference label format (``features.py:2182-2221``):
+        # "PHI <chain> <resname> <resSeq>" from the torsion's second atom
+        def lbl(q) -> str:
+            r = self.top.atom(int(q[1])).residue
+            return f"{r.chain_index} {r.name} {r.resSeq}"
+
+        kinds = ("PHI", "PSI")
+        base = [
+            f"{kinds[i % 2]} {lbl(q)}" for i, q in enumerate(self._indices)
+        ]
+        if self.cossin:
+            return [f"{f}({s})" for s in base for f in ("COS", "SIN")]
+        return base
 
 
 class ResidueMinDistanceFeature(Feature):
@@ -452,9 +476,17 @@ class GroupCOMFeature(Feature):
 
     def __init__(
         self, top: Topology, group_definitions: Sequence[Sequence[int]],
-        mass_weighted: bool = True,
+        mass_weighted: bool = True, ref_geom=None,
+        image_molecules: bool = False,
     ) -> None:
         super().__init__(top)
+        if image_molecules:
+            raise NotImplementedError(
+                "image_molecules=True (mdtraj's whole-molecule PBC repair "
+                "before COM averaging) is not implemented; pre-process the "
+                "trajectory instead (reference features.py:2519-2524 "
+                "documents it as optional and slow)"
+            )
         self.groups = [np.asarray(g, np.int64) for g in group_definitions]
         self.masses = [
             np.asarray(
@@ -463,6 +495,17 @@ class GroupCOMFeature(Feature):
             )
             for g in self.groups
         ]
+        # reference ``features.py:2647-2648``: with a ref_geom, frames are
+        # superposed onto it before the COM average
+        if ref_geom is not None:
+            ref = np.asarray(
+                ref_geom.xyz if hasattr(ref_geom, "xyz") else ref_geom
+            )
+            if ref.ndim == 3:
+                ref = ref[0]
+            self.ref = jnp.asarray(ref, jnp.float32)
+        else:
+            self.ref = None
 
     def describe(self) -> list[str]:
         out = []
@@ -472,6 +515,18 @@ class GroupCOMFeature(Feature):
         return out
 
     def transform(self, xyz, unitcell=None):
+        if self.ref is not None:
+            from ..ops.kabsch import kabsch_weighted
+
+            ref = self.ref
+
+            def align_one(frame):
+                _, R, t = kabsch_weighted(frame, ref)
+                return jnp.matmul(
+                    frame, R.T, precision=jax.lax.Precision.HIGHEST
+                ) + t
+
+            xyz = jax.vmap(align_one)(jnp.asarray(xyz))
         outs = [
             geom.compute_center_of_mass(xyz, g, jnp.asarray(m))
             for g, m in zip(self.groups, self.masses)
@@ -486,8 +541,11 @@ class ResidueCOMFeature(GroupCOMFeature):
 
     def __init__(
         self, top: Topology, residue_indices: Sequence[int],
-        scheme: str = "all", mass_weighted: bool = True,
+        scheme: str = "all", mass_weighted: bool = True, ref_geom=None,
+        image_molecules: bool = False,
     ) -> None:
+        if scheme not in ("all", "backbone", "sidechain"):
+            raise ValueError(f"unknown scheme {scheme!r}")
         self.residue_indices = list(residue_indices)
         groups = []
         for ri in residue_indices:
@@ -497,8 +555,14 @@ class ResidueCOMFeature(GroupCOMFeature):
                 atoms = [a for a in atoms if a.name in ("N", "CA", "C", "O")]
             elif scheme == "sidechain":
                 atoms = [a for a in atoms if a.name not in ("N", "CA", "C", "O")]
+            if not atoms:
+                # reference ``featurizer.py:1117-1120``: a scheme that
+                # selects no atoms (e.g. sidechain of GLY) falls back to
+                # the whole residue instead of producing a NaN COM
+                atoms = res.atoms
             groups.append([a.index for a in atoms])
-        super().__init__(top, groups, mass_weighted)
+        super().__init__(top, groups, mass_weighted, ref_geom=ref_geom,
+                         image_molecules=image_molecules)
 
     def describe(self) -> list[str]:
         out = []

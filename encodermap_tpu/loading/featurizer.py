@@ -175,10 +175,14 @@ class SingleTrajFeaturizer:
             F.DihedralFeature(self.traj.top, indexes, deg, cossin, periodic)
         )
 
-    def add_backbone_torsions(self, deg: bool = False, cossin: bool = False,
+    def add_backbone_torsions(self, selstr=None, deg: bool = False,
+                              cossin: bool = False,
                               periodic: bool = True) -> None:
+        """All phi/psi torsions, or only those of residues matched by the
+        ``selstr`` atom selection (reference ``featurizer.py:718-783``)."""
         self.features.append(
-            F.BackboneTorsionFeature(self.traj.top, deg, cossin, periodic)
+            F.BackboneTorsionFeature(self.traj.top, selstr, deg, cossin,
+                                     periodic)
         )
 
     def add_sidechain_torsions(self, deg: bool = False, cossin: bool = False,
@@ -226,16 +230,22 @@ class SingleTrajFeaturizer:
             )
         )
 
-    def add_group_COM(self, group_definitions, mass_weighted: bool = True) -> None:
+    def add_group_COM(self, group_definitions, ref_geom=None,
+                      image_molecules: bool = False,
+                      mass_weighted: bool = True) -> None:
         self.features.append(
-            F.GroupCOMFeature(self.traj.top, group_definitions, mass_weighted)
+            F.GroupCOMFeature(self.traj.top, group_definitions, mass_weighted,
+                              ref_geom=ref_geom,
+                              image_molecules=image_molecules)
         )
 
     def add_residue_COM(self, residue_indices, scheme: str = "all",
+                        ref_geom=None, image_molecules: bool = False,
                         mass_weighted: bool = True) -> None:
         self.features.append(
             F.ResidueCOMFeature(self.traj.top, residue_indices, scheme,
-                                mass_weighted)
+                                mass_weighted, ref_geom=ref_geom,
+                                image_molecules=image_molecules)
         )
 
     def add_minrmsd_to_ref(self, ref_xyz, atom_indices=None) -> None:

@@ -719,9 +719,85 @@ class TestFeatureFixes:
             "PHI" if t.top.atom(int(q[0])).name == "C" else "PSI"
             for q in f._indices
         ]
-        # asp7 (7 residues): PSI_1, then (PHI_i, PSI_i) pairs, PHI_7 last —
-        # strict alternation, never the old all-phi-then-all-psi blocks
-        assert kinds == ["PSI"] + ["PHI", "PSI"] * 5 + ["PHI"], kinds
+        # the reference interleaves by plain zip(phi, psi)
+        # (``features.py:2145-2148``): PHI, PSI, PHI, PSI, ... where the
+        # k-th phi (residue k+2) pairs with the k-th psi (residue k+1) —
+        # never the old all-phi-then-all-psi blocks
+        assert kinds == ["PHI", "PSI"] * 6, kinds
+        # column order must be the reference's exactly: the k-th PHI quad
+        # is residue k+2, the k-th PSI quad residue k+1
+        phi_res = [t.top.atom(int(q[1])).residue.index
+                   for q in f._indices[0::2]]
+        psi_res = [t.top.atom(int(q[1])).residue.index
+                   for q in f._indices[1::2]]
+        assert phi_res == [1, 2, 3, 4, 5, 6]
+        assert psi_res == [0, 1, 2, 3, 4, 5]
+        # reference label format
+        labels = f.describe()
+        assert labels[0].startswith("PHI 0 ") and labels[1].startswith("PSI 0 ")
+
+    @needs_data
+    def test_backbone_torsions_selstr(self):
+        """``add_backbone_torsions(selstr=...)`` restricts to the selected
+        residues' torsions like the reference (``featurizer.py:718``,
+        ``features.py:2131-2143``)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        feat = SingleTrajFeaturizer(t)
+        feat.add_backbone_torsions("resname ASP")
+        f = feat.features[-1]
+        assert len(f._indices) > 0
+        for q in f._indices:
+            assert t.top.atom(int(q[1])).residue.name == "ASP"
+        out = np.asarray(f.transform(t.xyz[:3]))
+        assert out.shape == (3, len(f._indices))
+        assert np.isfinite(out).all()
+
+    @needs_data
+    def test_com_ref_geom_and_scheme_fallback(self):
+        """COM features gain the reference's ref_geom superposition
+        (``features.py:2647-2648``) and the empty-scheme fallback to the
+        whole residue (``featurizer.py:1117-1120``); image_molecules is an
+        explicit NotImplementedError, not a silent ignore."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.features import (
+            GroupCOMFeature,
+            ResidueCOMFeature,
+        )
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        n_res = t.top.n_residues
+
+        # ref_geom: COM of frame 0 computed after aligning onto frame 0
+        # equals the raw COM of frame 0
+        f = GroupCOMFeature(t.top, [[0, 1, 2, 3]], ref_geom=t.xyz[0])
+        raw = GroupCOMFeature(t.top, [[0, 1, 2, 3]])
+        np.testing.assert_allclose(
+            np.asarray(f.transform(t.xyz[:1])),
+            np.asarray(raw.transform(t.xyz[:1])), atol=1e-4,
+        )
+        # and later frames' aligned COMs differ from raw (frames moved)
+        a2 = np.asarray(f.transform(t.xyz[50:51]))
+        r2 = np.asarray(raw.transform(t.xyz[50:51]))
+        assert np.isfinite(a2).all() and not np.allclose(a2, r2, atol=1e-5)
+
+        # GLY has no sidechain atoms: scheme='sidechain' must fall back to
+        # the whole residue instead of a NaN COM
+        gtop = _mini_top([("GLY", 1, 0, BB), ("ALA", 2, 0, BB + ["CB"])])
+        fr = ResidueCOMFeature(gtop, [0, 1], scheme="sidechain")
+        assert list(fr.groups[0]) == [a.index for a in gtop.residue(0).atoms]
+        assert list(fr.groups[1]) == [gtop.residue(1).atom("CB").index]
+        xyz = np.random.default_rng(0).normal(size=(2, gtop.n_atoms, 3))
+        out = np.asarray(fr.transform(xyz.astype(np.float32)))
+        assert out.shape == (2, 6)
+        assert np.isfinite(out).all()
+
+        with pytest.raises(NotImplementedError, match="image_molecules"):
+            GroupCOMFeature(t.top, [[0, 1]], image_molecules=True)
+        with pytest.raises(ValueError, match="scheme"):
+            ResidueCOMFeature(t.top, [0], scheme="bogus")
 
     def test_central_dihedral_generic_labels_without_omega(self):
         """omega=False generic labels must be unique and consistent with

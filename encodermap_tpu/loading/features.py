@@ -578,8 +578,8 @@ class SideChainTorsions(DihedralFeature):
     name = "SideChainTorsions"
 
     def __init__(
-        self, top: Topology, deg: bool = False, cossin: bool = False,
-        periodic: bool = True, which="all",
+        self, top: Topology, selstr: Optional[str] = None, deg: bool = False,
+        cossin: bool = False, periodic: bool = True, which="all",
     ) -> None:
         idx = []
         labels = []
@@ -597,9 +597,15 @@ class SideChainTorsions(DihedralFeature):
                     f"'which' entries must be 'all' or chi1..chi5, got {bad}"
                 )
             chis = sorted(int(w[-1]) for w in which)
+        # the reference keeps a chi torsion when its SECOND atom is in the
+        # selstr selection (``features.py:2802-2808``)
+        self.selstr = selstr
+        sel = np.asarray(top.select(selstr)) if selstr else None
         for n in chis:
             table = top.indices_chi(n)
             for quad in table:
+                if sel is not None and int(quad[1]) not in sel:
+                    continue
                 idx.append(quad)
                 res = top.atom(int(quad[1])).residue
                 labels.append(f"CHI{n} {res.name} {res.resSeq}")
@@ -867,11 +873,12 @@ class CentralAngles(AngleFeature):
     name = "CentralAngles"
 
     def __init__(
-        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True,
+        deg: bool = False,
     ) -> None:
         chain = _central_chain(top)
         triplets = np.stack([chain[:-2], chain[1:-1], chain[2:]], axis=1)
-        super().__init__(top, triplets, periodic=periodic)
+        super().__init__(top, triplets, deg=deg, periodic=periodic)
         self.generic_labels = generic_labels
 
     def describe(self) -> list[str]:
@@ -894,7 +901,8 @@ class SideChainAngles(AngleFeature):
     name = "SideChainAngles"
 
     def __init__(
-        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True,
+        deg: bool = False,
     ) -> None:
         triplets = []
         for r in top._protein_residues():  # same set as SideChainDihedrals
@@ -902,7 +910,7 @@ class SideChainAngles(AngleFeature):
             for a, b, c in zip(seq[:-2], seq[1:-1], seq[2:]):
                 triplets.append((a.index, b.index, c.index))
         triplets = np.asarray(triplets, np.int64).reshape(-1, 3)
-        super().__init__(top, triplets, periodic=periodic)
+        super().__init__(top, triplets, deg=deg, periodic=periodic)
 
     def describe(self) -> list[str]:
         return [
@@ -947,7 +955,7 @@ class CentralDihedrals(DihedralFeature):
 
     def __init__(
         self, top: Topology, generic_labels: bool = False, periodic: bool = True,
-        omega: bool = True,
+        omega: bool = True, deg: bool = False,
     ) -> None:
         chain = _central_chain(top)
         quads = np.stack(
@@ -957,7 +965,7 @@ class CentralDihedrals(DihedralFeature):
             keep = [k for k in range(len(quads)) if k % 3 != 1]
             quads = quads[keep]
         self.omega = omega
-        super().__init__(top, quads, periodic=periodic)
+        super().__init__(top, quads, deg=deg, periodic=periodic)
 
     def describe(self) -> list[str]:
         out = []
@@ -995,7 +1003,8 @@ class SideChainDihedrals(DihedralFeature):
     name = "SideChainDihedrals"
 
     def __init__(
-        self, top: Topology, generic_labels: bool = False, periodic: bool = True
+        self, top: Topology, generic_labels: bool = False, periodic: bool = True,
+        deg: bool = False,
     ) -> None:
         quads = []
         labels = []
@@ -1022,7 +1031,7 @@ class SideChainDihedrals(DihedralFeature):
         self._labels = labels
         self._generic = generic
         quads = np.asarray(quads, np.int64).reshape(-1, 4)
-        super().__init__(top, quads, periodic=periodic)
+        super().__init__(top, quads, deg=deg, periodic=periodic)
 
     def describe(self) -> list[str]:
         return list(self._labels)

@@ -103,8 +103,26 @@ class SingleTrajFeaturizer:
     # ------------------------------------------------------------------ adders
     def add_list_of_feats(
         self, which: Union[str, Sequence[str]] = "all",
-        ensemble: bool = False, periodic: bool = True,
+        ensemble: bool = False, periodic: bool = True, deg: bool = False,
+        omega: bool = True, check_aas: bool = True,
     ) -> None:
+        """Add the named ADC feature set (reference
+        ``featurizer.py:458-598``): ``deg`` returns angular features in
+        degrees, ``omega`` includes/excludes backbone omega dihedrals, and
+        ``check_aas`` raises on residues the chi/backbone tables don't
+        know (instead of silently skipping them)."""
+        if check_aas:
+            unknown = sorted(
+                {r.name for r in self.traj.top.residues if not r.is_protein}
+            )
+            if unknown:
+                raise ValueError(
+                    f"I don't recognize these residues: {unknown}. Either "
+                    f"add them via traj.load_custom_topology(...), remove "
+                    f"them from the trajectory, or pass check_aas=False to "
+                    f"knowingly skip them (the reference raises here too, "
+                    f"features.py:308-320)."
+                )
         if which == "all":
             which = ALL_FEATS
         elif which == "full":
@@ -116,9 +134,12 @@ class SingleTrajFeaturizer:
                     f"unknown feature shortcut {name!r}; known: "
                     f"{sorted(F.ADC_FEATURES)}"
                 )
-            self.features.append(
-                cls(self.traj.top, generic_labels=ensemble, periodic=periodic)
-            )
+            kwargs = {"generic_labels": ensemble, "periodic": periodic}
+            if issubclass(cls, (F.AngleFeature, F.DihedralFeature)):
+                kwargs["deg"] = deg
+            if cls is F.CentralDihedrals:
+                kwargs["omega"] = omega
+            self.features.append(cls(self.traj.top, **kwargs))
 
     def add_custom_feature(self, feature: F.Feature) -> None:
         self.features.append(feature)
@@ -185,10 +206,14 @@ class SingleTrajFeaturizer:
                                      periodic)
         )
 
-    def add_sidechain_torsions(self, deg: bool = False, cossin: bool = False,
-                               periodic: bool = True, which: str = "all") -> None:
+    def add_sidechain_torsions(self, selstr=None, deg: bool = False,
+                               cossin: bool = False, periodic: bool = True,
+                               which="all") -> None:
+        """All chi1-5 torsions, or only those of residues matched by the
+        ``selstr`` atom selection (reference ``featurizer.py:1194-1240``)."""
         self.features.append(
-            F.SideChainTorsions(self.traj.top, deg, cossin, periodic, which)
+            F.SideChainTorsions(self.traj.top, selstr, deg, cossin, periodic,
+                                which)
         )
 
     def add_selection(self, indexes, reference=None, atom_indices=None,
@@ -248,7 +273,15 @@ class SingleTrajFeaturizer:
                                 image_molecules=image_molecules)
         )
 
-    def add_minrmsd_to_ref(self, ref_xyz, atom_indices=None) -> None:
+    def add_minrmsd_to_ref(self, ref, ref_frame: int = 0, atom_indices=None,
+                           precentered: bool = False) -> None:
+        """Minimal RMSD to frame ``ref_frame`` of ``ref`` (coordinates or a
+        traj-like with ``.xyz``), reference ``featurizer.py:1241-1279``.
+        ``precentered`` is accepted for signature parity; the Kabsch kernel
+        always centers, so it is only the reference's mdtraj speed hint."""
+        ref_xyz = np.asarray(ref.xyz if hasattr(ref, "xyz") else ref)
+        if ref_xyz.ndim == 3:
+            ref_xyz = ref_xyz[ref_frame]
         self.features.append(
             F.MinRmsdFeature(self.traj.top, ref_xyz, atom_indices)
         )
@@ -263,6 +296,38 @@ class SingleTrajFeaturizer:
     @property
     def dimension(self) -> int:
         return sum(f.dimension for f in self.features)
+
+    @property
+    def ndim(self) -> int:
+        """Alias of :attr:`dimension` (reference ``featurizer.py:1280``)."""
+        return self.dimension
+
+    @property
+    def select_Ca(self) -> np.ndarray:
+        """All CA atom indices (reference ``featurizer.py:1288-1290``)."""
+        return self.traj.top.select("name CA")
+
+    def describe(self) -> list[str]:
+        """Concatenated labels of every added feature, in feature order
+        (reference ``featurizer.py:1395-1410``)."""
+        return [lbl for f in self.features for lbl in f.describe()]
+
+    def transform(self, xyz=None, unitcell=None) -> np.ndarray:
+        """All features applied and column-concatenated to one
+        ``(n_frames, dimension)`` array (the reference's ``transform``,
+        ``featurizer.py:1311-1374``). Defaults to this featurizer's own
+        trajectory; pass ``xyz`` (and ``unitcell``) to featurize other
+        coordinates over the same topology. Features with a non-flat
+        output (e.g. cartesians) are flattened to (frames, -1)."""
+        if xyz is None:
+            xyz = np.asarray(self.traj.xyz, np.float32)
+            if unitcell is None:
+                unitcell = self.traj.unitcell_vectors
+        cols = []
+        for f in self.features:
+            arr = np.asarray(f.transform(jnp.asarray(xyz), unitcell))
+            cols.append(arr.reshape(arr.shape[0], -1))
+        return np.concatenate(cols, axis=1)
 
     # ------------------------------------------------------------------ execute
     def get_output(self, ensemble: bool = False) -> CVCollection:

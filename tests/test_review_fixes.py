@@ -755,6 +755,89 @@ class TestFeatureFixes:
         assert out.shape == (3, len(f._indices))
         assert np.isfinite(out).all()
 
+        # sidechain torsions accept the same selstr filter
+        feat2 = SingleTrajFeaturizer(t)
+        feat2.add_sidechain_torsions("resname ASP")
+        fs = feat2.features[-1]
+        full = SingleTrajFeaturizer(t)
+        full.add_sidechain_torsions()
+        n_asp_chis = sum(
+            1 for q in full.features[-1]._indices
+            if t.top.atom(int(q[1])).residue.name == "ASP"
+        )
+        assert len(fs._indices) == n_asp_chis > 0
+
+    @needs_data
+    def test_add_list_of_feats_deg_omega_check_aas(self):
+        """add_list_of_feats gains the reference's deg / omega / check_aas
+        arguments (``featurizer.py:458-598``): deg converts angular
+        features to degrees, omega drops backbone omegas, check_aas raises
+        on unknown residues instead of silently skipping them."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        rad = SingleTrajFeaturizer(t)
+        rad.add_list_of_feats(["central_dihedrals"])
+        degf = SingleTrajFeaturizer(t)
+        degf.add_list_of_feats(["central_dihedrals"], deg=True)
+        a = np.asarray(rad.features[-1].transform(t.xyz[:2]))
+        b = np.asarray(degf.features[-1].transform(t.xyz[:2]))
+        np.testing.assert_allclose(np.rad2deg(a), b, atol=1e-3)
+
+        no_om = SingleTrajFeaturizer(t)
+        no_om.add_list_of_feats(["central_dihedrals"], omega=False)
+        assert (no_om.features[-1].dimension
+                == rad.features[-1].dimension * 2 // 3)
+
+        # cartesian features must NOT receive the deg kwarg
+        carts = SingleTrajFeaturizer(t)
+        carts.add_list_of_feats("all", deg=True)
+
+        # unknown residue: check_aas=True raises, =False skips silently
+        gtop = _mini_top([("ALA", 1, 0, BB), ("XYZ", 2, 0, ["P1", "P2"])])
+
+        class _FakeTraj:
+            top = gtop
+
+        ft = SingleTrajFeaturizer(_FakeTraj())
+        with pytest.raises(ValueError, match="XYZ"):
+            ft.add_list_of_feats(["central_cartesians"])
+        ft.add_list_of_feats(["central_cartesians"], check_aas=False)
+
+        # add_minrmsd_to_ref takes a traj-like + ref_frame like the
+        # reference (``featurizer.py:1241``)
+        fr = SingleTrajFeaturizer(t)
+        fr.add_minrmsd_to_ref(t, ref_frame=3)
+        out = np.asarray(fr.features[-1].transform(t.xyz[:5]))
+        assert out.shape == (5, 1)
+        assert abs(out[3, 0]) < 1e-4  # frame 3 vs itself
+
+    @needs_data
+    def test_featurizer_describe_transform_ndim(self):
+        """The reference's non-add Featurizer surface: describe() (all
+        labels), transform() (one concatenated (frames, dim) array), ndim,
+        select_Ca (``featurizer.py:1280-1410``)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        feat = SingleTrajFeaturizer(t)
+        feat.add_backbone_torsions()
+        feat.add_distances_ca(periodic=False)
+        assert feat.ndim == feat.dimension == len(feat.describe())
+        mat = feat.transform()
+        assert mat.shape == (t.n_frames, feat.dimension)
+        assert np.isfinite(mat).all()
+        # column order is feature order: first backbone torsions, then CA
+        out = feat.get_output()
+        np.testing.assert_allclose(
+            mat[:, : out["BackboneTorsionFeature"].shape[1]],
+            np.asarray(out["BackboneTorsionFeature"]), atol=1e-5,
+        )
+        ca = feat.select_Ca
+        assert all(t.top.atom(int(i)).name == "CA" for i in ca)
+
     @needs_data
     def test_com_ref_geom_and_scheme_fallback(self):
         """COM features gain the reference's ref_geom superposition

@@ -74,6 +74,14 @@ _PROTEIN_RESIDUES = {
     "CYS2",
 }
 
+#: standard 3-letter -> 1-letter amino-acid codes (for FASTA export)
+_AA_ONE_LETTER = {
+    "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C",
+    "GLN": "Q", "GLU": "E", "GLY": "G", "HIS": "H", "ILE": "I",
+    "LEU": "L", "LYS": "K", "MET": "M", "PHE": "F", "PRO": "P",
+    "SER": "S", "THR": "T", "TRP": "W", "TYR": "Y", "VAL": "V",
+}
+
 #: protonation/bond-state variant residue names -> parent residue, for chi
 #: table lookups (CHARMM/AMBER/GROMACS naming)
 RESIDUE_VARIANTS = {
@@ -371,6 +379,19 @@ class Topology:
                     count += 1
             out[i] = count
         return out
+
+    def to_fasta(self) -> list[str]:
+        """One-letter sequence per chain (mdtraj's ``Topology.to_fasta``
+        contract, used by the reference's alignment query,
+        ``info_all.py:1555``). Unknown/capping residues become no letter;
+        protonation-state variants resolve through their parent."""
+        chains: dict[int, list[str]] = {}
+        for r in self.residues:
+            name = RESIDUE_VARIANTS.get(r.name, r.name)
+            letter = _AA_ONE_LETTER.get(name)
+            if letter:
+                chains.setdefault(r.chain_index, []).append(letter)
+        return ["".join(chains[c]) for c in sorted(chains)]
 
     def __repr__(self) -> str:
         return (

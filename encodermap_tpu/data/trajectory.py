@@ -320,6 +320,7 @@ class SingleTraj:
             # composed `index` is KEPT so `.id` still reports original
             # file frame numbers.
             out._xyz = self._xyz[item]
+            out._materialized = getattr(self, "_materialized", False)
             if self._time is not None:
                 out._time = self._time[item]
             if self._unitcell is not None:
@@ -351,6 +352,7 @@ class SingleTraj:
         )
         out._top = new_top
         out._xyz = self.xyz[:, idx]
+        out._materialized = True
         out._time = self.time
         out._unitcell = self._unitcell
         out._n_frames_file = self.n_frames
@@ -382,6 +384,173 @@ class SingleTraj:
         (the operands keep their own traj_num/CVs; reference
         ``info_single.py:2152``)."""
         return TrajEnsemble([self._shallow_copy(), y._shallow_copy()])
+
+    def __iter__(self) -> Iterator["SingleTraj"]:
+        for k in range(self.n_frames):
+            yield self[k]
+
+    @property
+    def id(self) -> np.ndarray:
+        """Per-frame identifiers: the ORIGINAL file frame numbers, shape
+        ``(n_frames,)`` — or ``(n_frames, 2)`` of ``[traj_num, frame]``
+        when this traj carries a ``traj_num`` (reference
+        ``info_single.py:897-918``)."""
+        fi = self._frame_index
+        if self.traj_num is None:
+            return fi.copy()
+        return np.stack(
+            [np.full(len(fi), self.traj_num, dtype=fi.dtype), fi], axis=1
+        )
+
+    def iterframes(self, with_traj_num: bool = False):
+        """Yield ``(original_frame_num, 1-frame-traj)`` — or the three-tuple
+        ``(traj_num, frame_num, frame)`` with ``with_traj_num=True``
+        (reference ``info_single.py:1936-1984``)."""
+        fid = self.id
+        frames = fid[:, 1] if fid.ndim == 2 else fid
+        for i, frame in zip(frames, self):
+            if with_traj_num:
+                yield self.traj_num, int(i), frame
+            else:
+                yield int(i), frame
+
+    def copy(self) -> "SingleTraj":
+        """Deep copy (reference ``info_single.py:copy``)."""
+        import copy as _copy
+
+        return _copy.deepcopy(self)
+
+    def __deepcopy__(self, memo):
+        import copy as _copy
+
+        out = self.__class__.__new__(self.__class__)
+        memo[id(self)] = out
+        for k, v in self.__dict__.items():
+            # native decoder handles (ctypes) and cached jitted featurizers
+            # cannot deep-copy; both are recreated lazily on demand
+            if k in ("_reader", "_featurizer"):
+                continue
+            out.__dict__[k] = _copy.deepcopy(v, memo)
+        return out
+
+    def del_CVs(self) -> None:
+        """Drop all loaded CVs (files untouched; reference
+        ``info_single.py:1164``)."""
+        self._CVs = CVCollection()
+
+    @property
+    def CVs_in_file(self) -> bool:
+        """True when ``traj_file`` is an HDF5 file containing a CVs group
+        (reference ``info_single.py:1022-1029``)."""
+        if self.extension in (".h5", ".hdf5"):
+            import h5py
+
+            with h5py.File(self.traj_file, "r") as f:
+                if "CVs" in f:
+                    return True
+                tn = self.traj_num
+                if tn is not None and f"traj_{tn}/CVs" in f:
+                    return True
+        return False
+
+    @property
+    def n_chains(self) -> int:
+        return self.top.n_chains
+
+    def select(self, expr: str) -> np.ndarray:
+        """Atom indices matching the selection expression (delegates to
+        :meth:`Topology.select`; reference ``info_single.py:select``)."""
+        return self.top.select(expr)
+
+    def sidechain_info(self) -> dict[int, int]:
+        """Per-residue sidechain-dihedral counts (delegates to the
+        topology; reference ``info_single.py:1700``)."""
+        return self.top.sidechain_info()
+
+    @property
+    def featurizer(self):
+        """A cached :class:`SingleTrajFeaturizer` over this traj (reference
+        ``info_single.py:featurizer`` / ``info_all.py:1242-1248``)."""
+        if not hasattr(self, "_featurizer"):
+            from ..loading.featurizer import SingleTrajFeaturizer
+
+            self._featurizer = SingleTrajFeaturizer(self)
+        return self._featurizer
+
+    def superpose(
+        self, reference, frame: int = 0, atom_indices=None,
+        ref_atom_indices=None,
+    ) -> "SingleTraj":
+        """New trajectory with every conformation Kabsch-aligned onto frame
+        ``frame`` of ``reference`` (a traj-like or coordinates; reference
+        ``info_single.py:1800-1860``, which delegates to mdtraj). CVs are
+        NOT inherited — extrinsic CVs (absolute coordinates) would be
+        invalidated by the rotation, matching the reference's refusal."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.kabsch import kabsch_weighted
+
+        ref = np.asarray(reference.xyz if hasattr(reference, "xyz")
+                         else reference, np.float32)
+        if ref.ndim == 3:
+            ref = ref[frame]
+        sel = (np.arange(self.n_atoms) if atom_indices is None
+               else np.asarray(atom_indices, np.int64))
+        ref_sel = sel if ref_atom_indices is None else np.asarray(
+            ref_atom_indices, np.int64
+        )
+        ref_j = jnp.asarray(ref[ref_sel])
+
+        def align_one(xyz):
+            _, R, t = kabsch_weighted(xyz[sel], ref_j)
+            return jnp.matmul(
+                xyz, R.T, precision=jax.lax.Precision.HIGHEST
+            ) + t
+
+        aligned = np.asarray(
+            jax.vmap(align_one)(jnp.asarray(self.xyz, jnp.float32))
+        )
+        out = self._shallow_copy()
+        out._CVs = CVCollection()
+        out._xyz = aligned
+        out._materialized = True
+        return out
+
+    def unload(self, CVs: bool = False) -> None:
+        """Free the cached coordinate arrays so the next access re-reads
+        from file (reference ``info_single.py:1294-1316``). A no-op for
+        materialized trajectories (atom_slice/stack/generated/-from-grouped-
+        h5 products), whose coordinates exist only in memory."""
+        if getattr(self, "_materialized", False):
+            if CVs:
+                self.del_CVs()
+            return
+        self._xyz = None
+        self._time = None
+        self._unitcell = None
+        for attr in ("_file_xyz", "_file_box", "_reader"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        if CVs:
+            self.del_CVs()
+
+    def save_CV_as_numpy(
+        self, attr_name: str, fname=None, overwrite: bool = False
+    ) -> None:
+        """Save one loaded CV as a ``.npy`` file (reference
+        ``info_single.py:1673-1698``)."""
+        import os
+
+        if fname is None:
+            fname = f"{self.basename}_{attr_name}.npy"
+        if os.path.isdir(str(fname)):
+            fname = os.path.join(str(fname), f"{self.basename}_{attr_name}.npy")
+        if os.path.isfile(str(fname)) and not overwrite:
+            raise IOError(
+                f"{fname} already exists. Set overwrite=True to overwrite."
+            )
+        np.save(str(fname), self.CVs[attr_name])
 
     # ------------------------------------------------------------------ dihedral indices
     @property
@@ -639,6 +808,7 @@ class TrajEnsemble:
                         t._top, g.attrs["custom_topology"]
                     ).apply()
                 t._xyz = g["coordinates"][:]
+                t._materialized = True
                 t._time = g["time"][:]
                 t._unitcell = (
                     g["cell_vectors"][:] if "cell_vectors" in g else None
@@ -664,6 +834,282 @@ class TrajEnsemble:
     @property
     def common_str(self) -> list[str]:
         return sorted({t.common_str for t in self.trajs})
+
+    # -------------------------------------------------- reference conveniences
+    @property
+    def basenames(self) -> list[str]:
+        """Basenames of the member trajs (reference ``info_all.py:1516``)."""
+        return [t.basename for t in self.trajs]
+
+    @property
+    def traj_nums(self) -> list[int]:
+        return [t.traj_num for t in self.trajs]
+
+    @property
+    def traj_files(self) -> list[str]:
+        return [t.traj_file for t in self.trajs]
+
+    @property
+    def locations(self) -> list[str]:
+        """Duplication of :attr:`traj_files` (reference
+        ``info_all.py:1818-1822``)."""
+        return [t.traj_file for t in self.trajs]
+
+    @property
+    def top_files(self) -> list[str]:
+        """Minimal (deduplicated, order-preserving) set of topology files
+        (reference ``info_all.py:1250-1260``)."""
+        return list(dict.fromkeys(t.top_file for t in self.trajs))
+
+    @property
+    def top(self) -> list:
+        """Minimal set of member topologies — length 1 when all trajs share
+        one (reference ``info_all.py:1342-1356``)."""
+        out = []
+        for t in self.trajs:
+            if t.top not in out:
+                out.append(t.top)
+        return out
+
+    @property
+    def n_residues(self) -> list[int]:
+        """Per-traj residue counts (reference ``info_all.py:1511-1513``)."""
+        return [t.n_residues for t in self.trajs]
+
+    @property
+    def frames(self) -> list[int]:
+        """Per-traj frame counts (reference ``info_all.py:1855-1857``)."""
+        return [t.n_frames for t in self.trajs]
+
+    @property
+    def index_arr(self) -> np.ndarray:
+        """``(n_frames, 2)`` array of [traj_num, frame] identifiers —
+        identical to :attr:`id` (reference ``info_all.py:1825-1835``)."""
+        return self.id
+
+    @property
+    def name_arr(self) -> np.ndarray:
+        """Member basename repeated per frame, length ``n_frames``
+        (reference ``info_all.py:1838-1848``)."""
+        out: list[str] = []
+        for t in self.trajs:
+            out.extend([t.basename] * t.n_frames)
+        return np.array(out)
+
+    @property
+    def xyz(self) -> np.ndarray:
+        """All coordinates stacked along frames — requires every member to
+        share the atom count (reference accesses via mdtraj the same way)."""
+        n_at = {t.n_atoms for t in self.trajs}
+        if len(n_at) > 1:
+            raise ValueError(
+                f"members have different atom counts {sorted(n_at)}; "
+                f"a stacked xyz is only defined for homogeneous ensembles"
+            )
+        return np.concatenate([t.xyz for t in self.trajs], axis=0)
+
+    @property
+    def CVs_in_file(self) -> bool:
+        """True when every member can load CVs from its file (reference
+        ``info_all.py:1860-1864``)."""
+        return bool(self.trajs) and all(t.CVs_in_file for t in self.trajs)
+
+    @property
+    def trajs_by_top(self) -> dict:
+        """Member trajs grouped into sub-ensembles by topology (identity;
+        reference ``info_all.py:1363-1376``)."""
+        groups: dict = {}
+        for t in self.trajs:
+            groups.setdefault(id(t.top), (t.top, []))[1].append(t)
+        return {top: TrajEnsemble([m._shallow_copy() for m in members])
+                for top, members in groups.values()}
+
+    @property
+    def trajs_by_common_str(self) -> dict:
+        """Member trajs grouped by common_str (reference
+        ``info_all.py:1379-1391``)."""
+        groups: dict[str, list] = {}
+        for t in self.trajs:
+            groups.setdefault(t.common_str, []).append(t)
+        return {cs: TrajEnsemble([m._shallow_copy() for m in members])
+                for cs, members in groups.items()}
+
+    @property
+    def trajs_by_traj_num(self) -> dict[int, SingleTraj]:
+        return {t.traj_num: t for t in self.trajs}
+
+    def sidechain_info(self) -> dict[int, int]:
+        """Sidechain-dihedral counts of the FIRST topology — the ensemble
+        must agree for ADC training (reference ``info_all.py:1393``)."""
+        return self.trajs[0].top.sidechain_info()
+
+    @property
+    def traj_joined(self) -> SingleTraj:
+        """All members' frames as ONE trajectory over the first member's
+        topology — requires a homogeneous atom count (reference
+        ``info_all.py:1932``, used for rendering/clustering whole
+        ensembles)."""
+        base = self.trajs[0]
+        out = base._shallow_copy()
+        out._CVs = CVCollection()
+        out._xyz = self.xyz  # validates homogeneous atom counts
+        out._materialized = True
+        out._time = np.concatenate([t.time for t in self.trajs])
+        cells = [t.unitcell_vectors for t in self.trajs]
+        out._unitcell = (
+            np.concatenate(cells, axis=0)
+            if all(c is not None for c in cells) else None
+        )
+        out._n_frames_file = len(out._xyz)
+        out.index = None
+        return out
+
+    @property
+    def featurizer(self):
+        """A cached :class:`EnsembleFeaturizer` over this ensemble
+        (reference ``info_all.py:1242-1248``)."""
+        if not hasattr(self, "_featurizer"):
+            from ..loading.featurizer import EnsembleFeaturizer
+
+            self._featurizer = EnsembleFeaturizer(self)
+        return self._featurizer
+
+    def del_featurizer(self) -> None:
+        """Drop the cached featurizer (reference ``info_all.py:1237``)."""
+        if hasattr(self, "_featurizer"):
+            del self._featurizer
+
+    def unload(self) -> None:
+        """Free every member's cached coordinates (reference
+        ``info_all.py:2804``); materialized members are left intact."""
+        for t in self.trajs:
+            t.unload()
+
+    def itertrajs(self) -> Iterator[tuple[int, SingleTraj]]:
+        """Yield ``(traj_num, traj)`` (reference ``info_all.py:3156``)."""
+        for t in self.trajs:
+            yield t.traj_num, t
+
+    def iterframes(self) -> Iterator[tuple[int, int, SingleTraj]]:
+        """Yield ``(traj_num, frame_num, 1-frame-traj)`` over all members
+        (reference ``info_all.py:3181``)."""
+        for t in self.trajs:
+            yield from t.iterframes(with_traj_num=True)
+
+    def copy(self) -> "TrajEnsemble":
+        import copy as _copy
+
+        return _copy.deepcopy(self)
+
+    def del_CVs(self, CVs: Optional[Sequence[str]] = None) -> None:
+        """Drop all (or the named) CVs from every member; files untouched
+        (reference ``info_all.py:1622-1635``)."""
+        if CVs is None:
+            for t in self.trajs:
+                t.del_CVs()
+            return
+        if isinstance(CVs, str):
+            CVs = [CVs]
+        for t in self.trajs:
+            for name in CVs:
+                t._CVs._entries.pop(name, None)
+
+    def save_CVs(self, path: Union[str, Path]) -> None:
+        """Save every member's CVs to one HDF5 file under per-traj groups
+        (the h5 analog of the reference's NETCDF ``save_CVs``,
+        ``info_all.py:1995-1997``; readable back via
+        ``CVCollection.from_hdf5(path, group="traj_N/CVs")``)."""
+        for t in self.trajs:
+            t._CVs.to_hdf5(path, group=f"traj_{t.traj_num}/CVs")
+
+    @classmethod
+    def with_overwrite_trajnums(cls, *trajs) -> "TrajEnsemble":
+        """Build an ensemble from trajs and/or ensembles, renumbering
+        copies to traj_num = 0, 1, 2, ... (reference
+        ``info_all.py:1077-1118``)."""
+        members = []
+        for t in trajs:
+            if isinstance(t, TrajEnsemble):
+                members.extend(m._shallow_copy() for m in t)
+            else:
+                members.append(t._shallow_copy())
+        for i, m in enumerate(members):
+            m.traj_num = i
+        return cls(members)
+
+    @classmethod
+    def from_textfile(cls, fname: Union[str, Path],
+                      basename_fn=None) -> "TrajEnsemble":
+        """Build an ensemble from a space-separated textfile with 2-3
+        columns: traj_file top_file [common_str] (reference
+        ``info_all.py:1120-1160``)."""
+        traj_files, top_files, common_strs = [], [], []
+        for line in Path(fname).read_text().splitlines():
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if len(parts) < 2:
+                raise ValueError(
+                    f"each line needs 'traj_file top_file [common_str]', "
+                    f"got {line!r}"
+                )
+            traj_files.append(parts[0])
+            top_files.append(parts[1])
+            common_strs.append(parts[2] if len(parts) > 2 else "")
+        out = cls(traj_files, top_files,
+                  common_str=[c for c in common_strs if c] or None)
+        for t, cs in zip(out.trajs, common_strs):
+            t.common_str = cs
+            if basename_fn is not None:
+                t.basename_fn = basename_fn
+        return out
+
+    def to_alignment_query(self) -> str:
+        """FASTA-formatted sequences, one record per (common_str, chain),
+        for pasting into alignment software (the reference's
+        ``to_alignment_query``, ``info_all.py:1530-1558`` — whose loop
+        drops its records; this returns what it evidently intends)."""
+        out = ""
+        for cs, trajs in self.trajs_by_common_str.items():
+            tops = trajs.top
+            if len(tops) != 1:
+                raise ValueError(
+                    f"common_str {cs!r} maps to {len(tops)} topologies; "
+                    f"regroup the ensemble so each common_str has one"
+                )
+            for j, seq in enumerate(tops[0].to_fasta()):
+                out += f">{cs or trajs.trajs[0].basename}_{j}\n{seq}\n"
+        return out
+
+    def to_dataframe(self, CV: Union[str, Sequence[str]]):
+        """One row per frame with traj provenance + the named CV columns
+        (labeled by ``describe()`` labels when available; reference
+        ``info_all.py:2309-2380``)."""
+        import pandas as pd
+
+        cols = {
+            "traj_file": [t.traj_file for t in self for _ in range(t.n_frames)],
+            "top_file": [t.top_file for t in self for _ in range(t.n_frames)],
+            "traj_num": np.repeat(self.traj_nums, self.frames),
+            "frame_num": self.id[:, 1] if self.id.ndim == 2 else self.id,
+            "time": np.concatenate([t.time for t in self.trajs]),
+        }
+        names = [CV] if isinstance(CV, str) else list(CV)
+        for name in names:
+            data = np.concatenate(
+                [np.asarray(t.CVs[name]).reshape(t.n_frames, -1)
+                 for t in self.trajs], axis=0,
+            )
+            labels = None
+            e = self.trajs[0]._CVs
+            if name in e and e.entry(name).labels:
+                labels = e.entry(name).labels
+            if labels is None or len(labels) != data.shape[1]:
+                labels = ([name] if data.shape[1] == 1 else
+                          [f"{name} {k}" for k in range(data.shape[1])])
+            for k, lbl in enumerate(labels):
+                cols[lbl] = data[:, k]
+        return pd.DataFrame(cols)
 
     def __iter__(self) -> Iterator[SingleTraj]:
         return iter(self.trajs)
@@ -968,6 +1414,7 @@ class TrajEnsemble:
             )
             joined._top = base.top
             joined._xyz = np.concatenate([m.xyz for m in members], axis=0)
+            joined._materialized = True
             joined._time = np.concatenate([m.time for m in members], axis=0)
             cells = [m.unitcell_vectors for m in members]
             joined._unitcell = (
@@ -1026,6 +1473,7 @@ class TrajEnsemble:
         out = SingleTraj(self.trajs[0].traj_file, self.trajs[0].top_file)
         out._top = merged
         out._xyz = np.concatenate(xyzs, axis=1)
+        out._materialized = True
         out._time = self.trajs[0].time
         out._unitcell = self.trajs[0].unitcell_vectors
         out._n_frames_file = len(out._xyz)

@@ -601,4 +601,5 @@ class DihedralEncoderMap(EncoderMap):
         out = top[np.zeros(len(xyz), dtype=int)]
         out.load()
         out._xyz = xyz
+        out._materialized = True
         return out

@@ -839,6 +839,103 @@ class TestFeatureFixes:
         assert all(t.top.atom(int(i)).name == "CA" for i in ca)
 
     @needs_data
+    def test_container_reference_conveniences(self):
+        """The reference's container convenience surface: iterframes /
+        itertrajs contracts, id on SingleTraj, grouping dicts,
+        del_CVs/copy/unload, superpose, to_alignment_query / to_fasta,
+        to_dataframe, from_textfile (``info_single.py:897-1984``,
+        ``info_all.py:1077-3230``)."""
+        import pandas as pd
+
+        import encodermap_tpu as em
+
+        t1 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        t2 = em.load(str(DATA / "glu7.xtc"), str(DATA / "glu7.pdb"))
+        t1.common_str, t2.common_str = "asp7", "glu7"
+        trajs = em.TrajEnsemble([t1, t2])
+
+        # SingleTraj.id: (n, 2) [traj_num, frame] once in an ensemble
+        tt = trajs[0][::10]
+        assert tt.id.shape == (10, 2)
+        assert (tt.id[:, 0] == 0).all() and list(tt.id[:3, 1]) == [0, 10, 20]
+        # iterframes yields ORIGINAL frame numbers
+        pairs_ = [(i, f.n_frames) for i, f in tt.iterframes()]
+        assert pairs_[:3] == [(0, 1), (10, 1), (20, 1)]
+        # ensemble iterators
+        assert [i for i, _ in trajs.itertrajs()] == [0, 1]
+        first = next(trajs.iterframes())
+        assert first[0] == 0 and first[1] == 0 and first[2].n_frames == 1
+
+        # properties
+        assert trajs.basenames == ["asp7", "glu7"]
+        assert trajs.traj_nums == [0, 1]
+        assert trajs.frames == [t1.n_frames, t2.n_frames]
+        assert len(trajs.top) == 2 and len(trajs.top_files) == 2
+        assert trajs.index_arr.shape == (trajs.n_frames, 2)
+        assert trajs.name_arr[0] == "asp7" and trajs.name_arr[-1] == "glu7"
+        assert len(trajs.trajs_by_common_str) >= 1
+        assert set(trajs.trajs_by_traj_num) == {0, 1}
+        assert len(trajs.trajs_by_top) == 2
+
+        # to_fasta / to_alignment_query: asp7 is a hepta-ASP
+        fasta = t1.top.to_fasta()
+        assert fasta == ["DDDDDDD"], fasta
+        q = trajs.to_alignment_query()
+        assert "DDDDDDD" in q and "EEEEEEE" in q and q.count(">") >= 2
+
+        # superpose: aligned frame k has smaller RMSD to ref frame 0
+        sup = t1.superpose(t1, frame=0)
+        raw = np.sqrt(((t1.xyz[50] - t1.xyz[0]) ** 2).sum(-1).mean())
+        ali = np.sqrt(((sup.xyz[50] - t1.xyz[0]) ** 2).sum(-1).mean())
+        assert ali < raw
+
+        # del_CVs / copy / unload
+        t1c = t1.copy()
+        t1c.load_CV("central_dihedrals")
+        assert "central_dihedrals" in t1c.CVs
+        t1c.del_CVs()
+        assert "central_dihedrals" not in t1c.CVs
+        assert "central_dihedrals" not in t1.CVs  # copy was independent
+        t1c.unload()
+        assert t1c._xyz is None
+        assert t1c.xyz.shape == t1.xyz.shape  # reloads from file
+
+        # to_dataframe
+        trajs2 = em.TrajEnsemble([t1.copy(), t1.copy()])
+        trajs2.load_CVs("central_dihedrals")
+        df = trajs2.to_dataframe("central_dihedrals")
+        assert isinstance(df, pd.DataFrame)
+        assert len(df) == trajs2.n_frames
+        assert df["traj_num"].tolist() == [0] * t1.n_frames + [1] * t1.n_frames
+
+        # traj_joined / ensemble featurizer / unload
+        trajs3 = em.TrajEnsemble([t1.copy(), t1.copy()])
+        tj = trajs3.traj_joined
+        assert tj.n_frames == 2 * t1.n_frames
+        np.testing.assert_array_equal(tj.xyz[: t1.n_frames], t1.xyz)
+        fz = trajs3.featurizer
+        assert fz is trajs3.featurizer  # cached
+        trajs3.del_featurizer()
+        assert fz is not trajs3.featurizer
+        trajs3.unload()
+        assert all(t._xyz is None for t in trajs3)
+
+        # from_textfile
+        listing = (
+            f"{DATA / 'asp7.xtc'} {DATA / 'asp7.pdb'} asp\n"
+            f"# comment line\n"
+            f"{DATA / 'glu7.xtc'} {DATA / 'glu7.pdb'} glu\n"
+        )
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                         delete=False) as fh:
+            fh.write(listing)
+        loaded = em.TrajEnsemble.from_textfile(fh.name)
+        assert loaded.basenames == ["asp7", "glu7"]
+        assert [t.common_str for t in loaded] == ["asp", "glu"]
+
+    @needs_data
     def test_com_ref_geom_and_scheme_fallback(self):
         """COM features gain the reference's ref_geom superposition
         (``features.py:2647-2648``) and the empty-scheme fallback to the

@@ -1188,6 +1188,8 @@ class TrajEnsemble:
                                 np.asarray(part, np.float32), attr_name=name
                             )
             return
+        if isinstance(data, str) and Path(data).is_dir():
+            return self.load_CVs_from_dir(data, attr_name=attr_name)
         if isinstance(data, str):
             data = [data]
         if isinstance(data, (list, tuple)) and all(isinstance(d, str) for d in data):
@@ -1231,6 +1233,27 @@ class TrajEnsemble:
             feat.apply(ensemble=ensemble)
             return
         raise TypeError(f"cannot load CVs from {type(data)}")
+
+    def load_CVs_from_dir(
+        self, directory: Union[str, Path], attr_name: Optional[str] = None
+    ) -> None:
+        """Load one ``.npy``/``.txt`` CV file per member trajectory from a
+        directory, matched by basename substring (the reference's
+        ``load_CVs_from_dir``, ``trajinfo_utils.py:2418-2447``; also
+        reachable as ``load_CVs(directory)``). ``.npy`` files win over
+        ``.txt`` when both match a trajectory."""
+        directory = Path(directory)
+        files = [p for p in sorted(directory.iterdir()) if p.is_file()]
+        for traj in self.trajs:
+            hits = [p for p in files if traj.basename in p.name
+                    and p.suffix in (".npy", ".txt")]
+            if not hits:
+                raise FileNotFoundError(
+                    f"No .npy/.txt file in {directory} matches trajectory "
+                    f"basename {traj.basename!r}."
+                )
+            hits.sort(key=lambda p: (p.suffix != ".npy", p.name))
+            traj.load_CV(str(hits[0]), attr_name=attr_name)
 
     def load_custom_topology(self, custom: Any) -> None:
         """Apply user residue definitions (unnatural AAs) to every member

@@ -61,6 +61,9 @@ __all__ = [
     "CentralAngles",
     "SideChainAngles",
     "ADC_FEATURES",
+    "pair",
+    "unpair",
+    "describe_last_feats",
 ]
 
 
@@ -1077,3 +1080,60 @@ ADC_FEATURES = {
     "side_distances": SideChainBondDistances,
     "side_angles": SideChainAngles,
 }
+
+
+def pair(*numbers: int) -> int:
+    """Szudzik's elegant pairing function: maps non-negative integers to one
+    unique non-negative integer, folding left for >2 inputs (the reference
+    uses it to key feature index tuples, ``loading/features.py:219-261``).
+
+    Example:
+        >>> from encodermap_tpu.loading.features import pair, unpair
+        >>> unpair(pair(12, 35, 99), n=3)
+        [12, 35, 99]
+    """
+    if len(numbers) < 2:
+        raise ValueError(
+            "Szudzik pairing function needs at least 2 numbers as input"
+        )
+    if any(n < 0 or not isinstance(n, (int, np.integer)) for n in numbers):
+        raise ValueError(
+            f"Szudzik pairing function maps only non-negative integers, "
+            f"got {numbers=}"
+        )
+    acc, rest = int(numbers[0]), numbers[1:]
+    for b in rest:
+        b = int(b)
+        acc = b * b + acc if acc < b else acc * acc + acc + b
+    return acc
+
+
+def unpair(number: int, n: int = 2) -> list[int]:
+    """Inverse of :func:`pair`: recover the ``n`` non-negative integers
+    whose pairing is ``number`` (reference ``loading/features.py:263-306``)."""
+    if number < 0 or not isinstance(number, (int, np.integer)):
+        raise ValueError(
+            "Szudzik unpairing function requires a non-negative integer"
+        )
+    number = int(number)
+    root = int(np.sqrt(number))
+    # sqrt can land one off for huge ints; settle it exactly
+    while root * root > number:
+        root -= 1
+    while (root + 1) * (root + 1) <= number:
+        root += 1
+    if number - root * root < root:
+        a, b = number - root * root, root
+    else:
+        a, b = root, number - root * root - root
+    if n > 2:
+        return unpair(a, n - 1) + [b]
+    return [a, b]
+
+
+def describe_last_feats(feat, n: int = 5) -> None:
+    """Print the labels of the last ``n`` features added to a featurizer
+    (reference ``loading/features.py:323-351``)."""
+    labels = feat.describe()
+    for label in labels[-n:]:
+        print(label)

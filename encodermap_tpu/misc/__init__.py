@@ -1,12 +1,24 @@
 # encodermap_tpu/misc/__init__.py
 """Host-side utilities: toy data, checkpointing, summaries."""
 
-from .misc import create_n_cube, get_full_common_str_and_ref, run_path
+from .misc import (
+    all_equal,
+    arbitrary_dihedral,
+    create_n_cube,
+    get_full_common_str_and_ref,
+    match_files,
+    printTable,
+    run_path,
+)
 from .saving import load_checkpoint, load_pytree, save_checkpoint, save_pytree
 
 __all__ = [
+    "all_equal",
+    "arbitrary_dihedral",
     "create_n_cube",
     "get_full_common_str_and_ref",
+    "match_files",
+    "printTable",
     "run_path",
     "load_checkpoint",
     "load_pytree",

@@ -9,7 +9,14 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["create_n_cube", "run_path"]
+__all__ = [
+    "create_n_cube",
+    "run_path",
+    "all_equal",
+    "match_files",
+    "printTable",
+    "arbitrary_dihedral",
+]
 
 
 def create_n_cube(
@@ -140,3 +147,110 @@ def get_full_common_str_and_ref(trajs, tops, common_str):
         matched_tops.append(top_hits[0] if top_hits else tops[0])
         matched_cs.append(cs)
     return trajs, matched_tops, matched_cs
+
+
+def all_equal(iterable) -> bool:
+    """True when every element of ``iterable`` compares equal (and for the
+    empty iterable; reference ``misc/misc.py:414-426``)."""
+    it = iter(iterable)
+    try:
+        first = next(it)
+    except StopIteration:
+        return True
+    return all(x == first for x in it)
+
+
+def match_files(trajs, tops, common_str):
+    """Assign a topology file and a common_str to every trajectory file.
+
+    For each traj the common_str whose RIGHTMOST occurrence in the path is
+    latest wins (so ``.../asp7/asp7_long.xtc`` matches ``asp7`` even when a
+    parent directory contains another candidate); the matched topology is
+    the one sharing that substring — or the traj itself for self-topologied
+    ``.h5`` files. Same contract as the reference's ``match_files``
+    (``misc/misc.py:176-301``): returns ``(tops_out, common_str_out)``,
+    both aligned with ``trajs``.
+    """
+    trajs = [str(t) for t in trajs]
+    tops = [str(t) for t in tops]
+    if (
+        all(t.endswith(".h5") for t in trajs)
+        and len(trajs) == len(tops) == len(common_str)
+    ):
+        return tops, common_str
+
+    tops_out, common_str_out = [], []
+    for t in trajs:
+        hits = [(t.rfind(cs), cs) for cs in common_str if cs in t]
+        if not hits:
+            raise Exception(
+                f"The traj file {t} does not match any of the common_str "
+                f"you provided: {common_str}"
+            )
+        cs = max(hits)[1]
+        if t.endswith(".h5"):
+            tops_out.append(t)
+        else:
+            top_hits = [p for p in tops if cs in p]
+            if not top_hits:
+                raise Exception(
+                    f"No topology among {tops} matches common_str {cs!r} "
+                    f"of traj {t}."
+                )
+            tops_out.append(top_hits[0])
+        common_str_out.append(cs)
+    return tops_out, common_str_out
+
+
+def printTable(myDict, colList=None, sep: str = "￺") -> str:
+    """Render a list of row-dicts as a fixed-width text table (the
+    reference's ``printTable`` contract, ``misc/misc.py:354-392``: returns
+    the table as a string, rows indented four spaces, ``sep`` splitting a
+    cell into multiple lines with a dashed rule after the header)."""
+    if not colList:
+        colList = list(myDict[0].keys()) if myDict else []
+    header = [str(c) for c in colList]
+    # split every cell on `sep` into its line stack
+    rows = [
+        [str(item.get(c) or "").split(sep) for c in colList] for item in myDict
+    ]
+    widths = [
+        max(
+            [len(header[j])]
+            + [len(line) for row in rows for line in row[j]]
+        )
+        for j in range(len(colList))
+    ]
+    fmt = " | ".join("{:<%d}" % w for w in widths)
+    lines = [fmt.format(*header)]
+    if sep != "￺":
+        lines.append("-+-".join("-" * w for w in widths))
+    for row in rows:
+        depth = max(len(cell) for cell in row) if row else 0
+        for k in range(depth):
+            lines.append(
+                fmt.format(*[cell[k] if k < len(cell) else "" for cell in row])
+            )
+    return "  \n".join("    " + ln for ln in lines)
+
+
+def arbitrary_dihedral(pos, out=None) -> np.ndarray:
+    """Signed dihedral angles (radians, IUPAC convention) of a
+    ``(n, 4, 3)`` position array — the host-side numpy analog of
+    :func:`encodermap_tpu.ops.geometry.compute_dihedrals`.
+
+    The reference's version (``misc/rotate.py:81-114``) returns values
+    offset by pi from the mdtraj convention its own featurization uses
+    (and is unused inside the reference); this one deliberately agrees
+    with ``compute_dihedrals``/mdtraj instead.
+    """
+    pos = np.asarray(pos)
+    b0 = pos[:, 0] - pos[:, 1]
+    b1 = pos[:, 2] - pos[:, 1]
+    b2 = pos[:, 3] - pos[:, 2]
+    b1n = b1 / np.linalg.norm(b1, axis=-1, keepdims=True)
+    v = b0 - (b0 * b1n).sum(-1, keepdims=True) * b1n
+    w = b2 - (b2 * b1n).sum(-1, keepdims=True) * b1n
+    x = (v * w).sum(-1)
+    y = (np.cross(b1n, v) * w).sum(-1)
+    return np.arctan2(y, x, out)

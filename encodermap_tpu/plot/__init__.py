@@ -9,6 +9,9 @@ from .interactive import (
 from .plotting import (
     animate_lowd_trajectory,
     digitize_dssp,
+    distance_histogram_interactive,
+    dssp_to_rgb,
+    dssp_to_text,
     get_density,
     get_free_energy,
     get_histogram,
@@ -34,6 +37,9 @@ __all__ = [
     "DistanceHistogramInteractive",
     "interactive_path_visualization",
     "distance_histogram",
+    "distance_histogram_interactive",
+    "dssp_to_text",
+    "dssp_to_rgb",
     "plot_dssp",
     "plot_ball_and_stick",
     "render_vmd",

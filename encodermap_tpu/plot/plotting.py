@@ -35,6 +35,9 @@ __all__ = [
     "plot_raw_data",
     "plot_end2end",
     "animate_lowd_trajectory",
+    "dssp_to_text",
+    "dssp_to_rgb",
+    "distance_histogram_interactive",
 ]
 
 
@@ -679,3 +682,71 @@ def animate_lowd_trajectory(
         anim.save(save_path, fps=fps)
     plt.close(fig)
     return str(save_path)
+
+
+#: DSSP code -> human-readable name (full mdtraj/DSSP alphabet; the
+#: simplified 3-letter scheme uses C/E/H). Reference
+#: ``plot/plotting.py:2442-2459``.
+_DSSP_TEXT = {
+    " ": "Coil",
+    "B": "Isolated beta-bridge",
+    "E": "Extended beta-ladder",
+    "G": "3/10-helix",
+    "H": "Alpha-helix",
+    "I": "Pi-helix",
+    "S": "Bend",
+    "T": "Hydrogen bonded Turn",
+}
+_DSSP_TEXT_SIMPLIFIED = {"C": "Coil", "E": "Extended", "H": "Helical"}
+
+#: DSSP code -> display color, matching the reference's scheme
+#: (``plot/plotting.py:2462-2516``): coil white, sheet red, helix blue,
+#: bridge black, 3/10 grey, pi cyan, bend green, turn yellow.
+_DSSP_RGB = {
+    " ": (1.0, 1.0, 1.0),
+    "B": (0.0, 0.0, 0.0),
+    "E": (1.0, 0.0, 0.0),
+    "G": (0.5, 0.5, 0.5),
+    "H": (0.0, 0.0, 1.0),
+    "I": (0.0, 1.0, 1.0),
+    "S": (0.0, 1.0, 0.0),
+    "T": (1.0, 1.0, 0.0),
+}
+_DSSP_RGB_SIMPLIFIED = {
+    "C": (1.0, 1.0, 1.0),
+    "E": (1.0, 0.0, 0.0),
+    "H": (0.0, 0.0, 1.0),
+}
+
+
+def dssp_to_text(val: str, simplified: bool = False) -> str:
+    """Human-readable name of one DSSP code (simplified: C/E/H)."""
+    return (_DSSP_TEXT_SIMPLIFIED if simplified else _DSSP_TEXT)[val]
+
+
+def dssp_to_rgb(val: str, simplified: bool = False) -> tuple:
+    """Display color (r, g, b in 0-1) of one DSSP code."""
+    return (_DSSP_RGB_SIMPLIFIED if simplified else _DSSP_RGB)[val]
+
+
+def distance_histogram_interactive(
+    data,
+    periodicity: float,
+    low_d_max: float = 5.0,
+    bins="auto",
+    initial_guess=None,
+):
+    """Interactive sigmoid-parameter tuner over the pairwise-distance
+    histogram — returns a :class:`~encodermap_tpu.plot.interactive.
+    DistanceHistogramInteractive` (call ``.show()`` in a notebook, or use
+    ``.update(...)``/``.apply(parameters)`` headlessly). Functional analog
+    of the reference's plotly version (``plot/plotting.py:1650``)."""
+    from .interactive import DistanceHistogramInteractive
+
+    return DistanceHistogramInteractive(
+        data,
+        periodicity=periodicity,
+        initial_guess=initial_guess,
+        low_d_max=low_d_max,
+        bins=bins,
+    )

@@ -707,3 +707,160 @@ class TestReviewRegressions:
         src.close()
         # after close returns, the worker must be fully out of __next__
         assert reading["active"] is False
+
+
+class TestSmallUtilityParity:
+    """The reference's small user-facing helpers: ``misc.misc`` utilities,
+    Szudzik pairing, DSSP display maps, directory CV loading
+    (``misc/misc.py:176-426``, ``loading/features.py:219-351``,
+    ``plot/plotting.py:1650,2442-2516``, ``trajinfo_utils.py:2418``)."""
+
+    def test_all_equal(self):
+        from encodermap_tpu.misc import all_equal
+
+        assert all_equal([1, 1, 1])
+        assert not all_equal([1, 2, 1])
+        assert all_equal([])
+        assert all_equal(iter("aaa"))
+
+    def test_match_files(self):
+        from encodermap_tpu.misc import match_files
+
+        tops, cs = match_files(
+            ["/data/asp7/asp7.xtc", "/data/glu7/glu7_traj.xtc"],
+            ["/tops/asp7.pdb", "/tops/glu7.pdb"],
+            ["asp7", "glu7"],
+        )
+        assert tops == ["/tops/asp7.pdb", "/tops/glu7.pdb"]
+        assert cs == ["asp7", "glu7"]
+        # rightmost occurrence wins: file under a misleading parent dir
+        tops, cs = match_files(
+            ["/data/glu7/asp7.xtc"], ["/tops/asp7.pdb", "/tops/glu7.pdb"],
+            ["asp7", "glu7"],
+        )
+        assert tops == ["/tops/asp7.pdb"] and cs == ["asp7"]
+        # self-topologied h5 trajs return themselves (loop path: list
+        # lengths differ, so the aligned-h5 early return doesn't fire)
+        tops, cs = match_files(
+            ["/data/asp7.h5", "/data/glu7.h5"], ["/tops/asp7.pdb"],
+            ["asp7", "glu7"],
+        )
+        assert tops == ["/data/asp7.h5", "/data/glu7.h5"]
+        assert cs == ["asp7", "glu7"]
+        with pytest.raises(Exception, match="does not match"):
+            match_files(["/data/lys8.xtc"], ["/tops/asp7.pdb"], ["asp7"])
+
+    def test_print_table(self):
+        from encodermap_tpu.misc import printTable
+
+        rows = [
+            {"name": "a", "value": 1},
+            {"name": "longer_name", "value": 22},
+        ]
+        out = printTable(rows)
+        lines = out.split("  \n")
+        assert len(lines) == 3
+        assert all(ln.startswith("    ") for ln in lines)
+        assert "name" in lines[0] and "value" in lines[0]
+        assert "longer_name" in lines[2]
+        # all rows align on the same column widths
+        assert len(set(map(len, lines))) == 1
+        # multi-line cells via sep insert a dashed rule after the header
+        out = printTable(
+            [{"k": "line1\nline2", "v": "x"}], colList=["k", "v"], sep="\n"
+        )
+        lines = out.split("  \n")
+        assert "-+-" in lines[1]
+        assert "line1" in lines[2] and "line2" in lines[3]
+
+    def test_arbitrary_dihedral_matches_geometry_kernel(self):
+        import jax.numpy as jnp
+
+        from encodermap_tpu.misc import arbitrary_dihedral
+        from encodermap_tpu.ops.geometry import compute_dihedrals
+
+        rng = np.random.default_rng(7)
+        pos = rng.normal(size=(32, 4, 3)).astype(np.float32)
+        host = arbitrary_dihedral(pos)
+        dev = np.asarray(
+            compute_dihedrals(jnp.asarray(pos), jnp.asarray([[0, 1, 2, 3]]))
+        )[:, 0]
+        np.testing.assert_allclose(host, dev, atol=2e-5)
+
+    def test_szudzik_pair_unpair(self):
+        from encodermap_tpu.loading.features import pair, unpair
+
+        assert unpair(pair(0, 0)) == [0, 0]
+        assert unpair(pair(3, 5)) == [3, 5]
+        assert unpair(pair(5, 3)) == [5, 3]  # ordered, not symmetric
+        assert pair(3, 5) != pair(5, 3)
+        assert unpair(pair(12, 35, 99), n=3) == [12, 35, 99]
+        # bijectivity on a grid
+        seen = set()
+        for a in range(30):
+            for b in range(30):
+                seen.add(pair(a, b))
+        assert len(seen) == 900
+        with pytest.raises(ValueError):
+            pair(7)
+        with pytest.raises(ValueError):
+            pair(-1, 2)
+        with pytest.raises(ValueError):
+            unpair(-3)
+
+    def test_dssp_display_maps(self):
+        from encodermap_tpu.plot import dssp_to_rgb, dssp_to_text
+
+        assert dssp_to_text("H") == "Alpha-helix"
+        assert dssp_to_text("H", simplified=True) == "Helical"
+        assert dssp_to_text(" ") == "Coil"
+        assert dssp_to_rgb("E") == (1.0, 0.0, 0.0)
+        assert dssp_to_rgb("C", simplified=True) == (1.0, 1.0, 1.0)
+        with pytest.raises(KeyError):
+            dssp_to_text("Z")
+
+    def test_describe_last_feats(self, capsys):
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.features import describe_last_feats
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        traj = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_list_of_feats(["central_dihedrals"])
+        describe_last_feats(feat, n=3)
+        printed = capsys.readouterr().out.strip().splitlines()
+        assert printed == feat.describe()[-3:]
+
+    def test_distance_histogram_interactive_function(self):
+        from encodermap_tpu.plot import distance_histogram_interactive
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(size=(64, 6)).astype(np.float32)
+        tuner = distance_histogram_interactive(data, float("inf"))
+        x_h, y_h, x_l, y_l = tuner.update(sig_h=3.0)
+        assert tuner.params[0] == 3.0
+        assert np.isfinite(y_h).all() and np.isfinite(y_l).all()
+
+    @needs_data
+    def test_load_cvs_from_dir(self, tmp_path):
+        import encodermap_tpu as em
+
+        t1 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        t2 = em.load(str(DATA / "glu7.xtc"), str(DATA / "glu7.pdb"))
+        trajs = em.TrajEnsemble([t1, t2])
+        v1 = np.random.default_rng(1).normal(
+            size=(t1.n_frames, 4)).astype(np.float32)
+        v2 = np.random.default_rng(2).normal(
+            size=(t2.n_frames, 4)).astype(np.float32)
+        np.save(tmp_path / "asp7_my_cv.npy", v1)
+        np.save(tmp_path / "glu7_my_cv.npy", v2)
+        # a .txt decoy with the same basename: .npy must win
+        np.savetxt(tmp_path / "asp7_other.txt", v1[:, 0])
+        trajs.load_CVs(str(tmp_path), attr_name="my_cv")
+        np.testing.assert_array_equal(t1.CVs["my_cv"], v1)
+        np.testing.assert_array_equal(t2.CVs["my_cv"], v2)
+        # unmatched trajectory raises
+        t3 = em.load(str(DATA / "1am7_corrected.xtc"),
+                     str(DATA / "1am7_protein.pdb"))
+        with pytest.raises(FileNotFoundError, match="matches trajectory"):
+            em.TrajEnsemble([t3]).load_CVs_from_dir(tmp_path)

@@ -383,15 +383,46 @@ class Topology:
     def to_fasta(self) -> list[str]:
         """One-letter sequence per chain (mdtraj's ``Topology.to_fasta``
         contract, used by the reference's alignment query,
-        ``info_all.py:1555``). Unknown/capping residues become no letter;
-        protonation-state variants resolve through their parent."""
-        chains: dict[int, list[str]] = {}
+        ``info_all.py:1555``): one record per chain, so a chain with no
+        standard amino acids (ligand/solvent) yields an EMPTY string and
+        chain numbering stays aligned. Unknown/capping residues become no
+        letter; protonation-state variants resolve through their parent."""
+        chains: list[list[str]] = [[] for _ in range(self.n_chains)]
         for r in self.residues:
             name = RESIDUE_VARIANTS.get(r.name, r.name)
             letter = _AA_ONE_LETTER.get(name)
             if letter:
-                chains.setdefault(r.chain_index, []).append(letter)
-        return ["".join(chains[c]) for c in sorted(chains)]
+                chains[r.chain_index].append(letter)
+        return ["".join(c) for c in chains]
+
+    def _fingerprint(self) -> tuple:
+        """Primitive-only structural identity (used by __eq__/__hash__):
+        atom names/elements/residue membership + residue records. Two
+        independently parsed copies of one topology file compare equal."""
+        return (
+            tuple((a.name, a.element, a.residue.index) for a in self.atoms),
+            tuple(
+                (r.name, r.resSeq, r.chain_index,
+                 getattr(r, "_force_protein", False))
+                for r in self.residues
+            ),
+            # custom chi-table patches change dihedral tables without
+            # touching atoms — patched and unpatched must NOT compare equal
+            getattr(self, "_custom_def_json", None),
+        )
+
+    def __eq__(self, other: object) -> bool:
+        if self is other:
+            return True
+        if not isinstance(other, Topology):
+            return NotImplemented
+        return self._fingerprint() == other._fingerprint()
+
+    def __hash__(self) -> int:
+        # computed on demand, NOT cached: CustomTopology.apply() mutates
+        # topologies in place, and a stale cache would alias patched and
+        # unpatched versions
+        return hash(self._fingerprint())
 
     def __repr__(self) -> str:
         return (

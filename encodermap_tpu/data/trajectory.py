@@ -372,6 +372,9 @@ class SingleTraj:
         cvs = CVCollection()
         cvs._entries = dict(self._CVs._entries)
         out._CVs = cvs
+        # the cached featurizer is bound to SELF; a copy whose coordinates
+        # get replaced (superpose, traj_joined) must rebuild its own
+        out.__dict__.pop("_featurizer", None)
         return out
 
     def get_single_frame(self, key: int) -> "SingleTraj":
@@ -486,10 +489,7 @@ class SingleTraj:
         ``info_single.py:1800-1860``, which delegates to mdtraj). CVs are
         NOT inherited — extrinsic CVs (absolute coordinates) would be
         invalidated by the rotation, matching the reference's refusal."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops.kabsch import kabsch_weighted
+        from ..ops.kabsch import align_frames
 
         ref = np.asarray(reference.xyz if hasattr(reference, "xyz")
                          else reference, np.float32)
@@ -500,16 +500,8 @@ class SingleTraj:
         ref_sel = sel if ref_atom_indices is None else np.asarray(
             ref_atom_indices, np.int64
         )
-        ref_j = jnp.asarray(ref[ref_sel])
-
-        def align_one(xyz):
-            _, R, t = kabsch_weighted(xyz[sel], ref_j)
-            return jnp.matmul(
-                xyz, R.T, precision=jax.lax.Precision.HIGHEST
-            ) + t
-
         aligned = np.asarray(
-            jax.vmap(align_one)(jnp.asarray(self.xyz, jnp.float32))
+            align_frames(np.asarray(self.xyz, np.float32), ref[ref_sel], sel)
         )
         out = self._shallow_copy()
         out._CVs = CVCollection()
@@ -914,24 +906,43 @@ class TrajEnsemble:
         ``info_all.py:1860-1864``)."""
         return bool(self.trajs) and all(t.CVs_in_file for t in self.trajs)
 
+    @classmethod
+    def _from_members(cls, members: Sequence[SingleTraj]) -> "TrajEnsemble":
+        """Sub-ensemble over shallow copies that PRESERVES each member's
+        traj_num (the public constructor renumbers 0..n-1; grouping views
+        must keep parent provenance so ``id``/``trajs_by_traj_num`` still
+        refer to the parent's numbering)."""
+        out = cls.__new__(cls)
+        out.trajs = [m._shallow_copy() for m in members]
+        out._source_h5 = None
+        return out
+
     @property
     def trajs_by_top(self) -> dict:
-        """Member trajs grouped into sub-ensembles by topology (identity;
-        reference ``info_all.py:1363-1376``)."""
-        groups: dict = {}
+        """Member trajs grouped into sub-ensembles by topology — value
+        equality, so independently parsed copies of one topology file land
+        in one group (reference ``info_all.py:1363-1376``). Sub-ensembles
+        keep the parent's traj_nums."""
+        groups: list[tuple] = []  # (top, members); list keeps insert order
         for t in self.trajs:
-            groups.setdefault(id(t.top), (t.top, []))[1].append(t)
-        return {top: TrajEnsemble([m._shallow_copy() for m in members])
-                for top, members in groups.values()}
+            for top, members in groups:
+                if top == t.top:
+                    members.append(t)
+                    break
+            else:
+                groups.append((t.top, [t]))
+        return {top: TrajEnsemble._from_members(members)
+                for top, members in groups}
 
     @property
     def trajs_by_common_str(self) -> dict:
         """Member trajs grouped by common_str (reference
-        ``info_all.py:1379-1391``)."""
+        ``info_all.py:1379-1391``); sub-ensembles keep the parent's
+        traj_nums."""
         groups: dict[str, list] = {}
         for t in self.trajs:
             groups.setdefault(t.common_str, []).append(t)
-        return {cs: TrajEnsemble([m._shallow_copy() for m in members])
+        return {cs: TrajEnsemble._from_members(members)
                 for cs, members in groups.items()}
 
     @property
@@ -1188,8 +1199,18 @@ class TrajEnsemble:
                                 np.asarray(part, np.float32), attr_name=name
                             )
             return
-        if isinstance(data, str) and Path(data).is_dir():
-            return self.load_CVs_from_dir(data, attr_name=attr_name)
+        if isinstance(data, str):
+            # feature-name shortcuts win over a same-named directory in
+            # CWD (reference checks 'all' before is_dir,
+            # trajinfo_utils.py:2042 vs :2072)
+            from ..loading.features import ADC_FEATURES
+
+            if (
+                data not in ("all", "full")
+                and data not in ADC_FEATURES
+                and Path(data).is_dir()
+            ):
+                return self.load_CVs_from_dir(data, attr_name=attr_name)
         if isinstance(data, str):
             data = [data]
         if isinstance(data, (list, tuple)) and all(isinstance(d, str) for d in data):

@@ -461,9 +461,12 @@ class ResidueMinDistanceFeature(Feature):
         box = unitcell if self.mic else None
         d = geom.compute_distances(xyz, self._all_pairs, box)
         # segment min over the per-residue-pair blocks
+        # _segments is np.repeat(arange, sizes): always sorted, so the
+        # cheaper sorted-segment lowering applies (no scatter/sort pass)
         out = jax.ops.segment_min(
             d.T, jnp.asarray(self._segments),
             num_segments=self._n_segments,
+            indices_are_sorted=True,
         ).T
         if self.threshold is not None:
             out = (out < self.threshold).astype(jnp.float32)
@@ -519,17 +522,9 @@ class GroupCOMFeature(Feature):
 
     def transform(self, xyz, unitcell=None):
         if self.ref is not None:
-            from ..ops.kabsch import kabsch_weighted
+            from ..ops.kabsch import align_frames
 
-            ref = self.ref
-
-            def align_one(frame):
-                _, R, t = kabsch_weighted(frame, ref)
-                return jnp.matmul(
-                    frame, R.T, precision=jax.lax.Precision.HIGHEST
-                ) + t
-
-            xyz = jax.vmap(align_one)(jnp.asarray(xyz))
+            xyz = align_frames(xyz, self.ref)
         outs = [
             geom.compute_center_of_mass(xyz, g, jnp.asarray(m))
             for g, m in zip(self.groups, self.masses)
@@ -688,22 +683,11 @@ class AlignFeature(SelectionFeature):
         self.ref = jnp.asarray(ref_xyz, jnp.float32)
 
     def transform(self, xyz, unitcell=None):
-        from ..ops.kabsch import kabsch_weighted
-        import jax
+        from ..ops.kabsch import align_frames
 
-        xyz = jnp.asarray(xyz)
-
-        def align_one(frame):
-            _, R, t = kabsch_weighted(
-                frame[self.align_indices], self.ref[self.ref_align_indices]
-            )
-            # HIGHEST: DEFAULT matmul precision is ~3e-3 on 3x3 products
-            # here (CLAUDE.md numerics rule for parity-feeding kernels)
-            return jnp.matmul(
-                frame, R.T, precision=jax.lax.Precision.HIGHEST
-            ) + t
-
-        aligned = jax.vmap(align_one)(xyz)
+        aligned = align_frames(
+            xyz, self.ref, self.align_indices, self.ref_align_indices
+        )
         sel = aligned[:, self._indices]
         return sel.reshape(sel.shape[0], -1)
 

@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["kabsch_weighted", "rmsd"]
+__all__ = ["kabsch_weighted", "rmsd", "align_frames"]
 
 Array = jax.Array
 
@@ -74,3 +74,32 @@ def rmsd(P: Array, Q: Array, W: Optional[Array] = None) -> Array:
         return kabsch_weighted(p, q, W)[0]
 
     return jax.vmap(one)(P, Q)
+
+
+def align_frames(
+    xyz: Array,
+    ref: Array,
+    atom_indices: Optional[Array] = None,
+    ref_atom_indices: Optional[Array] = None,
+) -> Array:
+    """Kabsch-fit every frame of ``xyz`` (``(n_frames, n_atoms, 3)``) onto
+    ``ref`` (``(n_ref_atoms, 3)``) using the selected fit atoms, then apply
+    the rotation+translation to the WHOLE frame.
+
+    The single align-then-transform implementation behind
+    ``SingleTraj.superpose``, ``AlignFeature``, and ``GroupCOMFeature``'s
+    ``ref_geom`` — HIGHEST-precision matmuls throughout (3x3 products are
+    ~3e-3 off at this platform's DEFAULT precision; CLAUDE.md rule).
+    """
+    xyz = jnp.asarray(xyz)
+    ref = jnp.asarray(ref)
+    ref_sel = ref if ref_atom_indices is None else ref[ref_atom_indices]
+
+    def align_one(frame):
+        fit = frame if atom_indices is None else frame[atom_indices]
+        _, R, t = kabsch_weighted(fit, ref_sel)
+        return jnp.matmul(
+            frame, R.T, precision=jax.lax.Precision.HIGHEST
+        ) + t
+
+    return jax.vmap(align_one)(xyz)

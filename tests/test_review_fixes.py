@@ -1165,3 +1165,121 @@ class TestOfflineBackmapSideOrder:
         d = np.abs(measured - target)
         d = np.minimum(d, 2 * np.pi - d)
         assert d.max() < 5e-3, d.max()
+
+
+class TestWave7Fixes:
+    """Round-3 review wave 7: container-convenience surface bugs found by
+    the post-commit review of 83480dd..HEAD."""
+
+    @needs_data
+    def test_topology_value_equality_dedup(self):
+        """Independently parsed copies of one topology file must group as
+        ONE topology in .top / trajs_by_top / to_alignment_query (the
+        reference dedupes by mdtraj value equality)."""
+        import encodermap_tpu as em
+
+        t1 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        t2 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        assert t1.top is not t2.top and t1.top == t2.top
+        assert hash(t1.top) == hash(t2.top)
+        trajs = em.TrajEnsemble([t1, t2])
+        assert len(trajs.top) == 1
+        assert len(trajs.trajs_by_top) == 1
+        q = trajs.to_alignment_query()  # must not raise "2 topologies"
+        assert q.count("DDDDDDD") >= 1
+        # a custom chi-table patch makes them UNEQUAL again (different
+        # dihedral tables, same atoms)
+        t2p = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        t2p.load_custom_topology(
+            {"ASP": {"chi2": ["CA", "CB", "CG", "OD1"]}}
+        )
+        assert t1.top != t2p.top
+
+    @needs_data
+    def test_shallow_copy_drops_stale_featurizer(self):
+        """superpose/traj_joined products must not inherit a featurizer
+        bound to the ORIGINAL trajectory's coordinates."""
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        _ = t.featurizer  # populate the cache
+        sup = t.superpose(t, frame=0)
+        assert sup.featurizer is not t.featurizer
+        assert sup.featurizer.traj is sup
+
+    @needs_data
+    def test_grouping_preserves_parent_traj_nums(self):
+        import encodermap_tpu as em
+
+        a = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        b = em.load(str(DATA / "glu7.xtc"), str(DATA / "glu7.pdb"))
+        c = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([a, b, c])
+        for t, cs in zip(trajs, ["a", "b", "a"]):
+            t.common_str = cs
+        by_cs = trajs.trajs_by_common_str
+        assert by_cs["a"].traj_nums == [0, 2]
+        assert by_cs["b"].traj_nums == [1]
+        # id provenance carries the parent numbering
+        assert set(by_cs["a"].id[:, 0]) == {0, 2}
+        by_top = trajs.trajs_by_top
+        assert sorted(sum((e.traj_nums for e in by_top.values()), [])) == \
+            [0, 1, 2]
+        nums = {frozenset(e.traj_nums) for e in by_top.values()}
+        assert frozenset({0, 2}) in nums  # asp7 copies grouped together
+
+    @needs_data
+    def test_feature_shortcut_beats_same_named_directory(self, tmp_path,
+                                                         monkeypatch):
+        """A CWD directory named 'all' must not hijack load_CVs('all')."""
+        import encodermap_tpu as em
+
+        (tmp_path / "all").mkdir()
+        (tmp_path / "central_dihedrals").mkdir()
+        monkeypatch.chdir(tmp_path)
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([t])
+        trajs.load_CVs("central_dihedrals")
+        assert "central_dihedrals" in t.CVs
+
+    def test_to_fasta_keeps_empty_chains(self):
+        from encodermap_tpu.data.topology import Topology
+
+        top = Topology()
+        r0 = top.add_residue("HOH", 1, 0)
+        top.add_atom("O", "O", r0)
+        r1 = top.add_residue("ALA", 1, 1)
+        for n, e in (("N", "N"), ("CA", "C"), ("C", "C")):
+            top.add_atom(n, e, r1)
+        assert top.to_fasta() == ["", "A"]
+
+    @needs_data
+    def test_align_frames_helper_matches_previous_behavior(self):
+        """The shared Kabsch helper gives the same numbers the three
+        call sites produced before the consolidation."""
+        import jax
+        import jax.numpy as jnp
+
+        import encodermap_tpu as em
+        from encodermap_tpu.ops.kabsch import align_frames, kabsch_weighted
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        xyz = np.asarray(t.xyz[:8], np.float32)
+        ref = xyz[0]
+        got = np.asarray(align_frames(xyz, ref))
+
+        def align_one(frame):
+            _, R, t_ = kabsch_weighted(frame, jnp.asarray(ref))
+            return jnp.matmul(
+                frame, R.T, precision=jax.lax.Precision.HIGHEST
+            ) + t_
+
+        want = np.asarray(jax.vmap(align_one)(jnp.asarray(xyz)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # fit on a subset, transform the whole frame
+        sel = t.top.select("name CA")
+        got = np.asarray(align_frames(xyz, ref[sel], sel))
+        assert got.shape == xyz.shape
+        rms = np.sqrt(((got[3, sel] - ref[sel]) ** 2).sum(-1).mean())
+        raw = np.sqrt(((xyz[3, sel] - ref[sel]) ** 2).sum(-1).mean())
+        assert rms < raw

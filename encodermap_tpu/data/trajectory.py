@@ -392,6 +392,48 @@ class SingleTraj:
         for k in range(self.n_frames):
             yield self[k]
 
+    def __eq__(self, other: object) -> bool:
+        """Value equality: same files, same (possibly sliced) frames, same
+        loaded CVs (reference ``info_single.py:2014-2023``)."""
+        if not isinstance(other, SingleTraj):
+            return NotImplemented
+        if self is other:
+            return True
+        if (self.traj_file, self.top_file) != (other.traj_file,
+                                               other.top_file):
+            return False
+        if self.n_frames != other.n_frames or not np.array_equal(
+            self._frame_index, other._frame_index
+        ):
+            return False
+        if not np.array_equal(self.xyz, other.xyz):
+            return False
+        if set(self.CVs) != set(other.CVs):
+            return False
+        return all(
+            np.array_equal(self.CVs[k], other.CVs[k], equal_nan=True)
+            for k in self.CVs
+        )
+
+    def __hash__(self) -> int:
+        fi = self._frame_index
+        return hash((self.traj_file, self.top_file, self.n_frames,
+                     fi.tobytes()))
+
+    def __reversed__(self) -> "SingleTraj":
+        """Frame order reversed — same as ``traj[::-1]``, CVs included
+        (reference ``info_single.py:2025``)."""
+        return self[::-1]
+
+    def __enter__(self) -> "SingleTraj":
+        """Keep coordinates materialized for the block (reference
+        ``info_single.py:2029``)."""
+        self.load()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.unload()
+
     @property
     def id(self) -> np.ndarray:
         """Per-frame identifiers: the ORIGINAL file frame numbers, shape
@@ -1127,6 +1169,19 @@ class TrajEnsemble:
 
     def __len__(self) -> int:
         return self.n_trajs
+
+    def __eq__(self, other: object) -> bool:
+        """Value equality: same member files and frame identifiers
+        (reference ``info_all.py:3272-3292``)."""
+        if not isinstance(other, TrajEnsemble):
+            return NotImplemented
+        if len(self) != len(other):
+            return False
+        if [t.traj_file for t in self.trajs] != [
+            t.traj_file for t in other.trajs
+        ]:
+            return False
+        return np.array_equal(self.id, other.id)
 
     def __getitem__(self, item):
         if isinstance(item, int):

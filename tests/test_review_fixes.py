@@ -1283,3 +1283,68 @@ class TestWave7Fixes:
         rms = np.sqrt(((got[3, sel] - ref[sel]) ** 2).sum(-1).mean())
         raw = np.sqrt(((xyz[3, sel] - ref[sel]) ** 2).sum(-1).mean())
         assert rms < raw
+
+
+class TestDunderParity:
+    """Reference container dunders: __eq__, __reversed__, context manager
+    (``info_single.py:2014-2044``, ``info_all.py:3272``; reference tests
+    ``test_trajinfo.py:305-342,817``)."""
+
+    @needs_data
+    def test_single_traj_equality(self):
+        import encodermap_tpu as em
+
+        t1 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        t2 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        assert t1 == t2 and hash(t1) == hash(t2)
+        # different slicing breaks equality
+        assert t1[::2] != t2
+        assert t1[::2] == t2[::2]
+        # CV presence participates
+        t1.load_CV("central_dihedrals")
+        assert t1 != t2
+        t2.load_CV("central_dihedrals")
+        assert t1 == t2
+        # different file breaks equality
+        g = em.load(str(DATA / "glu7.xtc"), str(DATA / "glu7.pdb"))
+        assert t1 != g
+
+    @needs_data
+    def test_reversed(self):
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        marker = np.arange(t.n_frames, dtype=np.float32)[:, None]
+        t.load_CV(marker, attr_name="marker")
+        r = reversed(t)
+        assert r.n_frames == t.n_frames
+        np.testing.assert_array_equal(r.xyz[0], t.xyz[-1])
+        assert float(r.CVs["marker"][0, 0]) == t.n_frames - 1
+        # original frame numbers preserved through the reversal
+        assert int(r.id[0, -1] if r.id.ndim == 2 else r.id[0]) \
+            == t.n_frames - 1
+
+    @needs_data
+    def test_context_manager(self):
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        with t as held:
+            assert held._xyz is not None
+            assert held is t
+        assert t._xyz is None  # unloaded on exit
+        assert t.xyz.shape[0] > 0  # lazily reloads
+
+    @needs_data
+    def test_traj_ensemble_equality(self):
+        import encodermap_tpu as em
+
+        def make():
+            a = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+            b = em.load(str(DATA / "glu7.xtc"), str(DATA / "glu7.pdb"))
+            return em.TrajEnsemble([a, b])
+
+        e1, e2 = make(), make()
+        assert e1 == e2
+        assert e1 != e2.subsample(stride=2)
+        assert e1 != em.TrajEnsemble([e1.trajs[0]._shallow_copy()])

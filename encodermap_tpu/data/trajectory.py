@@ -425,6 +425,14 @@ class SingleTraj:
         (reference ``info_single.py:2025``)."""
         return self[::-1]
 
+    @property
+    def fsel(self) -> "_FrameSelector":
+        """Select frames by their ORIGINAL file frame number instead of
+        positional index (reference ``SingleTrajFsel``,
+        ``info_single.py:169-213``): ``traj[::10].fsel[20]`` is the frame
+        that was frame 20 in the file, wherever it now sits."""
+        return _FrameSelector(self)
+
     def __enter__(self) -> "SingleTraj":
         """Keep coordinates materialized for the block (reference
         ``info_single.py:2029``)."""
@@ -767,6 +775,63 @@ class SingleTraj:
         )
 
 
+class _FrameSelector:
+    """``traj.fsel[...]``: frames by original file frame number."""
+
+    def __init__(self, traj: SingleTraj) -> None:
+        self._traj = traj
+
+    def __getitem__(self, item) -> SingleTraj:
+        frames = np.asarray(self._traj._frame_index)
+        if isinstance(item, (int, np.integer)):
+            wanted = np.asarray([item])
+        elif isinstance(item, (list, np.ndarray)):
+            wanted = np.asarray(item)
+        else:
+            raise ValueError(
+                f"fsel[] takes an int or a list/array of ints, "
+                f"got {type(item)}"
+            )
+        idx = np.where(np.isin(frames, wanted))[0]
+        if len(idx) == 0:
+            raise ValueError(
+                f"No frames with original frame number(s) {item} in this "
+                f"trajectory (available: {frames[:5]}...{frames[-1]})"
+            )
+        if isinstance(item, (int, np.integer)):
+            return self._traj[int(idx[0])]
+        return self._traj[idx]
+
+
+class _TrajSelector:
+    """``trajs.tsel[...]``: member trajectories by traj_num."""
+
+    def __init__(self, trajs: "TrajEnsemble") -> None:
+        self._trajs = trajs
+
+    def __getitem__(self, item):
+        by_num = self._trajs.trajs_by_traj_num
+        if isinstance(item, (int, np.integer)):
+            if int(item) not in by_num:
+                raise ValueError(
+                    f"No trajectory with traj_num {item} in this ensemble "
+                    f"(available: {sorted(by_num)})"
+                )
+            return by_num[int(item)]
+        if isinstance(item, (list, np.ndarray)):
+            wanted = [int(i) for i in np.asarray(item).ravel()]
+            missing = [i for i in wanted if i not in by_num]
+            if missing:
+                raise ValueError(
+                    f"No trajectories with traj_nums {missing} in this "
+                    f"ensemble (available: {sorted(by_num)})"
+                )
+            return TrajEnsemble._from_members([by_num[i] for i in wanted])
+        raise ValueError(
+            f"tsel[] takes an int or a list/array of ints, got {type(item)}"
+        )
+
+
 class TrajEnsemble:
     """Ordered collection of SingleTrajs, possibly with different topologies."""
 
@@ -990,6 +1055,13 @@ class TrajEnsemble:
     @property
     def trajs_by_traj_num(self) -> dict[int, SingleTraj]:
         return {t.traj_num: t for t in self.trajs}
+
+    @property
+    def tsel(self) -> _TrajSelector:
+        """Select members by traj_num instead of list position (reference
+        ``TrajEnsembleTsel``, ``info_all.py:757-790``): after grouping or
+        renumbering, ``trajs.tsel[2]`` is the member whose traj_num is 2."""
+        return _TrajSelector(self)
 
     def sidechain_info(self) -> dict[int, int]:
         """Sidechain-dihedral counts of the FIRST topology — the ensemble

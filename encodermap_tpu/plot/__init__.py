@@ -12,6 +12,7 @@ from .plotting import (
     distance_histogram_interactive,
     dssp_to_rgb,
     dssp_to_text,
+    hex_to_rgba,
     get_density,
     get_free_energy,
     get_histogram,
@@ -40,6 +41,7 @@ __all__ = [
     "distance_histogram_interactive",
     "dssp_to_text",
     "dssp_to_rgb",
+    "hex_to_rgba",
     "plot_dssp",
     "plot_ball_and_stick",
     "render_vmd",

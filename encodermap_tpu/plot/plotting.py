@@ -38,6 +38,7 @@ __all__ = [
     "dssp_to_text",
     "dssp_to_rgb",
     "distance_histogram_interactive",
+    "hex_to_rgba",
 ]
 
 
@@ -750,3 +751,11 @@ def distance_histogram_interactive(
         low_d_max=low_d_max,
         bins=bins,
     )
+
+
+def hex_to_rgba(h: str, alpha: float = 0.8) -> str:
+    """``"#rrggbb"`` -> ``"rgba(r, g, b, alpha)"`` (reference
+    ``plot/plotting.py:311-314``)."""
+    h = h.lstrip("#")
+    r, g, b = (int(h[i:i + 2], 16) for i in (0, 2, 4))
+    return f"rgba({r}, {g}, {b}, {alpha})"

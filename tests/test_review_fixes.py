@@ -1348,3 +1348,49 @@ class TestDunderParity:
         assert e1 == e2
         assert e1 != e2.subsample(stride=2)
         assert e1 != em.TrajEnsemble([e1.trajs[0]._shallow_copy()])
+
+
+class TestSelectors:
+    """fsel/tsel identifier-based selection (reference ``SingleTrajFsel``
+    ``info_single.py:169-213``, ``TrajEnsembleTsel`` ``info_all.py:757``)."""
+
+    @needs_data
+    def test_fsel_selects_by_original_frame_number(self):
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        sub = t[::10]  # original frame numbers 0, 10, 20, ...
+        f = sub.fsel[20]
+        assert f.n_frames == 1
+        np.testing.assert_array_equal(f.xyz[0], t.xyz[20])
+        multi = sub.fsel[[0, 30]]
+        assert multi.n_frames == 2
+        np.testing.assert_array_equal(multi.xyz[1], t.xyz[30])
+        with pytest.raises(ValueError, match="No frames"):
+            sub.fsel[7]  # 7 was dropped by the stride
+        with pytest.raises(ValueError, match="takes an int"):
+            sub.fsel[::2]
+
+    @needs_data
+    def test_tsel_selects_by_traj_num(self):
+        import encodermap_tpu as em
+
+        a = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        b = em.load(str(DATA / "glu7.xtc"), str(DATA / "glu7.pdb"))
+        c = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([a, b, c])
+        for t, cs in zip(trajs, ["x", "y", "x"]):
+            t.common_str = cs
+        sub = trajs.trajs_by_common_str["x"]  # traj_nums [0, 2]
+        assert sub.tsel[2].basename == "asp7"
+        assert sub.tsel[2].traj_num == 2
+        pair_ens = sub.tsel[[2, 0]]
+        assert pair_ens.traj_nums == [2, 0]
+        with pytest.raises(ValueError, match="No trajectory with traj_num"):
+            sub.tsel[1]
+
+    def test_hex_to_rgba(self):
+        from encodermap_tpu.plot import hex_to_rgba
+
+        assert hex_to_rgba("#ff0080") == "rgba(255, 0, 128, 0.8)"
+        assert hex_to_rgba("00ff00", alpha=1.0) == "rgba(0, 255, 0, 1.0)"

@@ -33,6 +33,33 @@ CV_SHORTCUTS = (
 )
 
 
+def _fetch_url_cached(url: str, cache_dir: str = "/tmp/em_url_cache") -> str:
+    """Download ``url`` into a local cache (once) and return the path.
+    Lets ``SingleTraj("https://files.rcsb.org/view/1GHC.pdb")`` work like
+    the reference (``info_single.py:593-609``) while all IO stays local."""
+    import hashlib
+
+    name = Path(url).name or "download"
+    digest = hashlib.sha1(url.encode()).hexdigest()[:12]
+    cache = Path(cache_dir)
+    cache.mkdir(parents=True, exist_ok=True)
+    target = cache / f"{digest}_{name}"
+    if not target.exists():
+        import urllib.request
+
+        try:
+            tmp = target.with_suffix(target.suffix + ".part")
+            urllib.request.urlretrieve(url, tmp)  # noqa: S310
+            tmp.replace(target)  # atomic publish: no half-written cache hits
+        except Exception as e:
+            raise RuntimeError(
+                f"could not download {url} ({e}); this environment may "
+                f"have no network egress — place the file at {target} "
+                f"manually"
+            ) from e
+    return str(target)
+
+
 class SingleTraj:
     """One trajectory: (traj_file, top_file) pair (or a single PDB/H5),
     loaded lazily, with frame indexing composing before any IO happens."""
@@ -48,6 +75,18 @@ class SingleTraj:
     ) -> None:
         self.traj_file = str(traj_file)
         self.top_file = str(top_file) if top_file is not None else self.traj_file
+        if self.traj_file.startswith(("http://", "https://")):
+            # URL loading (reference ``info_single.py:593-609``): fetch into
+            # the shared cache, keep reporting the URL as traj_file/top_file
+            local = _fetch_url_cached(self.traj_file)
+            self._local_file = local
+            if self.top_file == self.traj_file:
+                self._local_top = local
+            else:
+                self._local_top = self.top_file
+        elif self.top_file.startswith(("http://", "https://")):
+            self._local_file = self.traj_file
+            self._local_top = _fetch_url_cached(self.top_file)
         self.index = index  # None = all frames; else np index into file frames
         self.traj_num = traj_num
         self.common_str = common_str
@@ -85,6 +124,16 @@ class SingleTraj:
 
     # ------------------------------------------------------------------ lazy IO
     @property
+    def _traj_path(self) -> str:
+        """Local filesystem path behind ``traj_file`` (differs only for
+        URL-loaded trajectories, which download into a cache)."""
+        return getattr(self, "_local_file", self.traj_file)
+
+    @property
+    def _top_path(self) -> str:
+        return getattr(self, "_local_top", self.top_file)
+
+    @property
     def basename(self) -> str:
         return self.basename_fn(self.traj_file)
 
@@ -96,14 +145,14 @@ class SingleTraj:
     def top(self) -> Topology:
         if self._top is None:
             if self.top_file.endswith(".pdb"):
-                self._top, xyz, cell = load_pdb(self.top_file)
+                self._top, xyz, cell = load_pdb(self._top_path)
                 if self.traj_file == self.top_file:
                     self._file_xyz = xyz
                     self._file_box = cell
             elif self.top_file.endswith(".gro"):
                 from .formats import load_gro
 
-                self._top, xyz, cell = load_gro(self.top_file)
+                self._top, xyz, cell = load_gro(self._top_path)
                 if self.traj_file == self.top_file:
                     self._file_xyz = xyz
                     self._file_box = cell
@@ -127,29 +176,29 @@ class SingleTraj:
             if self.traj_file.endswith(".xtc"):
                 from .xtc import XTCReader
 
-                self._reader = XTCReader(self.traj_file)
+                self._reader = XTCReader(self._traj_path)
                 self._n_frames_file = self._reader.n_frames
             elif self.traj_file.endswith(".pdb"):
-                _, xyz, cell = load_pdb(self.traj_file)
+                _, xyz, cell = load_pdb(self._traj_path)
                 self._file_xyz = xyz
                 self._file_box = cell
                 self._n_frames_file = len(xyz)
             elif self.traj_file.endswith(".gro"):
                 from .formats import load_gro
 
-                _, xyz, cell = load_gro(self.traj_file)
+                _, xyz, cell = load_gro(self._traj_path)
                 self._file_xyz = xyz
                 self._file_box = cell
                 self._n_frames_file = len(xyz)
             elif self.traj_file.endswith(".dcd"):
                 from .formats import DCDReader
 
-                self._reader = DCDReader(self.traj_file)
+                self._reader = DCDReader(self._traj_path)
                 self._n_frames_file = self._reader.n_frames
             elif self.traj_file.endswith(".trr"):
                 from .formats import TRRReader
 
-                self._reader = TRRReader(self.traj_file)
+                self._reader = TRRReader(self._traj_path)
                 self._n_frames_file = self._reader.n_frames
             elif self.traj_file.endswith((".h5", ".hdf5")):
                 self._load_h5(top_only=False, lazy_count=True)
@@ -160,7 +209,7 @@ class SingleTraj:
     def _load_h5(self, top_only: bool = False, lazy_count: bool = False) -> None:
         import h5py
 
-        with h5py.File(self.top_file, "r") as f:
+        with h5py.File(self._top_path, "r") as f:
             if self._top is None and "topology" in f:
                 from .mdtraj_h5 import topology_from_json
 
@@ -173,7 +222,7 @@ class SingleTraj:
                     ).apply()
             if top_only:
                 return
-            with h5py.File(self.traj_file, "r") as ft:
+            with h5py.File(self._traj_path, "r") as ft:
                 self._n_frames_file = ft["coordinates"].shape[0]
                 # reference-written trajs.h5 embed CVs under /CVs
                 # (``info_all.py:2551``); attach frame-aligned ones to
@@ -193,7 +242,7 @@ class SingleTraj:
         if self.traj_file.endswith(".xtc"):
             from .xtc import XTCReader
 
-            reader = getattr(self, "_reader", None) or XTCReader(self.traj_file)
+            reader = getattr(self, "_reader", None) or XTCReader(self._traj_path)
             xyz, box, time, _ = reader.read(idx)
             self._xyz = xyz
             self._time = time
@@ -206,13 +255,13 @@ class SingleTraj:
             if not hasattr(self, "_file_xyz"):
                 if self.traj_file.endswith(".pdb"):
                     _, self._file_xyz, self._file_box = load_pdb(
-                        self.traj_file
+                        self._traj_path
                     )
                 else:
                     from .formats import load_gro
 
                     _, self._file_xyz, self._file_box = load_gro(
-                        self.traj_file
+                        self._traj_path
                     )
             self._xyz = self._file_xyz[idx]
             self._time = np.arange(len(idx), dtype=np.float32)
@@ -232,7 +281,7 @@ class SingleTraj:
         elif self.traj_file.endswith(".dcd"):
             from .formats import DCDReader
 
-            reader = getattr(self, "_reader", None) or DCDReader(self.traj_file)
+            reader = getattr(self, "_reader", None) or DCDReader(self._traj_path)
             xyz, cells = reader.read(idx)
             self._xyz = xyz
             self._time = np.arange(len(idx), dtype=np.float32)
@@ -243,7 +292,7 @@ class SingleTraj:
         elif self.traj_file.endswith(".trr"):
             from .formats import TRRReader
 
-            reader = getattr(self, "_reader", None) or TRRReader(self.traj_file)
+            reader = getattr(self, "_reader", None) or TRRReader(self._traj_path)
             xyz, box, steps = reader.read(idx)
             self._xyz = xyz
             self._time = steps.astype(np.float32)
@@ -251,7 +300,7 @@ class SingleTraj:
         elif self.traj_file.endswith((".h5", ".hdf5")):
             import h5py
 
-            with h5py.File(self.traj_file, "r") as f:
+            with h5py.File(self._traj_path, "r") as f:
                 # h5py fancy indexing requires strictly increasing UNIQUE
                 # indices; read unique rows once and scatter back so
                 # repeated frame selections (bootstrap resampling) work
@@ -498,7 +547,7 @@ class SingleTraj:
         if self.extension in (".h5", ".hdf5"):
             import h5py
 
-            with h5py.File(self.traj_file, "r") as f:
+            with h5py.File(self._traj_path, "r") as f:
                 if "CVs" in f:
                     return True
                 tn = self.traj_num

@@ -1394,3 +1394,47 @@ class TestSelectors:
 
         assert hex_to_rgba("#ff0080") == "rgba(255, 0, 128, 0.8)"
         assert hex_to_rgba("00ff00", alpha=1.0) == "rgba(0, 255, 0, 1.0)"
+
+
+class TestUrlLoading:
+    """SingleTraj from a URL (reference ``info_single.py:593-609``,
+    reference test ``test_trajinfo.py:292-303``): the URL stays the public
+    traj_file/top_file identity while IO happens on a cached download."""
+
+    @needs_data
+    def test_url_traj(self, tmp_path, monkeypatch):
+        import shutil
+        import urllib.request
+
+        import encodermap_tpu as em
+        from encodermap_tpu.data import trajectory as tmod
+
+        calls = {"n": 0}
+
+        def fake_retrieve(url, target):
+            calls["n"] += 1
+            shutil.copyfile(DATA / "asp7.pdb", target)
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+
+        url = "https://example.org/structures/asp7.pdb"
+        # point the cache at tmp_path so the test is hermetic
+        orig = tmod._fetch_url_cached
+        monkeypatch.setattr(
+            tmod, "_fetch_url_cached",
+            lambda u, cache_dir="/unused": orig(u, str(tmp_path)),
+        )
+        t = em.SingleTraj(url)
+        assert t.traj_file == url and t.top_file == url
+        assert t.basename == "asp7" and t.extension == ".pdb"
+        assert t.n_frames >= 1 and t.top.n_atoms > 0
+        assert calls["n"] == 1
+        # second construction hits the cache, no new download
+        t2 = em.SingleTraj(url)
+        assert calls["n"] == 1
+        assert t2.xyz.shape == t.xyz.shape
+        # slicing keeps the URL identity
+        assert t[0].traj_file == url
+        # unload + reload still works from the cache
+        t.unload()
+        assert t.xyz.shape[0] >= 1

@@ -74,8 +74,26 @@ def get_from_kondata(
             urllib.request.urlretrieve(url, target)  # noqa: S310
             extract = tmp / "extracted"
             extract.mkdir()
+
+            def wanted(name: str) -> bool:
+                # honor the download_* flags by filtering archive members
+                # (the reference filters its per-file listing the same
+                # way); tars without such members are unaffected
+                low = name.lower()
+                if not download_checkpoints and (
+                    "checkpoint" in low
+                    or low.endswith((".keras", ".ckpt", ".model"))
+                ):
+                    return False
+                if not download_h5 and low.endswith((".h5", ".hdf5")):
+                    return False
+                if not download_extra_data and "extra_data" in low:
+                    return False
+                return True
+
             with tarfile.open(target) as tf:
-                tf.extractall(extract)  # noqa: S202
+                members = [m for m in tf.getmembers() if wanted(m.name)]
+                tf.extractall(extract, members=members)  # noqa: S202
             if output.exists():
                 shutil.rmtree(output)
             shutil.move(str(extract), str(output))

@@ -384,19 +384,8 @@ class SingleTrajFeaturizer:
         if pending is not None:
             flush(pending)
 
-        seen: dict[str, int] = {}
-        for f, parts in zip(feats, blocks):
+        for f, name, parts in zip(feats, _cv_names(feats), blocks):
             data = np.concatenate(parts, axis=0) if parts else np.zeros((0, 0))
-            name = _cv_name(f)
-            # two features of the same class (e.g. add_distances_ca +
-            # add_distances) must not clobber each other's output: the
-            # second and later occurrences get _2, _3, ... suffixes (the
-            # first keeps the bare name, so single-feature CV names — the
-            # common case and the ADC contract — are unchanged)
-            k = seen.get(name, 0)
-            seen[name] = k + 1
-            if k:
-                name = f"{name}_{k + 1}"
             # labels/indices come from the ORIGINAL features (topology-true
             # atom indices), only the compute used remapped copies
             labels = f.generic_describe() if ensemble else f.describe()
@@ -471,6 +460,20 @@ _CV_NAMES = {
 
 def _cv_name(f: F.Feature) -> str:
     return _CV_NAMES.get(type(f).__name__, type(f).__name__)
+
+
+def _cv_names(feats) -> list[str]:
+    """Deduplicated CV names for a feature list: the first occurrence of a
+    class keeps the bare name (the ADC contract), later ones get _2, _3,
+    ... suffixes so same-class features never clobber each other."""
+    seen: dict[str, int] = {}
+    out = []
+    for f in feats:
+        name = _cv_name(f)
+        k = seen.get(name, 0)
+        seen[name] = k + 1
+        out.append(f"{name}_{k + 1}" if k else name)
+    return out
 
 
 class EnsembleFeaturizer:
@@ -581,8 +584,12 @@ class EnsembleFeaturizer:
                 continue
             from .alignment import apply_alignment_to_labels
 
-            for name in ("central_dihedrals", "side_dihedrals",
-                         "side_angles", "side_distances"):
+            # ONLY label families whose generic labels end in residue
+            # numbers may be rewritten to alignment columns; side_angles/
+            # side_distances labels end in flat feature counters
+            # ("SIDECHANGLE {k}") — rewriting those collides with other
+            # features' labels and silently merges union columns
+            for name in ("central_dihedrals", "side_dihedrals"):
                 if name in cvs:
                     e = cvs.entry(name)
                     e.labels = apply_alignment_to_labels(e.labels or [],

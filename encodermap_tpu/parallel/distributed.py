@@ -55,7 +55,10 @@ def initialize(
     """
     global _initialized
     if _initialized:
-        return
+        # a previous call may have been the single-process no-op; an
+        # explicit coordinator must still take effect, not be swallowed
+        if _initialized == "joined" or coordinator_address is None:
+            return
     import os
 
     # Decide from the ENVIRONMENT only — jax.process_count() (or any
@@ -72,15 +75,15 @@ def initialize(
         or multi_host_workers
     )
     if not autodetectable:
-        _initialized = True  # single-process run; later calls are no-ops
-        return
+        _initialized = "no-op"  # single-process; an explicit
+        return                   # coordinator later still proceeds
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
         local_device_ids=local_device_ids,
     )
-    _initialized = True
+    _initialized = "joined"
 
 
 def is_primary() -> bool:
@@ -121,13 +124,23 @@ def process_local_slice(n_global: int) -> slice:
     return slice(start, start + k + (1 if i < r else 0))
 
 
-def host_local_batch(local: Any, mesh: Mesh, spec: P = P("dp")) -> Any:
+def host_local_batch(
+    local: Any, mesh: Mesh, spec: P = P("dp"),
+    n_global: Optional[int] = None,
+) -> Any:
     """Assemble per-process local shards into global ``jax.Array``s.
 
     Each process passes the rows from :func:`process_local_slice`; the
     result is one logical array sharded over the mesh's dp axis, usable
     directly inside ``jit`` without any host gathers. Works unchanged in
     single-process runs (where it is just a sharded device_put).
+
+    Pass ``n_global`` (the value given to :func:`process_local_slice`)
+    whenever it may not divide evenly by the process count:
+    ``make_array_from_process_local_data`` without a global shape assumes
+    UNIFORM per-process shards, so the uneven remainder shards
+    ``process_local_slice`` deliberately produces would make each process
+    infer a different global shape.
     """
     sharding = NamedSharding(mesh, spec)
 
@@ -135,7 +148,12 @@ def host_local_batch(local: Any, mesh: Mesh, spec: P = P("dp")) -> Any:
         x = np.asarray(x)
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
-        return jax.make_array_from_process_local_data(sharding, x)
+        global_shape = (
+            (n_global,) + x.shape[1:] if n_global is not None else None
+        )
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape
+        )
 
     if isinstance(local, (tuple, list)):
         return tuple(put(x) for x in local)

@@ -124,12 +124,12 @@ class ShardedFeaturizer:
                 parts[j].append(r)
 
         out = CVCollection()
-        from ..loading.featurizer import _cv_name
+        from ..loading.featurizer import _cv_names
 
-        for f, blocks in zip(feats, parts):
+        for f, name, blocks in zip(feats, _cv_names(feats), parts):
             data = np.concatenate(blocks, axis=0)
             labels = f.generic_describe() if ensemble else f.describe()
-            out.add(_cv_name(f), data, labels, f.indices)
+            out.add(name, data, labels, f.indices)
         return out
 
     def to_hdf5(
@@ -141,7 +141,7 @@ class ShardedFeaturizer:
         :meth:`get_output` via the shared block iterator."""
         import h5py
 
-        from ..loading.featurizer import _cv_name
+        from ..loading.featurizer import _cv_names
 
         feats = self._inner.features
         n_frames = self.traj.n_frames
@@ -155,9 +155,9 @@ class ShardedFeaturizer:
                 host = self._to_host(results, pad)
                 if dsets is None:
                     dsets = []
-                    for f, r in zip(feats, host):
+                    for f, name, r in zip(feats, _cv_names(feats), host):
                         d = g.create_dataset(
-                            _cv_name(f), shape=(n_frames,) + r.shape[1:],
+                            name, shape=(n_frames,) + r.shape[1:],
                             dtype=np.float32,
                         )
                         labels = (

@@ -302,7 +302,19 @@ class ProjectionPage:
         out_dir.mkdir(parents=True, exist_ok=True)
         stem = out_dir / f"path_{mode}_{n}"
         np.save(f"{stem}.npy", xyz)
-        return f"generated {len(xyz)} conformations -> {stem}.npy"
+        msg = f"generated {len(xyz)} conformations -> {stem}.npy"
+        trajs = getattr(self.session.interactive, "trajs", None)
+        if (
+            trajs is not None
+            and len(trajs) > 0
+            and xyz.ndim == 3
+            and xyz.shape[1] == trajs.trajs[0].top.n_atoms
+        ):
+            from ..data.pdb import write_pdb
+
+            write_pdb(f"{stem}.pdb", trajs.trajs[0].top, xyz)
+            msg += f" and {stem}.pdb"
+        return msg
 
     def layout(self):
         from dash import dcc, html

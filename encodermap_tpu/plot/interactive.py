@@ -161,6 +161,11 @@ class DistanceHistogramInteractive:
 
         data = np.asarray(data, np.float32)
         assert not np.any(np.isnan(data)), "You provided some nans."
+        # the histogram needs a representative sample, not every frame:
+        # the periodic branch materializes an (n, n) matrix, which at
+        # routine trajectory sizes (1e5 frames) would be tens of GB
+        if len(data) > 1000:
+            data = data[np.linspace(0, len(data) - 1, 1000).astype(int)]
         if periodicity == float("inf"):
             d = np.asarray(pairwise_dist(data, flat=True))[0]
         else:
@@ -191,11 +196,27 @@ class DistanceHistogramInteractive:
         y_l = sigmoid(*self.params[3:])(x_l)
         return x_h, np.asarray(y_h), x_l, np.asarray(y_l)
 
-    def apply(self, parameters) -> None:
-        """Write the tuned values into a Parameters/ADCParameters object."""
-        if hasattr(parameters, "cartesian_dist_sig_parameters"):
-            parameters.cartesian_dist_sig_parameters = self.params
-        parameters.dist_sig_parameters = self.params
+    def apply(self, parameters, attribute: Optional[str] = None) -> None:
+        """Write the tuned values into a Parameters/ADCParameters object.
+
+        ADCParameters carries TWO independent sigmoid sets —
+        ``dist_sig_parameters`` (dihedral-space sketch-map loss) and
+        ``cartesian_dist_sig_parameters`` (CA-pair loss). Only ONE is
+        written: ``attribute`` when given, else the cartesian set on
+        ADCParameters (the quantity this histogram is usually tuned on)
+        and ``dist_sig_parameters`` on plain Parameters.
+        """
+        if attribute is None:
+            attribute = (
+                "cartesian_dist_sig_parameters"
+                if hasattr(parameters, "cartesian_dist_sig_parameters")
+                else "dist_sig_parameters"
+            )
+        if not hasattr(parameters, attribute):
+            raise AttributeError(
+                f"{type(parameters).__name__} has no attribute {attribute!r}"
+            )
+        setattr(parameters, attribute, self.params)
 
     def show(self):  # pragma: no cover - notebook UI
         import ipywidgets as widgets

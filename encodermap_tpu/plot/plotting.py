@@ -230,22 +230,39 @@ def plot_cluster(
     result = {"png": str(png), "n_frames": len(idx)}
     if trajs is not None and len(idx):
         sub_idx = idx[:: max(1, len(idx) // max_structures)][:max_structures]
-        # map flat frame indices back to (traj, frame)
+        # map flat frame indices back to (traj, frame), grouping frames by
+        # the member's TOPOLOGY: a lasso selection can span a mixed-
+        # topology ensemble, and every frame must be written under its own
+        # atom names (one PDB per topology; single-topology ensembles keep
+        # the bare cluster_N.pdb name)
         bounds = np.cumsum([0] + [t.n_frames for t in trajs])
-        xyz = []
-        top = None
+        by_top: list[tuple[Any, list, list]] = []  # (top, xyz, frame ids)
         for fi in sub_idx:
             ti = int(np.searchsorted(bounds, fi, side="right") - 1)
             traj = trajs.trajs[ti]
-            xyz.append(traj.xyz[fi - bounds[ti]])
-            top = traj.top
+            frame_xyz = traj.xyz[fi - bounds[ti]]
+            for top, xs, fs in by_top:
+                if top == traj.top:
+                    xs.append(frame_xyz)
+                    fs.append(int(fi))
+                    break
+            else:
+                by_top.append((traj.top, [frame_xyz], [int(fi)]))
         from ..data.pdb import write_pdb
 
-        pdb = out_dir / f"cluster_{cluster_id}.pdb"
-        write_pdb(pdb, top, np.stack(xyz))
-        centroid_i, _ = rmsd_centroid_of_cluster(np.stack(xyz))
-        result["pdb"] = str(pdb)
-        result["centroid_frame"] = int(sub_idx[centroid_i])
+        pdbs = []
+        for j, (top, xs, fs) in enumerate(by_top):
+            name = (f"cluster_{cluster_id}.pdb" if len(by_top) == 1
+                    else f"cluster_{cluster_id}_top{j}.pdb")
+            pdb = out_dir / name
+            write_pdb(pdb, top, np.stack(xs))
+            pdbs.append(str(pdb))
+        result["pdb"] = pdbs[0] if len(pdbs) == 1 else pdbs
+        # centroid within the LARGEST topology group (RMSD across
+        # different atom counts is undefined)
+        top, xs, fs = max(by_top, key=lambda g: len(g[1]))
+        centroid_i, _ = rmsd_centroid_of_cluster(np.stack(xs))
+        result["centroid_frame"] = int(fs[centroid_i])
     return result
 
 
@@ -422,29 +439,38 @@ def render_vmd(
         else Path(image_location)
     )
 
-    lines = [custom_script] if custom_script else [
-        f"mol new {filepath} waitfor all",
-        "mol delrep 0 top",
-        "mol representation NewCartoon 0.3 50",
-        "mol color Structure",
-        "mol addrep top",
-        f"rotate x by {rotation[0]}",
-        f"rotate y by {rotation[1]}",
-        f"rotate z by {rotation[2]}",
-        f"scale by {scale}",
-        "display projection Orthographic",
-        "display ambientocclusion on",
-        "axes location Off",
-        "color Display Background white",
-    ]
-    if surf in ("quicksurf", "surf"):
-        lines += [f"mol representation {surf.capitalize()}", "mol addrep top"]
-    if ssupdate and drawframes:
-        lines.append(
-            "for {set i 0} {$i < [molinfo top get numframes]} {incr i} "
-            "{animate goto $i; mol ssrecalc top}"
-        )
-    lines += list(additional_lines)
+    if custom_script:
+        # a custom script REPLACES the generated scene entirely (the
+        # reference's "completely custom script" contract,
+        # plotting.py:2777) — surf/ssupdate/additional_lines are the
+        # knobs of the generated scene and must not mutate a user's
+        lines = [custom_script]
+    else:
+        lines = [
+            f"mol new {filepath} waitfor all",
+            "mol delrep 0 top",
+            "mol representation NewCartoon 0.3 50",
+            "mol color Structure",
+            "mol addrep top",
+            f"rotate x by {rotation[0]}",
+            f"rotate y by {rotation[1]}",
+            f"rotate z by {rotation[2]}",
+            f"scale by {scale}",
+            "display projection Orthographic",
+            "display ambientocclusion on",
+            "axes location Off",
+            "color Display Background white",
+        ]
+        if surf in ("quicksurf", "surf"):
+            lines += [
+                f"mol representation {surf.capitalize()}", "mol addrep top"
+            ]
+        if ssupdate and drawframes:
+            lines.append(
+                "for {set i 0} {$i < [molinfo top get numframes]} {incr i} "
+                "{animate goto $i; mol ssrecalc top}"
+            )
+        lines += list(additional_lines)
     if renderer == "tachyon":
         lines.append(f"render Tachyon {image_base}.dat")
     else:

@@ -1438,3 +1438,195 @@ class TestUrlLoading:
         # unload + reload still works from the cache
         t.unload()
         assert t.xyz.shape[0] >= 1
+
+
+class TestWave8Fixes:
+    """Round-3 review wave 8: plot/parallel/alignment/kondata findings."""
+
+    @needs_data
+    def test_clustal_relabel_skips_flat_counter_labels(self):
+        """ClustalW relabeling must not touch side_angles/side_distances
+        (their generic labels end in flat feature counters, not residue
+        numbers — rewriting them collides with other features' labels)."""
+        from encodermap_tpu.data import load
+
+        aln = (
+            "CLUSTAL W multiple sequence alignment\n"
+            "\n"
+            "aspa   DDDDDDD--\n"
+            "aspb   --DDDDDDD\n"
+        )
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "asp7.xtc"],
+            [DATA / "asp7.pdb"],
+            common_str=["asp7"],
+        )
+        trajs.trajs[0].common_str = "aspa"
+        trajs.trajs[1].common_str = "aspb"
+        trajs.parse_clustal_w_alignment(aln)
+        trajs.load_CVs(["side_angles", "side_dihedrals"], ensemble=True)
+        labels = trajs.trajs[1]._CVs.entry("side_angles").labels
+        # every label unique (no collision-collapse), and the label set is
+        # the UNSHIFTED flat enumeration
+        assert len(labels) == len(set(labels))
+        per_traj_n = 14  # asp7: 7 ASP x (chi1, chi2) angles... count below
+        n = len(labels)
+        assert sorted(int(l.rsplit(" ", 1)[1]) for l in labels) == list(
+            range(n)
+        )
+        # side_dihedrals (residue-numbered) DO get alignment columns
+        sd_labels = trajs.trajs[1]._CVs.entry("side_dihedrals").labels
+        assert any(l.endswith(" 9") for l in sd_labels)
+
+    @needs_data
+    def test_sharded_featurizer_dedups_same_class_features(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.parallel.sharded_featurize import (
+            ShardedFeaturizer,
+        )
+
+        traj = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        sf = ShardedFeaturizer(traj)
+        sf.add_distances_ca(periodic=False)
+        pairs = np.array([[0, 5], [1, 7]])
+        sf.add_distances(pairs, periodic=False)
+        out = sf.get_output()
+        assert "DistanceFeature" in out and "DistanceFeature_2" in out
+        n_ca_pairs = sf._inner.features[0].indices.shape[0]
+        assert out["DistanceFeature"].shape == (traj.n_frames, n_ca_pairs)
+        assert out["DistanceFeature_2"].shape[1] == 2
+        p = tmp_path / "cv.h5"
+        sf.to_hdf5(p)  # must not raise 'name already exists'
+        import h5py
+
+        with h5py.File(p) as f:
+            assert "CVs/DistanceFeature" in f and "CVs/DistanceFeature_2" in f
+
+    def test_distance_histogram_apply_respects_adc_param_split(self):
+        from encodermap_tpu.parameters import ADCParameters, Parameters
+        from encodermap_tpu.plot.interactive import (
+            DistanceHistogramInteractive,
+        )
+
+        rng = np.random.default_rng(0)
+        tuner = DistanceHistogramInteractive(
+            rng.normal(size=(64, 4)).astype(np.float32), float("inf")
+        )
+        tuner.update(sig_h=7.0)
+        adc = ADCParameters()
+        before = tuple(adc.dist_sig_parameters)
+        tuner.apply(adc)
+        assert tuple(adc.cartesian_dist_sig_parameters)[0] == 7.0
+        assert tuple(adc.dist_sig_parameters) == before  # untouched
+        tuner.apply(adc, attribute="dist_sig_parameters")
+        assert tuple(adc.dist_sig_parameters)[0] == 7.0
+        p = Parameters()
+        tuner.apply(p)
+        assert tuple(p.dist_sig_parameters)[0] == 7.0
+        with pytest.raises(AttributeError):
+            tuner.apply(p, attribute="cartesian_dist_sig_parameters")
+
+    def test_distance_histogram_subsamples_large_inputs(self):
+        from encodermap_tpu.plot.interactive import (
+            DistanceHistogramInteractive,
+        )
+
+        rng = np.random.default_rng(1)
+        big = rng.normal(size=(5000, 3)).astype(np.float32)
+        tuner = DistanceHistogramInteractive(big, float("inf"))
+        assert len(tuner.distances) <= 1000 * 999 // 2
+        tuner2 = DistanceHistogramInteractive(big, 2 * np.pi)
+        assert len(tuner2.distances) <= 1000 * 999 // 2
+
+    @needs_data
+    def test_plot_cluster_multi_topology(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.plot import plot_cluster
+
+        a = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        b = em.load(str(DATA / "glu7.xtc"), str(DATA / "glu7.pdb"))
+        assert a.top.n_atoms != b.top.n_atoms
+        trajs = em.TrajEnsemble([a, b])
+        n = trajs.n_frames
+        membership = np.zeros(n, dtype=int)
+        latent = np.random.default_rng(2).normal(size=(n, 2))
+        # selection spans both topologies
+        res = plot_cluster(trajs, 0, membership, latent, tmp_path,
+                           max_structures=6)
+        assert isinstance(res["pdb"], list) and len(res["pdb"]) == 2
+        for pdb in res["pdb"]:
+            assert Path(pdb).exists()
+        assert 0 <= res["centroid_frame"] < n
+
+    def test_initialize_explicit_coordinator_not_swallowed(self, monkeypatch):
+        import encodermap_tpu.parallel.distributed as dist
+
+        calls = []
+        monkeypatch.setattr(dist, "_initialized", False)
+        monkeypatch.setattr(
+            dist.jax.distributed, "initialize",
+            lambda **kw: calls.append(kw),
+        )
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+        dist.initialize()  # no-op path
+        assert calls == []
+        dist.initialize(coordinator_address="h:1234", num_processes=2,
+                        process_id=0)
+        assert len(calls) == 1  # explicit call went through
+        dist.initialize(coordinator_address="h:1234", num_processes=2,
+                        process_id=0)
+        assert len(calls) == 1  # joined state latches
+
+    def test_kondata_honors_download_flags(self, tmp_path, monkeypatch):
+        import tarfile
+        import urllib.request
+
+        from encodermap_tpu.kondata import get_from_kondata
+
+        payload = tmp_path / "payload"
+        (payload / "checkpoints").mkdir(parents=True)
+        (payload / "checkpoints" / "model.keras").write_text("x")
+        (payload / "traj.h5").write_text("x")
+        (payload / "extra_data").mkdir()
+        (payload / "extra_data" / "big.dat").write_text("x")
+        (payload / "README.md").write_text("hello")
+        tar_path = tmp_path / "ds.tar"
+        with tarfile.open(tar_path, "w") as tf:
+            for p in sorted(payload.rglob("*")):
+                tf.add(p, arcname=str(p.relative_to(payload)))
+
+        def fake_retrieve(url, target):
+            import shutil
+
+            shutil.copyfile(tar_path, target)
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        out = get_from_kondata(
+            "mini", output=tmp_path / "out", download_checkpoints=False,
+            download_h5=False, download_extra_data=False,
+        )
+        out = Path(out)
+        assert (out / "README.md").exists()
+        assert not (out / "traj.h5").exists()
+        assert not (out / "checkpoints" / "model.keras").exists()
+        assert not (out / "extra_data" / "big.dat").exists()
+
+    @needs_data
+    def test_render_vmd_custom_script_is_verbatim(self, tmp_path):
+        from encodermap_tpu.plot import render_vmd
+
+        script = render_vmd(
+            DATA / "asp7.pdb",
+            custom_script="mol new my_scene.pdb",
+            surf="quicksurf",
+            ssupdate=True,
+            drawframes=True,
+            script_only=True,
+            script_location=tmp_path / "s.tcl",
+            image_location=tmp_path / "img",
+        )
+        text = Path(script).read_text()
+        assert "my_scene" in text
+        assert "Quicksurf" not in text and "ssrecalc" not in text

@@ -65,12 +65,17 @@ def profile_steps(
     trainer = autoencoder._get_trainer()
     data = autoencoder._device_data()
     state = autoencoder.state
-    # warmup/compile outside the trace
-    state, metrics = trainer(state, data)
-    float(np.asarray(metrics["loss"])[-1])
-    with trace(logdir):
-        for _ in range(n_steps):
-            state, metrics = trainer(state, data)
+    try:
+        # warmup/compile outside the trace
+        state, metrics = trainer(state, data)
         float(np.asarray(metrics["loss"])[-1])
-    autoencoder.state = state
+        with trace(logdir):
+            for _ in range(n_steps):
+                state, metrics = trainer(state, data)
+            float(np.asarray(metrics["loss"])[-1])
+    finally:
+        # the trainer may donate its input state's buffers; always hand the
+        # newest state back so the model never holds deleted buffers, even
+        # when trace() or a chunk raises
+        autoencoder.state = state
     return str(logdir)

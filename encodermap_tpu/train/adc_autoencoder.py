@@ -41,7 +41,7 @@ from ..ops.kabsch import rmsd as rmsd_op
 from ..parameters import ADCParameters
 from .autoencoder import TrainerExtensions, _tree_to_jax
 from .callbacks import Callback, CheckpointSaver, NaNInterrupt, ProgressBar
-from .core import TrainState, make_optimizer, make_scan_trainer
+from .core import TrainState, make_optimizer
 
 __all__ = ["AngleDihedralCartesianEncoderMap"]
 
@@ -172,11 +172,28 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         self.custom_losses: list = []
         self.custom_metrics: list = []
 
+    # the soft-start scale is logged every step but never summed
+    _metrics_only = ("cartesian_cost_scale",)
+    # bench/ablation scripts drive the ADC trainer manually while holding
+    # emap.state — donation would delete those buffers under them
+    _donate_state = False
+
     # ------------------------------------------------------------------ losses
     def _loss_terms(
         self, params: dict, batch: tuple, step: Array
     ) -> dict[str, Array]:
         """The reference's get_loss assembly (``models.py:2260-2459``)."""
+        return self._loss_terms_aux(params, batch, step)[0]
+
+    def _loss_and_aux(self, params, batch, step):
+        return self._loss_terms_aux(params, batch, step)
+
+    def _loss_terms_aux(
+        self, params: dict, batch: tuple, step: Array
+    ) -> tuple[dict[str, Array], tuple]:
+        """Loss terms + ``(back_cartesians, target_cartesians)`` aux so the
+        clash/RMSD metrics reuse this forward instead of rerunning the whole
+        model (XLA dead-code-eliminates the aux when tracking is off)."""
         p = self.p
         if p.reconstruct_sidechains:
             return self._loss_terms_sidechains(params, batch, step)
@@ -240,11 +257,11 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
                 inp_side, out_side, p
             )
         terms["cartesian_cost_scale"] = scale
-        return terms
+        return terms, (back_cartesians, inp_cartesians)
 
     def _loss_terms_sidechains(
         self, params: dict, batch: tuple, step: Array
-    ) -> dict[str, Array]:
+    ) -> tuple[dict[str, Array], tuple]:
         """Loss assembly for reconstruct_sidechains mode: adds the side-angle
         cost and feeds 4 periodic groups to the distance/center costs
         (reference ``models.py:2306-2459`` reconstruct branches)."""
@@ -281,76 +298,63 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             ),
             "cartesian_cost_scale": scale,
         }
-        return terms
+        return terms, (back, inp_all_cart)
 
-    def _metric_terms(self, params: dict, batch: tuple) -> dict[str, Array]:
-        """Optional clash / RMSD metrics (``callbacks/metrics.py:470-581``)."""
+    def _aux_metric_terms(self, aux: tuple, batch: tuple) -> dict[str, Array]:
+        """Optional clash / RMSD metrics (``callbacks/metrics.py:470-581``),
+        computed from the loss forward's backmapped coordinates (one-step-
+        stale parameters — immaterial for a tracked metric, and it avoids a
+        second full forward incl. the backmap scan per step)."""
         p = self.p
         out = {}
         if not (p.track_clashes or p.track_RMSD):
             return out
-        if p.reconstruct_sidechains:
-            (_, _, _, _, back_cartesians, _, _, _) = adc.forward_sidechains(
-                params, p, batch, self.shapes, self.sidechain_spec
-            )
-        else:
-            if self.sparse:
-                batch = adc.densify_inputs(params, p, batch)
-            (_, _, _, back_cartesians, _, _, _) = adc.forward(
-                params, p, batch, self.shapes
-            )
+        back_cartesians, target_cartesians = aux
         if p.track_clashes:
             d = pairwise_dist(back_cartesians, flat=True)
             out["clashes"] = jnp.mean(jnp.sum(d < 1.0, axis=-1).astype(jnp.float32))
         if p.track_RMSD:
             out["rmsd"] = jnp.mean(
-                rmsd_op(back_cartesians, batch[2])
+                rmsd_op(back_cartesians, target_cartesians)
             )
         return out
 
     # ------------------------------------------------------------------ training
-    def _make_train_step(self):
-        def train_step(state: TrainState, batch):
-            def total(params):
-                terms = self._loss_terms(params, batch, state.step)
-                terms.update(self._custom_loss_terms(params, batch))
-                loss = jnp.asarray(0.0, jnp.float32)
-                for k, v in terms.items():
-                    if k != "cartesian_cost_scale":
-                        loss = loss + v
-                return loss, terms
-
-            (loss, terms), grads = jax.value_and_grad(total, has_aux=True)(
-                state.params
-            )
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            params = jax.tree_util.tree_map(
-                lambda p_, u: p_ + u, state.params, updates
-            )
-            metrics = dict(terms)
-            metrics["loss"] = loss
-            metrics.update(self._metric_terms(params, batch))
-            metrics.update(self._custom_metric_terms(params, batch))
-            return (
-                state.replace(
-                    params=params, opt_state=opt_state, step=state.step + 1
-                ),
-                metrics,
-            )
-
-        return train_step
-
     def set_train_data(self, trajs: Any) -> None:
         """Replace the training data from a TrajEnsemble or CV dict/tuple
-        (reference ``autoencoder.py:1973``)."""
+        (reference ``autoencoder.py:1973``); CV widths must stay compatible
+        with the built model."""
         if isinstance(trajs, (tuple, list)):
-            self.train_data = tuple(np.asarray(d, np.float32) for d in trajs)
+            new = tuple(np.asarray(d, np.float32) for d in trajs)
         else:
+            new = _extract_cvs(trajs, self.p)
+        if len(new) != len(self.train_data):
+            raise ValueError(
+                f"new data has {len(new)} CV arrays, model trains on "
+                f"{len(self.train_data)}"
+            )
+        for name, old, arr in zip(_needed_cv_names(self.p),
+                                  self.train_data, new):
+            if old.shape[1:] != arr.shape[1:]:
+                raise ValueError(
+                    f"new {name} shape {arr.shape[1:]} does not match the "
+                    f"model's {old.shape[1:]}"
+                )
+        new_sparse = any(np.isnan(a).any() for a in new)
+        if new_sparse and "densifiers" not in self.state.params:
+            # a dense-built model has no densifiers: the NaNs would flow
+            # straight into the losses
+            raise ValueError(
+                "the new data holds NaNs (sparse mode) but this model was "
+                "built dense (no densifiers). Rebuild the model on the "
+                "NaN-padded data."
+            )
+        if new_sparse != self.sparse:
+            self._trainer = None  # cached steps were traced with old sparse
+        self.sparse = new_sparse
+        if not isinstance(trajs, (tuple, list)):
             self.trajs = trajs
-            self.train_data = _extract_cvs(trajs, self.p)
-        self.sparse = any(np.isnan(a).any() for a in self.train_data)
+        self.train_data = new
 
     @staticmethod
     def get_train_data_from_trajs(trajs: Any, p: "ADCParameters") -> tuple:
@@ -358,17 +362,6 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         side_dihedrals...]) the model trains on (reference
         ``autoencoder.py:2032``)."""
         return _extract_cvs(trajs, p)
-
-    def _get_trainer(self, steps: Optional[int] = None):
-        if steps is None:
-            steps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
-        if not isinstance(self._trainer, dict):
-            self._trainer = {}
-        if steps not in self._trainer:
-            self._trainer[steps] = make_scan_trainer(
-                self._make_train_step(), self.p.batch_size, steps
-            )
-        return self._trainer[steps]
 
     def _device_data(self) -> tuple:
         # NaNs stay: the densifiers zero-fill inside the graph (sparse mode);
@@ -446,9 +439,10 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         n = len(angles)
         nsteps = min(maxiter, max(1, n // self.p.batch_size))
 
-        mean_angles = jnp.asarray(angles.mean(0, keepdims=True))
-        mean_dihedrals = jnp.asarray(dihedrals.mean(0, keepdims=True))
-        mean_lengths = jnp.asarray(distances.mean(0, keepdims=True))
+        # nanmean: sparse (mixed-topology) ensembles NaN-pad missing columns
+        mean_angles = jnp.asarray(np.nanmean(angles, 0, keepdims=True))
+        mean_dihedrals = jnp.asarray(np.nanmean(dihedrals, 0, keepdims=True))
+        mean_lengths = jnp.asarray(np.nanmean(distances, 0, keepdims=True))
         gen_cartesians = backmap_op(
             mean_lengths,
             mean_angles,
@@ -474,13 +468,18 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
 
         rng = np.random.default_rng(self.p.seed if self.p.seed is not None else 0)
         acc = {"angle_cost": [], "dihedral_cost": [], "cartesian_cost": []}
+        if self.sparse:
+            # missing entries get the dataset mean: they contribute zero to
+            # the cost vs the mean-predicting dummy model instead of NaN
+            fills = [np.nanmean(x, 0) for x in (angles, dihedrals, cartesians)]
         for _ in range(nsteps):
             idx = rng.integers(0, n, self.p.batch_size)
-            a, d, c = refs(
-                jnp.asarray(angles[idx]),
-                jnp.asarray(dihedrals[idx]),
-                jnp.asarray(cartesians[idx]),
-            )
+            batch = (angles[idx], dihedrals[idx], cartesians[idx])
+            if self.sparse:
+                batch = tuple(
+                    np.where(np.isnan(b), f, b) for b, f in zip(batch, fills)
+                )
+            a, d, c = refs(*(jnp.asarray(b) for b in batch))
             acc["angle_cost"].append(float(a))
             acc["dihedral_cost"].append(float(d))
             acc["cartesian_cost"].append(float(c))
@@ -499,9 +498,11 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         a stacked feature matrix, or the training CVs."""
         if data is None:
             data = self.train_data
+        if isinstance(data, Mapping):  # CV dicts, like the constructor takes
+            data = _extract_cvs(data, self.p)
         if isinstance(data, np.ndarray):
             data = self._split_stacked(data)
-        arrs = tuple(jnp.asarray(np.asarray(d, np.float32)) for d in data)
+        arrs = tuple(np.asarray(d, np.float32) for d in data)
 
         def _encode(params, inputs):
             if self.p.reconstruct_sidechains:
@@ -512,9 +513,16 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
 
         # self.sparse can flip via set_train_data -> it is part of the key
         jfn = self._cached_jit(f"encode_sparse={self.sparse}", _encode)
-        fn = lambda inputs: jfn(self.state.params, inputs)
         arrs = self._as_model_inputs(arrs)
-        return np.asarray(fn(arrs))
+        # chunked like the base class's _batched_apply: a million-frame
+        # ensemble must not ride to the device as one giant program
+        B = int(arrs[0].shape[0])
+        mb = 8192
+        outs = []
+        for i in range(0, max(B, 1), mb):
+            chunk = tuple(jnp.asarray(a[i : i + mb]) for a in arrs)
+            outs.append(np.asarray(jfn(self.state.params, chunk)))
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
 
     def _as_model_inputs(self, arrs: tuple) -> tuple:
         """Map a user tuple onto the model's input slots.
@@ -593,7 +601,8 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         )
         out_angles, out_dihedrals, out_side = fn(self.state.params, latent)
         if out_angles is None:
-            mean = self.train_data[0].mean(0, keepdims=True)
+            # nanmean: sparse ensembles NaN-pad missing columns
+            mean = np.nanmean(self.train_data[0], 0, keepdims=True)
             out_angles = np.broadcast_to(mean, (len(latent), mean.shape[1]))
         outs = (np.asarray(out_angles), np.asarray(out_dihedrals))
         if out_side is not None:
@@ -655,8 +664,8 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             fn = self._cached_jit("generate_fused_sidechains", _gen_sc)
             xyz = fn(
                 self.state.params, points,
-                jnp.asarray(self.train_data[3].mean(0, keepdims=True)),
-                jnp.asarray(self.train_data[6].mean(0, keepdims=True)),
+                jnp.asarray(np.nanmean(self.train_data[3], 0, keepdims=True)),
+                jnp.asarray(np.nanmean(self.train_data[6], 0, keepdims=True)),
             )
             return np.asarray(xyz)
 
@@ -675,10 +684,12 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             return backmap_op(lengths, out_angles, out_dihedrals)
 
         fn = self._cached_jit("generate_fused", _gen)
+        # nanmean: sparse ensembles NaN-pad missing columns, and a single
+        # NaN bond length would propagate through every backmapped atom
         xyz = fn(
             self.state.params, points,
-            jnp.asarray(self.train_data[3].mean(0, keepdims=True)),
-            jnp.asarray(self.train_data[0].mean(0, keepdims=True)),
+            jnp.asarray(np.nanmean(self.train_data[3], 0, keepdims=True)),
+            jnp.asarray(np.nanmean(self.train_data[0], 0, keepdims=True)),
         )
         return np.asarray(xyz)
 

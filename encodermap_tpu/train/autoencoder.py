@@ -45,9 +45,18 @@ Array = jax.Array
 
 
 class TrainerExtensions:
-    """User-extension hooks shared by all autoencoder classes (the
-    reference's ``add_loss``/``add_callback``/``add_metric``/``plot_network``,
+    """User-extension hooks + the shared jitted train-step machinery for all
+    autoencoder classes (the reference's
+    ``add_loss``/``add_callback``/``add_metric``/``plot_network``,
     ``autoencoder.py:1031-1109``)."""
+
+    # loss-term keys that are logged as metrics but NOT summed into the
+    # total (e.g. the ADC soft-start scale)
+    _metrics_only: tuple = ()
+    # donate the input TrainState to the jitted chunk (halves HBM traffic).
+    # ADC sets False: its trainer is driven manually by bench/ablation
+    # scripts that would otherwise hold deleted buffers.
+    _donate_state: bool = True
 
     def add_callback(self, callback) -> None:
         """Append a :class:`Callback` dispatched at chunk granularity."""
@@ -103,6 +112,75 @@ class TrainerExtensions:
     def _custom_metric_terms(self, params, batch) -> dict:
         return {name: fn(params, batch) for name, fn in self.custom_metrics}
 
+    # ------------------------------------------------------------------ train step
+    def _loss_and_aux(self, params, batch, step):
+        """``(terms, aux)`` for one batch. ``aux`` carries forward
+        intermediates that metric hooks reuse (empty for the base classes;
+        the ADC passes its backmapped coordinates through so clash/RMSD
+        tracking does not rerun the whole forward)."""
+        return self._loss_terms(params, batch), ()
+
+    def _aux_metric_terms(self, aux, batch) -> dict:
+        """Metrics computed from the loss forward's aux (see above)."""
+        return {}
+
+    def _maybe_fused_trainer(self, steps: int):
+        """Subclasses may provide a fully-fused kernel for their config."""
+        return None
+
+    def _make_train_step(self):
+        """One optimizer step as a pure function ``(state, batch) ->
+        (state, metrics)`` — shared by every autoencoder class; subclasses
+        plug in via ``_loss_and_aux``/``_aux_metric_terms``/``_metrics_only``.
+        """
+
+        def train_step(state: TrainState, batch):
+            def total(params):
+                terms, aux = self._loss_and_aux(params, batch, state.step)
+                terms.update(self._custom_loss_terms(params, batch))
+                loss = jnp.asarray(0.0, jnp.float32)
+                for k, v in terms.items():
+                    if k not in self._metrics_only:
+                        loss = loss + v
+                return loss, (terms, aux)
+
+            (loss, (terms, aux)), grads = jax.value_and_grad(
+                total, has_aux=True
+            )(state.params)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = jax.tree_util.tree_map(
+                lambda p_, u: p_ + u, state.params, updates
+            )
+            metrics = dict(terms)
+            metrics["loss"] = loss
+            metrics.update(self._aux_metric_terms(aux, batch))
+            metrics.update(self._custom_metric_terms(params, batch))
+            return (
+                state.replace(
+                    params=params, opt_state=opt_state, step=state.step + 1
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    def _get_trainer(self, steps: Optional[int] = None):
+        if steps is None:
+            steps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
+        if not isinstance(self._trainer, dict):
+            self._trainer = {}
+        if steps not in self._trainer:
+            trainer = self._maybe_fused_trainer(steps)
+            if trainer is None:
+                trainer = make_scan_trainer(
+                    self._make_train_step(), self.p.batch_size, steps,
+                    donate=self._donate_state,
+                )
+            self._trainer[steps] = trainer
+        return self._trainer[steps]
+
     # ------------------------------------------------------------------ training loop
     def _setup_callbacks(self) -> list:
         cbs: list = [ProgressBar(self.p.n_steps), NaNInterrupt()]
@@ -147,6 +225,10 @@ class TrainerExtensions:
         data = self._device_data()
         cbs = self._setup_callbacks()
         if not self.read_only:
+            if self._metrics_writer is not None:
+                # re-train: don't leak the previous JSONL/TB handles (the
+                # JSONL opens in append mode, so history accumulates)
+                self._metrics_writer.close()
             self._metrics_writer = MetricsWriter(
                 self.p.main_path, tensorboard=self.p.tensorboard
             )
@@ -155,6 +237,7 @@ class TrainerExtensions:
 
         history: dict[str, list] = {}
         stop = False
+        nan_stop = False
         done = 0
         while done < remaining and not stop:
             first_step = int(self.state.step)
@@ -178,15 +261,31 @@ class TrainerExtensions:
             for cb in cbs:
                 if cb.on_chunk_end(first_step, metrics) is False:
                     stop = True
+                    nan_stop = isinstance(cb, NaNInterrupt)
+                    # skip the remaining callbacks for this chunk: a NaN
+                    # abort must not reach CheckpointSaver (which sits after
+                    # NaNInterrupt) with the diverged parameters
+                    break
             done += n
 
         for cb in cbs:
             cb.on_train_end(self)
         self.history = {k: np.concatenate(v) for k, v in history.items()}
-        self.p.current_training_step = int(self.state.step)
-        if not self.read_only:
-            self.p.save(Path(self.p.main_path) / "parameters.json")
-            self.save()
+        if nan_stop:
+            # don't shadow the last good checkpoint with NaN weights, and
+            # leave parameters.json pointing at it so from_checkpoint works
+            print(
+                "Not persisting the diverged state; the newest on-disk "
+                "checkpoint remains the last finite one."
+            )
+        else:
+            self.p.current_training_step = int(self.state.step)
+            if not self.read_only:
+                self.p.save(Path(self.p.main_path) / "parameters.json")
+                self.save()
+        if self._metrics_writer is not None:
+            self._metrics_writer.close()
+            self._metrics_writer = None
         return self.history
 
     def plot_network(self) -> Optional[str]:
@@ -291,8 +390,17 @@ class Autoencoder(TrainerExtensions):
             f"new data has {data.shape[1]} features, model expects "
             f"{self.input_dim}"
         )
-        self._nan_mask = np.isnan(data)
-        if self._nan_mask.any():
+        nan_mask = np.isnan(data)
+        if nan_mask.any() and "densifier" not in self.state.params:
+            # a dense-built model would zero-fill the NaNs with no trainable
+            # densifier — silently training on literal zeros
+            raise ValueError(
+                "the new data holds NaNs (sparse mode) but this model was "
+                "built dense (no densifier layer). Rebuild the model on the "
+                "NaN-padded data or construct it with sparse=True."
+            )
+        self._nan_mask = nan_mask
+        if nan_mask.any():
             self.sparse = True
         self.train_data = data
 
@@ -314,57 +422,6 @@ class Autoencoder(TrainerExtensions):
             ),
         }
         return terms
-
-    # ------------------------------------------------------------------ train
-    def _make_train_step(self):
-        def train_step(state: TrainState, batch):
-            def total(params):
-                terms = self._loss_terms(params, batch)
-                terms.update(self._custom_loss_terms(params, batch))
-                loss = jnp.asarray(0.0, jnp.float32)
-                for v in terms.values():
-                    loss = loss + v
-                return loss, terms
-
-            (loss, terms), grads = jax.value_and_grad(total, has_aux=True)(
-                state.params
-            )
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            params = jax.tree_util.tree_map(
-                lambda p_, u: p_ + u, state.params, updates
-            )
-            metrics = dict(terms)
-            metrics["loss"] = loss
-            metrics.update(self._custom_metric_terms(params, batch))
-            return (
-                state.replace(
-                    params=params, opt_state=opt_state, step=state.step + 1
-                ),
-                metrics,
-            )
-
-        return train_step
-
-    def _maybe_fused_trainer(self, steps: int):
-        """Subclasses may provide a fully-fused kernel for their config."""
-        return None
-
-    def _get_trainer(self, steps: Optional[int] = None):
-        if steps is None:
-            steps = max(1, min(self.p.steps_per_scan, self.p.n_steps))
-        if not isinstance(self._trainer, dict):
-            self._trainer = {}
-        if steps not in self._trainer:
-            trainer = self._maybe_fused_trainer(steps)
-            if trainer is None:
-                trainer = make_scan_trainer(
-                    self._make_train_step(), self.p.batch_size, steps,
-                    donate=True,
-                )
-            self._trainer[steps] = trainer
-        return self._trainer[steps]
 
     def _shard_leading(self, x):
         """Shard an array's batch axis over the mesh's dp axis (GSPMD

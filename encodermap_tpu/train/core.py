@@ -390,10 +390,18 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None,
     done = 0
     try:
         for superbatch in source:
+            # final-chunk shrink: never run the optimizer past n_steps (the
+            # in-memory train() loop makes the same guarantee) — otherwise
+            # state.step and schedules overshoot the reported history
+            remaining = n_steps - done
             if isinstance(superbatch, tuple):
+                if superbatch[0].shape[0] > remaining:
+                    superbatch = tuple(x[:remaining] for x in superbatch)
                 dev = tuple(put(x) for x in superbatch)
                 n = superbatch[0].shape[0]
             else:
+                if superbatch.shape[0] > remaining:
+                    superbatch = superbatch[:remaining]
                 dev = put(superbatch)
                 n = superbatch.shape[0]
             autoencoder.state, metrics = trainer(autoencoder.state, dev)

@@ -1630,3 +1630,225 @@ class TestWave8Fixes:
         text = Path(script).read_text()
         assert "my_scene" in text
         assert "Quicksurf" not in text and "ssrecalc" not in text
+
+
+class TestWave9Fixes:
+    """Round-3 review wave 9: training-core/persistence findings — sparse
+    NaN propagation through generate/decode/train_for_references, stale
+    trainer caches on set_train_data, NaN-abort checkpoint shadowing,
+    streaming step overshoot, donated-state recovery, ADC encode chunking,
+    metrics-writer lifecycle."""
+
+    @staticmethod
+    def _adc_arrays(n_frames=120, n_res=6, sparse=False):
+        from tests.reference_impl import backmap_np
+
+        rng = np.random.default_rng(3)
+        n_atoms = 3 * n_res
+        angles = rng.uniform(1.6, 2.4, (n_frames, n_atoms - 2)).astype(
+            np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (n_frames, n_atoms - 3)
+                                ).astype(np.float32)
+        distances = rng.uniform(0.13, 0.155, (n_frames, n_atoms - 1)).astype(
+            np.float32)
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        side = rng.uniform(-np.pi, np.pi, (n_frames, 2 * n_res)).astype(
+            np.float32)
+        if sparse:
+            # mixed-topology alignment NaN-pads columns some trajs lack
+            angles = angles.copy()
+            angles[: n_frames // 2, -1] = np.nan
+            side[: n_frames // 2, -2:] = np.nan
+        return {
+            "central_angles": angles,
+            "central_dihedrals": dihedrals,
+            "central_cartesians": cart,
+            "central_distances": distances,
+            "side_dihedrals": side,
+        }
+
+    @staticmethod
+    def _adc_params(tmp_path, **kw):
+        from encodermap_tpu import ADCParameters
+
+        d = dict(main_path=str(tmp_path), n_neurons=[8, 8, 2], n_steps=4,
+                 steps_per_scan=2, batch_size=16, checkpoint_step=10000,
+                 summary_step=100, seed=1, use_backbone_angles=True,
+                 use_sidechains=True)
+        d.update(kw)
+        return ADCParameters(**d)
+
+    def test_sparse_adc_generate_decode_refs_finite(self, tmp_path):
+        """NaN-padded (sparse) train data must not leak NaN through the
+        dataset means used by generate()/decode()/train_for_references()."""
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        cvs = self._adc_arrays(sparse=True)
+        # dihedrals-only model: exercises the mean-angle substitution in
+        # decode()/generate() with a NaN-padded angle column
+        emap = AngleDihedralCartesianEncoderMap(
+            cvs, self._adc_params(tmp_path, use_backbone_angles=False,
+                                  use_sidechains=False),
+            read_only=True,
+        )
+        assert emap.sparse
+        emap.train()
+        xyz = emap.generate(np.zeros((3, 2), np.float32))
+        assert np.isfinite(xyz).all()
+        decoded = emap.decode(np.zeros((3, 2), np.float32))
+        for arr in decoded:
+            assert np.isfinite(arr).all()
+        refs = emap.train_for_references(maxiter=3)
+        assert all(np.isfinite(v) for v in refs.values())
+
+    def test_adc_set_train_data_guards(self, tmp_path):
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        dense = self._adc_arrays(sparse=False)
+        emap = AngleDihedralCartesianEncoderMap(
+            dense, self._adc_params(tmp_path), read_only=True
+        )
+        emap.train()
+        # dense-built model + NaN data: no densifiers exist -> refuse
+        with pytest.raises(ValueError, match="densifiers"):
+            emap.set_train_data(self._adc_arrays(sparse=True))
+        # width mismatch -> refuse
+        bad = {k: v[:, :-1] if v.ndim == 2 else v[:, :-1]
+               for k, v in dense.items()}
+        with pytest.raises(ValueError, match="shape"):
+            emap.set_train_data(bad)
+
+    def test_adc_sparse_to_dense_resets_trainer(self, tmp_path):
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        emap = AngleDihedralCartesianEncoderMap(
+            self._adc_arrays(sparse=True), self._adc_params(tmp_path),
+            read_only=True,
+        )
+        emap.train()
+        assert emap._trainer  # cached compiled chunks exist
+        emap.set_train_data(self._adc_arrays(sparse=False))
+        assert not emap.sparse
+        assert emap._trainer is None  # traced-with-sparse steps dropped
+        emap.p.n_steps = 8
+        emap.train()  # retraces cleanly on the dense path
+
+    def test_base_set_train_data_nan_on_dense_raises(self, tmp_path):
+        import encodermap_tpu as em
+
+        data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
+        p = em.Parameters(main_path=str(tmp_path), n_neurons=[8, 2],
+                          periodicity=float("inf"), n_steps=2,
+                          steps_per_scan=2, batch_size=16)
+        emap = em.EncoderMap(p, data, read_only=True)
+        nan_data = data.copy()
+        nan_data[:5, 0] = np.nan
+        with pytest.raises(ValueError, match="densifier"):
+            emap.set_train_data(nan_data)
+
+    def test_nan_abort_does_not_persist(self, tmp_path):
+        """NaNInterrupt must keep the diverged params away from
+        CheckpointSaver AND the end-of-train save."""
+        import jax.numpy as jnp
+
+        import encodermap_tpu as em
+
+        data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
+        p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          periodicity=float("inf"), n_steps=20,
+                          steps_per_scan=10, batch_size=16,
+                          checkpoint_step=5, summary_step=100)
+        emap = em.EncoderMap(p, data)
+        emap.add_loss(lambda params, batch: jnp.float32(np.nan), name="boom")
+        emap.train()
+        ckpts = list(Path(p.main_path).glob("saved_model_*.npz"))
+        assert ckpts == []
+        # parameters.json still points at the pre-training step
+        from encodermap_tpu import Parameters
+
+        reloaded = Parameters.from_file(Path(p.main_path) / "parameters.json")
+        assert reloaded.current_training_step == 0
+
+    def test_streaming_stops_exactly_at_n_steps(self, tmp_path):
+        import encodermap_tpu as em
+
+        data = np.random.default_rng(0).normal(size=(640, 6)).astype(np.float32)
+        p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          periodicity=float("inf"), n_steps=25,
+                          steps_per_scan=10, batch_size=16, seed=0)
+        emap = em.EncoderMap(p, data[:32])
+
+        class Source:
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                return data[np.random.default_rng(1).integers(
+                    0, len(data), (10, 16))]
+
+        history = emap.train_streaming(Source(), n_steps=25)
+        assert int(emap.state.step) == 25
+        assert len(history["loss"]) == 25
+        assert emap.p.current_training_step == 25
+
+    def test_profile_steps_leaves_model_usable(self, tmp_path):
+        """The profiled trainer donates its input state; the model must get
+        the newest (live) state back and stay usable."""
+        import encodermap_tpu as em
+        from encodermap_tpu.misc.profiling import profile_steps
+
+        data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
+        p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          periodicity=float("inf"), n_steps=4,
+                          steps_per_scan=2, batch_size=16)
+        emap = em.EncoderMap(p, data, read_only=True)
+        profile_steps(emap, n_steps=1, logdir=tmp_path / "prof")
+        assert int(emap.state.step) == 4  # warmup + 1 traced chunk
+        latent = emap.encode(data)  # params buffers are alive
+        assert np.isfinite(latent).all()
+
+    def test_adc_encode_is_chunked(self, tmp_path):
+        """encode() of a big dataset uploads 8192-row chunks, and chunked
+        equals unchunked."""
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        cvs = self._adc_arrays(n_frames=50, n_res=4)
+        emap = AngleDihedralCartesianEncoderMap(
+            cvs, self._adc_params(tmp_path, n_steps=2), read_only=True
+        )
+        big = {k: np.concatenate([v] * 200, axis=0)
+               for k, v in cvs.items()}  # 10000 frames
+        latent_big = emap.encode(big)
+        assert latent_big.shape == (10000, 2)
+        latent_small = emap.encode(cvs)
+        np.testing.assert_allclose(latent_big[:50], latent_small[:50],
+                                   atol=1e-6)
+
+    def test_train_twice_reuses_metrics_file(self, tmp_path):
+        """Re-training closes the previous writer (no leaked handle) and the
+        JSONL accumulates both runs."""
+        import encodermap_tpu as em
+
+        data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
+        p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          periodicity=float("inf"), n_steps=4,
+                          steps_per_scan=2, batch_size=16, summary_step=1)
+        emap = em.EncoderMap(p, data)
+        emap.train()
+        assert emap._metrics_writer is None  # closed after the run
+        n_lines = len((Path(p.main_path) / "train_metrics.jsonl")
+                      .read_text().splitlines())
+        emap.p.n_steps = 8
+        emap.train()
+        assert emap._metrics_writer is None
+        n_lines2 = len((Path(p.main_path) / "train_metrics.jsonl")
+                       .read_text().splitlines())
+        assert n_lines2 > n_lines

@@ -140,6 +140,7 @@ def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
         "side_dihedrals": side,
     }
     p = ADCParameters(
+        cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
         batch_size=256, n_steps=10**9, steps_per_scan=steps_per_scan,
         use_backbone_angles=True, use_sidechains=True, seed=0,
         n_neurons=[128, 128, 2],
@@ -252,6 +253,7 @@ def bench_generate(n_res: int = 158, batch: int = 2048, reps: int = 3
             np.float32),
     }
     p = ADCParameters(
+        cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
         batch_size=256, use_backbone_angles=True, use_sidechains=True,
         n_neurons=[128, 128, 2], seed=0,
     )

@@ -223,14 +223,17 @@ def decode(
 
 
 def _ca_slice_spec(p: ADCParameters) -> slice:
-    """The atom slice used for the pairwise-distance costs (default: CA
-    atoms of an N-CA-C backbone, i.e. ``1::3``) — the single source of the
-    slice defaults for cartesian_pwd_slice/_matrix AND
-    sidechain_pwd_indices, so they can never desynchronize."""
-    start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
-    stop = p.cartesian_pwd_stop
-    step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
-    return slice(start, stop, step)
+    """The atom slice used for the pairwise-distance costs.
+
+    Reference-exact semantics (``models/layers.py:1252-1266`` slices with
+    the raw parameter values): ``None`` passes through, so the
+    out-of-the-box default (all three ``cartesian_pwd_*`` = None) uses
+    EVERY central-chain atom. Selecting CA atoms of an N-CA-C backbone
+    takes ``cartesian_pwd_start=1, cartesian_pwd_step=3``, exactly as the
+    reference's own examples set it
+    (``examples/dihedral_to_cartesian_diubi.py:54-57``)."""
+    return slice(p.cartesian_pwd_start, p.cartesian_pwd_stop,
+                 p.cartesian_pwd_step)
 
 
 def _ca_slice(p: ADCParameters, cartesians: Array) -> Array:
@@ -238,13 +241,14 @@ def _ca_slice(p: ADCParameters, cartesians: Array) -> Array:
 
 
 def cartesian_pwd_slice(p: ADCParameters, cartesians: Array) -> Array:
-    """CA slice -> flat upper-triangle pairwise dists
-    (``models/layers.py:1252-1266``)."""
+    """``cartesian_pwd_*`` atom slice -> flat upper-triangle pairwise dists
+    (``models/layers.py:1252-1266``; all atoms by default, CAs with
+    ``start=1, step=3``)."""
     return pairwise_dist(_ca_slice(p, cartesians), flat=True)
 
 
 def cartesian_pwd_matrix(p: ADCParameters, cartesians: Array) -> Array:
-    """Same CA slice as :func:`cartesian_pwd_slice` but returning the FULL
+    """Same atom slice as :func:`cartesian_pwd_slice` but returning the FULL
     ``(B, n, n)`` distance matrix. Used for the cartesian loss on the
     *backmapped* coordinates: the dense matrix's backward is a reduction,
     whereas the flat triu gather's backward is an index scatter that costs
@@ -385,15 +389,30 @@ def decode_sidechains(
 
 def sidechain_pwd_indices(p: ADCParameters, spec) -> np.ndarray:
     """Atoms for the pairwise-distance costs in reconstruct mode: the CA
-    slice of the backbone plus the last atom of each sidechain branch
-    (reference ``PairwiseDistances.__init__``, ``layers.py:1183-1208``)."""
+    slice of the backbone plus the last atom of each sidechain branch.
+
+    DELIBERATE DIVERGENCE from the reference walk it replaces
+    (``PairwiseDistances.__init__``, ``layers.py:1183-1208``): the
+    reference advances ``atom = n_res*3 + 1`` by ``+= n_sc`` per branch,
+    which lands ``branch_rank - 2`` atoms off the true branch end (and
+    indexes past the array for single-branch topologies). This
+    implementation realizes the documented intent — each branch's LAST
+    atom — like ``backmap_multimer`` does for its broken reference.
+    Unlike the plain-backbone costs, ``cartesian_pwd_*=None`` here keeps
+    the CA default (1::3): the reference's reconstruct mode hardcodes the
+    CA+branch-end selection regardless of those parameters."""
+    from ..ops.backmap_sidechains import _side_atoms_per_res
+
     n_backbone = spec.n_residues * 3
-    idx = list(np.arange(n_backbone)[_ca_slice_spec(p)])
+    start = p.cartesian_pwd_start if p.cartesian_pwd_start is not None else 1
+    step = p.cartesian_pwd_step if p.cartesian_pwd_step is not None else 3
+    idx = list(np.arange(n_backbone)[start : p.cartesian_pwd_stop : step])
+    lens = _side_atoms_per_res(spec)
     # branch-end atoms: walk the per-residue branch column layout
     col = n_backbone
     for r in range(1, spec.n_residues + 1):
         # n sidechain dihedrals of residue r (+1 atoms when > 0)
-        n_sc = _branch_len(spec, r)
+        n_sc = int(lens[r - 1])
         if n_sc == 0:
             continue
         idx.append(col + n_sc - 1)
@@ -401,10 +420,7 @@ def sidechain_pwd_indices(p: ADCParameters, spec) -> np.ndarray:
     return np.asarray(idx, np.int64)
 
 
-def _branch_len(spec, r: int) -> int:
-    """Number of branch atoms of residue r in the spec's layout."""
-    mask = spec.side_seed_ca == (r - 1) * 3 + 1
-    return int(mask.sum())
+
 
 
 def forward_sidechains(

@@ -296,12 +296,29 @@ def _batch_pairdist2_gram(x):
     return jnp.maximum(d2, 0.0)
 
 
-def _sigmoid_loss_and_latgrad(feats, lat, params, scale):
+def _batch_pairdist2_periodic(x, periodicity):
+    """(B, B) squared MIN-IMAGE distances over batch rows of angular
+    features — the oracle twin of ``ops.distances.pairwise_dist_periodic``
+    (O(B^2 F) difference tensor; the oracle favors transparency over
+    speed)."""
+    d = jnp.abs(x[:, None, :] - x[None, :, :])
+    d = jnp.minimum(d, periodicity - d)
+    return jnp.sum(d * d, axis=-1)
+
+
+def _sigmoid_loss_and_latgrad(feats, lat, params, scale,
+                              periodicity=float("inf")):
     """cartesian_distance-style loss: sigmoid(batch-pairdist(feats)) vs
-    sigmoid(batch-pairdist(lat)); returns (loss, d loss/d lat)."""
+    sigmoid(batch-pairdist(lat)); returns (loss, d loss/d lat). The
+    high-D side honors ``periodicity`` (the production distance cost is
+    periodic over angular inputs, ``losses.distance_loss``); gradients
+    only flow to ``lat``, so the high-D leg needs no pullback."""
     sig_h, a_h, b_h, sig_l, a_l, b_l = params
     B = feats.shape[0]
-    dh2 = _batch_pairdist2_gram(feats)
+    if periodicity == float("inf"):
+        dh2 = _batch_pairdist2_gram(feats)
+    else:
+        dh2 = _batch_pairdist2_periodic(feats, periodicity)
     # zero the diagonal without scatter (iota mask; Mosaic-safe)
     notdiag = (
         jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
@@ -437,7 +454,12 @@ def hand_adc_step(
         cscale = jnp.asarray(h["cartesian_cost_scale"], jnp.float32)
     else:
         a, b = h["soft_start"]
-        frac = jnp.clip((step - a) / float(b - a), 0.0, 1.0)
+        if a == b:
+            # instant switch-on, like losses.soft_start_scale: /0 would
+            # NaN exactly at step == a
+            frac = (step >= a).astype(jnp.float32)
+        else:
+            frac = jnp.clip((step - a) / float(b - a), 0.0, 1.0)
         cscale = h["cartesian_cost_scale"] * frac
     pair_n = inp_pair.size
     cart_cost = cscale / h["cartesian_cost_reference"] * jnp.mean(
@@ -454,7 +476,8 @@ def hand_adc_step(
     if h["distance_cost_scale"] is not None:
         enc_inp = jnp.concatenate(raw_groups, axis=1)
         d_loss, g_lat_d = _sigmoid_loss_and_latgrad(
-            enc_inp, lat, h["dist_sig_parameters"], h["distance_cost_scale"]
+            enc_inp, lat, h["dist_sig_parameters"], h["distance_cost_scale"],
+            periodicity=P,
         )
     else:
         d_loss, g_lat_d = jnp.asarray(0.0, jnp.float32), 0.0

@@ -298,11 +298,6 @@ def _one_way_impl(dihedrals: Array, cartesian: Array) -> tuple[Array, tuple]:
     return out, (q_scan, q_cum, (rx, ry, rz), (ax, ay, az), ulen, dihedrals)
 
 
-def _rev_cumsum(x: Array, axis: int = 1) -> Array:
-    """Suffix sums: out[m] = sum_{m' >= m} x[m']."""
-    return jnp.flip(jnp.cumsum(jnp.flip(x, axis), axis), axis)
-
-
 #: chain length above which the adjoint's suffix sums ride the MXU
 _SUFFIX_MM_MIN = 96
 

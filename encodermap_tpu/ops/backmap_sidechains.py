@@ -59,6 +59,21 @@ class SidechainBackmapSpec(NamedTuple):
     dihedral_quadruplets: np.ndarray  # (n_dihedrals, 4)
     dihedral_static_masks: np.ndarray  # (n_dihedrals, n_atoms) bool
     n_central_dihedrals: int
+    #: (n_residues,) side atoms per residue (n_dihedrals + 1, or 0) — the
+    #: single source for branch lengths (consumers must not re-derive it
+    #: by scanning side_seed_ca)
+    side_atoms_per_res: np.ndarray = None
+
+
+def _side_atoms_per_res(spec: SidechainBackmapSpec) -> np.ndarray:
+    """(n_residues,) side atoms per residue, from the spec's stored table
+    (re-derived from side_seed_ca only for specs predating the field)."""
+    if spec.side_atoms_per_res is not None:
+        return np.asarray(spec.side_atoms_per_res)
+    return np.asarray(
+        [int((spec.side_seed_ca == (r - 1) * 3 + 1).sum())
+         for r in range(1, spec.n_residues + 1)]
+    )
 
 
 def make_spec(sidechain_info: dict[int, int]) -> SidechainBackmapSpec:
@@ -242,6 +257,7 @@ def make_spec(sidechain_info: dict[int, int]) -> SidechainBackmapSpec:
         dihedral_quadruplets=dihedral_quadruplets,
         dihedral_static_masks=dihedral_masks,
         n_central_dihedrals=len(central_dihedral_quadruplets),
+        side_atoms_per_res=side_atoms_per_res,
     )
 
 
@@ -465,10 +481,7 @@ def backmap_sidechains_fast(
     R_res = spec.n_residues
     nb = 3 * R_res
     n_cdi = nb - 3
-    v = np.asarray(
-        [int((spec.side_seed_ca == (r - 1) * 3 + 1).sum())
-         for r in range(1, R_res + 1)]
-    )
+    v = _side_atoms_per_res(spec)
     branches = np.where(v > 0)[0]  # residue indices (0-based) with branches
     n_br = len(branches)
     max_len = int(v.max()) if n_br else 0
@@ -480,18 +493,10 @@ def backmap_sidechains_fast(
     )  # (B, nb-1) heading of backbone bond i
     dx = central_distances * jnp.cos(h)
     dy = central_distances * jnp.sin(h)
-    zeros = jnp.zeros((B, 1), dtype)
-    bb_xy = jnp.stack(
-        [
-            jnp.concatenate([zeros, jnp.cumsum(dx, axis=1)], axis=1),
-            jnp.concatenate([zeros, jnp.cumsum(dy, axis=1)], axis=1),
-        ],
-        axis=-1,
-    )  # (B, nb, 2)
 
     if n_br:
         # ragged branch data -> (B, n_br, max_len) padded
-        def pad_branches(flat, lens):
+        def pad_branches(lens):
             out = np.zeros((n_br, max_len), np.int64)
             mask = np.zeros((n_br, max_len), bool)
             col = 0
@@ -502,7 +507,7 @@ def backmap_sidechains_fast(
             return out, mask
 
         lens = v[branches]
-        gath, br_mask = pad_branches(None, lens)  # indices into flat side arrays
+        gath, br_mask = pad_branches(lens)  # indices into flat side arrays
         gath_j = jnp.asarray(gath)
         mask_j = jnp.asarray(br_mask, dtype)
 
@@ -520,12 +525,10 @@ def backmap_sidechains_fast(
             axis=-1,
         )  # (B, n_br, max_len)
 
+        # planar branch bond vectors; final 3-D branch positions come from
+        # the rotated-bond cumsum at phase C, not from planar coordinates
         br_dx = sd_p * jnp.cos(phi)
         br_dy = sd_p * jnp.sin(phi)
-        ca_xy = bb_xy[:, ca_idx]  # (B, n_br, 2)
-        br_xy = ca_xy[:, :, None, :] + jnp.stack(
-            [jnp.cumsum(br_dx, axis=-1), jnp.cumsum(br_dy, axis=-1)], axis=-1
-        )  # (B, n_br, max_len, 2)
 
     # -------- phase B: dihedral quaternions (planar frame)
     # central: angle = target, axis heading = h_{i+1}

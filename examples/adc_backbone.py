@@ -22,6 +22,7 @@ def main() -> None:
     trajs.load_CVs("all")
 
     parameters = em.ADCParameters(
+        cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
         main_path="runs/adc",
         n_steps=N_STEPS,
         steps_per_scan=min(100, N_STEPS),

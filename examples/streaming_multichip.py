@@ -42,6 +42,7 @@ def main() -> None:
 
     n_dev = len(jax.devices())
     p = em.ADCParameters(
+        cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
         main_path="runs/stream",
         use_backbone_angles=True,
         use_sidechains=True,

@@ -82,6 +82,7 @@ def main() -> None:
         emap = AngleDihedralCartesianEncoderMap(
             cvs,
             ADCParameters(
+                cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
                 batch_size=256, n_steps=10**9, steps_per_scan=500,
                 use_backbone_angles=True, use_sidechains=True, seed=0,
                 n_neurons=[128, 128, 2],

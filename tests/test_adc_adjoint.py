@@ -93,9 +93,16 @@ class TestHandADCStep:
         cvs = dict(central_angles=angles, central_dihedrals=dihedrals,
                    central_cartesians=cart, central_distances=distances,
                    side_dihedrals=sided)
+        # the oracle hardcodes the CA slice (ca_start=1, ca_step=3) — set
+        # the same explicitly (default None now means ALL atoms, as in the
+        # reference)
+        # distance_cost_scale=1.0 validates the oracle's (periodic)
+        # sketch-map distance leg too — it defaults to None in ADC
         p = em.ADCParameters(batch_size=B, use_backbone_angles=True,
                              use_sidechains=True, seed=0,
                              n_neurons=[16, 16, 2],
+                             cartesian_pwd_start=1, cartesian_pwd_step=3,
+                             distance_cost_scale=1.0,
                              cartesian_cost_scale_soft_start=(2, 10))
         emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
         batch = tuple(jnp.asarray(a[:B]) for a in emap.train_data)

@@ -138,6 +138,7 @@ class TestLysozymeScaleIntegration:
         assert trajs.CVs["central_cartesians"].shape[1] == 3 * n_res
 
         p = em.ADCParameters(
+            cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
             main_path=str(tmp_path), batch_size=16, n_steps=6,
             steps_per_scan=3, use_backbone_angles=True, use_sidechains=True,
             n_neurons=[64, 64, 2], seed=0, checkpoint_step=10**6,

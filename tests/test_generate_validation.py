@@ -31,6 +31,7 @@ class TestGeneratedSecondaryStructure:
         trajs = em.TrajEnsemble([traj])
         trajs.load_CVs("all")
         p = em.ADCParameters(
+            cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
             main_path=str(tmp_path_factory.mktemp("dssp")), batch_size=32,
             n_steps=900, steps_per_scan=100, use_backbone_angles=True,
             use_sidechains=True, n_neurons=[64, 64, 2], seed=0,

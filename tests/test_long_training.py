@@ -53,6 +53,7 @@ def _run_adc() -> np.ndarray:
     trajs = em.TrajEnsemble([traj])
     trajs.load_CVs("all")
     p = em.ADCParameters(
+        cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
         batch_size=64, n_steps=1500, steps_per_scan=500,
         use_backbone_angles=True, use_sidechains=True,
         n_neurons=[64, 64, 2], seed=11,
@@ -77,6 +78,7 @@ def _run_adc_lysozyme() -> np.ndarray:
     trajs = em.TrajEnsemble([traj])
     trajs.load_CVs("all")
     p = em.ADCParameters(
+        cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
         batch_size=32, n_steps=800, steps_per_scan=400,
         use_backbone_angles=True, use_sidechains=True,
         n_neurons=[64, 64, 2], seed=13,

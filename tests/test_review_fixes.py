@@ -1852,3 +1852,83 @@ class TestWave9Fixes:
         n_lines2 = len((Path(p.main_path) / "train_metrics.jsonl")
                        .read_text().splitlines())
         assert n_lines2 > n_lines
+
+
+class TestWave10Fixes:
+    """Round-3 review wave 10: numerical-core findings — reference-exact
+    cartesian_pwd defaults, oracle periodic distance leg + soft-start
+    guard."""
+
+    def test_cartesian_pwd_defaults_use_all_atoms(self):
+        """cartesian_pwd_* = None means NO slicing, like the reference's
+        PairwiseDistances (``layers.py:1252-1266`` slices with the raw None
+        values); CA selection is start=1, step=3."""
+        import jax.numpy as jnp
+
+        from encodermap_tpu import ADCParameters
+        from encodermap_tpu.models import adc
+
+        xyz = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 12, 3)), jnp.float32
+        )
+        flat_default = adc.cartesian_pwd_slice(ADCParameters(), xyz)
+        assert flat_default.shape == (4, 12 * 11 // 2)  # all 12 atoms
+        p_ca = ADCParameters(cartesian_pwd_start=1, cartesian_pwd_step=3)
+        flat_ca = adc.cartesian_pwd_slice(p_ca, xyz)
+        assert flat_ca.shape == (4, 4 * 3 // 2)  # the 4 CAs
+
+    def test_oracle_soft_start_instant_switch(self):
+        """(a, a) soft-start: the oracle must match losses.soft_start_scale
+        (instant switch-on) instead of dividing by zero."""
+        import jax.numpy as jnp
+
+        from encodermap_tpu.ops import adc_adjoint as PTA
+
+        rng = np.random.default_rng(1)
+        n_res, B = 5, 6
+        n_atoms = 3 * n_res
+        enc_w = [rng.normal(size=(s, t)).astype(np.float32) * 0.1
+                 for s, t in [(2 * (n_atoms - 2) + 2 * (n_atoms - 3), 8),
+                              (8, 2)]]
+        enc_b = [np.zeros(8, np.float32), np.zeros(2, np.float32)]
+        dec_w = [rng.normal(size=(s, t)).astype(np.float32) * 0.1
+                 for s, t in [(2, 8),
+                              (8, 2 * (n_atoms - 2) + 2 * (n_atoms - 3))]]
+        dec_b = [np.zeros(8, np.float32),
+                 np.zeros(2 * (n_atoms - 2) + 2 * (n_atoms - 3), np.float32)]
+        angles = rng.uniform(1.6, 2.4, (B, n_atoms - 2)).astype(np.float32)
+        dihedrals = rng.uniform(-np.pi, np.pi, (B, n_atoms - 3)).astype(
+            np.float32)
+        distances = rng.uniform(0.13, 0.155, (B, n_atoms - 1)).astype(
+            np.float32)
+        from tests.reference_impl import backmap_np
+
+        cart = backmap_np(distances, angles, dihedrals).astype(np.float32)
+        hyper = dict(
+            periodicity=2 * np.pi,
+            dihedral_cost_scale=1.0, dihedral_cost_reference=1.0,
+            angle_cost_scale=1.0, angle_cost_reference=1.0,
+            side_dihedral_cost_scale=1.0, side_dihedral_cost_reference=1.0,
+            cartesian_cost_scale=5.0, cartesian_cost_reference=1.0,
+            soft_start=(3, 3),
+            cartesian_distance_cost_scale=1.0,
+            cartesian_dist_sig_parameters=(6, 12, 6, 1, 2, 6),
+            distance_cost_scale=None, dist_sig_parameters=(4.5, 12, 6, 1, 2, 6),
+            center_cost_scale=0.0001, l2_reg_constant=0.001,
+            ca_start=1, ca_step=3, pair_iu=np.triu_indices(n_res, k=1),
+        )
+        import jax.numpy as jnp
+
+        for step, expect_on in [(2.0, False), (3.0, True), (4.0, True)]:
+            *_, metrics = PTA.hand_adc_step(
+                enc_w, enc_b, dec_w, dec_b,
+                jnp.asarray(angles), jnp.asarray(dihedrals),
+                jnp.asarray(cart[:, 1::3, :]), jnp.asarray(distances), None,
+                jnp.asarray(step), hyper=hyper,
+            )
+            assert np.isfinite(float(metrics["loss"])), step
+            cart_loss = float(metrics["cartesian_loss"])
+            if expect_on:
+                assert cart_loss > 0.0
+            else:
+                assert cart_loss == 0.0

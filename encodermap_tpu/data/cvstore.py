@@ -19,7 +19,9 @@ __all__ = ["CVEntry", "CVCollection"]
 
 
 class CVEntry:
-    """One named CV: data ``(n_frames, ...)`` + feature labels + indices."""
+    """One named CV: data ``(n_frames, ...)`` + feature labels + indices +
+    free-form string attrs (e.g. ``angle_units``, mirroring the reference's
+    per-DataArray attrs, ``misc/xarray.py:486-800``)."""
 
     def __init__(
         self,
@@ -27,11 +29,13 @@ class CVEntry:
         data: np.ndarray,
         labels: Optional[list[str]] = None,
         indices: Optional[np.ndarray] = None,
+        attrs: Optional[dict[str, str]] = None,
     ) -> None:
         self.name = name
         self.data = np.asarray(data)
         self.labels = labels
         self.indices = None if indices is None else np.asarray(indices)
+        self.attrs: dict[str, str] = dict(attrs) if attrs else {}
 
     @property
     def shape(self) -> tuple:
@@ -53,8 +57,9 @@ class CVCollection:
         data: np.ndarray,
         labels: Optional[list[str]] = None,
         indices: Optional[np.ndarray] = None,
+        attrs: Optional[dict[str, str]] = None,
     ) -> None:
-        self._entries[name] = CVEntry(name, data, labels, indices)
+        self._entries[name] = CVEntry(name, data, labels, indices, attrs)
 
     def __getitem__(self, name: str) -> np.ndarray:
         return self._entries[name].data
@@ -100,6 +105,8 @@ class CVCollection:
                 ds = g.create_dataset(k, data=e.data)
                 if e.labels is not None:
                     ds.attrs["labels"] = np.asarray(e.labels, dtype="S")
+                for ak, av in e.attrs.items():
+                    ds.attrs[f"attr_{ak}"] = str(av)
                 if e.indices is not None:
                     g.create_dataset(f"{k}__indices", data=e.indices)
 
@@ -118,8 +125,13 @@ class CVCollection:
                 labels = None
                 if "labels" in g[k].attrs:
                     labels = [s.decode() for s in g[k].attrs["labels"]]
+                attrs = {
+                    ak[5:]: (av.decode() if isinstance(av, bytes) else str(av))
+                    for ak, av in g[k].attrs.items()
+                    if ak.startswith("attr_")
+                }
                 indices = None
                 if f"{k}__indices" in g:
                     indices = g[f"{k}__indices"][:]
-                out.add(k, g[k][:], labels, indices)
+                out.add(k, g[k][:], labels, indices, attrs or None)
         return out

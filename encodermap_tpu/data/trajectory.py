@@ -12,6 +12,7 @@ stacking with NaN-padding across different topologies, and a
 
 from __future__ import annotations
 
+import warnings
 from pathlib import Path
 from typing import Any, Iterator, Optional, Sequence, Union
 
@@ -681,16 +682,67 @@ class SingleTraj:
     def CVs(self) -> dict[str, np.ndarray]:
         return {k: self._CVs[k] for k in self._CVs}
 
+    def _add_cv_checked(
+        self,
+        name: str,
+        data: np.ndarray,
+        labels=None,
+        indices=None,
+        attrs: Optional[dict] = None,
+        override: bool = False,
+    ) -> None:
+        """Insert one CV entry with the reference's merge rules: angle
+        units must stay homogeneous across this traj's CVs
+        (``trajinfo_utils.py:1614-1618``), and a same-named CV with
+        different values raises unless ``override``
+        (``info_single.py:1634-1663``)."""
+        if attrs and "angle_units" in attrs:
+            for e in self._CVs._entries.values():
+                eu = e.attrs.get("angle_units")
+                if eu is not None and eu != attrs["angle_units"]:
+                    raise AssertionError(
+                        f"Can't combine datasets with inhomogeneous angle "
+                        f"types. The CV {e.name!r} uses {eu!r}, the new CV "
+                        f"{name!r} uses {attrs['angle_units']!r}."
+                    )
+        if name in self._CVs and not override:
+            old = self._CVs[name]
+            new = np.asarray(data)
+            equal_nan = (old.dtype.kind == "f" and new.dtype.kind == "f")
+            same = old.shape == new.shape and np.array_equal(
+                old, new, equal_nan=equal_nan
+            )
+            if not same:
+                raise Exception(
+                    f"Could not add the CV `{name}` to the CVs of the traj, "
+                    f"likely due to it being already in the CVs "
+                    f"({list(self._CVs.keys())}). Set `override` to True to "
+                    f"overwrite these CVs."
+                )
+        elif name in self._CVs and override:
+            warnings.warn(
+                f"Overwriting the following CVs with new values: {{{name!r}}}."
+            )
+        self._CVs.add(name, data, labels, indices, attrs)
+
     def load_CV(
         self,
         data: Any,
         attr_name: Optional[str] = None,
+        cols: Optional[list] = None,
+        deg: Optional[bool] = None,
+        periodic: bool = True,
         labels: Optional[list[str]] = None,
+        override: bool = False,
     ) -> None:
-        """Load a CV: by name shortcut ("central_dihedrals", ..., "all"),
-        from an ``.npy``/``.txt`` file path, from a numpy array (or nested
-        list), or from a Feature instance
-        (reference: ``info_single.py:1475-1665``)."""
+        """Load a CV: by name shortcut ("central_dihedrals", ..., "all",
+        "full"), from an ``.npy``/``.txt`` file path, from a numpy array
+        (or nested list), or from a Feature instance
+        (reference: ``info_single.py:1475-1665``). ``cols`` selects columns
+        of file/array data; ``deg`` asks for degrees from angular features
+        (for raw arrays it records the unit so deg and rad CVs can't be
+        mixed); a same-named CV with different values raises unless
+        ``override``."""
         from pathlib import Path as _Path
 
         if isinstance(data, _Path):
@@ -699,8 +751,8 @@ class SingleTraj:
             arr = (np.load(data) if data.endswith(".npy")
                    else np.loadtxt(data))
             name = attr_name or _Path(data).stem
-            return self.load_CV(np.asarray(arr), attr_name=name,
-                                labels=labels)
+            return self.load_CV(np.asarray(arr), attr_name=name, cols=cols,
+                                deg=deg, labels=labels, override=override)
         if isinstance(data, (list, tuple)) and data and not isinstance(
                 data[0], str):
             data = np.asarray(data, dtype=np.float32)
@@ -708,21 +760,28 @@ class SingleTraj:
             from ..loading.featurizer import SingleTrajFeaturizer
 
             feat = SingleTrajFeaturizer(self)
-            if data == "all":
-                feat.add_list_of_feats("all")
-            else:
-                feat.add_list_of_feats([data])
+            which = data if data in ("all", "full") else [data]
+            feat.add_list_of_feats(which, periodic=periodic, deg=bool(deg))
             results = feat.get_output()
             for name, entry in results._entries.items():
-                self._CVs.add(name, entry.data, entry.labels, entry.indices)
+                self._add_cv_checked(name, entry.data, entry.labels,
+                                     entry.indices, entry.attrs,
+                                     override=override)
             return
         if isinstance(data, np.ndarray):
             assert attr_name is not None, "attr_name required for raw arrays"
+            if cols is not None:
+                data = data[:, cols]
             if len(data) != self.n_frames:
                 raise ValueError(
                     f"CV length {len(data)} != n_frames {self.n_frames}"
                 )
-            self._CVs.add(attr_name, data, labels)
+            attrs = (
+                {"angle_units": "deg" if deg else "rad"}
+                if deg is not None else None
+            )
+            self._add_cv_checked(attr_name, data, labels, attrs=attrs,
+                                 override=override)
             return
         if hasattr(data, "transform") and hasattr(data, "describe"):
             from ..loading.featurizer import SingleTrajFeaturizer
@@ -731,7 +790,9 @@ class SingleTraj:
             feat.add_custom_feature(data)
             results = feat.get_output()
             for name, entry in results._entries.items():
-                self._CVs.add(name, entry.data, entry.labels, entry.indices)
+                self._add_cv_checked(name, entry.data, entry.labels,
+                                     entry.indices, entry.attrs,
+                                     override=override)
             return
         raise TypeError(f"cannot load CV from {type(data)}")
 
@@ -1339,23 +1400,52 @@ class TrajEnsemble:
 
     def load_CVs(
         self,
-        data: Any = "all",
-        ensemble: bool = False,
+        data: Any = None,
         attr_name: Optional[str] = None,
+        cols: Optional[list] = None,
+        deg: Optional[bool] = None,
+        periodic: bool = True,
+        labels: Optional[list[str]] = None,
+        directory: Optional[Union[str, Path]] = None,
+        ensemble: bool = False,
+        override: bool = False,
+        custom_aas: Any = None,
+        alignment: Optional[str] = None,
     ) -> None:
         """Featurize all trajectories, or attach precomputed values.
 
         Accepts feature-name shortcuts, a raw array shaped
-        ``(n_trajs, n_frames, ...)`` or a list of per-traj arrays (both need
-        ``attr_name``), matching the reference's dispatch
-        (``info_all.py:2414``). With ``ensemble=True`` mixed topologies get
-        NaN-padded feature alignment via generic labels (reference:
-        ``trajinfo_utils.py:2357-2415``)."""
+        ``(n_trajs, n_frames, ...)`` or flat ``(n_frames, ...)`` (split
+        across members by ``index_arr``), a list of per-traj arrays or of
+        per-traj CV files (both need ``attr_name``), matching the
+        reference's dispatch (``info_all.py:2414``,
+        ``trajinfo_utils.py:1950-2355``). With ``ensemble=True`` mixed
+        topologies get NaN-padded feature alignment via generic labels
+        (reference: ``trajinfo_utils.py:2357-2415``). ``custom_aas``
+        patches every member's topology first; ``alignment`` feeds a
+        CLUSTAL W alignment into ensemble label matching; ``data=None``
+        applies this ensemble's recorded :attr:`featurizer`, or loads
+        basename-matched files from ``directory``."""
         # in-memory CVs are about to change: a previously-saved backing h5
         # would now be stale, so stop lazy batch_iterator from serving it
         self._source_h5 = None
         from pathlib import Path as _Path
 
+        if custom_aas is not None:
+            self.load_custom_topology(custom_aas)
+        if alignment is not None:
+            if ensemble:
+                self.parse_clustal_w_alignment(alignment)
+            else:
+                print(
+                    "Providing a CLUSTAL W alignment for featurization of "
+                    "ensembles of protein families makes only sense when "
+                    "`ensemble` is also set to True."
+                )
+        if data is None:
+            if directory is not None:
+                return self.load_CVs_from_dir(directory, attr_name=attr_name)
+            data = self.featurizer
         if isinstance(data, _Path):
             data = str(data)
         if isinstance(data, str) and data.endswith(".nc"):
@@ -1389,13 +1479,37 @@ class TrajEnsemble:
                 return self.load_CVs_from_dir(data, attr_name=attr_name)
         if isinstance(data, str):
             data = [data]
-        if isinstance(data, (list, tuple)) and all(isinstance(d, str) for d in data):
+        if isinstance(data, (list, tuple)) and all(
+                isinstance(d, str) for d in data):
+            from ..loading.features import ADC_FEATURES
+
+            # a list of per-traj CV FILES with one consistent suffix
+            # (trajinfo_utils.py:2196-2227)
+            if data and all(
+                d not in ("all", "full") and d not in ADC_FEATURES
+                and Path(d).is_file() for d in data
+            ):
+                if len(data) != len(self.trajs):
+                    raise ValueError(
+                        f"{len(data)} CV files != {len(self.trajs)} trajs"
+                    )
+                suffixes = {Path(d).suffix for d in data}
+                if len(suffixes) != 1:
+                    raise Exception(
+                        f"Please provide a list with consistent file "
+                        f"extensions and not a mish-mash, like: {suffixes}"
+                    )
+                for traj, f in zip(self.trajs, data):
+                    traj.load_CV(str(f), attr_name=attr_name, cols=cols,
+                                 deg=deg, labels=labels, override=override)
+                return
             from ..loading.featurizer import EnsembleFeaturizer
 
             feat = EnsembleFeaturizer(self)
             for name in data:
                 feat.add_list_of_feats(
-                    name if name in ("all", "full") else [name]
+                    name if name in ("all", "full") else [name],
+                    periodic=periodic, deg=bool(deg),
                 )
             feat.apply(ensemble=ensemble)
             return
@@ -1403,16 +1517,27 @@ class TrajEnsemble:
             assert attr_name is not None, "attr_name required for raw arrays"
             for traj, arr in zip(self.trajs, data):
                 traj.load_CV(np.asarray(arr, dtype=np.float32),
-                             attr_name=attr_name)
+                             attr_name=attr_name, cols=cols, deg=deg,
+                             labels=labels, override=override)
             return
         if isinstance(data, np.ndarray):
             assert attr_name is not None, "attr_name required for raw arrays"
-            if len(data) != len(self.trajs):
+            if len(data) == self.n_frames and len(data) != len(self.trajs):
+                # a flat per-frame array: split across members by
+                # index_arr (trajinfo_utils.py:2245-2266)
+                idx = self.index_arr
+                data = [
+                    data[np.where(idx[:, 0] == t.traj_num)[0]]
+                    for t in self.trajs
+                ]
+            elif len(data) != len(self.trajs):
                 raise ValueError(
-                    f"leading dim {len(data)} != n_trajs {len(self.trajs)}"
+                    f"leading dim {len(data)} != n_trajs {len(self.trajs)} "
+                    f"and != n_frames {self.n_frames}"
                 )
             for traj, arr in zip(self.trajs, data):
-                traj.load_CV(np.asarray(arr), attr_name=attr_name)
+                traj.load_CV(np.asarray(arr), attr_name=attr_name, cols=cols,
+                             deg=deg, labels=labels, override=override)
             return
         # a pre-built EnsembleFeaturizer with recorded add_* calls
         # (reference trajinfo_utils.py:2129-2174 accepts Featurizer objects)

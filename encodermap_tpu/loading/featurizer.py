@@ -389,7 +389,14 @@ class SingleTrajFeaturizer:
             # labels/indices come from the ORIGINAL features (topology-true
             # atom indices), only the compute used remapped copies
             labels = f.generic_describe() if ensemble else f.describe()
-            out.add(name, data, labels, f.indices)
+            # angular features carry their unit, like the reference's
+            # per-DataArray attrs (misc/xarray.py:486-800) — TrajEnsemble
+            # refuses to combine deg with rad CVs
+            attrs = None
+            if getattr(f, "deg", None) is not None and not getattr(
+                    f, "cossin", False):
+                attrs = {"angle_units": "deg" if f.deg else "rad"}
+            out.add(name, data, labels, f.indices, attrs)
         return out
 
     @staticmethod
@@ -574,7 +581,7 @@ class EnsembleFeaturizer:
             for traj, cvs in zip(self.trajs, per_traj):
                 for k in cvs:
                     e = cvs.entry(k)
-                    traj._CVs.add(k, e.data, e.labels, e.indices)
+                    traj._CVs.add(k, e.data, e.labels, e.indices, e.attrs)
             return
 
         # optional ClustalW relabeling: residue numbers -> alignment columns
@@ -631,13 +638,13 @@ class EnsembleFeaturizer:
                 )
                 cols = [index[lbl] for lbl in (e.labels or [])]
                 padded[:, cols] = e.data
-                indices = e.indices
+                indices, attrs = e.indices, e.attrs
             else:
                 padded = np.full(
                     (traj.n_frames, len(all_labels)), np.nan, np.float32
                 )
-                indices = None
-            traj._CVs.add(name, padded, all_labels, indices)
+                indices, attrs = None, None
+            traj._CVs.add(name, padded, all_labels, indices, attrs)
 
     def _align_3d(self, name: str, per_traj: list[CVCollection]) -> None:
         """Cartesian CVs: align at the *atom* level. Per-coordinate labels
@@ -669,13 +676,13 @@ class EnsembleFeaturizer:
                 )
                 cols = [index[a] for a, _ in atoms]
                 padded[:, cols] = e.data
-                indices = e.indices
+                indices, attrs = e.indices, e.attrs
             else:
                 padded = np.full(
                     (traj.n_frames, len(atom_union), 3), np.nan, np.float32
                 )
-                indices = None
-            traj._CVs.add(name, padded, all_labels, indices)
+                indices, attrs = None, None
+            traj._CVs.add(name, padded, all_labels, indices, attrs)
 
 
 _AXIS_TOKENS = frozenset("XYZxyz")

@@ -521,3 +521,92 @@ class TestCVsSurviveIndexing:
         np.testing.assert_allclose(
             frames.trajs[-1].xyz[0], back.trajs[-1].xyz[-1]
         )
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestLoadCVSignatureParity:
+    """The full reference load_CV/load_CVs signatures: positional
+    attr_name, cols, deg (with unit homogeneity), override, per-frame
+    splitting, per-traj file lists (reference ``info_single.py:1475``,
+    ``info_all.py:2414``, ``trajinfo_utils.py:1950-2355``; behaviors from
+    ``tests/test_trajinfo.py:1650-1680,2151-2276``)."""
+
+    def _two_trajs(self):
+        t1 = SingleTraj(DATA / "1am7_corrected_part1.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=0)
+        t2 = SingleTraj(DATA / "1am7_corrected_part2.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=1)
+        return t1, t2, TrajEnsemble([t1, t2])
+
+    def test_too_large_key_raises_index_error(self):
+        t1, _, _ = self._two_trajs()
+        with pytest.raises(IndexError):
+            t1[100]
+        with pytest.raises(IndexError):
+            t1[np.arange(100)]
+
+    def test_deg_featurization_and_unit_homogeneity(self):
+        t1, t2, trajs = self._two_trajs()
+        trajs.load_CVs("all", deg=True)
+        cd = trajs.CVs["central_dihedrals"]
+        assert np.any(cd > 10)  # degrees, not radians
+        assert (t1._CVs.entry("central_dihedrals").attrs["angle_units"]
+                == "deg")
+        t1.load_CV(np.ones((t1.n_frames, 3)), attr_name="ones", deg=True)
+        with pytest.raises(AssertionError, match="inhomogeneous angle"):
+            t2.load_CV(np.ones((t2.n_frames, 3)), attr_name="ones",
+                       deg=False)
+
+    def test_flat_per_frame_array_with_positional_attr_name(self):
+        _, _, trajs = self._two_trajs()
+        membership = np.random.default_rng(0).integers(0, 10, trajs.n_frames)
+        trajs.load_CVs(membership, "cluster_membership")
+        out = trajs.CVs["cluster_membership"]
+        assert out.shape == (trajs.n_frames,)
+        np.testing.assert_array_equal(out, membership)
+
+    def test_override_semantics(self):
+        t1, _, _ = self._two_trajs()
+        t1.load_CV(np.ones((t1.n_frames, 3)), attr_name="x")
+        # identical re-load is fine
+        t1.load_CV(np.ones((t1.n_frames, 3)), attr_name="x")
+        with pytest.raises(Exception, match="override"):
+            t1.load_CV(np.zeros((t1.n_frames, 3)), attr_name="x")
+        with pytest.warns(UserWarning, match="Overwriting"):
+            t1.load_CV(np.zeros((t1.n_frames, 3)), attr_name="x",
+                       override=True)
+        assert np.all(t1.CVs["x"] == 0)
+
+    def test_cols_selects_columns(self):
+        t1, _, _ = self._two_trajs()
+        arr = np.arange(t1.n_frames * 4, dtype=np.float32).reshape(-1, 4)
+        t1.load_CV(arr, attr_name="colsel", cols=[1, 2])
+        assert t1.CVs["colsel"].shape == (t1.n_frames, 2)
+        np.testing.assert_array_equal(t1.CVs["colsel"][:, 0], arr[:, 1])
+
+    def test_per_traj_file_list(self, tmp_path):
+        t1, t2, trajs = self._two_trajs()
+        f1, f2 = tmp_path / "a.npy", tmp_path / "b.npy"
+        np.save(f1, np.ones((t1.n_frames, 2)))
+        np.save(f2, np.full((t2.n_frames, 2), 2.0))
+        trajs.load_CVs([str(f1), str(f2)], "fromfiles")
+        assert trajs.CVs["fromfiles"].shape == (trajs.n_frames, 2)
+        f3 = tmp_path / "c.txt"
+        np.savetxt(f3, np.ones((t2.n_frames, 2)))
+        with pytest.raises(Exception, match="mish-mash"):
+            trajs.load_CVs([str(f1), str(f3)], "mixed")
+
+    def test_angle_units_survive_h5_roundtrip(self, tmp_path):
+        _, _, trajs = self._two_trajs()
+        trajs.load_CVs("central_dihedrals", deg=True)
+        trajs.save(tmp_path / "ens.h5")
+        back = TrajEnsemble.from_dataset(tmp_path / "ens.h5")
+        e = back.trajs[0]._CVs.entry("central_dihedrals")
+        assert e.attrs.get("angle_units") == "deg"
+
+    def test_data_none_with_directory(self, tmp_path):
+        t1, t2, trajs = self._two_trajs()
+        np.save(tmp_path / f"{t1.basename}.npy", np.ones((t1.n_frames, 2)))
+        np.save(tmp_path / f"{t2.basename}.npy", np.ones((t2.n_frames, 2)))
+        trajs.load_CVs(directory=tmp_path, attr_name="fromdir")
+        assert trajs.CVs["fromdir"].shape == (trajs.n_frames, 2)

@@ -1655,16 +1655,41 @@ class TrajEnsemble:
         )
 
     # ------------------------------------------------------------------ batching
+    #: the reference's default CV set for the batch iterator
+    #: (``info_all.py:2950-2958``)
+    _BATCH_ITER_DEFAULT_CVS = (
+        "central_angles",
+        "central_dihedrals",
+        "central_cartesians",
+        "central_distances",
+        "side_dihedrals",
+    )
+
     def batch_iterator(
         self,
         batch_size: int,
-        cv_names: Sequence[str],
+        replace: bool = False,
+        CV_names: Optional[Sequence[str]] = None,
+        deterministic: bool = False,
+        yield_index: bool = False,
+        start: int = 1,
         seed: Optional[int] = None,
         lazy: Union[bool, str, Path, None] = None,
-    ) -> Iterator[tuple[np.ndarray, ...]]:
+    ) -> Iterator[Any]:
         """Infinite random-batch iterator over the ensemble's CVs,
         replacing the reference's lazy HDF5 iterator + `tf.data` pipeline
-        (``info_all.py:2870-3154``).
+        (``info_all.py:2815-3078``; same signature plus the TPU extras
+        ``seed``/``lazy``).
+
+        ``CV_names=None`` uses the 5 ADC training arrays; a single name
+        yields bare arrays instead of 1-tuples. ``replace=False`` keeps
+        samples unique within a batch (raises like the reference when the
+        ensemble is too small). ``deterministic=True`` (or ``seed``) makes
+        the stream reproducible, with ``start`` selecting among
+        deterministic datasets. ``yield_index=True`` yields
+        ``(index, batch)`` with ``index`` the ``(batch, 2)``
+        [traj_num, frame_num] rows of :attr:`id`. Frames whose row is
+        all-NaN for any requested CV (ragged ensembles) are skipped.
 
         When the ensemble is backed by an on-disk HDF5 dataset (built via
         :meth:`from_dataset` or after :meth:`save`), batches are sampled
@@ -1675,6 +1700,11 @@ class TrajEnsemble:
         to force in-memory iteration, or ``lazy=<path>`` to stream from a
         specific ensemble h5.
         """
+        if CV_names is None:
+            CV_names = list(self._BATCH_ITER_DEFAULT_CVS)
+        single = len(CV_names) == 1
+        if seed is None and deterministic:
+            seed = start
         path = (
             str(lazy)
             if isinstance(lazy, (str, Path))
@@ -1690,31 +1720,56 @@ class TrajEnsemble:
                 # randomness like the in-memory path.
                 k = max(1, 65536 // max(1, batch_size))
                 src = HDF5BatchSource(
-                    path, cv_names, batch_size, steps_per_scan=k, seed=seed,
+                    path, CV_names, batch_size, steps_per_scan=k, seed=seed,
                 )
             except (KeyError, OSError):
                 # CVs not on disk / file moved or deleted -> in-memory path
                 src = None
             if src is not None:
-                return self._lazy_batches(src)
+                ids = self.id if yield_index else None
+                return self._lazy_batches(src, single, yield_index, ids)
         cvs = self.CVs
-        arrays = [cvs[name] for name in cv_names]
+        arrays = [cvs[name] for name in CV_names]
+        ids = self.id
         n = len(arrays[0])
+        # frames all-NaN for ANY requested CV can't train (ragged
+        # ensembles); the reference re-draws them (info_all.py:3028-3046)
+        valid = np.ones(n, bool)
+        for a in arrays:
+            if a.dtype.kind == "f":
+                flat = a.reshape(n, -1)
+                valid &= ~np.all(np.isnan(flat), axis=1)
+        pool = np.where(valid)[0]
+        if not replace and batch_size > len(pool):
+            raise Exception(
+                f"Can't find {batch_size} unique indices among "
+                f"{len(pool)} valid frames. Pass replace=True."
+            )
         rng = np.random.default_rng(seed)
 
         def gen():
             while True:
-                idx = rng.integers(0, n, batch_size)
-                yield tuple(a[idx] for a in arrays)
+                idx = rng.choice(pool, batch_size, replace=replace)
+                out = tuple(a[idx] for a in arrays)
+                batch = out[0] if single else out
+                yield (ids[idx], batch) if yield_index else batch
 
         return gen()
 
     @staticmethod
-    def _lazy_batches(src) -> Iterator[tuple[np.ndarray, ...]]:
+    def _lazy_batches(
+        src, single: bool = False, yield_index: bool = False, ids=None
+    ) -> Iterator[Any]:
         try:
             for superbatch in src:
+                rows = src.last_indices if yield_index else None
                 for i in range(superbatch[0].shape[0]):
-                    yield tuple(a[i] for a in superbatch)
+                    out = tuple(a[i] for a in superbatch)
+                    batch = out[0] if single else out
+                    if yield_index:
+                        yield ids[rows[i]], batch
+                    else:
+                        yield batch
         finally:
             src.close()
 

@@ -263,6 +263,9 @@ class HDF5BatchSource:
         idx = np.concatenate(
             [self._rng.permutation(S) for _ in range(reps)]
         )[:total].reshape(self.steps_per_scan, self.batch_size)
+        # global row numbers of the sampled frames, for consumers that
+        # need frame identity (TrajEnsemble.batch_iterator yield_index)
+        self.last_indices = (start + idx) % self.n_frames
         out = []
         for k in range(len(self.cv_names)):
             slab = self._read_slab(k, start, S)

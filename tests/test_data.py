@@ -610,3 +610,73 @@ class TestLoadCVSignatureParity:
         np.save(tmp_path / f"{t2.basename}.npy", np.ones((t2.n_frames, 2)))
         trajs.load_CVs(directory=tmp_path, attr_name="fromdir")
         assert trajs.CVs["fromdir"].shape == (trajs.n_frames, 2)
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestBatchIteratorParity:
+    """Reference batch_iterator semantics (``info_all.py:2815-3078``;
+    behaviors from ``tests/test_trajinfo.py:2157-2276``): default CV set,
+    yield_index frame identity, unique samples, deterministic streams,
+    single-name bare arrays."""
+
+    def _ensemble(self):
+        t1 = SingleTraj(DATA / "1am7_corrected_part1.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=0)
+        t2 = SingleTraj(DATA / "1am7_corrected_part2.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=1)
+        trajs = TrajEnsemble([t1, t2])
+        trajs.load_CVs("all")
+        return trajs
+
+    def test_yield_index_rows_match_cvs(self):
+        trajs = self._ensemble()
+        it = trajs.batch_iterator(10, yield_index=True, seed=0)
+        index, batch = next(it)
+        assert isinstance(index, np.ndarray) and index.shape == (10, 2)
+        assert isinstance(batch, tuple) and len(batch) == 5
+        names = ["central_angles", "central_dihedrals",
+                 "central_cartesians", "central_distances",
+                 "side_dihedrals"]
+        ids = trajs.id
+        for k, name in enumerate(names):
+            full = trajs.CVs[name]
+            for b in range(2):
+                row = np.where(
+                    (ids[:, 0] == index[b, 0]) & (ids[:, 1] == index[b, 1])
+                )[0][0]
+                np.testing.assert_array_equal(batch[k][b], full[row])
+
+    def test_unique_within_batch_and_replace(self):
+        trajs = self._ensemble()
+        it = trajs.batch_iterator(trajs.n_frames, yield_index=True, seed=0)
+        index, _ = next(it)
+        assert len({tuple(r) for r in index}) == trajs.n_frames
+        with pytest.raises(Exception, match="unique"):
+            trajs.batch_iterator(trajs.n_frames + 1, seed=0)
+        it2 = trajs.batch_iterator(trajs.n_frames + 1, replace=True, seed=0)
+        assert next(it2)[0].shape[0] == trajs.n_frames + 1
+
+    def test_deterministic_and_start(self):
+        trajs = self._ensemble()
+        a = next(trajs.batch_iterator(4, deterministic=True,
+                                      yield_index=True))[0]
+        b = next(trajs.batch_iterator(4, deterministic=True,
+                                      yield_index=True))[0]
+        c = next(trajs.batch_iterator(4, deterministic=True, start=2,
+                                      yield_index=True))[0]
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_all_nan_frames_are_skipped(self):
+        trajs = self._ensemble()
+        # poison: one member contributes an all-NaN column block
+        bad = np.full((trajs.trajs[0].n_frames, 3), np.nan, np.float32)
+        good = np.ones((trajs.trajs[1].n_frames, 3), np.float32)
+        trajs.trajs[0].load_CV(bad, attr_name="ragged")
+        trajs.trajs[1].load_CV(good, attr_name="ragged")
+        it = trajs.batch_iterator(
+            8, CV_names=["ragged"], yield_index=True, seed=0
+        )
+        index, batch = next(it)
+        assert np.all(index[:, 0] == 1)  # only traj 1 frames qualify
+        assert not np.any(np.isnan(batch))

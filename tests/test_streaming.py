@@ -206,7 +206,8 @@ class TestEnsembleH5Streaming:
         trap = Trap(trajs.trajs)
         trap._source_h5 = path
         it = trap.batch_iterator(
-            batch_size=16, cv_names=["central_angles", "central_dihedrals"],
+            batch_size=16,
+            CV_names=["central_angles", "central_dihedrals"],
             seed=0,
         )
         for _ in range(3):
@@ -214,11 +215,29 @@ class TestEnsembleH5Streaming:
             assert batch[0].shape[0] == 16
             assert batch[1].shape == (16, n_di)
         it.close()
-        # without a disk source (or lazy=False) the RAM path still works
+        # without a disk source (or lazy=False) the RAM path still works;
+        # a single CV name yields bare arrays (reference info_all.py:2921)
         batch = next(
-            trajs.batch_iterator(8, ["central_dihedrals"], seed=0, lazy=False)
+            trajs.batch_iterator(8, CV_names=["central_dihedrals"], seed=0,
+                                 lazy=False)
         )
-        assert batch[0].shape == (8, n_di)
+        assert batch.shape == (8, n_di)
+        # lazy yield_index: frame identity survives the slab sampling
+        it2 = trap.batch_iterator(
+            4, CV_names=["central_dihedrals"], yield_index=True, seed=1
+        )
+        index, batch = next(it2)
+        assert index.shape == (4, 2)
+        full = np.concatenate(
+            [t._CVs["central_dihedrals"] for t in trajs.trajs]
+        )
+        ids = trajs.id
+        for b in range(4):
+            row = np.where(
+                (ids[:, 0] == index[b, 0]) & (ids[:, 1] == index[b, 1])
+            )[0][0]
+            np.testing.assert_array_equal(batch[b], full[row])
+        it2.close()
 
     def test_lazy_falls_back_when_file_gone(self, ensemble_h5, tmp_path):
         """A stale/deleted backing h5 must not break batch_iterator — the
@@ -233,8 +252,10 @@ class TestEnsembleH5Streaming:
         ens = TrajEnsemble(trajs.trajs)
         ens._source_h5 = str(copy)
         copy.unlink()
-        batch = next(ens.batch_iterator(4, ["central_dihedrals"], seed=0))
-        assert batch[0].shape[0] == 4
+        batch = next(
+            ens.batch_iterator(4, CV_names=["central_dihedrals"], seed=0)
+        )
+        assert batch.shape[0] == 4
 
     def test_load_cvs_invalidates_stale_source(self, ensemble_h5):
         """Recomputing CVs after save() must stop batch_iterator from

@@ -438,6 +438,11 @@ class SingleTraj:
         ``info_single.py:2152``)."""
         return TrajEnsemble([self._shallow_copy(), y._shallow_copy()])
 
+    def _gen_ensemble(self) -> "TrajEnsemble":
+        """This trajectory as a 1-member :class:`TrajEnsemble` (reference
+        ``info_single.py:_gen_ensemble``)."""
+        return TrajEnsemble([self._shallow_copy()])
+
     def __iter__(self) -> Iterator["SingleTraj"]:
         for k in range(self.n_frames):
             yield self[k]
@@ -955,6 +960,10 @@ class TrajEnsemble:
         #: Path of the ensemble HDF5 this object is backed by (set by
         #: from_dataset/save); enables lazy, out-of-core batch_iterator
         self._source_h5: Optional[str] = None
+        if isinstance(tops, (str, Path)):
+            # one topology file shared by all members (reference
+            # info_all.py accepts a bare str/Path for `tops`)
+            tops = [tops]
         if tops is not None and len(tops) not in (1, len(trajs)):
             raise ValueError("tops must have length 1 or len(trajs)")
         for i, t in enumerate(trajs):
@@ -1397,6 +1406,22 @@ class TrajEnsemble:
                 arrays = _nan_pad(arrays)
             out[k] = np.concatenate(arrays, axis=0)
         return out
+
+    def __getattr__(self, name: str):
+        # ensemble-stacked CV access as attributes, like the reference's
+        # `trajs.y_coordinate` (info_all.py __getattr__)
+        if name.startswith("_") or name == "trajs":
+            raise AttributeError(name)
+        trajs = self.__dict__.get("trajs")
+        if trajs and all(name in t._CVs for t in trajs):
+            return self.CVs[name]
+        raise AttributeError(name)
+
+    def load_trajs(self) -> None:
+        """Force-load every member's coordinates (the reference's explicit
+        backend switch, ``info_all.py:load_trajs``)."""
+        for t in self.trajs:
+            t.load()
 
     def load_CVs(
         self,

@@ -680,3 +680,42 @@ class TestBatchIteratorParity:
         index, batch = next(it)
         assert np.all(index[:, 0] == 1)  # only traj 1 frames qualify
         assert not np.any(np.isnan(batch))
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestContainerAdditionParity:
+    """Behaviors from reference ``tests/test_trajinfo.py:2018-2056,498-513``:
+    traj addition exposes intersection CVs as ensemble attributes, tops
+    broadcasts from a single path, _gen_ensemble/load_trajs exist."""
+
+    def test_addition_cv_intersection_and_attr_access(self):
+        t1 = SingleTraj(DATA / "1am7_corrected_part1.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=1)
+        t2 = SingleTraj(DATA / "1am7_corrected_part2.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=2)
+        t1.load_CV(t1.xyz[:, :, 1], "y_coordinate")
+        t2.load_CV(t2.xyz[:, :, 1], "y_coordinate")
+        t2.load_CV(t2.xyz[:, :, 2], "z_coordinate")
+        trajs = t1 + t2
+        assert isinstance(trajs, TrajEnsemble)
+        assert trajs.n_frames == 51
+        # only the COMMON CV survives the stacked view
+        assert list(trajs.CVs.keys()) == ["y_coordinate"]
+        assert trajs.y_coordinate.shape == (51, 2504)
+        with pytest.raises(AttributeError):
+            trajs.z_coordinate
+
+    def test_tops_broadcasts_from_single_path(self):
+        trajs = TrajEnsemble(
+            [DATA / "1am7_corrected_part1.xtc",
+             DATA / "1am7_corrected_part2.xtc"],
+            tops=DATA / "1am7_protein.pdb",
+        )
+        assert trajs.n_trajs == 2
+        trajs.load_trajs()
+        assert trajs.n_frames == 51
+
+    def test_gen_ensemble(self):
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        trajs = t._gen_ensemble()
+        assert trajs.n_trajs == 1 and trajs.n_frames == t.n_frames

@@ -114,6 +114,61 @@ class Feature:
     def __repr__(self) -> str:
         return f"<{type(self).__name__}: dim {self.dimension}>"
 
+    def __eq__(self, other: object) -> bool:
+        """Value equality so featurizers can refuse to add the same
+        feature twice (reference ``features.py:489-536``): same class,
+        same labels (which encode atom names/indices), same index table,
+        same periodicity, same topology (Topology compares by value)."""
+        if not isinstance(other, Feature):
+            return NotImplemented
+        if type(self) is not type(other):
+            return False
+        try:
+            if self.describe() != other.describe():
+                return False
+        except Exception:
+            return self is other
+        a, b = self.indices, other.indices
+        if (a is None) != (b is None):
+            return False
+        if a is not None and not np.array_equal(a, b):
+            return False
+        if getattr(self, "periodic", None) != getattr(other, "periodic",
+                                                      None):
+            return False
+        # parameter attributes describe() may not encode (reference
+        # checks the same set; `mic` is this framework's name for the
+        # min-image flag on distance-family features)
+        for attr in ("mic", "scheme", "threshold", "ignore_nonprotein",
+                     "count_contacts"):
+            if getattr(self, attr, None) != getattr(other, attr, None):
+                return False
+        ra, rb = getattr(self, "ref", None), getattr(other, "ref", None)
+        if (ra is None) != (rb is None):
+            return False
+        if ra is not None and not np.allclose(
+                np.asarray(ra), np.asarray(rb), rtol=1e-4):
+            return False
+        ga = getattr(self, "group_definitions", None)
+        gb = getattr(other, "group_definitions", None)
+        if (ga is None) != (gb is None):
+            return False
+        if ga is not None and (
+            len(ga) != len(gb)
+            or any(not np.array_equal(x, y) for x, y in zip(ga, gb))
+        ):
+            return False
+        ta, tb = getattr(self, "top", None), getattr(other, "top", None)
+        if (ta is None) != (tb is None):
+            return False
+        return ta is None or ta == tb
+
+    def __hash__(self) -> int:
+        try:
+            return hash((type(self).__name__, tuple(self.describe())))
+        except Exception:
+            return object.__hash__(self)
+
 
 class CustomFeature(Feature):
     """Wraps a user function (reference ``features.py:647``)."""

@@ -88,13 +88,30 @@ def _reference_xyz(reference) -> np.ndarray:
     return np.asarray(reference)
 
 
+class _FeatureList(list):
+    """Feature container that refuses duplicates by VALUE: re-adding an
+    equal feature warns and is skipped, like the reference's
+    ``__add_feature`` (``featurizer.py:639-646``)."""
+
+    def append(self, feature) -> None:
+        if any(feature == f for f in self):
+            import warnings
+
+            warnings.warn(
+                f"Tried to re-add the same feature "
+                f"{feature.__class__.__name__}; skipping."
+            )
+            return
+        super().append(feature)
+
+
 class SingleTrajFeaturizer:
     """Collects Feature objects for one trajectory and executes them."""
 
     def __init__(self, traj: Any, block_size: int = 4096) -> None:
         self.traj = traj
         self.block_size = block_size
-        self.features: list[F.Feature] = []
+        self.features: list[F.Feature] = _FeatureList()
         # (feature-identity key, run, slice_xyz): the jitted block program,
         # memoized so repeated get_output calls — and same-topology ensemble
         # members routed through get_output_for — never re-jit

@@ -450,3 +450,48 @@ class TestAtomUnionSlicing:
         feat2.add_minrmsd_to_ref(asp7.xyz[0])  # forces full path
         full = feat2.get_output()["DistanceFeature"]
         np.testing.assert_array_equal(sliced, full)
+
+
+class TestFeatureEquality:
+    """Feature value equality + featurizer dedup (reference
+    ``features.py:489-536``, ``featurizer.py:639-646``; behaviors from
+    ``tests/test_featurizer.py:1928``)."""
+
+    def test_same_params_equal_different_top_not(self, asp7):
+        from encodermap_tpu.loading import features as F
+
+        glu7 = SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb")
+        pairs = np.array([[0, 1], [1, 2]])
+        assert (F.DistanceFeature(asp7.top, pairs)
+                == F.DistanceFeature(asp7.top, pairs))
+        assert (F.DistanceFeature(asp7.top, pairs)
+                != F.DistanceFeature(glu7.top, pairs))
+        assert (F.DistanceFeature(asp7.top, pairs)
+                != F.DistanceFeature(asp7.top, np.array([[0, 2], [1, 3]])))
+        assert (F.DistanceFeature(asp7.top, pairs, periodic=True)
+                != F.DistanceFeature(asp7.top, pairs, periodic=False))
+        # different class, same labels-ish: never equal
+        assert (F.DistanceFeature(asp7.top, pairs)
+                != F.InverseDistanceFeature(asp7.top, pairs))
+        assert (F.SelectionFeature(asp7.top, [0, 1, 2, 3])
+                == F.SelectionFeature(asp7.top, [0, 1, 2, 3]))
+        assert (F.CentralDihedrals(asp7.top)
+                == F.CentralDihedrals(asp7.top))
+
+    def test_minrmsd_ref_distinguishes(self, asp7):
+        from encodermap_tpu.loading import features as F
+
+        f1 = F.MinRmsdFeature(asp7.top, asp7.xyz[0])
+        f2 = F.MinRmsdFeature(asp7.top, asp7.xyz[0])
+        f3 = F.MinRmsdFeature(asp7.top, asp7.xyz[1])
+        assert f1 == f2
+        assert f1 != f3
+
+    def test_featurizer_skips_duplicate_features(self, asp7):
+        feat = SingleTrajFeaturizer(asp7)
+        feat.add_distances([[0, 5]])
+        with pytest.warns(UserWarning, match="re-add"):
+            feat.add_distances([[0, 5]])
+        assert len(feat.features) == 1
+        feat.add_distances([[0, 6]])
+        assert len(feat.features) == 2

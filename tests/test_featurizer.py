@@ -495,3 +495,25 @@ class TestFeatureEquality:
         assert len(feat.features) == 1
         feat.add_distances([[0, 6]])
         assert len(feat.features) == 2
+
+
+class TestSlicedEnsembleFeaturization:
+    def test_random_subset_featurization(self):
+        """Composed-index (sliced + fancy-indexed) trajs featurize to
+        frame-aligned, NaN-padded ensemble CVs (reference
+        ``tests/test_featurizer.py:862-960``)."""
+        t1 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb",
+                        traj_num=4)[::10][[0, 2, 4, 6, 8]]
+        assert t1.n_frames == 5
+        t2 = SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb",
+                        traj_num=2)[::12][[0, 1, 3]]
+        from encodermap_tpu.data import TrajEnsemble
+
+        trajs = TrajEnsemble([t1, t2])
+        trajs.load_CVs("all", ensemble=True)
+        for traj in trajs:
+            assert traj.side_dihedrals.shape[0] == traj.n_frames
+        sd = trajs.CVs["side_dihedrals"]
+        assert sd.shape == (trajs.n_frames, 21)
+        # asp7 lacks chi3: its rows are NaN in the union columns
+        assert np.isnan(sd[: t1.n_frames]).all(0).sum() == 7

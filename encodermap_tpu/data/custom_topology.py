@@ -140,6 +140,51 @@ class CustomTopology:
             self._extra_bonds.append((name, a, b))
         return self
 
+    @classmethod
+    def from_custom_aas(cls, top: Topology, custom: dict) -> "CustomTopology":
+        """Build from the reference's ``CustomAAsDict`` format
+        (``trajinfo_utils.py:600-770``): ``{resname: (one_letter_code,
+        {tables...})}`` or the simpler ``{resname: {"chi1": [...]}}``.
+        Recognized table keys (case-insensitive): ``bonds`` /
+        ``optional_bonds`` (atom-name pairs, ``-``/``+`` prefixes reach
+        the previous/next residue), ``PHI``/``PSI``/``OMEGA`` overrides,
+        ``not_PHI``-style deletions, and ``CHI1``..``CHI5``.
+        ``resname: None`` marks the residue as recognized without tables."""
+        ct = cls(top)
+        for resname, val in dict(custom).items():
+            tables = val
+            if isinstance(val, tuple):
+                _one_letter, tables = val
+            if tables is None:
+                ct.add_residue(resname)
+                continue
+            bonds: list[tuple] = []
+            chi_kwargs: dict[str, list[str]] = {}
+            for key, atoms in dict(tables).items():
+                kl = key.lower()
+                if kl in ("bonds", "optional_bonds"):
+                    bonds.extend(tuple(b) for b in atoms)
+                elif kl == "delete_bonds":
+                    import warnings
+
+                    warnings.warn(
+                        f"delete_bonds for {resname!r} is not supported; "
+                        f"the extra bonds were still applied."
+                    )
+                elif kl.startswith("not_"):
+                    ct.remove_dihedral(kl[4:].upper(), resname)
+                elif kl in ("phi", "psi", "omega"):
+                    ct.override_dihedral(kl.upper(), resname, atoms)
+                elif kl.startswith("chi"):
+                    chi_kwargs[kl] = list(atoms)
+                else:
+                    raise ValueError(
+                        f"unknown custom-residue table {key!r} for "
+                        f"{resname!r}"
+                    )
+            ct.add_residue(resname, bonds=bonds, **chi_kwargs)
+        return ct
+
     def override_dihedral(
         self, kind: str, residue_name: str, atom_names: Sequence[str]
     ) -> "CustomTopology":

@@ -807,8 +807,10 @@ class SingleTraj:
         (reference ``SingleTraj.load_custom_topology``,
         ``info_single.py:1388``).
 
-        ``custom`` is a :class:`CustomTopology` or a dict
-        ``{resname: {"chi1": [4 atom names], ...}}``.
+        ``custom`` is a :class:`CustomTopology`, the reference's
+        ``CustomAAsDict`` format ``{resname: (one_letter_code,
+        {"optional_bonds": [...], "CHI1": [...], ...})}``, or the simple
+        dict ``{resname: {"chi1": [4 atom names], ...}}``.
         """
         from .custom_topology import CustomTopology
 
@@ -820,9 +822,7 @@ class SingleTraj:
             ct._not_dihedrals = custom._not_dihedrals
             ct._protein_names = custom._protein_names
         else:
-            ct = CustomTopology(self.top)
-            for resname, tables in dict(custom).items():
-                ct.add_residue(resname, **tables)
+            ct = CustomTopology.from_custom_aas(self.top, custom)
         self._top = ct.apply()
 
     def __getattr__(self, name: str):
@@ -955,6 +955,7 @@ class TrajEnsemble:
         trajs: Sequence[Union[str, Path, SingleTraj]],
         tops: Optional[Sequence[Union[str, Path]]] = None,
         common_str: Optional[Sequence[str]] = None,
+        basename_fn=None,
     ) -> None:
         self.trajs: list[SingleTraj] = []
         #: Path of the ensemble HDF5 this object is backed by (set by
@@ -984,7 +985,8 @@ class TrajEnsemble:
                     matches = [c for c in common_str if c in str(t)]
                     cs = max(matches, key=len) if matches else ""
                 self.trajs.append(
-                    SingleTraj(t, top, traj_num=i, common_str=cs)
+                    SingleTraj(t, top, traj_num=i, common_str=cs,
+                               basename_fn=basename_fn)
                 )
 
     @classmethod

@@ -719,3 +719,54 @@ class TestContainerAdditionParity:
         t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
         trajs = t._gen_ensemble()
         assert trajs.n_trajs == 1 and trajs.n_frames == t.n_frames
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestCustomAAsDictFormat:
+    """The reference's CustomAAsDict format (``trajinfo_utils.py:600-770``,
+    used in ``tests/test_backmapping_em1_em2.py:1034`` for acetylated
+    lysine): {resname: (one_letter_code, {tables})} with optional_bonds,
+    CHIn (uppercase), PHI overrides and not_* deletions — plus the
+    custom_top= and basename_fn= arguments of em.load."""
+
+    def test_tuple_format_with_uppercase_tables(self):
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        base_chi2 = len(t.top.indices_chi2)
+        t.load_custom_topology({
+            "ASP": ("D", {
+                "optional_bonds": [("-C", "N"), ("N", "CA"), ("CA", "CB"),
+                                   ("CB", "CG"), ("C", "+N")],
+                "CHI3": ["CB", "CG", "OD1", "OD2"],
+            }),
+        })
+        # ASP normally has no chi3; the patch adds one per residue
+        assert len(t.top.indices_chi3) == 7
+        assert len(t.top.indices_chi2) == base_chi2
+
+    def test_not_deletion_and_override(self):
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        n_psi = len(t.top.indices_psi)
+        t.load_custom_topology({"ASP": ("D", {"not_PSI": []})})
+        assert len(t.top.indices_psi) < n_psi
+
+    def test_unknown_table_raises(self):
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        with pytest.raises(ValueError, match="unknown custom-residue"):
+            t.load_custom_topology({"ASP": ("D", {"bogus_key": []})})
+
+    def test_load_with_custom_top_and_basename_fn(self):
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+            basename_fn=lambda p: Path(p).stem.upper(),
+            custom_top={"ASP": ("D", {"CHI3": ["CB", "CG", "OD1", "OD2"]})},
+        )
+        assert trajs.trajs[0].basename == "ASP7"
+        assert len(trajs.trajs[0].top.indices_chi3) == 7
+        single = load(DATA / "asp7.xtc", DATA / "asp7.pdb",
+                      custom_top={"ASP": ("D",
+                                          {"CHI3": ["CB", "CG", "OD1",
+                                                    "OD2"]})})
+        assert len(single.top.indices_chi3) == 7
+        with pytest.raises(ValueError, match="backend"):
+            load(DATA / "asp7.xtc", DATA / "asp7.pdb", backend="bogus")

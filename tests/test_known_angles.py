@@ -62,3 +62,26 @@ class TestKnownAngles:
             ff.add_angles([[0, 1, 2], [1, 2, 3]], deg=True)
             parts.append(ff.get_output()["AngleFeature"])
         np.testing.assert_allclose(np.vstack(parts), ref, atol=1e-4)
+
+
+@needs_data
+class TestAla10GroundTruth:
+    """The reference's hard-coded Ala10 helix backbone angles
+    (``tests/test_angles.py:64-104``): 28 known values through MolData."""
+
+    def test_ala10_angles(self):
+        from encodermap_tpu import MolData
+        from encodermap_tpu.data import SingleTraj
+
+        traj = SingleTraj(DATA / "Ala10_helix.pdb")
+        md = MolData(traj)
+        expected = np.array([
+            1.9216446, 2.0355537, 2.128159, 1.9212531, 2.0357149,
+            2.1278918, 1.9220486, 2.0346954, 2.1269655, 1.9218233,
+            2.0352163, 2.1275373, 1.9212493, 2.035614, 2.128058,
+            1.9211367, 2.0354483, 2.128482, 1.9212018, 2.034529,
+            2.1266387, 1.9220015, 2.034642, 2.1270595, 1.9208968,
+            2.0354831, 2.127831, 1.9212908,
+        ], np.float32)
+        assert md.angles.shape == (1, 28)
+        np.testing.assert_allclose(md.angles[0], expected, atol=2e-5)

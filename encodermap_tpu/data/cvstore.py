@@ -90,7 +90,7 @@ class CVCollection:
     def index_frames(self, idx) -> "CVCollection":
         out = CVCollection()
         for k, e in self._entries.items():
-            out.add(k, e.data[idx], e.labels, e.indices)
+            out.add(k, e.data[idx], e.labels, e.indices, e.attrs)
         return out
 
     # ------------------------------------------------------------------ HDF5

@@ -1411,12 +1411,16 @@ class TrajEnsemble:
 
     def __getattr__(self, name: str):
         # ensemble-stacked CV access as attributes, like the reference's
-        # `trajs.y_coordinate` (info_all.py __getattr__)
+        # `trajs.y_coordinate` (info_all.py __getattr__) — stacks ONLY the
+        # requested CV, not the whole .CVs dict
         if name.startswith("_") or name == "trajs":
             raise AttributeError(name)
         trajs = self.__dict__.get("trajs")
         if trajs and all(name in t._CVs for t in trajs):
-            return self.CVs[name]
+            arrays = [t._CVs[name] for t in trajs]
+            if len({a.shape[1:] for a in arrays}) > 1:
+                arrays = _nan_pad(arrays)
+            return np.concatenate(arrays, axis=0)
         raise AttributeError(name)
 
     def load_trajs(self) -> None:
@@ -1511,11 +1515,20 @@ class TrajEnsemble:
             from ..loading.features import ADC_FEATURES
 
             # a list of per-traj CV FILES with one consistent suffix
-            # (trajinfo_utils.py:2196-2227)
-            if data and all(
+            # (trajinfo_utils.py:2196-2227): anything that LOOKS like a
+            # file path (has a suffix or a separator) routes here so a
+            # typo'd filename raises FileNotFoundError instead of
+            # "unknown feature shortcut"
+            looks_like_files = data and all(
                 d not in ("all", "full") and d not in ADC_FEATURES
-                and Path(d).is_file() for d in data
-            ):
+                and (Path(d).suffix or "/" in str(d)) for d in data
+            )
+            if looks_like_files:
+                missing = [d for d in data if not Path(d).is_file()]
+                if missing:
+                    raise FileNotFoundError(
+                        f"CV file(s) not found: {missing}"
+                    )
                 if len(data) != len(self.trajs):
                     raise ValueError(
                         f"{len(data)} CV files != {len(self.trajs)} trajs"
@@ -1748,6 +1761,7 @@ class TrajEnsemble:
                 k = max(1, 65536 // max(1, batch_size))
                 src = HDF5BatchSource(
                     path, CV_names, batch_size, steps_per_scan=k, seed=seed,
+                    replace=replace, skip_all_nan=True,
                 )
             except (KeyError, OSError):
                 # CVs not on disk / file moved or deleted -> in-memory path
@@ -1858,6 +1872,7 @@ class TrajEnsemble:
                     k,
                     np.concatenate([m._CVs[k] for m in members], axis=0),
                     members[0]._CVs.entry(k).labels,
+                    attrs=members[0]._CVs.entry(k).attrs,
                 )
             out.append(joined)
         return out

@@ -146,9 +146,12 @@ class Feature:
         ra, rb = getattr(self, "ref", None), getattr(other, "ref", None)
         if (ra is None) != (rb is None):
             return False
-        if ra is not None and not np.allclose(
-                np.asarray(ra), np.asarray(rb), rtol=1e-4):
-            return False
+        if ra is not None:
+            ra, rb = np.asarray(ra), np.asarray(rb)
+            # shape check first: np.allclose raises on non-broadcastable
+            # refs (e.g. MinRmsd features over different topologies)
+            if ra.shape != rb.shape or not np.allclose(ra, rb, rtol=1e-4):
+                return False
         ga = getattr(self, "group_definitions", None)
         gb = getattr(other, "group_definitions", None)
         if (ga is None) != (gb is None):

@@ -91,7 +91,8 @@ def _reference_xyz(reference) -> np.ndarray:
 class _FeatureList(list):
     """Feature container that refuses duplicates by VALUE: re-adding an
     equal feature warns and is skipped, like the reference's
-    ``__add_feature`` (``featurizer.py:639-646``)."""
+    ``__add_feature`` (``featurizer.py:639-646``). All growth paths
+    (append/extend/insert/+=) funnel through the same guard."""
 
     def append(self, feature) -> None:
         if any(feature == f for f in self):
@@ -103,6 +104,25 @@ class _FeatureList(list):
             )
             return
         super().append(feature)
+
+    def extend(self, features) -> None:
+        for f in features:
+            self.append(f)
+
+    def insert(self, index: int, feature) -> None:
+        if any(feature == f for f in self):
+            import warnings
+
+            warnings.warn(
+                f"Tried to re-add the same feature "
+                f"{feature.__class__.__name__}; skipping."
+            )
+            return
+        super().insert(index, feature)
+
+    def __iadd__(self, features):
+        self.extend(features)
+        return self
 
 
 class SingleTrajFeaturizer:

@@ -129,7 +129,11 @@ class ShardedFeaturizer:
         for f, name, blocks in zip(feats, _cv_names(feats), parts):
             data = np.concatenate(blocks, axis=0)
             labels = f.generic_describe() if ensemble else f.describe()
-            out.add(name, data, labels, f.indices)
+            attrs = None
+            if getattr(f, "deg", None) is not None and not getattr(
+                    f, "cossin", False):
+                attrs = {"angle_units": "deg" if f.deg else "rad"}
+            out.add(name, data, labels, f.indices, attrs)
         return out
 
     def to_hdf5(

@@ -186,8 +186,16 @@ class HDF5BatchSource:
     def __init__(self, path: str, cv_names, batch_size: int,
                  steps_per_scan: int, group: str = "CVs",
                  seed: Optional[int] = 0,
-                 slab_frames: Optional[int] = None) -> None:
-        """``seed=None`` draws OS entropy (non-reproducible streams)."""
+                 slab_frames: Optional[int] = None,
+                 replace: bool = True,
+                 skip_all_nan: bool = False) -> None:
+        """``seed=None`` draws OS entropy (non-reproducible streams).
+        ``replace=False`` keeps samples unique within each batch (raising
+        when a slab holds fewer valid rows than a batch, mirroring the
+        reference's unique-index guard). ``skip_all_nan=True`` drops slab
+        rows that are all-NaN for any CV (ragged NaN-aligned ensembles) —
+        the training paths keep the default False because the models'
+        sparse mode consumes NaN rows directly."""
         import h5py
         import numpy as np
 
@@ -223,6 +231,8 @@ class HDF5BatchSource:
         self._offsets = np.concatenate([[0], np.cumsum(lengths)])
         self.n_frames = int(self._offsets[-1])
         self._rng = np.random.default_rng(seed)
+        self.replace = replace
+        self.skip_all_nan = skip_all_nan
 
     def __iter__(self):
         return self
@@ -256,21 +266,58 @@ class HDF5BatchSource:
         total = self.steps_per_scan * self.batch_size
         S = self.slab_frames if self.slab_frames else total
         S = max(1, min(S, self.n_frames))
-        start = int(self._rng.integers(0, self.n_frames))
-        # shuffled resident indices; rows repeat only when the slab holds
-        # fewer frames than the superbatch consumes
-        reps = -(-total // S)
-        idx = np.concatenate(
-            [self._rng.permutation(S) for _ in range(reps)]
-        )[:total].reshape(self.steps_per_scan, self.batch_size)
+        for _ in range(8):
+            start = int(self._rng.integers(0, self.n_frames))
+            slabs = [
+                self._read_slab(k, start, S)
+                for k in range(len(self.cv_names))
+            ]
+            if self.skip_all_nan:
+                valid = np.ones(S, bool)
+                for s in slabs:
+                    if s.dtype.kind == "f":
+                        valid &= ~np.all(
+                            np.isnan(s.reshape(S, -1)), axis=1
+                        )
+                rows = np.where(valid)[0]
+            else:
+                rows = np.arange(S)
+            if len(rows):
+                break
+        else:
+            raise ValueError(
+                "no valid (non-all-NaN) rows found in 8 random slabs"
+            )
+        n_valid, B = len(rows), self.batch_size
+        if not self.replace and n_valid < B:
+            raise Exception(
+                f"Can't find {B} unique indices among {n_valid} valid "
+                f"frames in the slab. Pass replace=True."
+            )
+        if self.replace:
+            # shuffled resident rows; repeats only when the slab holds
+            # fewer valid rows than the superbatch consumes
+            reps = -(-total // n_valid)
+            idx_rows = np.concatenate(
+                [self._rng.permutation(n_valid) for _ in range(reps)]
+            )[:total]
+        else:
+            # duplicate-free batches: carve batch-sized chunks from
+            # permutations WITHOUT crossing permutation boundaries (a
+            # chunk straddling two permutations could repeat a row)
+            per_perm = n_valid // B
+            n_perm = -(-self.steps_per_scan // per_perm)
+            idx_rows = np.concatenate(
+                [
+                    self._rng.permutation(n_valid)[: per_perm * B]
+                    for _ in range(n_perm)
+                ]
+            )[:total]
+        idx = rows[idx_rows].reshape(self.steps_per_scan, B)
         # global row numbers of the sampled frames, for consumers that
         # need frame identity (TrajEnsemble.batch_iterator yield_index)
         self.last_indices = (start + idx) % self.n_frames
-        out = []
-        for k in range(len(self.cv_names)):
-            slab = self._read_slab(k, start, S)
-            out.append(slab[idx])
-        return tuple(out)
+        return tuple(slab[idx] for slab in slabs)
 
     def read_prototype(self, n: int = 4):
         """First ``n`` frames of *every* member group, concatenated — a

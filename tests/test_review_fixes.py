@@ -1932,3 +1932,112 @@ class TestWave10Fixes:
                 assert cart_loss > 0.0
             else:
                 assert cart_loss == 0.0
+
+
+class TestWave11Fixes:
+    """Round-3 review wave 11 (this session's container/featurizer
+    surface): lazy batch_iterator NaN/replace semantics, attrs survival,
+    Feature.__eq__ crash, _FeatureList bypasses, file-list errors."""
+
+    @pytest.fixture()
+    def ragged_h5(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = Path("/root/reference/tests/data")
+        t1 = SingleTraj(D / "asp7.xtc", D / "asp7.pdb", traj_num=0)
+        t2 = SingleTraj(D / "glu7.xtc", D / "glu7.pdb", traj_num=1)
+        trajs = TrajEnsemble([t1, t2])
+        trajs.load_CVs("side_dihedrals", ensemble=True)
+        # glu7 columns asp7 lacks are NaN; ADD an artificial CV where
+        # asp7 rows are ALL NaN so whole frames must be skipped
+        trajs.trajs[0].load_CV(
+            np.full((t1.n_frames, 4), np.nan, np.float32), "allnan_for_0")
+        trajs.trajs[1].load_CV(
+            np.ones((t2.n_frames, 4), np.float32), "allnan_for_0")
+        path = tmp_path / "ragged.h5"
+        trajs.save(path)
+        return str(path), trajs
+
+    def test_lazy_iterator_skips_all_nan_frames(self, ragged_h5):
+        path, trajs = ragged_h5
+        it = trajs.batch_iterator(
+            8, CV_names=["allnan_for_0"], yield_index=True, seed=0,
+            lazy=path,
+        )
+        for _ in range(5):
+            index, batch = next(it)
+            assert np.all(index[:, 0] == 1), index
+            assert not np.any(np.isnan(batch))
+        it.close()
+
+    def test_lazy_iterator_unique_and_raise(self, ragged_h5):
+        path, trajs = ragged_h5
+        n1 = trajs.trajs[1].n_frames
+        it = trajs.batch_iterator(
+            n1, CV_names=["allnan_for_0"], yield_index=True, seed=0,
+            lazy=path,
+        )
+        index, _ = next(it)
+        assert len({tuple(r) for r in index}) == n1  # no duplicates
+        it.close()
+        it2 = trajs.batch_iterator(
+            n1 + 1, CV_names=["allnan_for_0"], seed=0, lazy=path,
+        )
+        with pytest.raises(Exception, match="unique"):
+            next(it2)
+        it2.close()
+
+    def test_attrs_survive_frame_indexing_and_join(self):
+        from encodermap_tpu.data import SingleTraj
+
+        D = Path("/root/reference/tests/data")
+        t = SingleTraj(D / "asp7.xtc", D / "asp7.pdb")
+        t.load_CV(np.ones((t.n_frames, 2), np.float32), "a", deg=True)
+        sub = t[::2]
+        assert sub._CVs.entry("a").attrs.get("angle_units") == "deg"
+        # the homogeneity guard keeps working on the slice
+        with pytest.raises(AssertionError, match="inhomogeneous"):
+            sub.load_CV(np.ones((sub.n_frames, 2), np.float32), "b",
+                        deg=False)
+
+    def test_feature_eq_across_topologies_no_crash(self):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading import features as F
+
+        D = Path("/root/reference/tests/data")
+        asp7 = SingleTraj(D / "asp7.xtc", D / "asp7.pdb")
+        glu7 = SingleTraj(D / "glu7.xtc", D / "glu7.pdb")
+        f1 = F.MinRmsdFeature(asp7.top, asp7.xyz[0])
+        f2 = F.MinRmsdFeature(glu7.top, glu7.xyz[0])
+        assert f1 != f2  # must not raise on different atom counts
+
+    def test_featurelist_extend_insert_guarded(self):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading import features as F
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        D = Path("/root/reference/tests/data")
+        asp7 = SingleTraj(D / "asp7.xtc", D / "asp7.pdb")
+        feat = SingleTrajFeaturizer(asp7)
+        feat.add_distances([[0, 5]])
+        dup = F.DistanceFeature(asp7.top, [[0, 5]])
+        with pytest.warns(UserWarning, match="re-add"):
+            feat.features.extend([dup])
+        with pytest.warns(UserWarning, match="re-add"):
+            feat.features += [dup]
+        with pytest.warns(UserWarning, match="re-add"):
+            feat.features.insert(0, dup)
+        assert len(feat.features) == 1
+
+    def test_cv_file_list_missing_file_raises_filenotfound(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = Path("/root/reference/tests/data")
+        t1 = SingleTraj(D / "asp7.xtc", D / "asp7.pdb")
+        t2 = SingleTraj(D / "glu7.xtc", D / "glu7.pdb")
+        trajs = TrajEnsemble([t1, t2])
+        ok = tmp_path / "a.npy"
+        np.save(ok, np.ones((t1.n_frames, 2)))
+        with pytest.raises(FileNotFoundError, match="typo"):
+            trajs.load_CVs([str(ok), str(tmp_path / "typo.npy")], "cv")

@@ -22,29 +22,88 @@ __all__ = ["InteractivePlotting", "DistanceHistogramInteractive",
 class InteractivePlotting:
     """Latent-space selection + generation sessions.
 
+    Follows the reference's instantiation contract
+    (``plot/interactive_plotting.py``, exercised by
+    ``tests/test_interactive_plotting.py:141-305``): every input can come
+    from the autoencoder, from explicit arrays, or from CVs named
+    ``lowd``/``highd`` on the trajs — with an AssertionError when neither
+    an autoencoder nor both data sources are available.
+
     Args:
-        autoencoder: an EncoderMap/ADC instance (needs encode/generate).
-        trajs: optional TrajEnsemble for structure output.
-        data: data to project (defaults to the autoencoder's train data).
+        autoencoder: an EncoderMap/ADC instance (needs encode/generate);
+            may be None when both lowd and highd data are supplied.
+        trajs: optional SingleTraj/TrajEnsemble for structure output and
+            as a CV source (``trajs.lowd``/``trajs.highd``).
+        lowd_data: explicit latent coordinates (n_frames, 2).
+        highd_data: explicit high-dimensional data.
+        data: alias for highd_data (this framework's round-1 name).
     """
 
     def __init__(
         self,
-        autoencoder: Any,
+        autoencoder: Any = None,
         trajs: Any = None,
+        lowd_data: Optional[np.ndarray] = None,
+        highd_data: Optional[np.ndarray] = None,
         data: Optional[np.ndarray] = None,
         main_path: Optional[Union[str, Path]] = None,
     ) -> None:
         self.autoencoder = autoencoder
         self.trajs = trajs
         self.main_path = Path(
-            main_path or getattr(autoencoder.p, "main_path", ".")
+            main_path
+            or getattr(getattr(autoencoder, "p", None), "main_path", ".")
         )
-        if data is None:
-            data = autoencoder.train_data
-        self.data = data
-        self.latent = np.asarray(autoencoder.encode(data))
+        if highd_data is None:
+            highd_data = data
+
+        def _cv(name):
+            if trajs is None:
+                return None
+            cvs = getattr(trajs, "_CVs", None)
+            if cvs is not None and name in cvs:  # SingleTraj
+                return np.asarray(cvs[name])
+            try:
+                return np.asarray(trajs.CVs[name])  # TrajEnsemble
+            except (KeyError, AttributeError, TypeError):
+                return None
+
+        highd = highd_data if highd_data is not None else _cv("highd")
+        if highd is None and autoencoder is not None:
+            highd = getattr(autoencoder, "train_data", None)
+            if isinstance(highd, (tuple, list)):
+                # ADC train data is a tuple of CV arrays; project the
+                # dihedral-family concatenation like encode() does
+                highd = None
+        lowd = lowd_data if lowd_data is not None else _cv("lowd")
+        assert autoencoder is not None or (
+            lowd is not None and highd is not None
+        ), (
+            "Without an autoencoder, both lowd_data and highd_data (or "
+            "trajs CVs named 'lowd'/'highd') must be provided."
+        )
+        if lowd is None:
+            # encode(None) projects the autoencoder's own train data
+            lowd = autoencoder.encode(highd)
+        self.data = highd
+        self.latent = np.asarray(lowd)
+        assert self.latent.ndim == 2, (
+            f"lowd data must be 2-D (n_frames, n_latent), got "
+            f"{self.latent.shape}"
+        )
         self._selection: Optional[np.ndarray] = None
+
+    def generate(self, path: np.ndarray) -> Any:
+        """Backmap/decode along explicit latent points (the reference's
+        ``sess.generate(path)``)."""
+        if self.autoencoder is None:
+            raise RuntimeError("generate() needs an autoencoder")
+        return self.autoencoder.generate(np.asarray(path, np.float32))
+
+    def write_cluster(self, name: str = "cluster") -> dict:
+        """Persist the current selection (the reference's
+        ``write_cluster``); same artifacts as :meth:`cluster`."""
+        return self.cluster(name)
 
     # ------------------------------------------------------------------ selection
     def select(self, polygon: Sequence[tuple[float, float]]) -> np.ndarray:

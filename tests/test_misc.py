@@ -864,3 +864,73 @@ class TestSmallUtilityParity:
                      str(DATA / "1am7_protein.pdb"))
         with pytest.raises(FileNotFoundError, match="matches trajectory"):
             em.TrajEnsemble([t3]).load_CVs_from_dir(tmp_path)
+
+
+class TestInteractivePlottingInstantiation:
+    """The reference's instantiation matrix (``tests/
+    test_interactive_plotting.py:141-305``): data can come from the
+    autoencoder, explicit arrays, or trajs CVs named lowd/highd; no
+    autoencoder requires both."""
+
+    def _fake_ae(self, n=50, d=8):
+        rng = np.random.default_rng(0)
+
+        class FakeAE:
+            train_data = rng.normal(size=(n, d)).astype(np.float32)
+
+            class p:
+                main_path = "."
+
+            def encode(self, data=None):
+                data = self.train_data if data is None else data
+                return np.asarray(data)[:, :2]
+
+            def generate(self, lowd):
+                return np.repeat(np.asarray(lowd), 4, axis=1)
+
+        return FakeAE()
+
+    def test_no_autoencoder_requires_both(self):
+        from encodermap_tpu.plot import InteractivePlotting
+
+        lowd = np.random.default_rng(1).normal(size=(50, 2))
+        highd = np.random.default_rng(2).normal(size=(50, 8))
+        sess = InteractivePlotting(lowd_data=lowd, highd_data=highd)
+        assert sess.latent.shape == (50, 2)
+        with pytest.raises(AssertionError):
+            InteractivePlotting(lowd_data=lowd)
+        with pytest.raises(AssertionError):
+            InteractivePlotting(highd_data=highd)
+
+    def test_lowd_from_trajs_cv(self):
+        from pathlib import Path
+
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+        from encodermap_tpu.plot import InteractivePlotting
+
+        D = Path("/root/reference/tests/data")
+        if not D.exists():
+            pytest.skip("no reference data")
+        t = SingleTraj(D / "asp7.xtc", D / "asp7.pdb")
+        trajs = TrajEnsemble([t])
+        rng = np.random.default_rng(3)
+        trajs.load_CVs(rng.normal(size=(trajs.n_frames, 2)).astype(
+            np.float32), "lowd")
+        trajs.load_CVs(rng.normal(size=(trajs.n_frames, 8)).astype(
+            np.float32), "highd")
+        sess = InteractivePlotting(trajs=trajs)
+        assert sess.latent.shape == (trajs.n_frames, 2)
+
+    def test_autoencoder_generate_and_write_cluster(self, tmp_path):
+        from encodermap_tpu.plot import InteractivePlotting
+
+        ae = self._fake_ae()
+        sess = InteractivePlotting(ae, main_path=tmp_path)
+        path = np.linspace([-1, -1], [1, 1], 10)
+        out = sess.generate(path)
+        assert np.asarray(out).shape == (10, 8)
+        lo = sess.latent.min(0) - 1
+        hi = sess.latent.max(0) + 1
+        sess.select([(lo[0], lo[1]), (hi[0], lo[1]), (hi[0], hi[1]),
+                     (lo[0], hi[1])])
+        assert len(sess.selection) == 50

@@ -1816,17 +1816,40 @@ class TrajEnsemble:
 
     # ------------------------------------------------------------------ analysis
     def cluster(
-        self, membership: np.ndarray, cluster_id: Optional[int] = None
+        self,
+        cluster_id: Union[int, np.ndarray, Sequence, None] = None,
+        col: str = "cluster_membership",
+        memberships: Optional[np.ndarray] = None,
+        n_points: int = -1,
     ) -> Union["TrajEnsemble", dict[int, "TrajEnsemble"]]:
         """Sub-ensembles by cluster membership over stacked frames
-        (reference ``info_all.py:1999``). With ``cluster_id`` returns one
-        ensemble; otherwise a dict of all (noise label -1 skipped)."""
-        membership = np.asarray(membership)
+        (reference ``info_all.py:1999-2006``, same signature):
+        ``cluster_id`` selects the frames whose loaded CV ``col`` (or the
+        explicit ``memberships`` array) equals it; ``n_points`` evenly
+        subsamples the cluster to that many frames (-1 keeps all).
+
+        Convenience beyond the reference: passing a membership ARRAY as
+        the first argument returns a dict of all sub-ensembles (noise
+        label -1 skipped); an int + array is the explicit-memberships
+        form."""
+        if cluster_id is not None and not isinstance(
+                cluster_id, (int, np.integer)):
+            # legacy/convenience form: first arg is the membership array
+            memberships, cluster_id = np.asarray(cluster_id), None
+        if memberships is None:
+            memberships = getattr(self, col)  # AttributeError when absent
+        membership = np.asarray(memberships)
         assert len(membership) == self.n_frames
         bounds = np.cumsum([0] + [t.n_frames for t in self.trajs])
 
         def subset(cid: int) -> "TrajEnsemble":
             idx = np.where(membership == cid)[0]
+            if n_points > 0 and len(idx) > n_points:
+                sel = np.unique(
+                    np.round(np.linspace(0, len(idx) - 1, n_points))
+                    .astype(int)
+                )
+                idx = idx[sel]
             parts = []
             for ti, t in enumerate(self.trajs):
                 local = idx[(idx >= bounds[ti]) & (idx < bounds[ti + 1])]
@@ -1835,7 +1858,7 @@ class TrajEnsemble:
             return TrajEnsemble(parts)
 
         if cluster_id is not None:
-            return subset(cluster_id)
+            return subset(int(cluster_id))
         return {
             int(c): subset(int(c)) for c in np.unique(membership) if c != -1
         }

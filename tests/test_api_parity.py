@@ -174,3 +174,43 @@ class TestKondata:
         monkeypatch.delenv("ENCODERMAP_DATA_DIR", raising=False)
         with pytest.raises(RuntimeError, match="not available locally"):
             get_from_kondata("definitely_missing", output=tmp_path / "x")
+
+
+class TestClusterReferenceSignature:
+    """trajs.cluster(cluster_id, col=..., n_points=...) — the reference's
+    signature (``info_all.py:1999-2006``, behaviors from
+    ``tests/test_trajinfo.py:1394-1460``)."""
+
+    @pytest.fixture()
+    def trajs(self):
+        from encodermap_tpu.data import load
+
+        return load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+
+    def test_cluster_by_loaded_cv(self, trajs):
+        clu = np.full(trajs.n_frames, -1, int)
+        clu[[0, 150, 151, 152]] = 0
+        trajs.load_CVs(clu, "clu")
+        trajs.load_CVs(np.ones((trajs.n_frames, 15), int), "ones")
+        cluster = trajs.cluster(0, "clu")
+        assert cluster.n_frames == 4
+        assert np.all(cluster.ones == 1)
+        assert cluster.ones.shape == (4, 15)
+
+    def test_missing_col_raises(self, trajs):
+        with pytest.raises(Exception):
+            trajs.cluster(0, "_user_selected_points")
+
+    def test_n_points_subsamples_evenly(self, trajs):
+        membership = np.zeros(trajs.n_frames, int)
+        trajs.load_CVs(membership, "cluster_membership")
+        cluster = trajs.cluster(0, n_points=10)
+        assert cluster.n_frames == 10
+        # matches the reference's manual linspace-round-unique recipe
+        index = trajs.id[membership == 0]
+        sel = np.unique(
+            np.round(np.linspace(0, len(index) - 1, 10)).astype(int))
+        np.testing.assert_array_equal(cluster.id, index[sel])

@@ -76,6 +76,16 @@ class SingleTraj:
     ) -> None:
         self.traj_file = str(traj_file)
         self.top_file = str(top_file) if top_file is not None else self.traj_file
+        # coordinates-only formats carry no topology — catching swapped
+        # (traj, top) arguments here, like the reference
+        # (tests/test_trajinfo.py:1293)
+        _top_suffix = Path(self.top_file).suffix.lower()
+        if _top_suffix in (".xtc", ".dcd", ".trr"):
+            raise ValueError(
+                f"{self.top_file!r} is a coordinates-only format and "
+                f"cannot serve as a topology. Did you swap the traj and "
+                f"top arguments?"
+            )
         if self.traj_file.startswith(("http://", "https://")):
             # URL loading (reference ``info_single.py:593-609``): fetch into
             # the shared cache, keep reporting the URL as traj_file/top_file

@@ -770,3 +770,12 @@ class TestCustomAAsDictFormat:
         assert len(single.top.indices_chi3) == 7
         with pytest.raises(ValueError, match="backend"):
             load(DATA / "asp7.xtc", DATA / "asp7.pdb", backend="bogus")
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestSwappedArgsRaise:
+    def test_wrong_way_round(self):
+        """SingleTraj(pdb, xtc) — a coordinates-only top raises, like the
+        reference (``tests/test_trajinfo.py:1293``)."""
+        with pytest.raises(ValueError, match="swap"):
+            SingleTraj(DATA / "asp7.pdb", DATA / "asp7.xtc")

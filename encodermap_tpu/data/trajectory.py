@@ -67,15 +67,31 @@ class SingleTraj:
 
     def __init__(
         self,
-        traj_file: Union[str, Path],
-        top_file: Optional[Union[str, Path]] = None,
+        traj: Union[str, Path],
+        top: Optional[Union[str, Path]] = None,
+        common_str: str = "",
+        backend: str = "no_load",
         index: Optional[Any] = None,
         traj_num: Optional[int] = None,
-        common_str: str = "",
         basename_fn=None,
+        custom_top: Optional[Any] = None,
     ) -> None:
-        self.traj_file = str(traj_file)
-        self.top_file = str(top_file) if top_file is not None else self.traj_file
+        # keyword names and order match the reference
+        # (``info_single.py:360-370``) so reference call sites port verbatim
+        if not isinstance(traj, (str, Path)):
+            raise ValueError(
+                f"Please provide a str or Path for `traj`; got "
+                f"{type(traj)}. (mdtraj.Trajectory inputs are not "
+                f"supported in this mdtraj-free build — save to a file "
+                f"first.)"
+            )
+        if backend not in ("no_load", "mdtraj"):
+            raise ValueError(
+                f"`backend` must be 'no_load' or 'mdtraj', got {backend!r}"
+            )
+        self.backend = backend
+        self.traj_file = str(traj)
+        self.top_file = str(top) if top is not None else self.traj_file
         # coordinates-only formats carry no topology — catching swapped
         # (traj, top) arguments here, like the reference
         # (tests/test_trajinfo.py:1293)
@@ -108,6 +124,12 @@ class SingleTraj:
         self._unitcell: Optional[np.ndarray] = None
         self._n_frames_file: Optional[int] = None
         self._CVs = CVCollection()
+        if custom_top is not None:
+            self.load_custom_topology(custom_top)
+        if backend == "mdtraj":
+            # the reference's mdtraj backend loads eagerly at construction
+            # (``info_single.py:365``); our native loader plays that role
+            self.load_traj()
 
     @classmethod
     def from_pdb_id(cls, pdb_id: str, cache_dir: str = "/tmp/pdb_cache"
@@ -244,6 +266,18 @@ class SingleTraj:
                                 and dset.shape[0] == self._n_frames_file
                                 and name not in self._CVs):
                             self._CVs.add(name, np.asarray(dset))
+
+    def load_traj(self) -> None:
+        """Eagerly materialize the trajectory, raising ``FileNotFoundError``
+        for missing traj/top files (reference ``info_single.py:1040`` — its
+        tests rely on this surfacing before any decode attempt)."""
+        import os
+
+        for f in (self._traj_path, self._top_path):
+            if (not str(f).startswith(("http://", "https://"))
+                    and not os.path.isfile(str(f))):
+                raise FileNotFoundError(f"No such file: {f}")
+        self.load()
 
     def load(self) -> None:
         """Materialize coordinates for the (composed) frame index."""
@@ -695,6 +729,11 @@ class SingleTraj:
     # ------------------------------------------------------------------ CVs
     @property
     def CVs(self) -> dict[str, np.ndarray]:
+        if (not len(self._CVs) and self._n_frames_file is None
+                and self.traj_file.endswith((".h5", ".hdf5"))):
+            # embedded /CVs attach during the lazy frame count; the
+            # reference exposes them from a bare ``.CVs`` access too
+            _ = self.n_frames_file
         return {k: self._CVs[k] for k in self._CVs}
 
     def _add_cv_checked(

@@ -779,3 +779,85 @@ class TestSwappedArgsRaise:
         reference (``tests/test_trajinfo.py:1293``)."""
         with pytest.raises(ValueError, match="swap"):
             SingleTraj(DATA / "asp7.pdb", DATA / "asp7.xtc")
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestReferenceInitContract:
+    """SingleTraj construction semantics lifted from the reference's own
+    trajinfo suite (``tests/test_trajinfo.py:421-523``)."""
+
+    def test_keyword_names_match_reference(self):
+        t = SingleTraj(
+            traj=DATA / "1am7_corrected.xtc",
+            top=DATA / "1am7_protein.pdb",
+            common_str="1am7",
+            backend="no_load",
+            traj_num=3,
+        )
+        assert t.n_frames == 51
+        assert t.traj_num == 3
+        assert t.common_str == "1am7"
+
+    def test_wrong_dtype_for_traj_raises_value_error(self):
+        with pytest.raises(ValueError, match="str or Path"):
+            SingleTraj(traj=1)
+
+    def test_bad_backend_raises(self):
+        with pytest.raises(ValueError, match="backend"):
+            SingleTraj(DATA / "asp7.pdb", backend="tensorflow")
+
+    def test_mdtraj_backend_loads_eagerly(self):
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb",
+                       backend="mdtraj")
+        assert t._xyz is not None
+
+    def test_load_traj_raises_file_not_found(self):
+        t = SingleTraj("/tmp/imaginary_xtc_file.xtc",
+                       "/tmp/imaginary_pdb_file.pdb")
+        with pytest.raises(FileNotFoundError):
+            t.load_traj()
+        t = SingleTraj(DATA / "1am7_corrected.xtc",
+                       "/tmp/imaginary_pdb_file.pdb")
+        with pytest.raises(FileNotFoundError):
+            t.load_traj()
+
+    def test_custom_top_kwarg_applies_at_init(self):
+        # the asp7 fixture plus a fake chi definition: custom_top= at
+        # construction equals load_custom_topology() after
+        custom = {"ASP": {"chi2": ["CA", "CB", "CG", "OD1"]}}
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb",
+                       custom_top=custom)
+        ref = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        ref.load_custom_topology(custom)
+        assert np.array_equal(t.top.indices_chi2, ref.top.indices_chi2)
+        assert len(t.top.indices_chi2) > 0
+
+    def test_too_large_key_raises_index_error(self):
+        t = SingleTraj(DATA / "1am7_corrected.xtc",
+                       DATA / "1am7_protein.pdb")
+        with pytest.raises(IndexError):
+            t[100]
+        with pytest.raises(IndexError):
+            t[np.arange(100)]
+
+    def test_double_index_with_int_raises(self):
+        t = SingleTraj(DATA / "1am7_corrected.xtc",
+                       DATA / "1am7_protein.pdb")
+        with pytest.raises(IndexError):
+            t[5][10]
+
+    def test_load_h5_with_integer_index(self):
+        t = SingleTraj(DATA / "1am7_corrected_with_CVs.h5", index=2)
+        assert t.n_frames == 1
+        assert t.id.shape == (1,) or t.id.shape == (1, 2)
+
+    def test_save_CV_as_numpy_overwrite_contract(self, tmp_path):
+        t = SingleTraj(DATA / "1am7_corrected_with_CVs.h5")
+        name = next(iter(t.CVs))
+        target = tmp_path / "cv.npy"
+        target.touch()
+        with pytest.raises(OSError):
+            t.save_CV_as_numpy(name, target)
+        t.save_CV_as_numpy(name, target, overwrite=True)
+        assert np.array_equal(np.load(target, allow_pickle=False),
+                              t.CVs[name])

@@ -105,7 +105,14 @@ class Feature:
 
     @property
     def dimension(self) -> int:
-        return len(self.describe())
+        d = getattr(self, "_dim", None)
+        return len(self.describe()) if d is None else d
+
+    @dimension.setter
+    def dimension(self, val) -> None:
+        # the reference's dimension is settable (``features.py:485-487``);
+        # CustomFeature subclasses assign it directly in __init__
+        self._dim = int(val)
 
     def transform(self, xyz, unitcell=None):
         """(n_frames, n_atoms, 3) -> (n_frames, dimension) feature values."""
@@ -173,30 +180,103 @@ class Feature:
             return object.__hash__(self)
 
 
-class CustomFeature(Feature):
-    """Wraps a user function (reference ``features.py:647``)."""
+class _TrajProxy:
+    """What a CustomFeature's ``fun``/``call`` receives: duck-types the
+    slice of the mdtraj.Trajectory surface the reference hands to user
+    functions (``features.py:770-795``) — ``xyz``, ``top``/``topology``,
+    ``n_atoms``, ``n_frames``, ``unitcell_vectors``."""
 
-    name = "CustomFeature"
+    def __init__(self, xyz: np.ndarray, top=None, unitcell=None) -> None:
+        self.xyz = xyz
+        self.top = top
+        self.topology = top
+        self.unitcell_vectors = unitcell
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.xyz)
+
+    @property
+    def n_atoms(self) -> int:
+        return self.xyz.shape[1]
+
+
+class CustomFeature(Feature):
+    """Wraps a user function over host numpy coordinates (reference
+    ``features.py:647-799``).
+
+    ``fun`` is called as ``fun(traj, *fun_args, **fun_kwargs)`` where
+    ``traj`` duck-types a trajectory (``.xyz``, ``.top``); subclasses may
+    instead define ``call(traj)`` plus their own ``describe``/``name``.
+    Because the function is arbitrary Python it runs on HOST, outside the
+    jitted feature block program — the featurizer splices its output back
+    into feature order (``featurizer.py::make_feature_runner``)."""
+
+    _is_custom = True
+    #: host-side: excluded from the jitted block program
+    remappable = False
 
     def __init__(
         self,
         fun: Callable,
         dim: int,
-        top: Optional[Topology] = None,
-        description: Optional[list[str]] = None,
+        traj=None,
+        description=None,
+        fun_args: tuple = (),
+        fun_kwargs: Optional[dict] = None,
     ) -> None:
-        self.fun = fun
-        self._dim = dim
-        self.top = top
-        self._description = description
+        if dim <= 0:
+            raise AssertionError("Feature dimensions need to be greater than 0.")
+        self.id: Optional[int] = None
+        self.traj = traj
+        self.top = getattr(traj, "top", None)
+        self._fun = fun
+        self._args = tuple(fun_args)
+        self._kwargs = dict(fun_kwargs or {})
+        self._dim = int(dim)
+        self.desc = description
 
     def describe(self) -> list[str]:
-        if self._description:
-            return self._description
-        return [f"CustomFeature_{i}" for i in range(self._dim)]
+        if isinstance(self.desc, str):
+            desc = [self.desc]
+        elif self.desc is None:
+            arg_str = (
+                f"{self._args}, {self._kwargs}" if self._kwargs
+                else f"{self._args}"
+            )
+            desc = [
+                f"CustomFeature_{self.id} calling {self._fun} "
+                f"with args {arg_str}"
+            ]
+        elif len(self.desc) not in (1, self._dim):
+            raise ValueError(
+                f"to avoid confusion, ensure the lengths of 'description' "
+                f"list matches dimension - or give a single element which "
+                f"will be repeated. Input was {self.desc}"
+            )
+        else:
+            desc = list(self.desc)
+        if len(desc) == 1 and self.dimension > 0:
+            desc = desc * self.dimension
+        return desc
 
     def transform(self, xyz, unitcell=None):
-        return self.fun(xyz)
+        xyz = np.asarray(xyz)
+        cell = None if unitcell is None else np.asarray(unitcell)
+        top = self.top if self.top is not None else getattr(
+            self.traj, "top", None)
+        proxy = _TrajProxy(xyz, top, cell)
+        if hasattr(self, "call"):
+            out = self.call(proxy)
+        else:
+            out = self._fun(proxy, *self._args, **self._kwargs)
+        if not isinstance(out, np.ndarray):
+            raise ValueError("Your function should return a NumPy array!")
+        if out.ndim == 1:
+            # per-frame scalar features come back flat (reference test
+            # ``test_add_custom_feature``: dim=1 fun returning (n,))
+            out = out.reshape(len(out), -1)
+        return out
 
 
 # ----------------------------------------------------------------------------

@@ -132,6 +132,8 @@ class SingleTrajFeaturizer:
         self.traj = traj
         self.block_size = block_size
         self.features: list[F.Feature] = _FeatureList()
+        self._custom_feature_ids: list[int] = []
+        self._n_custom_features = 0
         # (feature-identity key, run, slice_xyz): the jitted block program,
         # memoized so repeated get_output calls — and same-topology ensemble
         # members routed through get_output_for — never re-jit
@@ -179,6 +181,23 @@ class SingleTrajFeaturizer:
             self.features.append(cls(self.traj.top, **kwargs))
 
     def add_custom_feature(self, feature: F.Feature) -> None:
+        """Add a user-defined feature. Bare ``CustomFeature`` instances get
+        a per-featurizer running id and the name ``CustomFeature_{id}``;
+        subclasses with their own ``name`` keep it (reference
+        ``featurizer.py:1581-1612``)."""
+        if type(feature).__name__ == "CustomFeature":
+            if getattr(feature, "id", None) is None:
+                feature.id = self._n_custom_features
+            elif feature.id in self._custom_feature_ids:
+                raise ValueError(
+                    f"A CustomFeature with the id {feature.id} already "
+                    f"exists. Please change the id of your CustomFeature."
+                )
+            self._custom_feature_ids.append(feature.id)
+            self._n_custom_features = max(
+                self._n_custom_features, feature.id + 1
+            )
+            feature.name = f"CustomFeature_{feature.id}"
         self.features.append(feature)
 
     def add_distances(self, indices, periodic: bool = True,
@@ -473,13 +492,39 @@ def make_feature_runner(feats):
     the wrap cost (``ops/geometry.py::mic_mode``); compute it on host via
     ``geom.boxes_are_triclinic(traj.unitcell_vectors)``.
     """
-    run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(feats)
+    # CustomFeatures wrap arbitrary user Python: they run on HOST, outside
+    # the jitted program, and their results are spliced back in feature
+    # order (the reference runs user funs eagerly too, features.py:770)
+    host_idx = [i for i, f in enumerate(feats)
+                if getattr(f, "_is_custom", False)]
+    jit_feats = [f for i, f in enumerate(feats) if i not in set(host_idx)]
+    run_feats, atom_union = SingleTrajFeaturizer._remap_to_union(jit_feats)
+    if host_idx and atom_union is not None:
+        # host features see full-topology xyz — never slice under them
+        run_feats, atom_union = jit_feats, None
 
     def run_block(xyz_block, box_block, triclinic: bool):
         with geom.mic_mode(triclinic):
             return [f.transform(xyz_block, box_block) for f in run_feats]
 
-    run = jax.jit(run_block, static_argnums=2)
+    run_jit = jax.jit(run_block, static_argnums=2)
+
+    if host_idx:
+        host_set = set(host_idx)
+
+        def run(xyz_block, box_block, triclinic: bool):
+            dev = run_jit(xyz_block, box_block, triclinic) if run_feats \
+                else []
+            xyz_np = np.asarray(xyz_block)
+            box_np = None if box_block is None else np.asarray(box_block)
+            dev_it = iter(dev)
+            return [
+                feats[i].transform(xyz_np, box_np) if i in host_set
+                else next(dev_it)
+                for i in range(len(feats))
+            ]
+    else:
+        run = run_jit
 
     def slice_xyz(xyz_np):
         return xyz_np if atom_union is None else xyz_np[:, atom_union]
@@ -503,6 +548,10 @@ _CV_NAMES = {
 
 
 def _cv_name(f: F.Feature) -> str:
+    if getattr(f, "_is_custom", False):
+        # CustomFeature_0 / a subclass's own `name` (reference test
+        # ``test_add_custom_feature`` keys output by it)
+        return str(getattr(f, "name", type(f).__name__))
     return _CV_NAMES.get(type(f).__name__, type(f).__name__)
 
 

@@ -517,3 +517,139 @@ class TestSlicedEnsembleFeaturization:
         assert sd.shape == (trajs.n_frames, 21)
         # asp7 lacks chi3: its rows are NaN in the union columns
         assert np.isnan(sd[: t1.n_frames]).all(0).sum() == 7
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestCustomFeature:
+    """The two user-extension routes of the reference
+    (``tests/test_featurizer.py:1752-1907``): a bare ``CustomFeature(fun,
+    dim)`` and a subclass with ``call``/``describe``/``name``."""
+
+    def _traj(self):
+        return SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+
+    def test_fun_and_dim(self):
+        traj = self._traj()
+        dim = traj.n_atoms * 3
+        import encodermap_tpu as em
+
+        f = em.features.CustomFeature(
+            fun=lambda t: (t.xyz**2).reshape(-1, dim), dim=dim
+        )
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(f)
+        out = feat.get_output()
+        assert "CustomFeature_0" in out
+        np.testing.assert_allclose(
+            (traj.xyz**2).reshape(-1, dim),
+            out["CustomFeature_0"].reshape(-1, dim),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_subclass_with_call_name_describe(self):
+        import encodermap_tpu as em
+
+        traj = self._traj()
+
+        class RandomFloatForAtomFeature(em.features.CustomFeature):
+            def __init__(self, traj, selstr="all"):
+                self.traj = traj
+                self.top = traj.top
+                self.indexes = self.traj.top.select(selstr)
+                self.dimension = len(self.indexes)
+
+            def describe(self):
+                return [f"Random float for atom {i}" for i in self.indexes]
+
+            def call(self, t):
+                values = t.xyz[..., 0].copy()
+                for i in self.indexes:
+                    values[:, i] = float(
+                        str(hash(str(self.traj.top.atom(i))))[-5:]
+                    )
+                return values
+
+            @property
+            def name(self):
+                return "MyAwesomeFeature"
+
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(RandomFloatForAtomFeature(traj))
+        # mixing with a jitted feature exercises the host-splice path
+        feat.add_backbone_torsions()
+        out = feat.get_output()
+        assert set(out) == {"MyAwesomeFeature", "BackboneTorsionFeature"}
+        assert out["MyAwesomeFeature"].dtype == np.dtype("float32")
+        assert out["MyAwesomeFeature"].shape == (traj.n_frames, traj.n_atoms)
+
+    def test_per_frame_scalar_ids_and_duplicates(self):
+        import encodermap_tpu as em
+
+        traj = self._traj()
+        dim = traj.n_atoms * 3
+        f1 = em.features.CustomFeature(
+            fun=lambda t: np.arange(len(t.xyz), dtype="float32"), dim=1
+        )
+        f2 = em.features.CustomFeature(
+            fun=lambda t: (t.xyz * 2).astype("float32").reshape(-1, dim),
+            dim=dim,
+        )
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(f1)
+        feat.add_custom_feature(f2)
+        assert [f.id for f in feat.features] == [0, 1]
+        out = feat.get_output()
+        assert out["CustomFeature_0"].shape == (traj.n_frames, 1)
+        assert out["CustomFeature_1"].shape[0] == traj.n_frames
+        f3 = em.features.CustomFeature(fun=lambda t: t.xyz[:, 0, 0], dim=1)
+        f3.id = 0
+        with pytest.raises(ValueError, match="already"):
+            feat.add_custom_feature(f3)
+
+    def test_dim_must_be_positive(self):
+        import encodermap_tpu as em
+
+        with pytest.raises(AssertionError):
+            em.features.CustomFeature(fun=lambda t: t.xyz, dim=0)
+
+    def test_bad_return_type_raises(self):
+        import encodermap_tpu as em
+
+        traj = self._traj()
+        f = em.features.CustomFeature(fun=lambda t: [1, 2, 3], dim=3)
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(f)
+        with pytest.raises(ValueError, match="NumPy array"):
+            feat.get_output()
+
+    def test_ensemble_replay_and_load_CVs(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.data import TrajEnsemble
+
+        t1 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb", traj_num=0)
+        trajs = TrajEnsemble([t1])
+        dim = t1.n_atoms * 3
+        feat = em.Featurizer(trajs)
+        feat.add_custom_feature(em.features.CustomFeature(
+            fun=lambda t: (t.xyz**2).reshape(-1, dim), dim=dim,
+        ))
+        trajs.load_CVs(feat)
+        assert "CustomFeature_0" in trajs.CVs
+        np.testing.assert_allclose(
+            (t1.xyz**2).reshape(-1, dim),
+            trajs.CVs["CustomFeature_0"].reshape(-1, dim),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_description_semantics(self):
+        import encodermap_tpu as em
+
+        f = em.features.CustomFeature(
+            fun=lambda t: t.xyz[:, :3, 0], dim=3, description="my label"
+        )
+        assert f.describe() == ["my label"] * 3
+        with pytest.raises(ValueError, match="lengths"):
+            em.features.CustomFeature(
+                fun=lambda t: t.xyz[:, :3, 0], dim=3,
+                description=["a", "b"],
+            ).describe()

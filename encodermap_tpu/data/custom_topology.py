@@ -260,9 +260,13 @@ class CustomTopology:
         out._dihedral_overrides = self._dihedral_overrides
         out._not_dihedrals = self._not_dihedrals
         out._custom_def_json = self.to_json()
-        def resolve(res_index: int, name: str):
+        def resolve(res_index: int, name):
             """Atom lookup honoring '-'/'+' previous/next-residue prefixes
-            (the neighbor-reference syntax the class docstring promises)."""
+            (the neighbor-reference syntax the class docstring promises).
+            Integers are absolute atom indices, as the reference's bond
+            tables also accept (``trajinfo_utils.py`` int branch)."""
+            if isinstance(name, (int, np.integer)):
+                return out.atom(int(name))
             if name.startswith("-"):
                 if res_index == 0:
                     return None

@@ -727,13 +727,16 @@ class SingleTraj:
         return self.top.indices_chi5
 
     # ------------------------------------------------------------------ CVs
-    @property
-    def CVs(self) -> dict[str, np.ndarray]:
+    def _ensure_h5_cvs(self) -> None:
+        """Embedded /CVs attach during the lazy frame count; the reference
+        exposes them from a bare ``.CVs`` or CV-attribute access too."""
         if (not len(self._CVs) and self._n_frames_file is None
                 and self.traj_file.endswith((".h5", ".hdf5"))):
-            # embedded /CVs attach during the lazy frame count; the
-            # reference exposes them from a bare ``.CVs`` access too
             _ = self.n_frames_file
+
+    @property
+    def CVs(self) -> dict[str, np.ndarray]:
+        self._ensure_h5_cvs()
         return {k: self._CVs[k] for k in self._CVs}
 
     def _add_cv_checked(
@@ -868,19 +871,42 @@ class SingleTraj:
             ct._custom_chi = custom._custom_chi
             ct._dihedral_overrides = custom._dihedral_overrides
             ct._extra_bonds = list(custom._extra_bonds)
+            ct._delete_bonds = list(custom._delete_bonds)
             ct._not_dihedrals = custom._not_dihedrals
             ct._protein_names = custom._protein_names
         else:
             ct = CustomTopology.from_custom_aas(self.top, custom)
         self._top = ct.apply()
+        self._validate_strict_deletes()
+
+    def _validate_strict_deletes(self) -> None:
+        """Strict 'delete_bonds' are validated ONCE, here, against this
+        trajectory's own first frame — the analog of the reference
+        validating at topology-patch time (``trajinfo_utils.py:980-991``).
+        After a successful pass they are downgraded to optional so a later
+        ``guess_bonds`` on distorted/generated coordinates can never raise
+        geometry-dependently from deep inside plotting or backmapping."""
+        dels = getattr(self._top, "_deleted_bonds", [])
+        if not any(strict for _, _, strict in dels):
+            return
+        from ..misc.backmapping_offline import guess_bonds
+
+        frame0 = self.xyz[0] if self._xyz is not None else self[0].xyz[0]
+        guess_bonds(self._top, frame0)  # raises on a strict miss
+        self._top._deleted_bonds = [
+            (lo, hi, False) for lo, hi, _ in dels
+        ]
 
     def __getattr__(self, name: str):
         # CV access as attributes (reference behavior)
         if name.startswith("_"):
             raise AttributeError(name)
         cvs = self.__dict__.get("_CVs")
-        if cvs is not None and name in cvs:
-            return cvs[name]
+        if cvs is not None:
+            if name not in cvs:
+                self._ensure_h5_cvs()
+            if name in cvs:
+                return cvs[name]
         raise AttributeError(name)
 
     # ------------------------------------------------------------------ save

@@ -188,17 +188,31 @@ class SingleTrajFeaturizer:
         if type(feature).__name__ == "CustomFeature":
             if getattr(feature, "id", None) is None:
                 feature.id = self._n_custom_features
-            elif feature.id in self._custom_feature_ids:
+            elif (feature.id in self._custom_feature_ids
+                  and feature not in self.features):
+                # a DIFFERENT feature reusing an id is an error; re-adding
+                # the same one falls through to the warn-and-skip dedup
                 raise ValueError(
                     f"A CustomFeature with the id {feature.id} already "
                     f"exists. Please change the id of your CustomFeature."
                 )
+            feature.name = f"CustomFeature_{feature.id}"
+        else:
+            # subclasses without their own `name` get the class name, like
+            # the reference (featurizer.py:1607-1611); a read-only `name`
+            # property keeps its value
+            try:
+                feature.name = type(feature).__name__
+            except AttributeError:
+                pass
+        before = len(self.features)
+        self.features.append(feature)  # warns + skips value-duplicates
+        if (len(self.features) > before
+                and type(feature).__name__ == "CustomFeature"):
             self._custom_feature_ids.append(feature.id)
             self._n_custom_features = max(
                 self._n_custom_features, feature.id + 1
             )
-            feature.name = f"CustomFeature_{feature.id}"
-        self.features.append(feature)
 
     def add_distances(self, indices, periodic: bool = True,
                       indices2=None) -> None:
@@ -425,15 +439,17 @@ class SingleTrajFeaturizer:
             for j, r in enumerate(res):
                 blocks[j].append(np.asarray(r))
 
+        pass_host = getattr(run, "accepts_host_blocks", False)
         pending = None
         for i in range(0, len(xyz), self.block_size):
-            xb = jnp.asarray(xyz[i : i + self.block_size])
-            bb = (
-                jnp.asarray(box[i : i + self.block_size])
-                if box is not None
-                else None
-            )
-            res = run(xb, bb, triclinic)
+            xyz_np = xyz[i : i + self.block_size]
+            box_np = box[i : i + self.block_size] if box is not None else None
+            xb = jnp.asarray(xyz_np)
+            bb = jnp.asarray(box_np) if box_np is not None else None
+            if pass_host:
+                res = run(xb, bb, triclinic, xyz_np, box_np)
+            else:
+                res = run(xb, bb, triclinic)
             if pending is not None:
                 flush(pending)
             pending = res
@@ -512,19 +528,28 @@ def make_feature_runner(feats):
     if host_idx:
         host_set = set(host_idx)
 
-        def run(xyz_block, box_block, triclinic: bool):
+        def run(xyz_block, box_block, triclinic: bool,
+                xyz_np=None, box_np=None):
+            # callers that still hold the host copy of the block pass it in
+            # (get_output_for does) — otherwise a just-uploaded block would
+            # be read straight back off the device, a pure waste that also
+            # serializes the double-buffered pipeline on remote TPUs
             dev = run_jit(xyz_block, box_block, triclinic) if run_feats \
                 else []
-            xyz_np = np.asarray(xyz_block)
-            box_np = None if box_block is None else np.asarray(box_block)
+            if xyz_np is None:
+                xyz_np = np.asarray(xyz_block)
+            if box_np is None and box_block is not None:
+                box_np = np.asarray(box_block)
             dev_it = iter(dev)
             return [
                 feats[i].transform(xyz_np, box_np) if i in host_set
                 else next(dev_it)
                 for i in range(len(feats))
             ]
+
+        run.accepts_host_blocks = True
     else:
-        run = run_jit
+        run = run_jit  # callers getattr(run, "accepts_host_blocks", False)
 
     def slice_xyz(xyz_np):
         return xyz_np if atom_union is None else xyz_np[:, atom_union]

@@ -653,3 +653,52 @@ class TestCustomFeature:
                 fun=lambda t: t.xyz[:, :3, 0], dim=3,
                 description=["a", "b"],
             ).describe()
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestCustomFeatureReviewFixes:
+    def test_subclass_without_name_gets_class_name(self):
+        import encodermap_tpu as em
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+
+        class MySubFeature(em.features.CustomFeature):
+            def __init__(self, traj):
+                self.traj = traj
+                self.top = traj.top
+                self.dimension = 1
+
+            def describe(self):
+                return ["first atom x"]
+
+            def call(self, t):
+                return t.xyz[:, 0, :1].copy()
+
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(MySubFeature(traj))
+        out = feat.get_output()
+        assert list(out) == ["MySubFeature"]
+
+    def test_re_adding_same_feature_warns_and_skips(self):
+        import encodermap_tpu as em
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        f = em.features.CustomFeature(
+            fun=lambda t: t.xyz[:, 0, :1], dim=1
+        )
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(f)
+        with pytest.warns(UserWarning, match="re-add"):
+            feat.add_custom_feature(f)
+        assert len(feat.features) == 1
+        # and the dedup didn't burn an id: the next feature is _1
+        f2 = em.features.CustomFeature(
+            fun=lambda t: t.xyz[:, 1, :1], dim=1
+        )
+        feat.add_custom_feature(f2)
+        assert f2.id == 1
+
+    def test_h5_cv_attribute_access_without_prior_touch(self):
+        t = SingleTraj(DATA / "1am7_corrected_with_CVs.h5")
+        # no .CVs / .n_frames touch first: attribute access still works
+        assert t.x_and_y_coordinate.shape == (51, 2504, 2)

@@ -966,14 +966,51 @@ class TestDeleteBonds:
         assert len(pruned) == len(plain) - len(cb_cg)
 
     def test_strict_delete_of_missing_bond_raises(self, asp7):
+        # N and OD2 of the same ASP are never within covalent range; the
+        # strict form raises EARLY, at topology-patch time (like the
+        # reference), not geometry-dependently inside later guessing
+        with pytest.raises(ValueError, match="optional_delete_bonds"):
+            asp7.load_custom_topology(
+                {"ASP": ("D", {"delete_bonds": [("N", "OD2")]})}
+            )
+
+    def test_strict_delete_validated_once_then_inert(self, asp7):
         from encodermap_tpu.misc.backmapping_offline import guess_bonds
 
-        # N and OD2 of the same ASP are never within covalent range
+        # a real bond deletes strictly without error ...
         asp7.load_custom_topology(
-            {"ASP": ("D", {"delete_bonds": [("N", "OD2")]})}
+            {"ASP": ("D", {"delete_bonds": [("CB", "CG")]})}
         )
-        with pytest.raises(ValueError, match="optional_delete_bonds"):
-            guess_bonds(asp7.top, asp7.xyz[0])
+        # ... and afterwards even distorted coordinates (where the bond
+        # would never be guessed) cannot raise from inside plotting or
+        # backmapping paths
+        far = asp7.xyz[0] + np.arange(asp7.n_atoms)[:, None] * 10.0
+        bonds = guess_bonds(asp7.top, far)
+        assert isinstance(bonds, list)
+
+    def test_custom_topology_instance_route_carries_deletes(self, asp7):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        ct = CustomTopology.from_custom_aas(
+            asp7.top, {"ASP": ("D", {"optional_delete_bonds": [("CB", "CG")]})}
+        )
+        asp7.load_custom_topology(ct)  # instance, not dict
+        names = {
+            frozenset((asp7.top.atom(a).name, asp7.top.atom(b).name))
+            for a, b in guess_bonds(asp7.top, asp7.xyz[0])
+        }
+        assert frozenset(("CB", "CG")) not in names
+
+    def test_int_atom_indices_in_bond_tables(self, asp7):
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        plain = guess_bonds(asp7.top, asp7.xyz[0])
+        lo, hi = plain[0]
+        asp7.load_custom_topology(
+            {"ASP": ("D", {"optional_delete_bonds": [(lo, hi)]})}
+        )
+        assert (lo, hi) not in guess_bonds(asp7.top, asp7.xyz[0])
 
     def test_delete_bonds_survive_json_roundtrip(self, asp7):
         from encodermap_tpu.data.custom_topology import CustomTopology

@@ -20,9 +20,31 @@ from typing import Optional, Union
 __all__ = ["get_from_kondata", "load_project"]
 
 KONDATA_URL = "https://dx.doi.org/10.48606/99"
-_FALLBACK_URLS = [
-    "https://kondata.uni-konstanz.de/radar/api/datasets/{dataset}/download",
-]
+
+#: name -> KonDATA DOI, like the reference's mapping (``kondata.py:66-69``);
+#: RADAR dataset ids are opaque, so names NOT in this table cannot be
+#: fetched from KonDATA and fall back to the reference's second source
+DATASET_URL_MAPPING = {
+    "test": "https://dx.doi.org/10.48606/108",
+    "H1Ub": "https://dx.doi.org/10.48606/99",
+}
+
+
+def _download_urls(dataset_name: str) -> list[str]:
+    """Candidate download URLs in the reference's resolution order: the
+    KonDATA RADAR endpoint derived from the dataset's DOI (when mapped),
+    then the maintainer's plain-HTTP mirror (``kondata.py:176-177``)."""
+    urls = []
+    doi = DATASET_URL_MAPPING.get(dataset_name)
+    if doi is not None:
+        suffix = doi.rsplit("/", 1)[-1]
+        urls.append(
+            f"https://kondata.uni-konstanz.de/radar/api/datasets/"
+            f"10.48606-{suffix}/download"
+        )
+    urls.append(f"https://sawade.io/encodermap_data/{dataset_name}.tar.gz")
+    urls.append(f"https://sawade.io/encodermap_data/{dataset_name}.tar")
+    return urls
 
 
 def get_from_kondata(
@@ -69,9 +91,18 @@ def get_from_kondata(
             dir=output.parent, prefix=f".{dataset_name}.dl."
         ) as tmp:
             tmp = Path(tmp)
-            url = _FALLBACK_URLS[0].format(dataset=dataset_name)
             target = tmp / f"{dataset_name}.tar"
-            urllib.request.urlretrieve(url, target)  # noqa: S310
+            last_err: Optional[Exception] = None
+            for url in _download_urls(dataset_name):
+                try:
+                    urllib.request.urlretrieve(url, target)  # noqa: S310
+                    break
+                except Exception as e:  # try the next source
+                    last_err = e
+            else:
+                raise last_err if last_err is not None else RuntimeError(
+                    "no download sources"
+                )
             extract = tmp / "extracted"
             extract.mkdir()
 
@@ -123,7 +154,22 @@ def load_project(
         trajs_h5 = h5_files
     if not trajs_h5:
         raise FileNotFoundError(f"no trajectory .h5 files in {root}")
-    ensemble = TrajEnsemble([SingleTraj(f) for f in trajs_h5])
+
+    def _is_multi_group(path: Path) -> bool:
+        # TrajEnsemble.save() writes one traj_N group per member; a
+        # SingleTraj h5 has top-level coordinates/topology instead
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return any(k.startswith("traj_") for k in f)
+
+    members: list[SingleTraj] = []
+    for f in trajs_h5:
+        if _is_multi_group(f):
+            members.extend(TrajEnsemble.from_dataset(f).trajs)
+        else:
+            members.append(SingleTraj(f))
+    ensemble = TrajEnsemble(members)
     if traj != -1:
         ensemble = TrajEnsemble([ensemble.trajs[traj]])
 

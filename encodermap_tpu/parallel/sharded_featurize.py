@@ -90,15 +90,22 @@ class ShardedFeaturizer:
             if pad:
                 idx = np.concatenate([idx, np.full(pad, stop - 1)])
             sub = traj[idx]
-            xyz = jax.device_put(
-                slice_xyz(np.asarray(sub.xyz, np.float32)), data_sharding
-            )
+            xyz_host = slice_xyz(np.asarray(sub.xyz, np.float32))
+            xyz = jax.device_put(xyz_host, data_sharding)
             box = sub.unitcell_vectors
-            box_j = (
-                jax.device_put(np.asarray(box, np.float32), data_sharding)
-                if box is not None else None
+            box_host = (
+                np.asarray(box, np.float32) if box is not None else None
             )
-            results = run(xyz, box_j, triclinic)
+            box_j = (
+                jax.device_put(box_host, data_sharding)
+                if box_host is not None else None
+            )
+            if getattr(run, "accepts_host_blocks", False):
+                # mixed runs with host CustomFeatures reuse the host copy
+                # instead of gathering the sharded block back off devices
+                results = run(xyz, box_j, triclinic, xyz_host, box_host)
+            else:
+                results = run(xyz, box_j, triclinic)
             if pending is not None:
                 yield pending
             pending = (results, pad)
@@ -168,6 +175,18 @@ class ShardedFeaturizer:
                             f.generic_describe() if ensemble else f.describe()
                         )
                         d.attrs["labels"] = np.asarray(labels, dtype="S")
+                        # same sidecar metadata as CVCollection.to_hdf5 so
+                        # the streaming path round-trips attrs (deg/rad
+                        # homogeneity guard) and indices (CV-order
+                        # backmapping) identically to get_output()
+                        if (getattr(f, "deg", None) is not None
+                                and not getattr(f, "cossin", False)):
+                            d.attrs["attr_angle_units"] = (
+                                "deg" if f.deg else "rad"
+                            )
+                        if f.indices is not None:
+                            g.create_dataset(f"{name}__indices",
+                                             data=f.indices)
                         dsets.append(d)
                 for d, r in zip(dsets, host):
                     d[row : row + len(r)] = r

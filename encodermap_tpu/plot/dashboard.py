@@ -56,8 +56,10 @@ class DashboardSession:
                 )
             from .interactive import InteractivePlotting
 
+            # `data` is HIGH-dimensional training data — it must not land in
+            # the third positional slot, which is lowd_data
             self._interactive = InteractivePlotting(
-                self.autoencoder, self.trajs, self.data,
+                self.autoencoder, self.trajs, data=self.data,
                 main_path=self.main_path,
             )
         return self._interactive
@@ -260,10 +262,12 @@ class TopPage:
 
         dash.register_page(self.name, path=self.path, layout=self.layout)
 
+        # initial call must fire: the dropdown pre-selects value=0, and
+        # with a single topology there is no other option to toggle
+        # through to trigger a change event
         @app.callback(
             dash.Output("top-out", "children"),
             dash.Input("top-select", "value"),
-            prevent_initial_call=True,
         )
         def _show(value):
             if value is None:

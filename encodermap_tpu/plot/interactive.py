@@ -49,6 +49,13 @@ class InteractivePlotting:
         main_path: Optional[Union[str, Path]] = None,
     ) -> None:
         self.autoencoder = autoencoder
+        if trajs is not None and not hasattr(trajs, "trajs"):
+            # a bare SingleTraj: wrap so cluster()/plot_cluster's
+            # ensemble-shaped access works (same normalization as the
+            # dashboard's UploadPage.load_trajs)
+            from ..data import TrajEnsemble
+
+            trajs = TrajEnsemble([trajs])
         self.trajs = trajs
         self.main_path = Path(
             main_path
@@ -152,6 +159,9 @@ class InteractivePlotting:
                 (Bernstein-polynomial curve with the points as control
                 polygon, like the reference's BezierBuilder).
         """
+        if self.autoencoder is None:
+            raise RuntimeError("path() needs an autoencoder to generate "
+                               "along the path")
         pts = np.asarray(points, np.float32)
         if pts.ndim != 2 or len(pts) < 2:
             raise ValueError(
@@ -325,9 +335,9 @@ def interactive_path_visualization(traj, lowd, path):
         f"Path has {n} points, trajectory has {len(traj.xyz)} frames."
     )
 
-    import matplotlib
-
-    matplotlib.use("Agg")
+    # never force a backend here: flipping to Agg would kill the very
+    # scrubber this builds AND leak into the caller's later figures —
+    # headless tests set MPLBACKEND themselves
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots()

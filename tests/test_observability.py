@@ -82,3 +82,102 @@ class TestLoadProject:
         trajs = em.load_project("my_proj", load_autoencoder=False)
         assert trajs.n_trajs == 1
         assert trajs.trajs[0].n_frames == 10
+
+
+class TestReviewWave12:
+    """Regression tests for the plot/parallel/kondata review findings."""
+
+    def test_dashboard_data_lands_in_highd_slot(self, tmp_path):
+        import numpy as np
+
+        import encodermap_tpu as em
+        from encodermap_tpu.plot.dashboard import DashboardSession
+
+        data, _ = em.create_n_cube(3, points_along_edge=20, seed=1)
+        p = em.Parameters(main_path=str(tmp_path / "r"), n_steps=10,
+                          steps_per_scan=5, batch_size=32,
+                          periodicity=float("inf"), seed=1)
+        emap = em.EncoderMap(p, data)
+        emap.train()
+        sess = DashboardSession(emap, data=data)
+        # latent must be the 2-D ENCODING of data, not data itself
+        assert sess.interactive.latent.shape == (len(data), 2)
+        assert not np.allclose(sess.interactive.latent, data[:, :2])
+
+    def test_load_project_multigroup_ensemble_h5(self, tmp_path,
+                                                 monkeypatch):
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        t1 = SingleTraj(D + "asp7.xtc", D + "asp7.pdb", traj_num=0)
+        t2 = SingleTraj(D + "glu7.xtc", D + "glu7.pdb", traj_num=1)
+        trajs = TrajEnsemble([t1, t2])
+        trajs.load_CVs("all", ensemble=True)
+        proj = tmp_path / "proj"
+        proj.mkdir()
+        trajs.save(proj / "trajs.h5")
+        monkeypatch.setenv("ENCODERMAP_DATA_DIR", str(tmp_path))
+        (tmp_path / "proj").rename(tmp_path / "my_ens_proj")
+        out = em.load_project("my_ens_proj", load_autoencoder=False)
+        assert out.n_trajs == 2
+        assert out.n_frames == t1.n_frames + t2.n_frames
+
+    def test_sharded_to_hdf5_preserves_attrs_and_indices(self, tmp_path):
+        import h5py
+        import numpy as np
+
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.parallel.sharded_featurize import (
+            ShardedFeaturizer,
+        )
+
+        D = "/root/reference/tests/data/"
+        traj = SingleTraj(D + "asp7.xtc", D + "asp7.pdb")
+        sharded = ShardedFeaturizer(traj, block_size=64)
+        sharded._inner.add_backbone_torsions(deg=True)
+        sharded.to_hdf5(tmp_path / "cvs.h5")
+        with h5py.File(tmp_path / "cvs.h5") as f:
+            d = f["CVs/BackboneTorsionFeature"]
+            assert d.attrs["attr_angle_units"] == "deg"
+            assert "BackboneTorsionFeature__indices" in f["CVs"]
+            idx = np.asarray(f["CVs/BackboneTorsionFeature__indices"])
+            assert idx.shape[1] == 4
+
+    def test_interactive_single_traj_cluster(self, tmp_path):
+        import numpy as np
+
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.plot.interactive import InteractivePlotting
+
+        D = "/root/reference/tests/data/"
+        traj = SingleTraj(D + "asp7.xtc", D + "asp7.pdb")
+        rng = np.random.default_rng(0)
+        lowd = rng.normal(size=(traj.n_frames, 2))
+        highd = rng.normal(size=(traj.n_frames, 6))
+        sess = InteractivePlotting(trajs=traj, lowd_data=lowd,
+                                   highd_data=highd, main_path=tmp_path)
+        sess.select_rectangle(-10, -10, 10, 10)
+        out = sess.cluster("c0")  # must not AttributeError on .trajs
+        assert out
+
+    def test_path_without_autoencoder_raises_informatively(self):
+        import numpy as np
+
+        from encodermap_tpu.plot.interactive import InteractivePlotting
+
+        lowd = np.zeros((10, 2), np.float32)
+        highd = np.zeros((10, 5), np.float32)
+        sess = InteractivePlotting(lowd_data=lowd, highd_data=highd)
+        with pytest.raises(RuntimeError, match="autoencoder"):
+            sess.path([(0.0, 0.0), (1.0, 1.0)])
+
+    def test_kondata_named_dataset_resolves_via_mapping(self):
+        from encodermap_tpu.kondata import _download_urls
+
+        urls = _download_urls("H1Ub")
+        assert urls[0].endswith("10.48606-99/download")
+        assert any("sawade.io" in u for u in urls)
+        # unmapped names skip the RADAR endpoint entirely
+        urls = _download_urls("unknown_thing")
+        assert all("kondata" not in u for u in urls)

@@ -32,7 +32,10 @@ def load_gro(path: Union[str, Path]) -> tuple[Topology, np.ndarray, Optional[np.
         lines = fh.read().splitlines()
     i = 0
     while i < len(lines):
-        if not lines[i].strip():
+        if not lines[i].strip() and frames:
+            # trailing/padding blank lines AFTER the first frame; a blank
+            # FIRST line is a legal empty title and must not be skipped
+            # (skipping would misread the atom-count line as the title)
             i += 1
             continue
         # title line, then atom count
@@ -82,6 +85,14 @@ class DCDReader:
             icntrl = struct.unpack(f"{self._end}20i", hdr[4:])
             self.n_frames_header = icntrl[0]
             self._has_cell = icntrl[10] != 0
+            if icntrl[8] != 0:
+                # NAMNF > 0: a FREEAT index record follows and frames 2..N
+                # store only free atoms — the fixed layout below would
+                # silently decode garbage
+                raise IOError(
+                    f"{path}: DCD files with fixed atoms "
+                    f"(NAMNF={icntrl[8]}) are not supported"
+                )
             fh.read(4)  # trailing marker
             # title record
             (tlen,) = struct.unpack(f"{self._end}i", fh.read(4))
@@ -178,6 +189,7 @@ class TRRReader:
         self.path = str(path)
         self._offsets: list[int] = []
         self._meta: list[tuple] = []
+        file_size = Path(self.path).stat().st_size
         with open(self.path, "rb") as fh:
             while True:
                 pos = fh.tell()
@@ -199,11 +211,18 @@ class TRRReader:
                 fsize = 8 if double else 4
                 t_lambda = fh.read(2 * fsize)  # t, lambda
                 body = box_sz + vir + pres + x_sz + v_sz + f_sz
+                body_start = fh.tell()
+                if body_start + body > file_size:
+                    # final frame cut off mid-write (crashed simulation):
+                    # drop it, like the XTC path's truncated-frame
+                    # tolerance — seek past EOF would "succeed" and read()
+                    # would later die on a short buffer
+                    break
                 self._meta.append(
                     (pos, natoms, step, double, box_sz, vir, pres,
-                     x_sz, v_sz, f_sz, fh.tell())
+                     x_sz, v_sz, f_sz, body_start)
                 )
-                fh.seek(fh.tell() + body)
+                fh.seek(body_start + body)
         self.n_frames = len(self._meta)
         self.n_atoms = self._meta[0][1] if self._meta else 0
 
@@ -252,9 +271,21 @@ def write_trr(
     box: Optional[np.ndarray] = None,
     steps: Optional[np.ndarray] = None,
 ) -> None:
-    """Write a single-precision TRR file (coordinates in nm)."""
+    """Write a single-precision TRR file (coordinates in nm). ``box`` may
+    be (n, 3, 3) Bravais vectors or (n, 3) orthorhombic lengths (the shape
+    this library's own GRO/DCD readers produce) — lengths are promoted to
+    diagonal vectors, since the header always declares 36 box bytes."""
     xyz = np.asarray(xyz, np.float32)
     n_frames, n_atoms, _ = xyz.shape
+    if box is not None:
+        box = np.asarray(box, np.float32)
+        if box.ndim == 2 and box.shape[1] == 3:
+            box = np.stack([np.diag(b) for b in box])
+        if box.shape != (n_frames, 3, 3):
+            raise ValueError(
+                f"box must be (n_frames, 3, 3) vectors or (n_frames, 3) "
+                f"lengths, got {box.shape}"
+            )
     tag = b"GMX_trn_file"
     with open(path, "wb") as fh:
         for f in range(n_frames):

@@ -151,8 +151,13 @@ def write_pdb(
                 name = atom.name
                 name_fmt = f" {name:<3s}" if len(name) < 4 else f"{name:<4s}"
                 chain = chain_ids[r.chain_index % len(chain_ids)]
+                # fixed-column format: wrap overflowing serial/resSeq like
+                # mdtraj (serial % 100000, resSeq % 10000) and clamp the
+                # residue name — an overflow would shift every later
+                # column and silently corrupt parsed coordinates
                 fh.write(
-                    f"ATOM  {serial:5d} {name_fmt} {r.name:<4s}{chain}{r.resSeq:4d}"
+                    f"ATOM  {serial % 100000:5d} {name_fmt} "
+                    f"{r.name[:4]:<4s}{chain}{r.resSeq % 10000:4d}"
                     f"    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00"
                     f"          {atom.element:>2s}\n"
                 )

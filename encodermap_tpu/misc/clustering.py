@@ -24,14 +24,19 @@ def pairwise_rmsd_matrix(xyz: np.ndarray, max_frames: int = 500) -> np.ndarray:
     if len(xyz) > max_frames:
         idx = np.linspace(0, len(xyz) - 1, max_frames).astype(int)
         xyz = xyz[idx]
-    arr = jnp.asarray(xyz)
+    return np.asarray(_rmsd_matrix_jit(jnp.asarray(xyz)))
 
+
+@jax.jit
+def _rmsd_matrix_jit(arr):
+    # module-level jit: per-call closures would give jax.jit a fresh
+    # function identity and recompile every invocation — each compile on
+    # the remote-TPU axon platform is a minutes-long RPC
     def rmsd_one(a, b):
         return kabsch_weighted(a, b)[0]
 
     row = jax.vmap(rmsd_one, in_axes=(None, 0))
-    mat = jax.jit(jax.vmap(row, in_axes=(0, None)))(arr, arr)
-    return np.asarray(mat)
+    return jax.vmap(row, in_axes=(0, None))(arr, arr)
 
 
 def rmsd_centroid_of_cluster(

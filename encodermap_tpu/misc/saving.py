@@ -157,9 +157,15 @@ def latest_checkpoint(
 def load_checkpoint(
     path: Union[str, Path], prefix: str = "saved_model"
 ) -> tuple[Any, Optional[Any], int]:
-    """Load (params, opt_state_or_None, step) from a checkpoint file or the
-    newest checkpoint in a directory. See :func:`load_checkpoint_rng` for
-    the stored PRNG key."""
+    """Load ``(params, opt_npz_path_or_None, step)`` from a checkpoint file
+    or the newest checkpoint in a directory.
+
+    The second element is the PATH of the sibling ``.opt.npz`` file (or
+    None) — NOT a reconstructed optimizer state: optax states are
+    NamedTuple trees whose node types cannot be rebuilt from the file
+    alone. Feed it to :func:`load_pytree_into` with a freshly-initialized
+    state as the template (``train/autoencoder.py`` does exactly that).
+    See :func:`load_checkpoint_rng` for the stored PRNG key."""
     path = Path(path)
     if path.is_dir():
         found = latest_checkpoint(path, prefix)

@@ -115,17 +115,20 @@ def image_summary(
     """
     import io
 
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    # render offscreen WITHOUT touching the process-global backend: a
+    # matplotlib.use('Agg') here would silently kill any interactive
+    # plotting the user does after training writes its first image
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     latent = np.asarray(latent)
     if latent.shape[0] > max_points:
         idx = np.random.default_rng(0).choice(latent.shape[0], max_points, False)
         latent = latent[idx]
 
-    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    fig = Figure(figsize=(8, 4))
+    FigureCanvasAgg(fig)
+    axes = fig.subplots(1, 2)
     if np.any(np.isnan(latent)):
         for ax in axes:
             ax.text(0.5, 0.5, "NaN in latent", ha="center", va="center")
@@ -137,7 +140,6 @@ def image_summary(
         axes[1].set_title("latent density")
     buf = io.BytesIO()
     fig.savefig(buf, format="png", dpi=100)
-    plt.close(fig)
     png = buf.getvalue()
 
     out = Path(main_path) / f"{name}_{step}.png"

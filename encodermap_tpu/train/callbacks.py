@@ -39,7 +39,9 @@ class Callback:
 
     ``on_chunk_end(first_step, metrics)`` gets ``metrics`` as a dict of
     1-D arrays of length ``steps_per_scan`` where row i belongs to global
-    step ``first_step + i``. Return ``False`` to stop training.
+    step ``first_step + i + 1`` — the 1-based number of the COMPLETED
+    step, identical to the ``step`` field the metrics writer puts in
+    train_metrics.jsonl/TensorBoard. Return ``False`` to stop training.
     """
 
     def on_train_begin(self, autoencoder: Any) -> None: ...
@@ -127,11 +129,24 @@ class EarlyStop(Callback):
         self._autoencoder = autoencoder
 
     def on_chunk_end(self, first_step: int, metrics: dict) -> Optional[bool]:
+        if self.monitor not in metrics:
+            # a Keras-habit monitor like 'val_loss': warn once and skip
+            # instead of KeyError-aborting the whole training run
+            if not getattr(self, "_warned_missing", False):
+                import warnings
+
+                warnings.warn(
+                    f"EarlyStop: monitored metric {self.monitor!r} not in "
+                    f"emitted metrics {sorted(metrics)}; skipping."
+                )
+                self._warned_missing = True
+            return None
         vals = np.asarray(metrics[self.monitor])
         i = int(vals.argmin())
         if vals[i] < self.best - self.min_delta:
             self.best = float(vals[i])
-            self.best_step = first_step + i
+            # 1-based completed-step label, matching the JSONL rows
+            self.best_step = first_step + i + 1
             if self.restore_best_weights and self._autoencoder is not None:
                 # host copy: the train step donates its input buffers, so
                 # device arrays held here would be deleted by the next chunk
@@ -163,7 +178,9 @@ class NaNInterrupt(Callback):
         loss = np.asarray(metrics["loss"])
         if not np.all(np.isfinite(loss)):
             bad = int(np.argmax(~np.isfinite(loss)))
-            print(f"NaN/Inf loss at step {first_step + bad}; stopping training.")
+            # label matches the JSONL/TensorBoard step of the same row
+            print(f"NaN/Inf loss at step {first_step + bad + 1}; "
+                  f"stopping training.")
             return False
         return None
 

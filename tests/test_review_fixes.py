@@ -2041,3 +2041,134 @@ class TestWave11Fixes:
         np.save(ok, np.ones((t1.n_frames, 2)))
         with pytest.raises(FileNotFoundError, match="typo"):
             trajs.load_CVs([str(ok), str(tmp_path / "typo.npy")], "cv")
+
+
+class TestWave13Fixes:
+    """IO-format + callback findings: fixed-atom DCDs, truncated TRR,
+    write_trr box shapes, GRO empty titles, PDB column overflow, EarlyStop
+    missing monitor, offscreen image rendering, clustering jit reuse."""
+
+    def test_dcd_with_fixed_atoms_refused(self, tmp_path):
+        import struct
+
+        from encodermap_tpu.data.formats import DCDReader
+
+        p = tmp_path / "fixed.dcd"
+        icntrl = [1] + [0] * 19
+        icntrl[8] = 5  # NAMNF: 5 fixed atoms
+        with open(p, "wb") as fh:
+            fh.write(struct.pack("<i", 84))
+            fh.write(b"CORD")
+            fh.write(struct.pack("<20i", *icntrl))
+            fh.write(struct.pack("<i", 84))
+        with pytest.raises(IOError, match="fixed atoms"):
+            DCDReader(p)
+
+    def test_trr_truncated_final_frame_dropped(self, tmp_path):
+        from encodermap_tpu.data.formats import TRRReader, write_trr
+
+        xyz = np.random.default_rng(0).normal(
+            size=(3, 4, 3)).astype(np.float32)
+        p = tmp_path / "t.trr"
+        write_trr(p, xyz)
+        data = p.read_bytes()
+        (tmp_path / "cut.trr").write_bytes(data[: len(data) - 20])
+        r = TRRReader(tmp_path / "cut.trr")
+        assert r.n_frames == 2
+        out, _, _ = r.read()
+        np.testing.assert_allclose(out, xyz[:2], atol=1e-6)
+
+    def test_write_trr_accepts_box_lengths(self, tmp_path):
+        from encodermap_tpu.data.formats import TRRReader, write_trr
+
+        xyz = np.random.default_rng(1).normal(
+            size=(2, 4, 3)).astype(np.float32)
+        lengths = np.asarray([[3.0, 4.0, 5.0]] * 2, np.float32)
+        p = tmp_path / "b.trr"
+        write_trr(p, xyz, box=lengths)
+        out, box, _ = TRRReader(p).read()
+        np.testing.assert_allclose(out, xyz, atol=1e-6)
+        np.testing.assert_allclose(box[0], np.diag([3.0, 4.0, 5.0]),
+                                   atol=1e-6)
+        with pytest.raises(ValueError, match="box"):
+            write_trr(tmp_path / "bad.trr", xyz, box=np.zeros((2, 4)))
+
+    def test_gro_with_empty_title(self, tmp_path):
+        from encodermap_tpu.data.formats import load_gro
+
+        gro = (
+            "\n"
+            "    2\n"
+            "    1LYS      N    1   1.000   2.000   3.000\n"
+            "    1LYS     CA    2   1.100   2.100   3.100\n"
+            "   5.00000   5.00000   5.00000\n"
+        )
+        p = tmp_path / "empty_title.gro"
+        p.write_text(gro)
+        top, xyz, box = load_gro(p)
+        assert top.n_atoms == 2
+        np.testing.assert_allclose(xyz[0, 0], [1.0, 2.0, 3.0])
+
+    def test_write_pdb_wraps_large_serials_and_resseqs(self, tmp_path):
+        from encodermap_tpu.data.pdb import load_pdb, write_pdb
+        from encodermap_tpu.data.topology import Topology
+
+        top = Topology()
+        r = top.add_residue("ALA", 12345, 0)  # resSeq > 9999
+        top.add_atom("CA", "C", r)
+        xyz = np.asarray([[[1.0, 2.0, 3.0]]], np.float32)
+        p = tmp_path / "wrap.pdb"
+        write_pdb(p, top, xyz)
+        top2, xyz2, _ = load_pdb(p)
+        np.testing.assert_allclose(xyz2[0, 0], xyz[0, 0], atol=1e-3)
+        assert top2.residues[0].resSeq == 12345 % 10000
+
+    def test_earlystop_missing_monitor_warns_not_crashes(self):
+        from encodermap_tpu.train.callbacks import EarlyStop
+
+        cb = EarlyStop(monitor="val_loss")
+        with pytest.warns(UserWarning, match="val_loss"):
+            out = cb.on_chunk_end(0, {"loss": np.ones(5)})
+        assert out is None
+        # second chunk: silent skip
+        assert cb.on_chunk_end(5, {"loss": np.ones(5)}) is None
+
+    def test_image_summary_leaves_backend_alone(self, tmp_path):
+        import matplotlib
+
+        from encodermap_tpu.misc.summaries import image_summary
+
+        before = matplotlib.get_backend()
+        latent = np.random.default_rng(0).normal(size=(100, 2))
+        out = image_summary(latent, 1, tmp_path)
+        assert Path(out).exists()
+        assert matplotlib.get_backend() == before
+
+    def test_step_labels_match_jsonl_rows(self, tmp_path):
+        """NaNInterrupt's printed step must equal the JSONL row's step
+        field (first_step + i + 1)."""
+        from encodermap_tpu.train.callbacks import NaNInterrupt
+
+        loss = np.ones(10, np.float32)
+        loss[3] = np.nan
+        cb = NaNInterrupt()
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            stop = cb.on_chunk_end(100, {"loss": loss})
+        assert stop is False
+        assert "step 104" in buf.getvalue()
+
+    def test_pairwise_rmsd_matrix_reuses_one_jit(self):
+        from encodermap_tpu.misc import clustering
+
+        xyz = np.random.default_rng(2).normal(
+            size=(6, 5, 3)).astype(np.float32)
+        a = clustering.pairwise_rmsd_matrix(xyz)
+        before = clustering._rmsd_matrix_jit._cache_size()
+        b = clustering.pairwise_rmsd_matrix(xyz)
+        assert clustering._rmsd_matrix_jit._cache_size() == before
+        np.testing.assert_allclose(a, b)
+        assert a.shape == (6, 6)

@@ -1842,7 +1842,16 @@ class TrajEnsemble:
                 # CVs not on disk / file moved or deleted -> in-memory path
                 src = None
             if src is not None:
-                ids = self.id if yield_index else None
+                ids = None
+                if yield_index:
+                    # HDF5BatchSource concatenates traj_N groups sorted by
+                    # traj_num; self.id follows ensemble LIST order, which
+                    # grouping views may permute — build ids in file order
+                    members = sorted(self.trajs,
+                                     key=lambda t: t.traj_num or 0)
+                    ids = np.concatenate(
+                        [np.atleast_1d(t.id) for t in members], axis=0
+                    )
                 return self._lazy_batches(src, single, yield_index, ids)
         cvs = self.CVs
         arrays = [cvs[name] for name in CV_names]

@@ -89,7 +89,17 @@ class XTCReader:
         elif isinstance(indices, slice):
             idx = np.arange(self.n_frames)[indices]
         else:
-            idx = np.asarray(indices, np.int64)
+            raw = np.asarray(indices)
+            if raw.dtype == bool:
+                # a boolean mask cast to int64 would read frames 0/1
+                # repeatedly instead of the masked selection
+                if raw.shape != (self.n_frames,):
+                    raise IndexError(
+                        f"boolean mask length {raw.shape} does not match "
+                        f"{self.n_frames} frames"
+                    )
+                raw = np.where(raw)[0]
+            idx = np.asarray(raw, np.int64)
             if len(idx) and (
                 idx.min() < -self.n_frames or idx.max() >= self.n_frames
             ):
@@ -171,6 +181,14 @@ def write_xtc(
         np.ascontiguousarray(np.asarray(time, np.float32))
         if time is not None else None
     )
+    # the native writer indexes these per frame: a short buffer would be
+    # an out-of-bounds read in C++
+    for nm, arr in (("steps", step_arr), ("time", time_arr)):
+        if arr is not None and arr.shape != (n_frames,):
+            raise ValueError(
+                f"{nm} must have shape ({n_frames},) to match xyz, "
+                f"got {arr.shape}"
+            )
     err_frame = ctypes.c_int64(-1)
     # one open for the whole trajectory (a per-frame append-reopen loop
     # dominated large saves)

@@ -25,8 +25,17 @@ def parse_clustal_w(text_or_path: Union[str, Path]) -> dict[str, str]:
     Accepts the alignment text itself or a path to a file.
     """
     text = str(text_or_path)
-    if "\n" not in text and Path(text).exists():
-        text = Path(text).read_text()
+    if "\n" not in text:
+        p = Path(text)
+        if p.exists():
+            text = p.read_text()
+        elif isinstance(text_or_path, Path) or p.suffix.lower() in (
+            ".aln", ".clustal", ".clustal_num", ".txt", ".fasta",
+        ):
+            # clearly a (typo'd) file path, not alignment text — parsing
+            # it as text would yield an empty mapping and a confusing
+            # downstream error
+            raise FileNotFoundError(f"alignment file not found: {text}")
     seqs: dict[str, str] = {}
     for line in text.splitlines():
         if not line.strip() or line.startswith(("CLUSTAL", "MUSCLE")):

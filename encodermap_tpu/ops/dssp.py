@@ -141,8 +141,11 @@ def kabsch_sander_hbonds(
     hb &= has_h[:, None, :]  # acceptor i (axis 1), donor j (axis 2)
     idx = np.arange(R)
     hb[:, idx, idx] = False
-    # a residue cannot accept from its own peptide-bond partner
-    hb[:, idx[:-1], idx[1:]] = False
+    # a residue cannot accept from its own peptide-bond partner — but
+    # table-adjacent residues across a chain break are NOT bonded, and a
+    # real inter-chain H-bond there must survive
+    bonded = ~np.asarray(chain_break, bool)
+    hb[:, idx[:-1][bonded], idx[1:][bonded]] = False
     # CA-CA proximity prefilter (DSSP uses 9 A)
     hb &= rdist(ca, ca) < 9.0
     return hb
@@ -209,8 +212,11 @@ def _assign(hb: np.ndarray, ca: np.ndarray, chain_id: np.ndarray) -> np.ndarray:
     bridge_mat = (para | anti) & sep[None]
     bridged = bridge_mat.any(axis=2)
     nb = np.zeros_like(bridged)
-    nb[:, 1:] |= bridged[:, :-1]
-    nb[:, :-1] |= bridged[:, 1:]
+    # ladder extension only along the SAME chain: a bridged last-residue
+    # of chain A must not upgrade a bridged first-residue of chain B
+    same = chain_id[:-1] == chain_id[1:]
+    nb[:, 1:] |= bridged[:, :-1] & same[None, :]
+    nb[:, :-1] |= bridged[:, 1:] & same[None, :]
     ladder = bridged & nb
     ss[bridged] = "B"
     ss[ladder] = "E"

@@ -296,7 +296,7 @@ def fused_trainer_available(p, params, input_dim: int = 0) -> bool:
     return True
 
 
-def _adam_update(p_, m, v, g, t, lr, b1=0.9, b2=0.999, eps=1e-8,
+def _adam_update(p_, m, v, g, t, lr, b1=0.9, b2=0.999, eps=1e-7,
                  clip=1.0):
     """optax.chain(clip(1), adam(lr)) semantics on one tensor."""
     g = jnp.clip(g, -clip, clip)

@@ -34,7 +34,6 @@ __all__ = [
     "TrainState",
     "make_optimizer",
     "make_scan_trainer",
-    "sample_batch",
 ]
 
 Array = jax.Array
@@ -63,25 +62,13 @@ class TrainState:
 def make_optimizer(learning_rate: float, clip_value: float = 1.0
                    ) -> optax.GradientTransformation:
     """Adam with element-wise gradient clipping, matching the reference's
-    ``Adam(lr, clipvalue=1.0)``."""
+    ``Adam(lr, clipvalue=1.0)``. Keras Adam defaults to ``epsilon=1e-7``
+    (optax's default is 1e-8) — matched explicitly so update trajectories
+    agree with the reference where ``sqrt(v_hat)`` is small."""
     return optax.chain(
         optax.clip(clip_value),
-        optax.adam(learning_rate),
+        optax.adam(learning_rate, eps=1e-7),
     )
-
-
-def sample_batch(key: Array, data: Any, n: int, batch_size: int) -> Any:
-    """Draw a uniform random batch (with replacement) from device-resident
-    data. ``data`` may be a single array or a tuple of aligned arrays.
-
-    Statistically equivalent to the reference's shuffle+repeat+batch
-    ``tf.data`` pipeline for training purposes, but computable inside a
-    ``lax.scan`` without host round-trips.
-    """
-    idx = jax.random.randint(key, (batch_size,), 0, n)
-    if isinstance(data, (tuple, list)):
-        return tuple(jnp.take(d, idx, axis=0) for d in data)
-    return jnp.take(data, idx, axis=0)
 
 
 def make_scan_trainer(
@@ -127,9 +114,9 @@ def make_scan_trainer(
 
 def make_streaming_trainer(
     train_step: Callable[[TrainState, Any], tuple[TrainState, dict]],
-    steps_per_scan: int,
 ) -> Callable[[TrainState, Any], tuple[TrainState, dict]]:
-    """Scan trainer consuming a pre-sampled host superbatch.
+    """Scan trainer consuming a pre-sampled host superbatch; the scan
+    length is the superbatch's leading axis, set by the source.
 
     For datasets too large for device memory: the host (or an HDF5-backed
     source) samples ``steps_per_scan`` batches, uploads them as one
@@ -224,10 +211,16 @@ class HDF5BatchSource:
             else:
                 g = self._h5[group] if group else self._h5
                 self._dset_groups = [[g[n] for n in self.cv_names]]
-        except KeyError:
-            self._h5.close()  # don't leak the handle when CVs are absent
+            if not self._dset_groups or not self._dset_groups[0]:
+                raise KeyError(
+                    f"no CV datasets found in {path} for {self.cv_names}"
+                )
+            lengths = [dsets[0].shape[0] for dsets in self._dset_groups]
+        except Exception:
+            # don't leak the open handle on ANY init failure (absent CVs,
+            # oddly-named traj_* groups, empty cv_names, ...)
+            self._h5.close()
             raise
-        lengths = [dsets[0].shape[0] for dsets in self._dset_groups]
         self._offsets = np.concatenate([[0], np.cumsum(lengths)])
         self.n_frames = int(self._offsets[-1])
         self._rng = np.random.default_rng(seed)
@@ -431,9 +424,7 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None,
             return jax.device_put(jnp.asarray(x), sharding)
         return jnp.asarray(x)
 
-    trainer = make_streaming_trainer(
-        autoencoder._make_train_step(), autoencoder.p.steps_per_scan
-    )
+    trainer = make_streaming_trainer(autoencoder._make_train_step())
     if prefetch:
         source = PrefetchSource(source, depth=prefetch)
     history: dict[str, list] = {}

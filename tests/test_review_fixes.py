@@ -2172,3 +2172,242 @@ class TestWave13Fixes:
         assert clustering._rmsd_matrix_jit._cache_size() == before
         np.testing.assert_allclose(a, b)
         assert a.shape == (6, 6)
+
+
+class TestWave14Fixes:
+    """Training-core / IO / DSSP review findings: native-writer bounds,
+    boolean masks, lazy-iterator id order, Adam epsilon parity, alignment
+    path errors, DSSP chain-break handling."""
+
+    @needs_data
+    def test_write_xtc_rejects_short_time_and_steps(self, tmp_path):
+        from encodermap_tpu.data.xtc import write_xtc
+
+        xyz = np.random.default_rng(0).normal(
+            size=(10, 4, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match="time"):
+            write_xtc(tmp_path / "a.xtc", xyz,
+                      time=np.arange(3, dtype=np.float32))
+        with pytest.raises(ValueError, match="steps"):
+            write_xtc(tmp_path / "b.xtc", xyz,
+                      steps=np.arange(20, dtype=np.int32))
+
+    @needs_data
+    def test_xtc_reader_boolean_mask(self):
+        from encodermap_tpu.data.xtc import XTCReader
+
+        r = XTCReader("/root/reference/tests/data/asp7.xtc")
+        mask = np.zeros(r.n_frames, bool)
+        mask[[2, 5, 7]] = True
+        xyz_mask, _, _, _ = r.read(mask)
+        xyz_int, _, _, _ = r.read(np.asarray([2, 5, 7]))
+        np.testing.assert_array_equal(xyz_mask, xyz_int)
+        with pytest.raises(IndexError, match="mask"):
+            r.read(np.zeros(3, bool))
+
+    @needs_data
+    def test_lazy_batch_iterator_ids_follow_file_order(self, tmp_path):
+        """An ensemble whose list order permutes traj_nums must yield
+        correct [traj_num, frame] ids from the lazy iterator."""
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        # list order REVERSED relative to traj_num order
+        t5 = SingleTraj(D + "glu7.xtc", D + "glu7.pdb", traj_num=5)
+        t2 = SingleTraj(D + "asp7.xtc", D + "asp7.pdb", traj_num=2)
+        trajs = TrajEnsemble([t5, t2])
+        trajs.load_CVs("all", ensemble=True)
+        trajs.save(tmp_path / "ens.h5")
+        it = trajs.batch_iterator(batch_size=16, yield_index=True,
+                                  CV_names=["central_dihedrals"],
+                                  deterministic=True)
+        ids, batch = next(it)
+        cd = {t.traj_num: t.central_dihedrals for t in trajs}
+        for row_id, row in zip(ids, batch):
+            tn, fn = int(row_id[0]), int(row_id[1])
+            np.testing.assert_allclose(row, cd[tn][fn], atol=1e-6,
+                                       err_msg=f"id ({tn},{fn}) mismatched")
+
+    def test_adam_epsilon_matches_keras(self):
+        from encodermap_tpu.train.core import make_optimizer
+
+        opt = make_optimizer(1e-3)
+        # the adam transform is the second link of the chain
+        import optax
+
+        params = {"w": np.ones(3, np.float32)}
+        state = opt.init(params)
+        # tiny gradients: update magnitude is lr * g/(sqrt(v_hat)+eps)
+        # with g constant = lr * 1/(1+eps/sqrt(v_hat)) -> for g -> 0 the
+        # eps floor dominates; compare against explicit 1e-7 adam
+        ref = optax.chain(optax.clip(1.0), optax.adam(1e-3, eps=1e-7))
+        rstate = ref.init(params)
+        g = {"w": np.full(3, 1e-12, np.float32)}
+        u1, _ = opt.update(g, state, params)
+        u2, _ = ref.update(g, rstate, params)
+        np.testing.assert_array_equal(u1["w"], u2["w"])
+
+    def test_parse_clustal_w_missing_file_raises(self, tmp_path):
+        from encodermap_tpu.loading.alignment import parse_clustal_w
+
+        with pytest.raises(FileNotFoundError):
+            parse_clustal_w(tmp_path / "missing.aln")
+        with pytest.raises(FileNotFoundError):
+            parse_clustal_w(str(tmp_path / "typo.aln"))
+        # alignment TEXT without newline issues is still accepted
+        seqs = parse_clustal_w("CLUSTAL W\n\nseq1  ACDE\nseq2  ACDE\n")
+        assert seqs == {"seq1": "ACDE", "seq2": "ACDE"}
+
+    def test_hdf5_source_closes_handle_on_any_error(self, tmp_path):
+        import h5py
+
+        from encodermap_tpu.train.core import HDF5BatchSource
+
+        p = tmp_path / "odd.h5"
+        with h5py.File(p, "w") as f:
+            g = f.create_group("traj_joined")  # non-integer suffix
+            g.create_group("CVs")
+        with pytest.raises(Exception):
+            HDF5BatchSource(p, ["x"], 4, steps_per_scan=2)
+        # the handle must not be left open: the file is re-writable
+        with h5py.File(p, "w") as f:
+            f.create_dataset("ok", data=np.zeros(3))
+
+    def test_dssp_hbond_exclusion_respects_chain_breaks(self):
+        """A real inter-chain H-bond between table-adjacent residues
+        (last of chain A, first of chain B) must survive; the same pair
+        WITHIN a chain is the peptide partner and stays excluded."""
+        from encodermap_tpu.ops.dssp import kabsch_sander_hbonds
+
+        F, R = 1, 4
+        # spread residues far apart so only the crafted pair can bond
+        base = np.arange(R, dtype=np.float64)[None, :, None] * [50.0, 0, 0]
+        n = np.zeros((F, R, 3)) + base
+        ca = n + [1.5, 0.0, 0.0]
+        c = n + [2.4, 0.5, 0.0]
+        o = n + [2.9, 1.6, 0.0]
+        h = n + [-0.5, -0.8, 0.0]
+        # ideal H-bond: CO of residue 2 to NH of residue 3
+        o[0, 2] = c[0, 2] + [0.0, 1.23, 0.0]
+        n[0, 3] = c[0, 2] + [0.0, 3.13, 0.0]
+        h[0, 3] = n[0, 3] - [0.0, 1.0, 0.0]
+        ca[0, 3] = n[0, 3] + [1.5, 0.0, 0.0]
+        c[0, 3] = n[0, 3] + [2.4, 0.5, 0.0]
+        brk = np.zeros(R - 1, bool)
+        brk[2] = True
+        hb_break = kabsch_sander_hbonds(n, ca, c, o, h=h, chain_break=brk)
+        hb_nobrk = kabsch_sander_hbonds(
+            n, ca, c, o, h=h, chain_break=np.zeros(R - 1, bool)
+        )
+        assert hb_break[0, 2, 3], "inter-chain H-bond wrongly excluded"
+        assert not hb_nobrk[0, 2, 3], "peptide partner must stay excluded"
+
+
+class TestWave15Fixes:
+    """Feature-equality / labeling / plotting review findings."""
+
+    @needs_data
+    def _traj(self):
+        from encodermap_tpu.data import SingleTraj
+
+        return SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+
+    @needs_data
+    def test_sidechain_torsions_cossin_doubles_labels(self):
+        from encodermap_tpu.loading.features import SideChainTorsions
+
+        t = self._traj()
+        f_plain = SideChainTorsions(t.top)
+        f_cs = SideChainTorsions(t.top, cossin=True)
+        assert len(f_cs.describe()) == 2 * len(f_plain.describe())
+        assert f_cs.dimension == 2 * f_plain.dimension
+        import jax.numpy as jnp
+
+        out = np.asarray(f_cs.transform(jnp.asarray(t.xyz[:3])))
+        assert out.shape == (3, f_cs.dimension)
+        assert f_cs.describe()[0].startswith("COS(")
+
+    @needs_data
+    def test_distinct_com_features_not_deduped(self):
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = self._traj()
+        feat = SingleTrajFeaturizer(t)
+        feat.add_group_COM([[0, 1, 2]])
+        feat.add_group_COM([[5, 6, 7]])
+        assert len(feat.features) == 2
+        feat.add_residue_COM([0, 1], scheme="backbone")
+        feat.add_residue_COM([0, 1], scheme="sidechain")
+        assert len(feat.features) == 4
+        # mass-weighting is load-bearing too
+        feat.add_group_COM([[0, 1, 2]], mass_weighted=False)
+        assert len(feat.features) == 5
+
+    @needs_data
+    def test_deg_variant_not_deduped(self):
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        t = self._traj()
+        feat = SingleTrajFeaturizer(t)
+        feat.add_backbone_torsions()
+        feat.add_backbone_torsions(deg=True)
+        assert len(feat.features) == 2
+
+    @needs_data
+    def test_residue_mindist_scheme_validation(self):
+        from encodermap_tpu.loading.features import (
+            ResidueMinDistanceFeature,
+        )
+
+        t = self._traj()
+        with pytest.raises(ValueError, match="scheme"):
+            ResidueMinDistanceFeature(t.top, scheme="closest_heavy")
+        f = ResidueMinDistanceFeature(t.top, scheme="sidechain-heavy")
+        backbone = {"N", "CA", "C", "O", "H", "HA"}
+        for block in f._pair_blocks:
+            for i, j in block:
+                for a in (t.top.atom(int(i)), t.top.atom(int(j))):
+                    assert a.element != "H"
+                    assert a.name not in backbone
+
+    @needs_data
+    def test_all_cartesians_consistent_with_side_features(self):
+        from encodermap_tpu.loading.features import (
+            AllCartesians,
+            CentralCartesians,
+            SideChainCartesians,
+        )
+
+        t = self._traj()
+        all_c = AllCartesians(t.top)
+        central = CentralCartesians(t.top)
+        side = SideChainCartesians(t.top)
+        assert len(all_c.indices) == len(central.indices) + len(side.indices)
+
+    @needs_data
+    def test_render_vmd_drawframes_emits_directive(self, tmp_path):
+        from encodermap_tpu.plot.plotting import render_vmd
+
+        t = self._traj()[:3]
+        pdb = tmp_path / "t.pdb"
+        t.save_pdb(pdb) if hasattr(t, "save_pdb") else None
+        if not pdb.exists():
+            from encodermap_tpu.data.pdb import write_pdb
+
+            t.load()
+            write_pdb(pdb, t.top, t.xyz)
+        out = render_vmd(pdb, drawframes=True, script_only=True)
+        text = Path(out).read_text() if isinstance(out, (str, Path)) \
+            else str(out)
+        assert "mol drawframes" in text
+
+    def test_periodic_distance_histogram_chunked(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from encodermap_tpu.plot.plotting import distance_histogram
+
+        rng = np.random.default_rng(0)
+        data = rng.uniform(-np.pi, np.pi, size=(200, 30))
+        axes = distance_histogram(data, 2 * np.pi, (0.2, 3, 6, 1, 2, 6))
+        assert axes is not None

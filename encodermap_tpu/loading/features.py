@@ -147,7 +147,7 @@ class Feature:
         # checks the same set; `mic` is this framework's name for the
         # min-image flag on distance-family features)
         for attr in ("mic", "scheme", "threshold", "ignore_nonprotein",
-                     "count_contacts"):
+                     "count_contacts", "deg", "mass_weighted"):
             if getattr(self, attr, None) != getattr(other, attr, None):
                 return False
         ra, rb = getattr(self, "ref", None), getattr(other, "ref", None)
@@ -549,23 +549,45 @@ class ResidueMinDistanceFeature(Feature):
                 for i in range(n_res) for j in range(i + 3, n_res)
                 if i in keep and j in keep
             ]
+        if scheme not in ("closest", "closest-heavy", "ca",
+                          "sidechain", "sidechain-heavy"):
+            # a typo'd scheme must not silently fall back to all-atom
+            # distances (mdtraj/the reference raise the same way)
+            raise ValueError(
+                f"scheme must be one of 'ca', 'closest', 'closest-heavy', "
+                f"'sidechain', 'sidechain-heavy'; got {scheme!r}"
+            )
         self.contacts = np.asarray(contacts, np.int64).reshape(-1, 2)
         self.scheme = scheme
         self.threshold = threshold
         self.count_contacts = count_contacts
         self.mic = periodic
-        # per residue-pair: all heavy-atom cross pairs, reduced by min
+        _BB = ("N", "CA", "C", "O", "H", "HA")
+
+        def _atoms(res):
+            atoms = list(res.atoms)
+            if scheme.startswith("sidechain"):
+                side = [a for a in atoms if a.name not in _BB]
+                atoms = side or atoms  # GLY: fall back to whole residue
+            if scheme.endswith("heavy"):
+                atoms = [a for a in atoms if a.element != "H"]
+            return atoms
+
+        # per residue-pair: scheme-selected cross pairs, reduced by min
         self._pair_blocks = []
         for r0, r1 in self.contacts:
-            a0 = [a.index for a in top.residue(int(r0)).atoms
-                  if scheme != "closest-heavy" or a.element != "H"]
-            a1 = [a.index for a in top.residue(int(r1)).atoms
-                  if scheme != "closest-heavy" or a.element != "H"]
+            a0 = [a.index for a in _atoms(top.residue(int(r0)))]
+            a1 = [a.index for a in _atoms(top.residue(int(r1)))]
             if scheme == "ca":
                 ca0 = top.residue(int(r0)).atom("CA")
                 ca1 = top.residue(int(r1)).atom("CA")
-                a0 = [ca0.index] if ca0 else a0
-                a1 = [ca1.index] if ca1 else a1
+                if ca0 is None or ca1 is None:
+                    raise ValueError(
+                        f"scheme='ca' but residue "
+                        f"{top.residue(int(r0 if ca0 is None else r1))} "
+                        f"has no CA atom"
+                    )
+                a0, a1 = [ca0.index], [ca1.index]
             block = np.array([(i, j) for i in a0 for j in a1], np.int64)
             self._pair_blocks.append(block)
         # one fused computation: concatenate all blocks, compute every
@@ -632,6 +654,11 @@ class GroupCOMFeature(Feature):
                 "documents it as optional and slow)"
             )
         self.groups = [np.asarray(g, np.int64) for g in group_definitions]
+        # the names Feature.__eq__ probes: without them, COM features over
+        # DIFFERENT groups/weightings compare equal (describe() only
+        # encodes the group NUMBER) and the featurizer warn-drops one
+        self.group_definitions = self.groups
+        self.mass_weighted = mass_weighted
         self.masses = [
             np.asarray(
                 [top.atom(int(i)).mass if mass_weighted else 1.0 for i in g],
@@ -682,6 +709,7 @@ class ResidueCOMFeature(GroupCOMFeature):
     ) -> None:
         if scheme not in ("all", "backbone", "sidechain"):
             raise ValueError(f"unknown scheme {scheme!r}")
+        self.scheme = scheme  # probed by Feature.__eq__
         self.residue_indices = list(residue_indices)
         groups = []
         for ri in residue_indices:
@@ -755,6 +783,12 @@ class SideChainTorsions(DihedralFeature):
         super().__init__(top, idx, deg, cossin, periodic)
 
     def describe(self) -> list[str]:
+        if self.cossin:
+            # transform emits interleaved cos/sin columns — labels (and
+            # therefore dimension) must double with them, like the base
+            # DihedralFeature and the reference
+            return [f"{f}({lbl})" for lbl in self._labels
+                    for f in ("COS", "SIN")]
         return list(self._labels)
 
 
@@ -882,7 +916,11 @@ class AllCartesians(CentralCartesians):
         Feature.__init__(self, top)
         central = list(_central_chain(top))
         side = []
-        for r in top.residues:
+        # _protein_residues, NOT top.residues: the sidechain features
+        # (SideChainCartesians/BondDistances/Angles) iterate protein
+        # residues only, and the sidechain backmap layer's atom-order
+        # contract requires all four to agree on the residue set
+        for r in top._protein_residues():
             seq = _sidechain_sequence(r, top)
             side.extend(a.index for a in seq[2:])  # branch atoms (CB...)
         self._indices = np.asarray(central + side, np.int64)

@@ -141,10 +141,15 @@ def distance_histogram(
     if periodicity == float("inf"):
         dists = pdist(data)
     else:
-        # periodic pdist
-        d = np.abs(data[:, None, :] - data[None, :, :])
-        d = np.minimum(d, periodicity - d)
-        dists = np.sqrt((d**2).sum(-1))[np.triu_indices(len(data), 1)]
+        # periodic pdist, accumulated per dimension: one (n, n, n_dims)
+        # broadcast would be ~2.4 GB for 1000 frames of a 307-dim CV
+        n = len(data)
+        sq = np.zeros((n, n), np.float64)
+        for k in range(data.shape[1]):
+            d = np.abs(data[:, None, k] - data[None, :, k])
+            d = np.minimum(d, periodicity - d)
+            sq += d * d
+        dists = np.sqrt(sq[np.triu_indices(n, 1)])
 
     sig_h, a_h, b_h, sig_l, a_l, b_l = sigmoid_parameters
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))
@@ -465,6 +470,11 @@ def render_vmd(
             lines += [
                 f"mol representation {surf.capitalize()}", "mol addrep top"
             ]
+        if drawframes:
+            # actually draw every loaded frame (reference
+            # ``plotting.py:2717-2718``) — without this directive VMD
+            # renders only the current frame
+            lines.append("mol drawframes 0 0 0:1:999")
         if ssupdate and drawframes:
             lines.append(
                 "for {set i 0} {$i < [molinfo top get numframes]} {incr i} "

@@ -144,17 +144,25 @@ def densify_inputs(params: dict, p: ADCParameters, inputs: tuple) -> tuple:
     dens = params["densifiers"]
     angles, dihedrals, cartesians, distances = inputs[:4]
     B = angles.shape[0]
+
+    def _dens(name, x):
+        # encode() fills unused slots with (B, 0) placeholders — a
+        # densifier must never touch those (its Dense expects the real
+        # CV width and would fail the contraction)
+        if x.size == 0:
+            return x
+        return dense_apply(dens[name], jnp.nan_to_num(x))
+
+    cart = jnp.nan_to_num(cartesians).reshape(B, -1)
     out = [
-        dense_apply(dens["angles"], jnp.nan_to_num(angles)),
-        dense_apply(dens["dihedrals"], jnp.nan_to_num(dihedrals)),
-        dense_apply(
-            dens["cartesians"],
-            jnp.nan_to_num(cartesians).reshape(B, -1),
-        ).reshape(B, -1, 3),
-        dense_apply(dens["distances"], jnp.nan_to_num(distances)),
+        _dens("angles", angles),
+        _dens("dihedrals", dihedrals),
+        _dens("cartesians", cart).reshape(B, -1, 3)
+        if cart.size else cartesians,
+        _dens("distances", distances),
     ]
     if len(inputs) >= 5 and "side_dihedrals" in dens:
-        out.append(dense_apply(dens["side_dihedrals"], jnp.nan_to_num(inputs[4])))
+        out.append(_dens("side_dihedrals", inputs[4]))
     elif len(inputs) >= 5:
         out.append(jnp.nan_to_num(inputs[4]))
     return tuple(out)
@@ -411,7 +419,8 @@ def sidechain_pwd_indices(p: ADCParameters, spec) -> np.ndarray:
     # branch-end atoms: walk the per-residue branch column layout
     col = n_backbone
     for r in range(1, spec.n_residues + 1):
-        # n sidechain dihedrals of residue r (+1 atoms when > 0)
+        # branch ATOMS of residue r (_side_atoms_per_res returns v+1 for
+        # v dihedrals; 0 when the residue has none)
         n_sc = int(lens[r - 1])
         if n_sc == 0:
             continue

@@ -146,6 +146,15 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # masked-dense "sparse" mode with per-input densifiers (the reference
         # reroutes these into tf.sparse tensors, ``autoencoder.py:796-800``)
         self.sparse = any(np.isnan(a).any() for a in self.train_data)
+        if self.sparse and self.p.reconstruct_sidechains:
+            # no densifiers exist on the sidechain-reconstruction path —
+            # NaNs would flow into every loss and "diverge" at step 1
+            raise ValueError(
+                "reconstruct_sidechains=True does not support NaN-padded "
+                "(mixed-topology sparse) CVs: the sidechain model has no "
+                "densifier layers. Train per-topology, or drop "
+                "reconstruct_sidechains."
+            )
 
         if not read_only:
             Path(self.p.main_path).mkdir(parents=True, exist_ok=True)
@@ -272,6 +281,14 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
          latent) = adc.forward_sidechains(
             params, p, batch, self.shapes, self.sidechain_spec
         )
+        # DELIBERATE DIVERGENCE from the reference: its distance_loss_func
+        # truncates the reconstruct-mode 4-tuple to y_true[:3]
+        # (loss_functions.py:279-281), silently dropping side_dihedrals
+        # from the sigmoid cost even though the encoder consumes them —
+        # contradicting its own "needs to be adjusted based on what the
+        # encoder takes" comment (models.py:2389-2391). The sketch-map
+        # cost compares the encoder's INPUT space with the latent, so all
+        # four encoder inputs belong in it.
         enc_inp = jnp.concatenate([inp_ca, inp_cdi, inp_sa, inp_sdi], axis=1)
         scale = L.soft_start_scale(p, step)
         # dense-matrix cartesian cost: scatter-free backward (see _loss_terms)
@@ -312,7 +329,11 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         back_cartesians, target_cartesians = aux
         if p.track_clashes:
             d = pairwise_dist(back_cartesians, flat=True)
-            out["clashes"] = jnp.mean(jnp.sum(d < 1.0, axis=-1).astype(jnp.float32))
+            # coordinates are nm; the reference's ADCClashMetric uses a
+            # 0.1 nm (1 A) clash distance (callbacks/metrics.py:470-581)
+            out["clashes"] = jnp.mean(
+                jnp.sum(d < 0.1, axis=-1).astype(jnp.float32)
+            )
         if p.track_RMSD:
             out["rmsd"] = jnp.mean(
                 rmsd_op(back_cartesians, target_cartesians)
@@ -374,20 +395,6 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             sh = NamedSharding(mesh, P("dp"))
             data = tuple(jax.device_put(d, sh) for d in data)
         return data
-
-    def add_images_to_tensorboard(
-        self,
-        data: Optional[tuple] = None,
-        image_step: Optional[int] = None,
-        max_size: int = 10000,
-    ) -> None:
-        """Register latent-image logging (reference API name)."""
-        from .callbacks import ImageCallback
-
-        step = image_step if image_step is not None else self.p.summary_step
-        self.callbacks.append(
-            ImageCallback(self, step, data=data, max_points=max_size)
-        )
 
     def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
         """Out-of-core ADC training from a host superbatch source (tuples of
@@ -470,8 +477,12 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         acc = {"angle_cost": [], "dihedral_cost": [], "cartesian_cost": []}
         if self.sparse:
             # missing entries get the dataset mean: they contribute zero to
-            # the cost vs the mean-predicting dummy model instead of NaN
-            fills = [np.nanmean(x, 0) for x in (angles, dihedrals, cartesians)]
+            # the cost vs the mean-predicting dummy model instead of NaN.
+            # `subsample` thins the fill-mean pass exactly where the
+            # reference thins its sparse-tensor build (autoencoder.py:1853)
+            stride = max(1, int(subsample))
+            fills = [np.nanmean(x[::stride], 0)
+                     for x in (angles, dihedrals, cartesians)]
         for _ in range(nsteps):
             idx = rng.integers(0, n, self.p.batch_size)
             batch = (angles[idx], dihedrals[idx], cartesians[idx])
@@ -632,7 +643,6 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             # decoder emits PSI/OMEGA/PHI per chain window; map onto the
             # topology's phi/psi quadruplets (omega stays near its mean)
             t = top.top if hasattr(top, "top") else top
-            phi, psi = t.indices_phi, t.indices_psi
             chain = t.central_atom_indices()
             quads = np.stack(
                 [chain[:-3], chain[1:-2], chain[2:-1], chain[3:]], axis=1
@@ -694,15 +704,12 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         return np.asarray(xyz)
 
     # ------------------------------------------------------------------ persistence
-    def save(self, step: Optional[int] = None) -> Optional[str]:
-        if self.read_only:
-            return None
-        step = int(self.state.step) if step is None else int(step)
-        return save_checkpoint(
-            self.p.main_path, self.state.params, step,
-            opt_state=self.state.opt_state, parameters=self.p,
-            rng=self.state.rng,
-        )
+    # save() / add_images_to_tensorboard() / checkpoint-state restore are
+    # inherited from TrainerExtensions — keep them in ONE place
+
+    @classmethod
+    def _parameters_class(cls):
+        return ADCParameters
 
     @classmethod
     def from_ensemble_h5(
@@ -740,23 +747,10 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         **kwargs: Any,
     ) -> "AngleDihedralCartesianEncoderMap":
         ckpt_path = Path(checkpoint_path)
-        directory = ckpt_path if ckpt_path.is_dir() else ckpt_path.parent
-        p = ADCParameters.from_file(directory / "parameters.json")
-        model_params, opt_npz, step = load_checkpoint(ckpt_path)
-        if step != p.current_training_step and not use_previous_model:
-            raise ValueError(
-                f"Checkpoint step {step} disagrees with parameters.json "
-                f"({p.current_training_step}). Pass use_previous_model=True "
-                f"to load this intermediate checkpoint anyway."
-            )
+        p, model_params, opt_npz, step, _ = cls._load_checkpoint_checked(
+            ckpt_path, use_previous_model
+        )
         out = cls(trajs, parameters=p, model_params=_tree_to_jax(model_params),
                   dataset=dataset, **kwargs)
-        out.state = out.state.replace(step=jnp.asarray(step, jnp.int32))
-        if opt_npz is not None:
-            out.state = out.state.replace(
-                opt_state=load_pytree_into(out.state.opt_state, opt_npz)
-            )
-        rng = load_checkpoint_rng(ckpt_path)
-        if rng is not None:
-            out.state = out.state.replace(rng=jnp.asarray(rng))
+        out._restore_checkpoint_state(step, opt_npz, ckpt_path)
         return out

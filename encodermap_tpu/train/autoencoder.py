@@ -62,6 +62,72 @@ class TrainerExtensions:
         """Append a :class:`Callback` dispatched at chunk granularity."""
         self.callbacks.append(callback)
 
+    # -------------------------------------------------------- shared persistence
+    @classmethod
+    def _parameters_class(cls):
+        from ..parameters import Parameters
+
+        return Parameters
+
+    def save(self, step: Optional[int] = None) -> Optional[str]:
+        """Checkpoint model + optimizer + step (``autoencoder.py:1197``)."""
+        if self.read_only:
+            return None
+        step = int(self.state.step) if step is None else int(step)
+        return save_checkpoint(
+            self.p.main_path,
+            self.state.params,
+            step,
+            opt_state=self.state.opt_state,
+            parameters=self.p,
+            rng=self.state.rng,
+        )
+
+    def add_images_to_tensorboard(
+        self,
+        data: Optional[Any] = None,
+        image_step: Optional[int] = None,
+        max_size: int = 10000,
+    ) -> None:
+        """Register latent scatter/density image logging every
+        ``image_step`` steps (the reference's method of the same name,
+        ``autoencoder.py:1031``)."""
+        from .callbacks import ImageCallback
+
+        step = image_step if image_step is not None else self.p.summary_step
+        self.callbacks.append(
+            ImageCallback(self, step, data=data, max_points=max_size)
+        )
+
+    @classmethod
+    def _load_checkpoint_checked(cls, ckpt_path: Path,
+                                 use_previous_model: bool):
+        """(p, model_params, opt_npz, step, directory) for a checkpoint,
+        with the step-vs-parameters.json consistency check both
+        from_checkpoint implementations share."""
+        directory = ckpt_path if ckpt_path.is_dir() else ckpt_path.parent
+        p = cls._parameters_class().from_file(directory / "parameters.json")
+        model_params, opt_npz, step = load_checkpoint(ckpt_path)
+        if step != p.current_training_step and not use_previous_model:
+            raise ValueError(
+                f"Checkpoint step {step} disagrees with parameters.json "
+                f"({p.current_training_step}). Pass use_previous_model=True "
+                f"to load this intermediate checkpoint anyway."
+            )
+        return p, model_params, opt_npz, step, directory
+
+    def _restore_checkpoint_state(self, step: int, opt_npz, ckpt_path
+                                  ) -> None:
+        """Adopt step + optimizer state + PRNG key from a checkpoint."""
+        self.state = self.state.replace(step=jnp.asarray(step, jnp.int32))
+        if opt_npz is not None:
+            self.state = self.state.replace(
+                opt_state=load_pytree_into(self.state.opt_state, opt_npz)
+            )
+        rng = load_checkpoint_rng(ckpt_path)
+        if rng is not None:
+            self.state = self.state.replace(rng=jnp.asarray(rng))
+
     def add_loss(self, loss_fn, name: Optional[str] = None) -> None:
         """Add a custom loss ``fn(params, batch) -> scalar`` to the total.
 
@@ -439,22 +505,6 @@ class Autoencoder(TrainerExtensions):
             data = np.nan_to_num(data, nan=0.0)
         return self._shard_leading(jnp.asarray(data))
 
-    def add_images_to_tensorboard(
-        self,
-        data: Optional[np.ndarray] = None,
-        image_step: Optional[int] = None,
-        max_size: int = 10000,
-    ) -> None:
-        """Register latent scatter/density image logging every ``image_step``
-        steps (the reference's method of the same name,
-        ``autoencoder.py:1031``)."""
-        from .callbacks import ImageCallback
-
-        step = image_step if image_step is not None else self.p.summary_step
-        self.callbacks.append(
-            ImageCallback(self, step, data=data, max_points=max_size)
-        )
-
     def train_streaming(self, source, n_steps: Optional[int] = None) -> dict:
         """Out-of-core training from a host superbatch source (e.g.
         :class:`encodermap_tpu.train.core.HDF5BatchSource`) — the
@@ -513,20 +563,6 @@ class Autoencoder(TrainerExtensions):
     def model_params(self) -> dict:
         return self.state.params
 
-    def save(self, step: Optional[int] = None) -> Optional[str]:
-        """Checkpoint model + optimizer + step (``autoencoder.py:1197``)."""
-        if self.read_only:
-            return None
-        step = int(self.state.step) if step is None else int(step)
-        return save_checkpoint(
-            self.p.main_path,
-            self.state.params,
-            step,
-            opt_state=self.state.opt_state,
-            parameters=self.p,
-            rng=self.state.rng,
-        )
-
     @classmethod
     def from_checkpoint(
         cls,
@@ -540,16 +576,9 @@ class Autoencoder(TrainerExtensions):
         (reference: ``autoencoder.py:889-931`` + ``saving_loading_models.py:333``).
         """
         ckpt_path = Path(checkpoint_path)
-        directory = ckpt_path if ckpt_path.is_dir() else ckpt_path.parent
-        params_cls = cls._parameters_class()
-        p = params_cls.from_file(directory / "parameters.json")
-        model_params, opt_npz, step = load_checkpoint(ckpt_path)
-        if step != p.current_training_step and not use_previous_model:
-            raise ValueError(
-                f"Checkpoint step {step} disagrees with parameters.json "
-                f"({p.current_training_step}). Pass use_previous_model=True to "
-                f"load this intermediate checkpoint anyway."
-            )
+        p, model_params, opt_npz, step, directory = (
+            cls._load_checkpoint_checked(ckpt_path, use_previous_model)
+        )
         if train_data is None and not p.using_hypercube:
             # silently regenerating hypercube data here would build a model
             # whose train_data dim disagrees with the loaded weights —
@@ -562,14 +591,7 @@ class Autoencoder(TrainerExtensions):
             )
         out = cls(parameters=p, train_data=train_data,
                   model_params=_tree_to_jax(model_params), sparse=sparse, **kwargs)
-        out.state = out.state.replace(step=jnp.asarray(step, jnp.int32))
-        if opt_npz is not None:
-            out.state = out.state.replace(
-                opt_state=load_pytree_into(out.state.opt_state, opt_npz)
-            )
-        rng = load_checkpoint_rng(ckpt_path)
-        if rng is not None:
-            out.state = out.state.replace(rng=jnp.asarray(rng))
+        out._restore_checkpoint_state(step, opt_npz, ckpt_path)
         return out
 
     @classmethod
@@ -611,7 +633,11 @@ class EncoderMap(Autoencoder):
 
         if not getattr(self.p, "fused_trainer", True) or self.mesh is not None:
             return None
-        if self.sparse or self.custom_losses or self.custom_metrics:
+        # gate on the PARAMS, not just self.sparse: a sparse-trained
+        # checkpoint reloaded with clean data keeps its densifier, and the
+        # fused kernel's split/join_params would silently drop it
+        if (self.sparse or "densifier" in self.state.params
+                or self.custom_losses or self.custom_metrics):
             return None
         # only for classes that keep EncoderMap's exact loss stack
         # (DihedralEncoderMap qualifies — it only overrides generate())

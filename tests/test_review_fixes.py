@@ -2411,3 +2411,100 @@ class TestWave15Fixes:
         data = rng.uniform(-np.pi, np.pi, size=(200, 30))
         axes = distance_histogram(data, 2 * np.pi, (0.2, 3, 6, 1, 2, 6))
         assert axes is not None
+
+
+class TestWave16Fixes:
+    """Model/trainer review findings: sparse encode slots, clash units,
+    fused-trainer densifier gate, reconstruct+sparse guard."""
+
+    def _sparse_adc(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        t1 = SingleTraj(D + "asp7.xtc", D + "asp7.pdb", traj_num=0)
+        t2 = SingleTraj(D + "glu7.xtc", D + "glu7.pdb", traj_num=1)
+        trajs = TrajEnsemble([t1, t2])
+        trajs.load_CVs("all", ensemble=True)
+        p = em.ADCParameters(
+            main_path=str(tmp_path / "adc"), n_steps=10, steps_per_scan=5,
+            batch_size=32, use_backbone_angles=True, use_sidechains=True,
+            seed=0,
+        )
+        return em.AngleDihedralCartesianEncoderMap(trajs, p)
+
+    @needs_data
+    def test_sparse_encode_accepts_short_tuples(self, tmp_path):
+        adc = self._sparse_adc(tmp_path)
+        assert adc.sparse
+        a, d = adc.train_data[0], adc.train_data[1]
+        sd = adc.train_data[4]
+        lat3 = adc.encode((a[:8], d[:8], sd[:8]))
+        assert lat3.shape == (8, 2)
+        assert np.isfinite(lat3).all()
+        full = adc.encode(tuple(x[:8] for x in adc.train_data))
+        np.testing.assert_allclose(lat3, full, atol=1e-6)
+
+    @needs_data
+    def test_reconstruct_sidechains_sparse_raises_early(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        traj = SingleTraj(D + "asp7.xtc", D + "asp7.pdb", traj_num=0)
+        trajs = TrajEnsemble([traj])
+        trajs.load_CVs(
+            ["central_angles", "central_dihedrals", "all_cartesians",
+             "central_distances", "side_angles", "side_dihedrals",
+             "side_distances"]
+        )
+        data = tuple(
+            np.asarray(trajs.CVs[k], np.float32)
+            for k in ("central_angles", "central_dihedrals",
+                      "all_cartesians", "central_distances", "side_angles",
+                      "side_dihedrals", "side_distances")
+        )
+        data[4][0, 0] = np.nan  # one NaN -> sparse mode
+        p = em.ADCParameters(
+            main_path=str(tmp_path / "r"), reconstruct_sidechains=True,
+            n_steps=5, steps_per_scan=5, batch_size=16, seed=0,
+        )
+        with pytest.raises(ValueError, match="sparse"):
+            em.AngleDihedralCartesianEncoderMap(trajs, p, dataset=data)
+
+    def test_fused_trainer_gate_respects_densifier_params(self, tmp_path):
+        import encodermap_tpu as em
+
+        data, _ = em.create_n_cube(3, points_along_edge=20, seed=0)
+        data = np.asarray(data, np.float32)
+        nan_data = data.copy()
+        nan_data[::2, 0] = np.nan
+        p = em.Parameters(main_path=str(tmp_path / "s"), n_steps=10,
+                          steps_per_scan=5, batch_size=16,
+                          periodicity=float("inf"), seed=1)
+        emap = em.EncoderMap(p, nan_data)
+        assert "densifier" in emap.state.params
+        # simulate from_checkpoint with clean data: sparse=False but the
+        # densifier is still in the params — fused routing must refuse
+        emap.sparse = False
+        assert emap._maybe_fused_trainer(5) is None
+
+    @needs_data
+    def test_clash_metric_uses_reference_threshold(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        D = "/root/reference/tests/data/"
+        trajs = TrajEnsemble([SingleTraj(D + "asp7.xtc", D + "asp7.pdb")])
+        trajs.load_CVs("all")
+        p = em.ADCParameters(
+            main_path=str(tmp_path / "c"), n_steps=10, steps_per_scan=5,
+            batch_size=16, use_backbone_angles=True, track_clashes=True,
+            seed=0,
+        )
+        adc = em.AngleDihedralCartesianEncoderMap(trajs, p)
+        h = adc.train()
+        # a sane structure has FEW sub-1-Angstrom contacts; the old 1.0 nm
+        # threshold counted every bonded pair (hundreds per frame)
+        assert "clashes" in h
+        assert np.asarray(h["clashes"][-1]) < 50

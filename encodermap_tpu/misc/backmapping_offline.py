@@ -128,13 +128,17 @@ def near_and_far_masks(
     masks = np.zeros((len(dihedral_indices), top.n_atoms), bool)
     rotatable = np.ones(len(dihedral_indices), bool)
     for i, (a, b, c, d) in enumerate(np.asarray(dihedral_indices)):
-        H = G.copy()
-        if H.has_edge(int(b), int(c)):
-            H.remove_edge(int(b), int(c))
-        else:
+        # remove/re-add the single b-c edge on ONE graph instead of
+        # copying the whole graph per dihedral (O(n_dih * (V+E)) host
+        # allocations at lysozyme scale, pure bookkeeping)
+        if not G.has_edge(int(b), int(c)):
             rotatable[i] = False
             continue
-        far = nx.node_connected_component(H, int(c))
+        G.remove_edge(int(b), int(c))
+        try:
+            far = nx.node_connected_component(G, int(c))
+        finally:
+            G.add_edge(int(b), int(c))
         if int(a) in far:
             # ring bond (proline phi, disulfide-bridged backbone, ...) —
             # unrotatable; the reference likewise special-cases prolines
@@ -261,12 +265,20 @@ def backmap_topology(
         masks = masks[rotatable]
         targets = targets[:, rotatable]
 
-    fn = jax.jit(
-        jax.vmap(
-            lambda t: dihedral_rotate(jnp.asarray(base_xyz), quads, masks, t)
-        )
-    )
-    return np.asarray(fn(jnp.asarray(targets)))
+    # module-level jit: a fresh jax.jit(lambda) per call would miss the jit
+    # cache every time (function identity is the key) and on the axon
+    # platform pay a minutes-long remote recompile per generate() call
+    return np.asarray(_rotate_frames_jit(
+        jnp.asarray(base_xyz), jnp.asarray(quads), jnp.asarray(masks),
+        jnp.asarray(targets),
+    ))
+
+
+@jax.jit
+def _rotate_frames_jit(base_xyz, quads, masks, targets):
+    return jax.vmap(
+        lambda t: dihedral_rotate(base_xyz, quads, masks, t)
+    )(targets)
 
 
 def traj_rotate(

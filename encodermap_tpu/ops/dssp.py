@@ -51,7 +51,7 @@ def _backbone_table(top):
     """Per-residue (N, CA, C, O) atom indices; -1 where a protein residue is
     incomplete, rows dropped for non-protein residues.
 
-    Returns (table (R, 4), residue_index (R,), is_pro (R,), has_H (R,), h_idx (R,)).
+    Returns (table (R, 4), residue_index (R,), is_pro (R,), h_idx (R,)).
     """
     rows, res_idx, is_pro, h_idx = [], [], [], []
     for r in top.residues:

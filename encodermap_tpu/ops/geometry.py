@@ -108,6 +108,23 @@ def _mic_is_triclinic(box) -> bool:
     return True
 
 
+def _mic_ctx_for(box):
+    """Pin the MIC kernel from a concrete whole-trajectory box.
+
+    The compute_* entry points reach :func:`_mic_wrap` through
+    ``jax.vmap``, where the per-frame box is ALWAYS a tracer — so without
+    this, a direct call with an orthorhombic numpy box (outside the
+    featurizer's explicit ``mic_mode`` block) would silently pay the ~30x
+    27-image search. Here the full ``(F, 3, 3)`` box is still concrete and
+    can be inspected on host once."""
+    import contextlib
+
+    if _MIC_TRICLINIC_OVERRIDE is None and not isinstance(
+            box, jax.core.Tracer):
+        return mic_mode(boxes_are_triclinic(box))
+    return contextlib.nullcontext()
+
+
 def _mic_wrap(vecs: Array, box: Array) -> Array:
     """Minimum-image wrap of displacement vectors.
 
@@ -158,7 +175,8 @@ def compute_displacements(
     """
     d = xyz[:, pairs[:, 1]] - xyz[:, pairs[:, 0]]
     if box is not None:
-        d = jax.vmap(_mic_wrap)(d, box)
+        with _mic_ctx_for(box):
+            d = jax.vmap(_mic_wrap)(d, box)
     return d
 
 
@@ -180,8 +198,9 @@ def compute_angles(
     u = p0 - p1
     v = p2 - p1
     if box is not None:
-        u = jax.vmap(_mic_wrap)(u, box)
-        v = jax.vmap(_mic_wrap)(v, box)
+        with _mic_ctx_for(box):
+            u = jax.vmap(_mic_wrap)(u, box)
+            v = jax.vmap(_mic_wrap)(v, box)
     cos = jnp.sum(u * v, -1) / (
         jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(v, axis=-1)
     )
@@ -202,7 +221,8 @@ def compute_dihedrals(
     b2 = p3 - p2
     if box is not None:
         wrap = jax.vmap(_mic_wrap)
-        b0, b1, b2 = wrap(b0, box), wrap(b1, box), wrap(b2, box)
+        with _mic_ctx_for(box):
+            b0, b1, b2 = wrap(b0, box), wrap(b1, box), wrap(b2, box)
     b1n = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
     v = b0 - jnp.sum(b0 * b1n, -1, keepdims=True) * b1n
     w = b2 - jnp.sum(b2 * b1n, -1, keepdims=True) * b1n

@@ -39,6 +39,11 @@ __all__ = ["fused_sigmoid_loss", "fused_or_reference", "available"]
 _TILE_I = 256
 _TILE_J = 512
 
+#: test hook: run the pallas_call in interpret mode (CPU-executable) so the
+#: REAL kernel math — Gram-identity distances, SMEM accumulation, grid
+#: plumbing — is exercised by the suite, not just its plain-JAX mirrors
+_INTERPRET = False
+
 
 def available() -> bool:
     """Whether the fused kernel can run on the current default backend."""
@@ -64,8 +69,13 @@ def _sig_prime(r, sig, a, b):
 
 
 def _dist2_euclid(xi, xj):
-    """(T, d) x (Tj, d) -> (T, Tj) squared distances via the Gram identity."""
-    dot = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)
+    """(T, d) x (Tj, d) -> (T, Tj) squared distances via the Gram identity.
+
+    precision=HIGHEST is mandatory: Mosaic's DEFAULT matmul is single-pass
+    bf16 (~2^-9 relative error — docs/mosaic_findings.md), far above the
+    1e-5 parity bar for distance values feeding the loss."""
+    dot = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     ni = jnp.sum(xi * xi, axis=1, keepdims=True)
     nj = jnp.sum(xj * xj, axis=1)[None, :]
     return jnp.maximum(ni - 2.0 * dot + nj, 0.0)
@@ -143,7 +153,10 @@ def _bwd_kernel(hi_ref, hj_ref, li_ref, lj_ref, grad_ref, *, params,
     f = f * (4.0 / (n_total * n_total))
     # grad_i += sum_j f_ij (l_i - l_j) = (sum_j f_ij) l_i - f @ l_j
     row = jnp.sum(f, axis=1, keepdims=True)
-    contrib = row * li - jnp.dot(f, lj, preferred_element_type=jnp.float32)
+    # gradient contraction: HIGHEST, like hand_step in pallas_train.py —
+    # bf16 here puts ~1e-3 relative noise on latent gradients
+    contrib = row * li - jnp.dot(f, lj, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(j == 0)
     def _():
@@ -217,6 +230,7 @@ def _fwd_impl(h, l, params, periodicity):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
+        interpret=_INTERPRET,
     )(h, h, l, l)
     return out[0, 0]
 
@@ -245,6 +259,7 @@ def _vjp_bwd(params, periodicity, res, g):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((_TILE_I, l32.shape[1]), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
     )(h32, h32, l32, l32)
     return (jnp.zeros_like(h), (grad * g).astype(l.dtype))
 

@@ -402,12 +402,15 @@ def fused_chunk(params_flat: list, mu_flat: list, nu_flat: list,
     n_tensors = len(params_flat)
     all_in = list(params_flat) + list(mu_flat) + list(nu_flat)
 
+    # nd=x.ndim binds at definition: a bare `x.ndim` inside the lambda
+    # late-binds to the LAST tensor of the comprehension, which would
+    # produce wrong-rank index tuples the moment ranks ever differ
     const_specs = [
-        pl.BlockSpec(x.shape, lambda i: (0,) * x.ndim) for x in all_in
+        pl.BlockSpec(x.shape, lambda i, nd=x.ndim: (0,) * nd) for x in all_in
     ]
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in all_in]
     out_specs = [
-        pl.BlockSpec(x.shape, lambda i: (0,) * x.ndim) for x in all_in
+        pl.BlockSpec(x.shape, lambda i, nd=x.ndim: (0,) * nd) for x in all_in
     ]
     out_shapes.append(jax.ShapeDtypeStruct((steps, 8), jnp.float32))
     out_specs.append(pl.BlockSpec((steps, 8), lambda i: (0, 0)))

@@ -96,3 +96,78 @@ class TestRouting:
         out = float(ps.fused_or_reference(h, l, PARAMS, 2 * np.pi))
         ref = float(_reference_loss(h, l, PARAMS, 2 * np.pi))
         assert out == pytest.approx(ref, abs=1e-7)
+
+
+class TestRealKernelInterpreted:
+    """Execute the ACTUAL pallas kernel (Gram-identity distances, SMEM
+    accumulation, grid plumbing) in interpret mode on CPU — previously only
+    plain-JAX mirror helpers were tested and a kernel regression would
+    first fire in production at B>=16384 on the TPU."""
+
+    def _data(self, B=512, seed=0):
+        rng = np.random.default_rng(seed)
+        h = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
+        l = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32))
+        return h, l
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self, monkeypatch):
+        from encodermap_tpu.ops import pallas_sigmoid as ps
+
+        monkeypatch.setattr(ps, "_INTERPRET", True)
+
+    @pytest.mark.parametrize("periodicity", [float("inf"), 2 * np.pi])
+    def test_forward_matches_xla(self, periodicity):
+        from encodermap_tpu import losses as L
+        from encodermap_tpu.ops import pallas_sigmoid as ps
+
+        h, l = self._data()
+        params = (5.9, 12.0, 4.0, 1.0, 2.0, 4.0)
+        val = float(ps.fused_sigmoid_loss(h, l, params, periodicity))
+        ref = float(L.sigmoid_loss(h, l, params, periodicity))
+        assert abs(val - ref) / abs(ref) < 1e-5
+
+    def test_backward_matches_xla(self):
+        from encodermap_tpu import losses as L
+        from encodermap_tpu.ops import pallas_sigmoid as ps
+
+        h, l = self._data()
+        params = (5.9, 12.0, 4.0, 1.0, 2.0, 4.0)
+        g1 = jax.grad(
+            lambda x: ps.fused_sigmoid_loss(h, x, params, float("inf"))
+        )(l)
+        g2 = jax.grad(
+            lambda x: L.sigmoid_loss(h, x, params, float("inf"))
+        )(l)
+        rel = float(jnp.max(jnp.abs(g1 - g2)) / jnp.max(jnp.abs(g2)))
+        assert rel < 1e-4
+
+    def test_duplicate_points_zero_masked(self):
+        from encodermap_tpu.ops import pallas_sigmoid as ps
+
+        h, l = self._data()
+        l = l.at[1].set(l[0])  # duplicate latent point: d=0 pair
+        h = h.at[1].set(h[0])
+        params = (5.9, 12.0, 4.0, 1.0, 2.0, 4.0)
+        val = ps.fused_sigmoid_loss(h, l, params, float("inf"))
+        g = jax.grad(
+            lambda x: ps.fused_sigmoid_loss(h, x, params, float("inf"))
+        )(l)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_nonuniform_a_b_gradients(self):
+        """The wave-5 fused-kernel bug class: a != 2 sigmoid exponents."""
+        from encodermap_tpu import losses as L
+        from encodermap_tpu.ops import pallas_sigmoid as ps
+
+        h, l = self._data()
+        params = (4.5, 6.0, 10.0, 1.0, 3.0, 7.0)
+        g1 = jax.grad(
+            lambda x: ps.fused_sigmoid_loss(h, x, params, float("inf"))
+        )(l)
+        g2 = jax.grad(
+            lambda x: L.sigmoid_loss(h, x, params, float("inf"))
+        )(l)
+        rel = float(jnp.max(jnp.abs(g1 - g2)) / jnp.max(jnp.abs(g2)))
+        assert rel < 1e-4

@@ -2508,3 +2508,54 @@ class TestWave16Fixes:
         # threshold counted every bonded pair (hundreds per frame)
         assert "clashes" in h
         assert np.asarray(h["clashes"][-1]) < 50
+
+
+class TestWave17Fixes:
+    """ops-layer review findings: MIC kernel choice for concrete boxes,
+    offline-backmap jit reuse."""
+
+    def test_concrete_ortho_box_skips_image_search(self):
+        import jax
+        import jax.numpy as jnp
+
+        from encodermap_tpu.ops import geometry as geom
+
+        xyz = np.random.default_rng(0).normal(
+            size=(2, 8, 3)).astype(np.float32)
+        pairs = np.asarray([[0, 1], [2, 3]])
+        ortho = np.broadcast_to(np.eye(3, dtype=np.float32) * 4.0,
+                                (2, 3, 3)).copy()
+        tric = ortho.copy()
+        tric[:, 1, 0] = 2.0
+        jaxpr_ortho = str(jax.make_jaxpr(
+            lambda x: geom.compute_distances(x, pairs, ortho)
+        )(jnp.asarray(xyz)))
+        jaxpr_tric = str(jax.make_jaxpr(
+            lambda x: geom.compute_distances(x, pairs, tric)
+        )(jnp.asarray(xyz)))
+        # the 27-image search contains an argmin; the cheap fractional
+        # round does not
+        assert "argmin" not in jaxpr_ortho
+        assert "argmin" in jaxpr_tric
+        # and the values agree for an orthorhombic cell
+        a = geom.compute_distances(jnp.asarray(xyz), pairs, ortho)
+        with geom.mic_mode(True):
+            b = geom.compute_distances(jnp.asarray(xyz), pairs, ortho)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    @needs_data
+    def test_backmap_topology_reuses_one_jit(self):
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.misc import backmapping_offline as bo
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        top = traj.top
+        quads = top.indices_phi
+        targets = np.zeros((2, len(quads)), np.float32)
+        out1 = bo.backmap_topology(top, traj.xyz[0], targets,
+                                   dihedral_indices=quads)
+        size = bo._rotate_frames_jit._cache_size()
+        out2 = bo.backmap_topology(top, traj.xyz[0], targets,
+                                   dihedral_indices=quads)
+        assert bo._rotate_frames_jit._cache_size() == size
+        np.testing.assert_allclose(out1, out2, atol=1e-6)

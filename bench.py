@@ -358,10 +358,31 @@ def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
     return n_chunks * steps_per_scan * batch / dt
 
 
-def _retry(fn, attempts: int = 3, wait: float = 120.0):
+class _BenchTimeout(Exception):
+    pass
+
+
+def _retry(fn, attempts: int = 3, wait: float = 120.0,
+           timeout_s: float = 1500.0):
     """The remote TPU tunnel occasionally drops a claim mid-session
-    (FAILED_PRECONDITION); retry after letting the claim expire."""
+    (FAILED_PRECONDITION); retry after letting the claim expire.
+
+    A DEAD tunnel doesn't raise — dispatches hang silently (a 128x128
+    matmul was observed hanging >9 min) — so each attempt also runs under
+    a SIGALRM watchdog; a hung attempt raises _BenchTimeout and the last
+    failure propagates as an explicit error instead of hanging the round's
+    bench driver forever."""
+    import signal
+
+    def _on_alarm(signum, frame):
+        raise _BenchTimeout(
+            f"benchmark exceeded {timeout_s:.0f}s — the TPU tunnel is "
+            f"likely down"
+        )
+
     for i in range(attempts):
+        old = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(timeout_s))
         try:
             return fn()
         except Exception as e:  # noqa: BLE001
@@ -370,19 +391,36 @@ def _retry(fn, attempts: int = 3, wait: float = 120.0):
             print(f"bench attempt {i + 1} failed ({type(e).__name__}: {e}); "
                   f"retrying in {wait:.0f}s", flush=True)
             time.sleep(wait)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
 
 def main() -> None:
-    train_sps = _retry(bench_train)
-    periodic_sps = _retry(lambda: bench_train(periodic=True))
-    backmap_cps = _retry(bench_backmap)
-    adc_sps = _retry(bench_adc)
-    adc_lysozyme_sps = _retry(
-        lambda: bench_adc(n_res=158, n_frames=2048, n_chunks=3)
+    # fail-soft: a single dead benchmark (usually tunnel weather) must not
+    # cost the round its entire artifact — failed legs report null and the
+    # error is named in the JSON
+    errors: list[str] = []
+
+    def run(name, fn, default=0.0):
+        try:
+            return _retry(fn)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{name}: {type(e).__name__}: {e}")
+            print(f"bench {name} FAILED: {e}", flush=True)
+            return default
+
+    train_sps = run("train", bench_train)
+    periodic_sps = run("periodic", lambda: bench_train(periodic=True))
+    backmap_cps = run("backmap", bench_backmap)
+    adc_sps = run("adc", bench_adc)
+    adc_lysozyme_sps = run(
+        "adc_lysozyme",
+        lambda: bench_adc(n_res=158, n_frames=2048, n_chunks=3),
     )
-    feat_fps, feat_dev_fps = _retry(bench_featurize)
-    gen_cps, gen_dev_cps = _retry(bench_generate)
-    stream_sps = _retry(bench_streaming)
+    feat_fps, feat_dev_fps = run("featurize", bench_featurize, (0.0, 0.0))
+    gen_cps, gen_dev_cps = run("generate", bench_generate, (0.0, 0.0))
+    stream_sps = run("streaming", bench_streaming)
     target = 1e5
     print(
         json.dumps(
@@ -403,6 +441,7 @@ def main() -> None:
                 "generate_conformations_per_sec_1am7": round(gen_cps, 1),
                 "generate_device_only_cps": round(gen_dev_cps, 1),
                 "streaming_train_samples_per_sec_1m_h5": round(stream_sps, 1),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -109,6 +109,8 @@ class SingleTraj:
             self._local_file = local
             if self.top_file == self.traj_file:
                 self._local_top = local
+            elif self.top_file.startswith(("http://", "https://")):
+                self._local_top = _fetch_url_cached(self.top_file)
             else:
                 self._local_top = self.top_file
         elif self.top_file.startswith(("http://", "https://")):
@@ -146,7 +148,11 @@ class SingleTraj:
 
             url = f"https://files.rcsb.org/view/{pdb_id.upper()}.pdb"
             try:
-                urllib.request.urlretrieve(url, target)  # noqa: S310
+                # atomic publish like _fetch_url_cached: a download killed
+                # mid-write must not become a permanent corrupt cache hit
+                tmp = target.with_suffix(".pdb.part")
+                urllib.request.urlretrieve(url, tmp)  # noqa: S310
+                tmp.replace(target)
             except Exception as e:
                 raise RuntimeError(
                     f"could not download {pdb_id} from RCSB ({e}); this "
@@ -191,6 +197,21 @@ class SingleTraj:
                     self._file_box = cell
             elif self.top_file.endswith((".h5", ".hdf5")):
                 self._load_h5(top_only=True)
+                if self._top is None:
+                    import h5py
+
+                    with h5py.File(self._top_path, "r") as f:
+                        groups = [k for k in f if k.startswith("traj_")]
+                    hint = (
+                        " This looks like a multi-trajectory ensemble file "
+                        "(TrajEnsemble.save layout) — load it with "
+                        "TrajEnsemble.from_dataset(path)."
+                        if groups else ""
+                    )
+                    raise ValueError(
+                        f"{self.top_file} has no root-level 'topology' "
+                        f"dataset.{hint}"
+                    )
             else:
                 raise ValueError(f"unsupported topology file {self.top_file}")
         return self._top
@@ -242,19 +263,22 @@ class SingleTraj:
     def _load_h5(self, top_only: bool = False, lazy_count: bool = False) -> None:
         import h5py
 
-        with h5py.File(self._top_path, "r") as f:
-            if self._top is None and "topology" in f:
-                from .mdtraj_h5 import topology_from_json
+        # the topology may live in a NON-h5 file (e.g. traj.h5 + top.pdb):
+        # only read it here when the top file actually is HDF5 — the frame
+        # count below needs only _traj_path
+        if self._top_path.endswith((".h5", ".hdf5")):
+            with h5py.File(self._top_path, "r") as f:
+                if self._top is None and "topology" in f:
+                    from .mdtraj_h5 import topology_from_json
 
-                self._top = topology_from_json(f["topology"][0].decode())
-                if "custom_topology" in f.attrs:
-                    from .custom_topology import CustomTopology
+                    self._top = topology_from_json(f["topology"][0].decode())
+                    if "custom_topology" in f.attrs:
+                        from .custom_topology import CustomTopology
 
-                    self._top = CustomTopology.from_json(
-                        self._top, f.attrs["custom_topology"]
-                    ).apply()
-            if top_only:
-                return
+                        self._top = CustomTopology.from_json(
+                            self._top, f.attrs["custom_topology"]
+                        ).apply()
+        if not top_only:
             with h5py.File(self._traj_path, "r") as ft:
                 self._n_frames_file = ft["coordinates"].shape[0]
                 # reference-written trajs.h5 embed CVs under /CVs
@@ -356,7 +380,10 @@ class SingleTraj:
                     f["time"][uniq][inverse] if "time" in f
                     else np.arange(len(idx), dtype=np.float32)
                 )
-                if "cell_lengths" in f:
+                if "cell_vectors" in f:
+                    # lossless triclinic-capable layout (ours)
+                    self._unitcell = f["cell_vectors"][uniq][inverse]
+                elif "cell_lengths" in f:
                     cl = f["cell_lengths"][uniq][inverse]
                     self._unitcell = np.stack([np.diag(v) for v in cl])
                 else:
@@ -923,14 +950,31 @@ class SingleTraj:
             f.create_dataset("coordinates", data=self.xyz)
             f.create_dataset("time", data=self.time)
             if self._unitcell is not None:
-                f.create_dataset(
-                    "cell_lengths",
-                    data=np.stack([np.diag(b) for b in self._unitcell]),
+                box = np.asarray(self._unitcell, np.float64)
+                # true lengths/angles (mdtraj-compatible datasets) — a
+                # bare np.diag would silently flatten triclinic cells
+                a, b, c = box[:, 0], box[:, 1], box[:, 2]
+                na = np.linalg.norm(a, axis=-1)
+                nb = np.linalg.norm(b, axis=-1)
+                nc = np.linalg.norm(c, axis=-1)
+                lengths = np.stack([na, nb, nc], axis=1)
+
+                def _ang(u, v, nu, nv):
+                    cos = np.einsum("fi,fi->f", u, v) / np.maximum(
+                        nu * nv, 1e-12)
+                    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+                angles = np.stack(
+                    [_ang(b, c, nb, nc), _ang(a, c, na, nc),
+                     _ang(a, b, na, nb)], axis=1,
                 )
-                f.create_dataset(
-                    "cell_angles",
-                    data=np.full((self.n_frames, 3), 90.0, np.float32),
-                )
+                f.create_dataset("cell_lengths",
+                                 data=lengths.astype(np.float32))
+                f.create_dataset("cell_angles",
+                                 data=angles.astype(np.float32))
+                # lossless vectors alongside (our loader prefers them)
+                f.create_dataset("cell_vectors",
+                                 data=box.astype(np.float32))
             f.create_dataset(
                 "topology",
                 data=np.asarray([topology_to_json(self.top).encode()]),
@@ -1009,7 +1053,22 @@ class _TrajSelector:
                 )
             return by_num[int(item)]
         if isinstance(item, (list, np.ndarray)):
-            wanted = [int(i) for i in np.asarray(item).ravel()]
+            arr = np.asarray(item)
+            if arr.ndim == 2 and arr.shape[1] == 2:
+                # (traj_num, frame) pair rows — the reference's
+                # _pyemma_indexing_tsel (``info_all.py:774``): select the
+                # named frames of the named trajectories
+                members = []
+                for tn in dict.fromkeys(int(t) for t in arr[:, 0]):
+                    if tn not in by_num:
+                        raise ValueError(
+                            f"No trajectory with traj_num {tn} in this "
+                            f"ensemble (available: {sorted(by_num)})"
+                        )
+                    frames = arr[arr[:, 0] == tn, 1].astype(int)
+                    members.append(by_num[tn][frames])
+                return TrajEnsemble._from_members(members)
+            wanted = [int(i) for i in arr.ravel()]
             missing = [i for i in wanted if i not in by_num]
             if missing:
                 raise ValueError(
@@ -1325,6 +1384,9 @@ class TrajEnsemble:
     def del_CVs(self, CVs: Optional[Sequence[str]] = None) -> None:
         """Drop all (or the named) CVs from every member; files untouched
         (reference ``info_all.py:1622-1635``)."""
+        # the backing h5 still holds the old CVs: streaming them from
+        # batch_iterator after a delete would resurrect deleted data
+        self._source_h5 = None
         if CVs is None:
             for t in self.trajs:
                 t.del_CVs()
@@ -1965,8 +2027,11 @@ class TrajEnsemble:
             joined._materialized = True
             joined._time = np.concatenate([m.time for m in members], axis=0)
             cells = [m.unitcell_vectors for m in members]
+            # a vacuum member (box nulled at load) makes the ensemble
+            # box-less — checking only cells[0] would crash concatenating
             joined._unitcell = (
-                np.concatenate(cells, axis=0) if cells[0] is not None else None
+                np.concatenate(cells, axis=0)
+                if all(c is not None for c in cells) else None
             )
             joined._n_frames_file = len(joined._xyz)
             joined.index = None

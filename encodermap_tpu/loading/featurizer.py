@@ -88,6 +88,17 @@ def _reference_xyz(reference) -> np.ndarray:
     return np.asarray(reference)
 
 
+def _attach_cv(traj, name, data, labels, indices, attrs) -> None:
+    """Attach a CV through the trajectory's checked adder when it has one
+    (angle-unit homogeneity, like SingleTraj.load_CV); duck-typed test
+    trajs without it fall back to the raw store."""
+    fn = getattr(traj, "_add_cv_checked", None)
+    if fn is not None:
+        fn(name, data, labels, indices, attrs, override=True)
+    else:
+        traj._CVs.add(name, data, labels, indices, attrs)
+
+
 class _FeatureList(list):
     """Feature container that refuses duplicates by VALUE: re-adding an
     equal feature warns and is skipped, like the reference's
@@ -185,7 +196,17 @@ class SingleTrajFeaturizer:
         a per-featurizer running id and the name ``CustomFeature_{id}``;
         subclasses with their own ``name`` keep it (reference
         ``featurizer.py:1581-1612``)."""
-        if type(feature).__name__ == "CustomFeature":
+        user_named = (
+            type(feature).__name__ == "CustomFeature"
+            and "name" in feature.__dict__
+            and not str(feature.__dict__["name"]).startswith("CustomFeature_")
+        )
+        if type(feature).__name__ == "CustomFeature" and user_named:
+            # the user explicitly named this feature (f.name = 'my_cv'):
+            # keep it, like the reference's hasattr(feature, 'name') guard
+            # (featurizer.py:1586) — no id bookkeeping either
+            pass
+        elif type(feature).__name__ == "CustomFeature":
             if getattr(feature, "id", None) is None:
                 feature.id = self._n_custom_features
             elif (feature.id in self._custom_feature_ids
@@ -208,7 +229,9 @@ class SingleTrajFeaturizer:
         before = len(self.features)
         self.features.append(feature)  # warns + skips value-duplicates
         if (len(self.features) > before
-                and type(feature).__name__ == "CustomFeature"):
+                and type(feature).__name__ == "CustomFeature"
+                and getattr(feature, "id", None) is not None):
+            # user-named features skip id bookkeeping (id stays None)
             self._custom_feature_ids.append(feature.id)
             self._n_custom_features = max(
                 self._n_custom_features, feature.id + 1
@@ -416,7 +439,10 @@ class SingleTrajFeaturizer:
         key = tuple(id(f) for f in self.features)
         if self._runner is None or self._runner[0] != key:
             run, slice_xyz = make_feature_runner(self.features)
-            self._runner = (key, run, slice_xyz)
+            # the snapshot keeps the keyed feature objects ALIVE: id() of
+            # a freed feature could be reused by a new one, silently
+            # serving a stale jitted program
+            self._runner = (key, run, slice_xyz, list(self.features))
         return self._runner[1], self._runner[2]
 
     def get_output_for(self, traj, ensemble: bool = False) -> CVCollection:
@@ -692,7 +718,7 @@ class EnsembleFeaturizer:
             for traj, cvs in zip(self.trajs, per_traj):
                 for k in cvs:
                     e = cvs.entry(k)
-                    traj._CVs.add(k, e.data, e.labels, e.indices, e.attrs)
+                    _attach_cv(traj, k, e.data, e.labels, e.indices, e.attrs)
             return
 
         # optional ClustalW relabeling: residue numbers -> alignment columns
@@ -755,7 +781,7 @@ class EnsembleFeaturizer:
                     (traj.n_frames, len(all_labels)), np.nan, np.float32
                 )
                 indices, attrs = None, None
-            traj._CVs.add(name, padded, all_labels, indices, attrs)
+            _attach_cv(traj, name, padded, all_labels, indices, attrs)
 
     def _align_3d(self, name: str, per_traj: list[CVCollection]) -> None:
         """Cartesian CVs: align at the *atom* level. Per-coordinate labels
@@ -793,7 +819,7 @@ class EnsembleFeaturizer:
                     (traj.n_frames, len(atom_union), 3), np.nan, np.float32
                 )
                 indices, attrs = None, None
-            traj._CVs.add(name, padded, all_labels, indices, attrs)
+            _attach_cv(traj, name, padded, all_labels, indices, attrs)
 
 
 _AXIS_TOKENS = frozenset("XYZxyz")

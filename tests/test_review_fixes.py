@@ -2559,3 +2559,125 @@ class TestWave17Fixes:
                                    dihedral_indices=quads)
         assert bo._rotate_frames_jit._cache_size() == size
         np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+class TestWave18Fixes:
+    """Big-file (trajectory/featurizer) review findings."""
+
+    @needs_data
+    def test_h5_traj_with_pdb_topology(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj
+
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        t.save(tmp_path / "asp7.h5")
+        mixed = SingleTraj(tmp_path / "asp7.h5", DATA / "asp7.pdb")
+        assert mixed.n_frames == t.n_frames
+        np.testing.assert_allclose(mixed.xyz, t.xyz, atol=1e-6)
+
+    @needs_data
+    def test_ensemble_deg_rad_homogeneity_guard(self):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        trajs = TrajEnsemble(
+            [SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")]
+        )
+        trajs.load_CVs(["central_angles"], deg=True)
+        with pytest.raises(AssertionError, match="inhomogeneous"):
+            trajs.load_CVs(["central_dihedrals"], deg=False)
+
+    @needs_data
+    def test_triclinic_cell_survives_h5_roundtrip(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj
+
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        t.load()
+        tric = np.asarray(t.unitcell_vectors).copy()
+        tric[:, 1, 0] = 1.5  # skew the cell
+        t._unitcell = tric
+        t.save(tmp_path / "tric.h5")
+        back = SingleTraj(tmp_path / "tric.h5")
+        np.testing.assert_allclose(back.unitcell_vectors, tric, atol=1e-6)
+
+    @needs_data
+    def test_single_traj_on_ensemble_h5_raises_helpfully(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        t1 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb", traj_num=0)
+        trajs = TrajEnsemble([t1])
+        trajs.save(tmp_path / "ens.h5")
+        with pytest.raises(ValueError, match="from_dataset"):
+            SingleTraj(tmp_path / "ens.h5").top
+
+    @needs_data
+    def test_del_cvs_disconnects_lazy_source(self, tmp_path):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        t1 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb", traj_num=0)
+        trajs = TrajEnsemble([t1])
+        trajs.load_CVs(["central_dihedrals"])
+        trajs.save(tmp_path / "ens.h5")
+        assert trajs._source_h5 is not None
+        trajs.del_CVs()
+        assert trajs._source_h5 is None
+        with pytest.raises(Exception):
+            next(trajs.batch_iterator(8, CV_names=["central_dihedrals"]))
+
+    @needs_data
+    def test_join_with_vacuum_member(self):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        t1 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb", traj_num=0)
+        t2 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb", traj_num=1)
+        t1.load(), t2.load()
+        t2._unitcell = None  # vacuum member
+        joined = TrajEnsemble([t1, t2]).join()
+        out = next(iter(joined.values())) if isinstance(joined, dict) \
+            else joined
+        # boxes are dropped rather than crashing np.concatenate
+        assert out is not None
+
+    @needs_data
+    def test_tsel_pair_rows_select_frames(self):
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        t1 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        t2 = SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb")
+        trajs = TrajEnsemble([t1, t2])
+        tn = trajs.trajs[1].traj_num  # the glu7 member's actual number
+        sel = trajs.tsel[np.array([[tn, 0], [tn, 1]])]
+        assert sel.n_trajs == 1
+        assert sel.n_frames == 2
+        np.testing.assert_allclose(sel.trajs[0].xyz,
+                                   trajs.trajs[1][0:2].xyz, atol=1e-6)
+
+    @needs_data
+    def test_user_named_custom_feature_kept(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        f = em.features.CustomFeature(fun=lambda t: t.xyz[:, 0, :1], dim=1)
+        f.name = "my_cv"
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(f)
+        out = feat.get_output()
+        assert list(out) == ["my_cv"]
+
+    @needs_data
+    def test_url_top_distinct_from_traj_is_fetched(self, tmp_path,
+                                                   monkeypatch):
+        from encodermap_tpu.data import trajectory as T
+
+        calls = []
+
+        def fake_fetch(url, cache_dir="/tmp/em_url_cache"):
+            calls.append(url)
+            return str(DATA / "asp7.pdb") if url.endswith(".pdb") \
+                else str(DATA / "asp7.xtc")
+
+        monkeypatch.setattr(T, "_fetch_url_cached", fake_fetch)
+        t = T.SingleTraj("https://example.org/a.xtc",
+                         "https://example.org/top.pdb")
+        assert t.n_frames == 100
+        assert "https://example.org/top.pdb" in calls

@@ -228,7 +228,7 @@ def bench_featurize(n_frames: int = 1024, block: int = 512
 
 
 def bench_generate(n_res: int = 158, batch: int = 2048, reps: int = 3
-                   ) -> float:
+                   ) -> tuple[float, float]:
     """BASELINE config 4b: generate() throughput (conformations/sec) at
     lysozyme/diUbi scale — decoder MLP + associative-scan backmapping to
     474-atom backbones, via the real user path (latent in, xyz out)."""
@@ -323,14 +323,24 @@ def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
         make_streaming_trainer,
     )
 
-    path = "/tmp/embench_stream_1m.h5"
-    if not _os.path.exists(path):
-        import h5py
+    import h5py
 
+    path = "/tmp/embench_stream_1m.h5"
+
+    def _valid() -> bool:
+        try:
+            with h5py.File(path, "r") as f:
+                return f["CVs/features"].shape == (1_000_000, 6)
+        except Exception:  # truncated leftover from an interrupted run
+            return False
+
+    if not (_os.path.exists(path) and _valid()):
         data = np.random.default_rng(0).standard_normal(
             (1_000_000, 6)).astype(np.float32)
-        with h5py.File(path, "w") as f:
+        tmp = path + ".tmp"
+        with h5py.File(tmp, "w") as f:
             f.create_group("CVs").create_dataset("features", data=data)
+        _os.replace(tmp, path)
 
     p = Parameters(
         periodicity=float("inf"), n_neurons=[128, 128, 2], batch_size=batch,
@@ -338,7 +348,7 @@ def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
     )
     proto = np.random.default_rng(1).standard_normal((64, 6)).astype(np.float32)
     emap = EncoderMap(p, proto, read_only=True)
-    trainer = make_streaming_trainer(emap._make_train_step(), steps_per_scan)
+    trainer = make_streaming_trainer(emap._make_train_step())
     src = PrefetchSource(
         HDF5BatchSource(path, ["features"], batch, steps_per_scan), depth=3
     )
@@ -358,31 +368,10 @@ def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
     return n_chunks * steps_per_scan * batch / dt
 
 
-class _BenchTimeout(Exception):
-    pass
-
-
-def _retry(fn, attempts: int = 3, wait: float = 120.0,
-           timeout_s: float = 1500.0):
+def _retry(fn, attempts: int = 3, wait: float = 120.0):
     """The remote TPU tunnel occasionally drops a claim mid-session
-    (FAILED_PRECONDITION); retry after letting the claim expire.
-
-    A DEAD tunnel doesn't raise — dispatches hang silently (a 128x128
-    matmul was observed hanging >9 min) — so each attempt also runs under
-    a SIGALRM watchdog; a hung attempt raises _BenchTimeout and the last
-    failure propagates as an explicit error instead of hanging the round's
-    bench driver forever."""
-    import signal
-
-    def _on_alarm(signum, frame):
-        raise _BenchTimeout(
-            f"benchmark exceeded {timeout_s:.0f}s — the TPU tunnel is "
-            f"likely down"
-        )
-
+    (FAILED_PRECONDITION); retry after letting the claim expire."""
     for i in range(attempts):
-        old = signal.signal(signal.SIGALRM, _on_alarm)
-        signal.alarm(int(timeout_s))
         try:
             return fn()
         except Exception as e:  # noqa: BLE001
@@ -391,60 +380,120 @@ def _retry(fn, attempts: int = 3, wait: float = 120.0,
             print(f"bench attempt {i + 1} failed ({type(e).__name__}: {e}); "
                   f"retrying in {wait:.0f}s", flush=True)
             time.sleep(wait)
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
+
+
+class _Watchdog:
+    """Hard deadline per benchmark leg, enforced from a daemon thread.
+
+    A DEAD tunnel doesn't raise — dispatches hang inside jaxlib C++ with
+    the GIL released (a 128x128 matmul was observed hanging >9 min), where
+    Python-level signal handlers never run. On expiry the watchdog prints
+    the results collected SO FAR as the one JSON line and hard-exits, so
+    the round keeps a partial-but-honest artifact instead of hanging the
+    driver forever."""
+
+    def __init__(self, emit) -> None:
+        import threading
+
+        self._emit = emit
+        self._deadline: float = float("inf")
+        self._leg = ""
+        t = threading.Thread(target=self._watch, daemon=True)
+        t.start()
+
+    def arm(self, leg: str, timeout_s: float = 1800.0) -> None:
+        self._leg = leg
+        self._deadline = time.time() + timeout_s
+
+    def disarm(self) -> None:
+        self._deadline = float("inf")
+
+    def _watch(self) -> None:
+        import os as _os2
+
+        while True:
+            time.sleep(15)
+            if time.time() > self._deadline:
+                print(f"bench watchdog: leg {self._leg!r} hung past its "
+                      f"deadline — the TPU tunnel is likely down; emitting "
+                      f"partial results", flush=True)
+                self._emit(extra_error=f"{self._leg}: watchdog timeout "
+                                       f"(tunnel hang)")
+                _os2._exit(1)
 
 
 def main() -> None:
     # fail-soft: a single dead benchmark (usually tunnel weather) must not
-    # cost the round its entire artifact — failed legs report null and the
-    # error is named in the JSON
+    # cost the round its entire artifact — failed legs report 0.0 and the
+    # error is named in the JSON; a HUNG leg is cut by the watchdog, which
+    # emits the results collected so far and exits
+    target = 1e5
+    results: dict[str, float] = {}
     errors: list[str] = []
 
-    def run(name, fn, default=0.0):
+    def emit(extra_error: str = "") -> None:
+        errs = errors + ([extra_error] if extra_error else [])
+        train_sps = results.get("train", 0.0)
+        backmap_cps = results.get("backmap", 0.0)
+        print(
+            json.dumps(
+                {
+                    "metric": "train_samples_per_sec_batch256_sigmoid_loss",
+                    "value": round(train_sps, 1),
+                    "unit": "samples/sec",
+                    "vs_baseline": round(train_sps / target, 3),
+                    "periodic_train_samples_per_sec_dihedrals": round(
+                        results.get("periodic", 0.0), 1),
+                    "backmap_conformations_per_sec_456atoms": round(
+                        backmap_cps, 1),
+                    "backmap_vs_baseline": round(backmap_cps / target, 3),
+                    "adc_train_samples_per_sec_trpcage": round(
+                        results.get("adc", 0.0), 1),
+                    "adc_train_samples_per_sec_lysozyme_158res": round(
+                        results.get("adc_lysozyme", 0.0), 1),
+                    "featurize_frames_per_sec_1am7": round(
+                        results.get("featurize", 0.0), 1),
+                    "featurize_device_only_fps": round(
+                        results.get("featurize_dev", 0.0), 1),
+                    # synthetic 158-residue decode+backmap (1am7 scale)
+                    "generate_conformations_per_sec_1am7": round(
+                        results.get("generate", 0.0), 1),
+                    "generate_device_only_cps": round(
+                        results.get("generate_dev", 0.0), 1),
+                    "streaming_train_samples_per_sec_1m_h5": round(
+                        results.get("streaming", 0.0), 1),
+                    **({"errors": errs} if errs else {}),
+                }
+            ),
+            flush=True,
+        )
+
+    wd = _Watchdog(emit)
+
+    def run(name, fn, pair=None):
+        wd.arm(name)
         try:
-            return _retry(fn)
+            out = _retry(fn)
+            if pair:
+                results[name], results[pair] = out
+            else:
+                results[name] = out
         except Exception as e:  # noqa: BLE001
             errors.append(f"{name}: {type(e).__name__}: {e}")
             print(f"bench {name} FAILED: {e}", flush=True)
-            return default
+        finally:
+            wd.disarm()
 
-    train_sps = run("train", bench_train)
-    periodic_sps = run("periodic", lambda: bench_train(periodic=True))
-    backmap_cps = run("backmap", bench_backmap)
-    adc_sps = run("adc", bench_adc)
-    adc_lysozyme_sps = run(
-        "adc_lysozyme",
-        lambda: bench_adc(n_res=158, n_frames=2048, n_chunks=3),
-    )
-    feat_fps, feat_dev_fps = run("featurize", bench_featurize, (0.0, 0.0))
-    gen_cps, gen_dev_cps = run("generate", bench_generate, (0.0, 0.0))
-    stream_sps = run("streaming", bench_streaming)
-    target = 1e5
-    print(
-        json.dumps(
-            {
-                "metric": "train_samples_per_sec_batch256_sigmoid_loss",
-                "value": round(train_sps, 1),
-                "unit": "samples/sec",
-                "vs_baseline": round(train_sps / target, 3),
-                "periodic_train_samples_per_sec_dihedrals": round(
-                    periodic_sps, 1),
-                "backmap_conformations_per_sec_456atoms": round(backmap_cps, 1),
-                "backmap_vs_baseline": round(backmap_cps / target, 3),
-                "adc_train_samples_per_sec_trpcage": round(adc_sps, 1),
-                "adc_train_samples_per_sec_lysozyme_158res": round(
-                    adc_lysozyme_sps, 1),
-                "featurize_frames_per_sec_1am7": round(feat_fps, 1),
-                "featurize_device_only_fps": round(feat_dev_fps, 1),
-                "generate_conformations_per_sec_1am7": round(gen_cps, 1),
-                "generate_device_only_cps": round(gen_dev_cps, 1),
-                "streaming_train_samples_per_sec_1m_h5": round(stream_sps, 1),
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    run("train", bench_train)
+    run("periodic", lambda: bench_train(periodic=True))
+    run("backmap", bench_backmap)
+    run("adc", bench_adc)
+    run("adc_lysozyme",
+        lambda: bench_adc(n_res=158, n_frames=2048, n_chunks=3))
+    run("featurize", bench_featurize, pair="featurize_dev")
+    run("generate", bench_generate, pair="generate_dev")
+    run("streaming", bench_streaming)
+    emit()
 
 
 if __name__ == "__main__":

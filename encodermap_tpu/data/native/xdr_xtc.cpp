@@ -188,13 +188,20 @@ int decompress_coords(XdrFile& xf, float* out /* n_atoms*3 */, int n_atoms_expec
     for (int i = 0; i < 3; ++i) minint[i] = xf.read_int();
     for (int i = 0; i < 3; ++i) maxint[i] = xf.read_int();
     // corrupt headers with maxint < minint would make sizeint 0 (or
-    // wrap) and crash decodeints with a hardware divide-by-zero
+    // wrap) and crash decodeints with a hardware divide-by-zero; the
+    // span must be computed in 64-bit — maxint-minint on int32 is UB for
+    // spans >= 2^31, and a full 2^32 span wraps sizeint to 0 even when
+    // maxint >= minint
     for (int i = 0; i < 3; ++i)
         if (maxint[i] < minint[i]) return -1;
 
     unsigned int sizeint[3], sizesmall[3], bitsizeint[3] = {0, 0, 0};
-    for (int i = 0; i < 3; ++i)
-        sizeint[i] = (unsigned int)(maxint[i] - minint[i]) + 1u;
+    for (int i = 0; i < 3; ++i) {
+        int64_t span = (int64_t)maxint[i] - (int64_t)minint[i] + 1;
+        if (span <= 0 || span > 0xffffffffLL) return -1;
+        sizeint[i] = (unsigned int)span;
+        if (sizeint[i] == 0) return -1;
+    }
 
     int bitsize;
     if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
@@ -287,6 +294,10 @@ int decompress_coords(XdrFile& xf, float* out /* n_atoms*3 */, int n_atoms_expec
             *lfp++ = (float)thiscoord[2] * inv_precision;
         }
         smallidx += is_smaller;
+        // corrupt streams can push smallidx past the MAGICINTS table one
+        // +1 at a time: unchecked, that is an out-of-bounds read here and
+        // eventually a stack overflow in decodeints (bytes[32])
+        if (smallidx < FIRSTIDX || smallidx > LASTIDX) return -1;
         if (is_smaller < 0) {
             smallnum = smaller;
             if (smallidx > FIRSTIDX) smaller = MAGICINTS[smallidx - 1] / 2;

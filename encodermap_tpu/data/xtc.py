@@ -52,7 +52,9 @@ class XTCReader:
             if rc != 0:
                 raise IOError(f"xtc_scan failed with code {rc} for {path}")
             self.n_frames = int(n_frames.value)
-            self.n_atoms = int(n_atoms.value)
+            # a 0-frame file leaves the scan's n_atoms at its -1 sentinel;
+            # propagating it would build negative array dims downstream
+            self.n_atoms = max(0, int(n_atoms.value))
             self._offsets = buf[: self.n_frames].copy()
         else:
             # enormous file: count first, then record offsets exactly
@@ -63,7 +65,7 @@ class XTCReader:
             if rc != 0:
                 raise IOError(f"xtc_scan failed with code {rc} for {path}")
             self.n_frames = int(n_frames.value)
-            self.n_atoms = int(n_atoms.value)
+            self.n_atoms = max(0, int(n_atoms.value))
             self._offsets = np.zeros(self.n_frames, np.int64)
             rc = self._lib.xtc_scan(
                 self.path.encode(), ctypes.byref(n_frames),

@@ -117,11 +117,17 @@ def process_local_slice(n_global: int) -> slice:
 
     Used by data loaders so each host reads only its own shard from disk
     (HDF5/XTC) instead of materializing the global batch everywhere.
+
+    Every process gets EXACTLY ``n_global // process_count`` rows — the
+    remainder is dropped (standard data-parallel practice): GSPMD sharding
+    requires the dp axis to divide evenly across shards, so uneven
+    per-process shards could never be assembled into one global array
+    (``jax.make_array_from_process_local_data`` rejects non-divisible
+    global shapes).
     """
-    k, r = divmod(n_global, jax.process_count())
+    k = n_global // jax.process_count()
     i = jax.process_index()
-    start = i * k + min(i, r)
-    return slice(start, start + k + (1 if i < r else 0))
+    return slice(i * k, (i + 1) * k)
 
 
 def host_local_batch(
@@ -135,18 +141,25 @@ def host_local_batch(
     directly inside ``jit`` without any host gathers. Works unchanged in
     single-process runs (where it is just a sharded device_put).
 
-    Pass ``n_global`` (the value given to :func:`process_local_slice`)
-    whenever it may not divide evenly by the process count:
-    ``make_array_from_process_local_data`` without a global shape assumes
-    UNIFORM per-process shards, so the uneven remainder shards
-    ``process_local_slice`` deliberately produces would make each process
-    infer a different global shape.
+    Shards must be UNIFORM across processes — feed rows from
+    :func:`process_local_slice`, which drops the uneven remainder (GSPMD
+    requires the dp axis to divide evenly across shards; JAX's
+    ``make_array_from_process_local_data`` rejects non-divisible global
+    shapes outright). ``n_global`` is optional and only cross-checked.
     """
     sharding = NamedSharding(mesh, spec)
+    pc = jax.process_count()
+    if n_global is not None and n_global % pc:
+        raise ValueError(
+            f"n_global={n_global} does not divide evenly over {pc} "
+            f"processes; slice your rows with process_local_slice "
+            f"(which drops the remainder) and pass n_global="
+            f"{n_global - n_global % pc} or None."
+        )
 
     def put(x):
         x = np.asarray(x)
-        if jax.process_count() == 1:
+        if pc == 1:
             return jax.device_put(x, sharding)
         global_shape = (
             (n_global,) + x.shape[1:] if n_global is not None else None

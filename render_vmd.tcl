@@ -1,4 +1,4 @@
-mol new /tmp/pytest-of-root/pytest-190/test_render_vmd_drawframes_emi0/t.pdb waitfor all
+mol new /tmp/pytest-of-root/pytest-192/test_render_vmd_drawframes_emi0/t.pdb waitfor all
 mol delrep 0 top
 mol representation NewCartoon 0.3 50
 mol color Structure

@@ -35,10 +35,11 @@ import pytest  # noqa: E402
 
 @pytest.fixture
 def rng(request):
-    """Per-test deterministic RNG: a session-scoped shared stream made every
-    test's data depend on which tests ran before it, so a marginal
-    tolerance could fail only under certain -k subsets and a full-suite
-    failure was not reproducible in isolation."""
+    """Per-test deterministic RNG seeded from the test's node id, so every
+    test's data is INDEPENDENT of which tests ran before it and any
+    failure reproduces under -k isolation. (Replaced a session-scoped
+    shared stream, whose order-dependence made marginal tolerances fail
+    only under certain subsets.)"""
     import zlib
 
     return np.random.default_rng(

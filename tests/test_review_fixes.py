@@ -2681,3 +2681,104 @@ class TestWave18Fixes:
                          "https://example.org/top.pdb")
         assert t.n_frames == 100
         assert "https://example.org/top.pdb" in calls
+
+
+class TestWave19NativeHardening:
+    """Native decoder guards: header span wrap, smallidx bombs, random
+    corruption never crashes the process; build.py race/rebuild safety."""
+
+    def _copy(self, tmp_path):
+        import shutil
+
+        p = tmp_path / "c.xtc"
+        shutil.copyfile(DATA / "asp7.xtc", p)
+        return p
+
+    @needs_data
+    def test_span_wrap_header_rejected(self, tmp_path):
+        import struct
+
+        from encodermap_tpu.data.xtc import XTCReader
+
+        p = self._copy(tmp_path)
+        data = bytearray(p.read_bytes())
+        # frame 0 layout: magic+natoms+step+time(16) + box(36) + natoms(4)
+        # + lsize(4) + precision(4) = 64 -> minint[3] then maxint[3]
+        struct.pack_into(">3i", data, 64, -1000, -1000, -(2**31))
+        struct.pack_into(">3i", data, 76, 1000, 1000, 2**31 - 1)
+        p.write_bytes(bytes(data))
+        with pytest.raises(IOError):
+            XTCReader(p).read([0])
+
+    @needs_data
+    def test_random_corruption_never_crashes(self, tmp_path):
+        """Fuzz the compressed payload: every mutation must either decode
+        or raise a Python exception — no SIGFPE/SIGSEGV (which would kill
+        pytest itself)."""
+        import struct
+
+        from encodermap_tpu.data.xtc import XTCReader
+
+        base = bytearray(self._copy(tmp_path).read_bytes())
+        rng = np.random.default_rng(42)
+        p = tmp_path / "fuzz.xtc"
+        survived = 0
+        for _ in range(150):
+            data = bytearray(base)
+            # corrupt 4 random bytes within the first frame's payload
+            for pos in rng.integers(56, min(len(data), 600), size=4):
+                data[pos] = int(rng.integers(0, 256))
+            p.write_bytes(bytes(data))
+            try:
+                r = XTCReader(p)
+                if r.n_frames:
+                    r.read([0])
+                survived += 1
+            except Exception:
+                survived += 1
+        assert survived == 150
+
+    def test_empty_xtc_roundtrip(self, tmp_path):
+        from encodermap_tpu.data.xtc import XTCReader, write_xtc
+
+        p = tmp_path / "empty.xtc"
+        write_xtc(p, np.zeros((0, 5, 3), np.float32))
+        r = XTCReader(p)
+        assert r.n_frames == 0
+        xyz, box, t, s = r.read()
+        assert xyz.shape[0] == 0 and xyz.shape[2] == 3
+
+    def test_build_library_concurrent_and_rebuilds(self, tmp_path):
+        import shutil
+        import threading
+
+        from encodermap_tpu.data import native
+        from encodermap_tpu.data.native import build as B
+
+        so = B._HERE / "libxdr_xtc.so"
+        backup = so.read_bytes() if so.exists() else None
+        try:
+            B._LIB.clear()
+            so.unlink(missing_ok=True)
+            results = []
+
+            def worker():
+                results.append(B.load_library("xdr_xtc"))
+
+            ts = [threading.Thread(target=worker) for _ in range(4)]
+            [t.start() for t in ts]
+            [t.join() for t in ts]
+            assert all(r is not None for r in results)
+            # corrupt binary triggers ONE rebuild instead of permanent None
+            B._LIB.clear()
+            so.write_bytes(b"not a shared object")
+            import os
+            import time
+
+            os.utime(so, (time.time() + 60, time.time() + 60))
+            assert B.load_library("xdr_xtc") is not None
+        finally:
+            B._LIB.clear()
+            if backup is not None and not so.exists():
+                so.write_bytes(backup)
+            B.load_library("xdr_xtc")

@@ -107,8 +107,13 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         model_params: Optional[dict] = None,
         read_only: bool = False,
         dataset: Optional[tuple] = None,
+        learning_rate_schedule=None,
     ) -> None:
+        """``learning_rate_schedule``: optional callable ``step -> lr``
+        (any optax schedule) replacing the constant ``p.learning_rate``;
+        not serialized — pass it again on ``from_checkpoint``."""
         self.p = parameters if parameters is not None else ADCParameters()
+        self._lr_schedule = learning_rate_schedule
         self.read_only = read_only
         self.trajs = trajs
         self._metrics_writer: Optional[MetricsWriter] = None
@@ -172,7 +177,10 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
                 model_params = adc.init_params(
                     k_model, self.p, self.shapes, sparse=self.sparse
                 )
-        self.optimizer = make_optimizer(self.p.learning_rate)
+        self.optimizer = make_optimizer(
+            self._lr_schedule if self._lr_schedule is not None
+            else self.p.learning_rate
+        )
         self.state = TrainState.create(
             model_params, self.optimizer, k_train,
             step=self.p.current_training_step,

@@ -221,6 +221,14 @@ class TrainerExtensions:
             )
             metrics = dict(terms)
             metrics["loss"] = loss
+            schedule = getattr(self, "_lr_schedule", None)
+            if schedule is not None:
+                # the analog of the reference's LearningRateLogger
+                # (customization tutorial 01/04): the per-step lr lands in
+                # the JSONL/TensorBoard stream
+                metrics["learning_rate"] = jnp.asarray(
+                    schedule(state.step), jnp.float32
+                )
             metrics.update(self._aux_metric_terms(aux, batch))
             metrics.update(self._custom_metric_terms(params, batch))
             return (
@@ -407,8 +415,15 @@ class Autoencoder(TrainerExtensions):
         model_params: Optional[dict] = None,
         read_only: bool = False,
         sparse: bool = False,
+        learning_rate_schedule=None,
     ) -> None:
+        """``learning_rate_schedule``: optional callable ``step -> lr``
+        (any optax schedule) replacing the constant ``p.learning_rate`` —
+        the TPU-native equivalent of the reference's keras
+        ``LearningRateScheduler`` callback. Not serialized: pass it again
+        when reloading via ``from_checkpoint``."""
         self.p = parameters if parameters is not None else Parameters()
+        self._lr_schedule = learning_rate_schedule
         self.read_only = read_only
         self.sparse = sparse
         self._metrics_writer: Optional[MetricsWriter] = None
@@ -439,7 +454,10 @@ class Autoencoder(TrainerExtensions):
             model_params = seq.init_params(
                 k_model, self.p, self.input_dim, sparse=self.sparse
             )
-        self.optimizer = make_optimizer(self.p.learning_rate)
+        self.optimizer = make_optimizer(
+            self._lr_schedule if self._lr_schedule is not None
+            else self.p.learning_rate
+        )
         self.state = TrainState.create(
             model_params, self.optimizer, k_train, step=self.p.current_training_step
         )
@@ -637,7 +655,9 @@ class EncoderMap(Autoencoder):
         # checkpoint reloaded with clean data keeps its densifier, and the
         # fused kernel's split/join_params would silently drop it
         if (self.sparse or "densifier" in self.state.params
-                or self.custom_losses or self.custom_metrics):
+                or self.custom_losses or self.custom_metrics
+                or getattr(self, "_lr_schedule", None) is not None):
+            # the fused kernel hardwires a constant lr
             return None
         # only for classes that keep EncoderMap's exact loss stack
         # (DihedralEncoderMap qualifies — it only overrides generate())

@@ -59,12 +59,18 @@ class TrainState:
         )
 
 
-def make_optimizer(learning_rate: float, clip_value: float = 1.0
+def make_optimizer(learning_rate, clip_value: float = 1.0
                    ) -> optax.GradientTransformation:
     """Adam with element-wise gradient clipping, matching the reference's
     ``Adam(lr, clipvalue=1.0)``. Keras Adam defaults to ``epsilon=1e-7``
     (optax's default is 1e-8) — matched explicitly so update trajectories
-    agree with the reference where ``sqrt(v_hat)`` is small."""
+    agree with the reference where ``sqrt(v_hat)`` is small.
+
+    ``learning_rate`` may be a float or an optax schedule (a callable
+    ``step -> lr``) — the TPU-native equivalent of the reference's keras
+    ``LearningRateScheduler`` callback (its customization tutorial 04):
+    the schedule evaluates INSIDE the jitted step, so it works unchanged
+    within ``lax.scan`` chunks."""
     return optax.chain(
         optax.clip(clip_value),
         optax.adam(learning_rate, eps=1e-7),

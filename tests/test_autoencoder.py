@@ -373,3 +373,64 @@ class TestComputeDtype:
         assert h["loss"][-1] < h["loss"][0]
         latent = emap.encode(cube_data[:10])
         assert latent.dtype == np.float32  # outputs stay f32
+
+
+class TestLearningRateSchedule:
+    """TPU-native analog of the reference's keras LearningRateScheduler
+    tutorial (``tutorials/notebooks_customization/04``): any optax
+    schedule replaces the constant lr and the per-step lr is logged."""
+
+    def test_schedule_trains_and_logs(self, tmp_path):
+        import optax
+
+        import encodermap_tpu as em
+
+        data, _ = em.create_n_cube(3, points_along_edge=30, seed=0)
+        p = em.Parameters(main_path=str(tmp_path / "s"), n_steps=40,
+                          steps_per_scan=20, batch_size=64,
+                          periodicity=float("inf"), seed=1)
+        schedule = optax.exponential_decay(
+            init_value=p.learning_rate, transition_steps=10, decay_rate=0.5
+        )
+        emap = em.EncoderMap(p, data, learning_rate_schedule=schedule)
+        h = emap.train()
+        assert "learning_rate" in h
+        lrs = np.asarray(h["learning_rate"])
+        assert lrs[0] > lrs[-1]
+        np.testing.assert_allclose(lrs[0], schedule(0), rtol=1e-5)
+        assert h["loss"][-1] < h["loss"][0]
+
+    def test_schedule_changes_trajectory_vs_constant(self, tmp_path):
+        import encodermap_tpu as em
+
+        data, _ = em.create_n_cube(3, points_along_edge=30, seed=0)
+
+        def make(path, sched):
+            p = em.Parameters(main_path=str(tmp_path / path), n_steps=20,
+                              steps_per_scan=20, batch_size=64,
+                              periodicity=float("inf"), seed=1)
+            return em.EncoderMap(p, data, learning_rate_schedule=sched)
+
+        h_const = make("c", None).train()
+        h_sched = make("d", lambda step: 0.0001 * 0.5 ** (step / 5)).train()
+        assert not np.allclose(h_const["loss"][-5:], h_sched["loss"][-5:])
+
+    def test_custom_python_callable_schedule(self, tmp_path):
+        """The notebook's hand-written scheduler shape: plain Python
+        callable with jnp control flow."""
+        import jax.numpy as jnp
+
+        import encodermap_tpu as em
+
+        def scheduler(step):
+            return jnp.where(step < 10, 1e-4, 1e-4 * jnp.exp(-0.1))
+
+        data, _ = em.create_n_cube(3, points_along_edge=30, seed=0)
+        p = em.Parameters(main_path=str(tmp_path / "n"), n_steps=20,
+                          steps_per_scan=10, batch_size=64,
+                          periodicity=float("inf"), seed=1)
+        emap = em.EncoderMap(p, data, learning_rate_schedule=scheduler)
+        h = emap.train()
+        lrs = np.asarray(h["learning_rate"])
+        np.testing.assert_allclose(lrs[:10], 1e-4, rtol=1e-6)
+        np.testing.assert_allclose(lrs[10:], 1e-4 * np.exp(-0.1), rtol=1e-5)

@@ -147,3 +147,43 @@ def image_summary(
     if writer is not None:
         writer.write_image(step, name, png)
     return str(out)
+
+
+def write_user_image(
+    img: object,
+    step: int,
+    main_path: Union[str, Path],
+    name: str = "custom",
+    writer: Optional[MetricsWriter] = None,
+) -> str:
+    """Persist a user-produced image from an ImageCallback
+    ``additional_fns`` hook (reference ``callbacks.py:346-496``).
+
+    Accepts a matplotlib Figure, raw PNG bytes, or an (H, W[, C]) array.
+    """
+    import io
+
+    if hasattr(img, "savefig"):  # matplotlib Figure
+        buf = io.BytesIO()
+        img.savefig(buf, format="png", dpi=100)
+        png = buf.getvalue()
+    elif isinstance(img, (bytes, bytearray)):
+        png = bytes(img)
+    else:
+        arr = np.asarray(img)
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        from matplotlib.figure import Figure
+
+        fig = Figure(figsize=(5, 5))
+        FigureCanvasAgg(fig)
+        ax = fig.subplots()
+        ax.imshow(arr, origin="lower")
+        ax.set_axis_off()
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=100)
+        png = buf.getvalue()
+    out = Path(main_path) / f"{name}_{step}.png"
+    out.write_bytes(png)
+    if writer is not None:
+        writer.write_image(step, name, png)
+    return str(out)

@@ -88,15 +88,19 @@ class TrainerExtensions:
         data: Optional[Any] = None,
         image_step: Optional[int] = None,
         max_size: int = 10000,
+        additional_fns: Optional[list] = None,
     ) -> None:
         """Register latent scatter/density image logging every
         ``image_step`` steps (the reference's method of the same name,
-        ``autoencoder.py:1031``)."""
+        ``autoencoder.py:1031``). ``additional_fns`` are user callables
+        ``fn(lowd) -> Figure | png bytes | array`` plotted alongside (its
+        customization tutorial 03)."""
         from .callbacks import ImageCallback
 
         step = image_step if image_step is not None else self.p.summary_step
         self.callbacks.append(
-            ImageCallback(self, step, data=data, max_points=max_size)
+            ImageCallback(self, step, data=data, max_points=max_size,
+                          additional_fns=additional_fns)
         )
 
     @classmethod

@@ -190,11 +190,19 @@ class ImageCallback(Callback):
     (reference: ``callbacks.py:333-516``)."""
 
     def __init__(self, autoencoder: Any, image_step: int,
-                 data: Optional[np.ndarray] = None, max_points: int = 10000) -> None:
+                 data: Optional[np.ndarray] = None, max_points: int = 10000,
+                 additional_fns: Optional[list] = None) -> None:
+        """``additional_fns``: user callables ``fn(lowd) -> image`` run at
+        every image step with the latent projection (the reference's
+        ``additional_fns``, ``callbacks.py:346-496``; its customization
+        tutorial 03). The return value may be a matplotlib Figure, raw PNG
+        bytes, or an (H, W[, C]) array; each is written as
+        ``custom_{k}_{step}.png`` and to the metrics writer."""
         self.autoencoder = autoencoder
         self.image_step = image_step
         self.data = data
         self.max_points = max_points
+        self.additional_fns = list(additional_fns or [])
         self._last = -1
 
     def on_chunk_end(self, first_step: int, metrics: dict) -> None:
@@ -216,9 +224,23 @@ class ImageCallback(Callback):
             else:
                 data = np.asarray(data)[: self.max_points]
             latent = self.autoencoder.encode(data)
+            writer = getattr(self.autoencoder, "_metrics_writer", None)
             image_summary(
                 latent, last, self.autoencoder.p.main_path,
-                writer=getattr(self.autoencoder, "_metrics_writer", None),
+                writer=writer,
                 max_points=self.max_points,
             )
+            for k, fn in enumerate(self.additional_fns):
+                from ..misc.summaries import write_user_image
+
+                try:
+                    write_user_image(
+                        fn(np.asarray(latent)), last,
+                        self.autoencoder.p.main_path,
+                        name=getattr(fn, "__name__", f"custom_{k}"),
+                        writer=writer,
+                    )
+                except Exception as e:  # a broken user fn must not kill
+                    print(f"ImageCallback: additional_fns[{k}] failed "
+                          f"({type(e).__name__}: {e}); skipping.")
             self._last = due

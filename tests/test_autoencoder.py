@@ -434,3 +434,60 @@ class TestLearningRateSchedule:
         lrs = np.asarray(h["learning_rate"])
         np.testing.assert_allclose(lrs[:10], 1e-4, rtol=1e-6)
         np.testing.assert_allclose(lrs[10:], 1e-4 * np.exp(-0.1), rtol=1e-5)
+
+
+class TestAdditionalImageFns:
+    """The reference's ImageCallback additional_fns hook (customization
+    tutorial 03): user callables over the latent projection, written as
+    PNGs at each image step."""
+
+    def test_custom_images_written(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import encodermap_tpu as em
+
+        calls = []
+
+        def free_energy_png(lowd):
+            calls.append(lowd.shape)
+            H, xe, ye = np.histogram2d(*lowd.T, bins=10)
+            return H  # array route
+
+        def figure_route(lowd):
+            from matplotlib.figure import Figure
+
+            fig = Figure()
+            fig.subplots().scatter(lowd[:, 0], lowd[:, 1], s=1)
+            return fig
+
+        data, _ = em.create_n_cube(3, points_along_edge=20, seed=0)
+        p = em.Parameters(main_path=str(tmp_path / "img"), n_steps=20,
+                          steps_per_scan=10, batch_size=32,
+                          periodicity=float("inf"), seed=1,
+                          summary_step=10)
+        emap = em.EncoderMap(p, data)
+        emap.add_images_to_tensorboard(
+            image_step=10, additional_fns=[free_energy_png, figure_route]
+        )
+        emap.train()
+        written = sorted(f.name for f in (tmp_path / "img").glob("*.png"))
+        assert any(n.startswith("free_energy_png_") for n in written)
+        assert any(n.startswith("figure_route_") for n in written)
+        assert calls and calls[0][1] == 2
+
+    def test_broken_fn_does_not_kill_training(self, tmp_path):
+        import encodermap_tpu as em
+
+        def broken(lowd):
+            raise RuntimeError("boom")
+
+        data, _ = em.create_n_cube(3, points_along_edge=20, seed=0)
+        p = em.Parameters(main_path=str(tmp_path / "img2"), n_steps=20,
+                          steps_per_scan=10, batch_size=32,
+                          periodicity=float("inf"), seed=1)
+        emap = em.EncoderMap(p, data)
+        emap.add_images_to_tensorboard(image_step=10,
+                                       additional_fns=[broken])
+        h = emap.train()
+        assert len(h["loss"]) == 20

@@ -88,6 +88,15 @@ def __getattr__(name):
         from .train.callbacks import Callback
 
         return Callback
+    if name == "callbacks":
+        # em.callbacks.EncoderMapBaseCallback etc., like the reference's
+        # subpackage (its customization tutorials subclass from here)
+        import importlib
+
+        mod = importlib.import_module(".train.callbacks", __name__)
+        if not hasattr(mod, "EncoderMapBaseCallback"):
+            mod.EncoderMapBaseCallback = mod.Callback
+        return mod
     if name == "get_from_kondata":
         from .kondata import get_from_kondata
 

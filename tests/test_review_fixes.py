@@ -2396,7 +2396,12 @@ class TestWave15Fixes:
 
             t.load()
             write_pdb(pdb, t.top, t.xyz)
-        out = render_vmd(pdb, drawframes=True, script_only=True)
+        out = render_vmd(
+            pdb,
+            drawframes=True,
+            script_only=True,
+            script_location=tmp_path / "render_vmd.tcl",
+        )
         text = Path(out).read_text() if isinstance(out, (str, Path)) \
             else str(out)
         assert "mol drawframes" in text

@@ -233,11 +233,14 @@ class ImageCallback(Callback):
             for k, fn in enumerate(self.additional_fns):
                 from ..misc.summaries import write_user_image
 
+                fn_name = getattr(fn, "__name__", "")
+                if not fn_name.isidentifier():  # lambdas, partials, ...
+                    fn_name = f"custom_{k}"
                 try:
                     write_user_image(
                         fn(np.asarray(latent)), last,
                         self.autoencoder.p.main_path,
-                        name=getattr(fn, "__name__", f"custom_{k}"),
+                        name=fn_name,
                         writer=writer,
                     )
                 except Exception as e:  # a broken user fn must not kill

@@ -435,6 +435,49 @@ class TestLearningRateSchedule:
         np.testing.assert_allclose(lrs[:10], 1e-4, rtol=1e-6)
         np.testing.assert_allclose(lrs[10:], 1e-4 * np.exp(-0.1), rtol=1e-5)
 
+    def test_schedule_survives_checkpoint_roundtrip(self, tmp_path):
+        """Documented contract: the schedule is not serialized — passing it
+        again to from_checkpoint must restore the optimizer state (incl.
+        the schedule's step count) and continue the decay, not restart it."""
+        import optax
+
+        import encodermap_tpu as em
+
+        data, _ = em.create_n_cube(3, points_along_edge=30, seed=0)
+        sched = optax.exponential_decay(
+            init_value=1e-4, transition_steps=5, decay_rate=0.5
+        )
+
+        def params(path, n_steps):
+            return em.Parameters(main_path=str(tmp_path / path),
+                                 n_steps=n_steps, steps_per_scan=10,
+                                 batch_size=64, periodicity=float("inf"),
+                                 seed=1)
+
+        # uninterrupted 20-step run
+        full = em.EncoderMap(params("full", 20), data,
+                             learning_rate_schedule=sched)
+        h_full = full.train()
+
+        # 10 steps, save, reload WITH the schedule, 10 more
+        first = em.EncoderMap(params("half", 10), data,
+                              learning_rate_schedule=sched)
+        h1 = first.train()
+        ckpt = first.save()
+        second = em.EncoderMap.from_checkpoint(
+            ckpt, train_data=data, learning_rate_schedule=sched
+        )
+        second.p.n_steps = 20
+        second.p.main_path = str(tmp_path / "half2")
+        h2 = second.train()
+
+        lrs = np.concatenate([h1["learning_rate"], h2["learning_rate"]])
+        np.testing.assert_allclose(lrs, h_full["learning_rate"], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(h2["loss"]), np.asarray(h_full["loss"])[10:],
+            rtol=1e-4, atol=1e-6,
+        )
+
 
 class TestAdditionalImageFns:
     """The reference's ImageCallback additional_fns hook (customization

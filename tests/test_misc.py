@@ -276,7 +276,101 @@ class TestSparseADC:
         np.testing.assert_array_equal(before, after)
 
 
+# Every feature-registration call the featurizer surface offers, run through
+# BOTH the plain SingleTrajFeaturizer and the mesh-sharded ShardedFeaturizer —
+# the analog of the reference's ``TestDaskFeatures(TestFeatures)`` subclass
+# that re-runs its whole feature suite through the dask path
+# (``/root/reference/tests/test_featurizer.py:3115``).
+_SHARDED_FEATURE_CASES = [
+    ("selection", lambda f, t: f.add_selection([0, 1, 2])),
+    ("all_cartesians", lambda f, t: f.add_all()),
+    ("distances_periodic", lambda f, t: f.add_distances(
+        [[0, 5], [1, 9], [3, 30]], periodic=True)),
+    ("distances_ca", lambda f, t: f.add_distances_ca()),
+    ("inverse_distances", lambda f, t: f.add_inverse_distances(
+        [[0, 5], [2, 7]])),
+    ("contacts", lambda f, t: f.add_contacts([[0, 5], [2, 40]],
+                                             threshold=0.45)),
+    ("angles_deg", lambda f, t: f.add_angles([[0, 1, 2], [1, 2, 3]],
+                                             deg=True)),
+    ("dihedrals_cossin", lambda f, t: f.add_dihedrals(
+        [[0, 1, 2, 3], [4, 5, 6, 7]], cossin=True)),
+    ("backbone_torsions", lambda f, t: f.add_backbone_torsions()),
+    ("sidechain_torsions", lambda f, t: f.add_sidechain_torsions()),
+    ("residue_mindist", lambda f, t: f.add_residue_mindist()),
+    ("group_COM", lambda f, t: f.add_group_COM([[0, 1, 2], [3, 4]])),
+    ("residue_COM", lambda f, t: f.add_residue_COM([0, 1])),
+    ("minrmsd", lambda f, t: f.add_minrmsd_to_ref(t.xyz[0])),
+    ("adc_list_of_feats", lambda f, t: f.add_list_of_feats(
+        ["central_cartesians", "central_angles", "side_dihedrals"])),
+]
+
+
 class TestShardedFeaturize:
+    @needs_data
+    @pytest.mark.parametrize(
+        "name,register", _SHARDED_FEATURE_CASES,
+        ids=[c[0] for c in _SHARDED_FEATURE_CASES],
+    )
+    def test_every_feature_matches_single_device(self, name, register):
+        """Each feature class produces identical CVs (names, values, order)
+        whether run single-device or sharded over the 8-device mesh with
+        multiple blocks and a padded final block."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+        from encodermap_tpu.parallel.sharded_featurize import ShardedFeaturizer
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        single = SingleTrajFeaturizer(traj)
+        register(single, traj)
+        ref_out = single.get_output()
+
+        sharded = ShardedFeaturizer(traj, block_size=64)
+        register(sharded, traj)
+        out = sharded.get_output()
+
+        assert set(out.keys()) == set(ref_out.keys())
+        for k in ref_out.keys():
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref_out[k]),
+                atol=1e-6, err_msg=f"CV {k!r} diverges on the sharded path",
+            )
+            assert out.entry(k).labels == ref_out.entry(k).labels
+
+    @needs_data
+    def test_custom_host_feature_matches_single_device(self):
+        """A host-executed CustomFeature spliced into a device-feature run
+        survives the sharded block pipeline (host blocks reused, padding
+        trimmed)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.loading.featurizer import SingleTrajFeaturizer
+        from encodermap_tpu.parallel.sharded_featurize import ShardedFeaturizer
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+
+        def register(f):
+            f.add_distances_ca()
+            f.add_custom_feature(em.features.CustomFeature(
+                fun=lambda t: (t.xyz ** 2).reshape(len(t.xyz), -1),
+                dim=traj.n_atoms * 3,
+            ))
+
+        single = SingleTrajFeaturizer(traj)
+        register(single)
+        ref_out = single.get_output()
+
+        sharded = ShardedFeaturizer(traj, block_size=64)
+        register(sharded._inner)
+        out = sharded.get_output()
+
+        assert set(out.keys()) == set(ref_out.keys())
+        for k in ref_out.keys():
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref_out[k]), atol=1e-6,
+                err_msg=f"CV {k!r} diverges on the sharded path",
+            )
+
     @needs_data
     def test_matches_single_device(self):
         from encodermap_tpu.data import SingleTraj

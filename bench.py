@@ -349,22 +349,55 @@ def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
     proto = np.random.default_rng(1).standard_normal((64, 6)).astype(np.float32)
     emap = EncoderMap(p, proto, read_only=True)
     trainer = make_streaming_trainer(emap._make_train_step())
+    from encodermap_tpu.train.core import _upload_stage
+
     src = PrefetchSource(
         HDF5BatchSource(path, ["features"], batch, steps_per_scan), depth=3
     )
+    # same 2-stage pipeline as run_streaming: chunk k+1 uploads through the
+    # host->device link (the dominant cost on the dev tunnel) while chunk k
+    # computes
+    stream = PrefetchSource(
+        _upload_stage(src, lambda x: jnp.asarray(x), 10**12), depth=1
+    )
     try:
         state = emap.state
-        state, m = trainer(state, jnp.asarray(next(src)[0]))  # compile+warm
+        _, dev = next(stream)
+        state, m = trainer(state, dev[0])  # compile+warm
         float(np.asarray(m["loss"])[-1])
 
         t0 = time.perf_counter()
         for _ in range(n_chunks):
-            state, m = trainer(state, jnp.asarray(next(src)[0]))
+            _, dev = next(stream)
+            state, m = trainer(state, dev[0])
         final = float(np.asarray(m["loss"])[-1])
         dt = time.perf_counter() - t0
     finally:
+        stream.close()
         src.close()
     assert np.isfinite(final)
+    return n_chunks * steps_per_scan * batch / dt
+
+
+def bench_streaming_host_source(batch: int = 256, steps_per_scan: int = 1000,
+                                n_chunks: int = 8) -> float:
+    """Companion number: host-side superbatch assembly alone (slab-sampled
+    HDF5 reads, no device), separating the framework's out-of-core input
+    pipeline from the dev tunnel's upload bandwidth — the streaming analog
+    of ``featurize_device_only_fps``."""
+    from encodermap_tpu.train.core import HDF5BatchSource
+
+    src = HDF5BatchSource(
+        "/tmp/embench_stream_1m.h5", ["features"], batch, steps_per_scan
+    )
+    try:
+        next(src)  # warm file cache / first slab
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            next(src)
+        dt = time.perf_counter() - t0
+    finally:
+        src.close()
     return n_chunks * steps_per_scan * batch / dt
 
 
@@ -462,6 +495,8 @@ def main() -> None:
                         results.get("generate_dev", 0.0), 1),
                     "streaming_train_samples_per_sec_1m_h5": round(
                         results.get("streaming", 0.0), 1),
+                    "streaming_host_source_samples_per_sec": round(
+                        results.get("streaming_host", 0.0), 1),
                     **({"errors": errs} if errs else {}),
                 }
             ),
@@ -493,6 +528,7 @@ def main() -> None:
     run("featurize", bench_featurize, pair="featurize_dev")
     run("generate", bench_generate, pair="generate_dev")
     run("streaming", bench_streaming)
+    run("streaming_host", bench_streaming_host_source)
     emit()
 
 

@@ -124,7 +124,10 @@ def get_from_kondata(
 
             with tarfile.open(target) as tf:
                 members = [m for m in tf.getmembers() if wanted(m.name)]
-                tf.extractall(extract, members=members)  # noqa: S202
+                # "data" filter: refuse absolute paths / traversal / device
+                # nodes in downloaded archives (and silences the 3.14
+                # default-change DeprecationWarning)
+                tf.extractall(extract, members=members, filter="data")
             if output.exists():
                 shutil.rmtree(output)
             shutil.move(str(extract), str(output))

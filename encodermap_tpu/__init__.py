@@ -83,6 +83,12 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module(".misc", __name__)
+    if name == "models":
+        # em.models.gen_sequential_model / gen_functional_model, like the
+        # reference's subpackage (models/__init__.py)
+        import importlib
+
+        return importlib.import_module(".models", __name__)
     if name == "EncoderMapBaseCallback":
         # the reference's user-facing base callback class
         from .train.callbacks import Callback

@@ -46,6 +46,8 @@ __all__ = [
     "regularization_loss",
     "periodic_diff_cost",
     "soft_start_scale",
+    "reconstruction_loss",
+    "loss_combinator",
 ]
 
 Array = jax.Array
@@ -308,3 +310,37 @@ def regularization_loss(l2_kernel_sum: Array, p: Parameters) -> Array:
     all kernel matrices. Reference: ``loss_functions.py:454-508`` (via
     ``model.losses``)."""
     return p.l2_reg_constant * l2_kernel_sum
+
+
+def reconstruction_loss(model=None):
+    """Loss factory for custom training loops: plain mean-squared
+    reconstruction error (reference ``loss_functions.py:511-551``).
+
+    Returns ``loss(y_true, y_pred=None)``; when ``y_pred`` is omitted the
+    provided ``model`` (any callable, e.g. a
+    :class:`~encodermap_tpu.models.sequential.SequentialModel`) is called
+    on ``y_true``. Pure JAX — jittable and differentiable.
+    """
+
+    def reconstruction_loss_func(y_true: Array, y_pred: Array = None) -> Array:
+        if y_pred is None:
+            if model is None:
+                raise ValueError(
+                    "reconstruction_loss needs either a model at factory "
+                    "time or y_pred at call time"
+                )
+            y_pred = model(y_true)
+        return jnp.mean(jnp.square(y_pred - y_true))
+
+    return reconstruction_loss_func
+
+
+def loss_combinator(*losses):
+    """Combine loss closures into one summed loss
+    (reference ``loss_functions.py:146-198``): each entry is called as
+    ``loss(y_true, y_pred)`` and the scalar results are added."""
+
+    def combined_loss_func(y_true: Array, y_pred: Array = None) -> Array:
+        return sum(loss(y_true, y_pred) for loss in losses)
+
+    return combined_loss_func

@@ -11,9 +11,18 @@ from .misc import (
     random_on_cube_edges,
     run_path,
 )
-from .saving import load_checkpoint, load_pytree, save_checkpoint, save_pytree
+from .saving import (
+    load_checkpoint,
+    load_model,
+    load_pytree,
+    save_checkpoint,
+    save_model,
+    save_pytree,
+)
 
 __all__ = [
+    "load_model",
+    "save_model",
     "all_equal",
     "arbitrary_dihedral",
     "create_n_cube",

@@ -31,6 +31,8 @@ __all__ = [
     "latest_checkpoint",
     "load_checkpoint",
     "load_checkpoint_rng",
+    "save_model",
+    "load_model",
 ]
 
 
@@ -212,3 +214,94 @@ def load_pytree_into(template: Any, path: Union[str, Path]) -> Any:
             f"checkpoint {path} has {len(saved)} leaves, template has {len(leaves)}"
         )
     return jax.tree_util.tree_unflatten(treedef, saved)
+
+
+def save_model(model, main_path=None, inp_class_name=None, step=None,
+               print_message: bool = False) -> str:
+    """Reference-named convenience (``saving_loading_models.py:201-330``):
+    checkpoint an autoencoder instance. Delegates to ``model.save(step)``
+    (params + optimizer state + PRNG + ``parameters.json`` sidecar) —
+    ``main_path`` defaults to the model's own ``p.main_path`` and must
+    match it otherwise (npz checkpoints are written where the parameters
+    live so relocation repair keeps working).
+
+    Returns the checkpoint path.
+    """
+    if main_path is not None and str(main_path) != str(model.p.main_path):
+        raise ValueError(
+            f"save_model writes into the model's own main_path "
+            f"({model.p.main_path}); to save elsewhere set p.main_path "
+            f"first (got main_path={main_path})"
+        )
+    out = model.save(step=step)
+    if print_message and out is not None:
+        name = inp_class_name or type(model).__name__
+        print(f"Saved {name} checkpoint at {out}")
+    return out
+
+
+def load_model(autoencoder=None, checkpoint_path=None, trajs=None,
+               sparse: bool = False, dataset=None,
+               print_message: bool = False, submodel: str = None,
+               use_previous_model: bool = False, train_data=None):
+    """Reference-named convenience (``saving_loading_models.py:333-626``):
+    reload an autoencoder from a checkpoint file or directory.
+
+    Args:
+        autoencoder: the class to instantiate (``EncoderMap``,
+            ``DihedralEncoderMap``, ``AngleDihedralCartesianEncoderMap``)
+            or None to infer it from the checkpoint's ``parameters.json``
+            (ADC-specific keys -> ADC class).
+        checkpoint_path: ``saved_model_{step}.npz`` file or a run directory
+            (most recent checkpoint wins).
+        trajs: TrajEnsemble for ADC models (source of CVs).
+        dataset / train_data: pass-throughs to the class constructors.
+        submodel: "encoder"/"decoder" returns just that bound callable.
+        use_previous_model: allow loading an intermediate checkpoint.
+        sparse: expect NaN-padded (ragged-ensemble) inputs.
+    """
+    import json as _json
+
+    from pathlib import Path as _P
+
+    if checkpoint_path is None:
+        raise ValueError("load_model needs a checkpoint_path")
+    ckpt = _P(checkpoint_path)
+    directory = ckpt if ckpt.is_dir() else ckpt.parent
+
+    cls = autoencoder
+    if cls is None:
+        pfile = directory / "parameters.json"
+        keys = set()
+        if pfile.exists():
+            keys = set(_json.loads(pfile.read_text()))
+        from ..train.adc_autoencoder import AngleDihedralCartesianEncoderMap
+        from ..train.autoencoder import EncoderMap
+
+        cls = (
+            AngleDihedralCartesianEncoderMap
+            if "cartesian_cost_scale" in keys or "use_backbone_angles" in keys
+            else EncoderMap
+        )
+
+    from ..train.adc_autoencoder import AngleDihedralCartesianEncoderMap
+
+    if issubclass(cls, AngleDihedralCartesianEncoderMap):
+        out = cls.from_checkpoint(
+            trajs, checkpoint_path, use_previous_model=use_previous_model,
+            dataset=dataset,
+        )
+    else:
+        if train_data is None and dataset is not None:
+            train_data = dataset
+        out = cls.from_checkpoint(
+            checkpoint_path, train_data=train_data, sparse=sparse,
+            use_previous_model=use_previous_model,
+        )
+    if print_message:
+        print(f"Loaded {type(out).__name__} from {checkpoint_path}")
+    if submodel is not None:
+        if submodel not in ("encoder", "decoder"):
+            raise ValueError(f"submodel must be 'encoder' or 'decoder', got {submodel!r}")
+        return out.encode if submodel == "encoder" else out.decode
+    return out

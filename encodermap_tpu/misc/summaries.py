@@ -23,7 +23,8 @@ from typing import Any, Optional, Union
 
 import numpy as np
 
-__all__ = ["MetricsWriter", "image_summary", "histogram_summary"]
+__all__ = ["MetricsWriter", "image_summary", "histogram_summary",
+           "add_layer_summaries"]
 
 
 class MetricsWriter:
@@ -187,3 +188,34 @@ def write_user_image(
     if writer is not None:
         writer.write_image(step, name, png)
     return str(out)
+
+
+def add_layer_summaries(writer: MetricsWriter, step: int, params: Any,
+                        namescope: str = "") -> None:
+    """Reference-named per-layer weight/bias statistics
+    (``summaries.py:73-98``): grouped under Encoder/Decoder/Latent
+    namescopes derived from the param-tree paths. A thin veneer over
+    :func:`histogram_summary` that keeps the reference's grouping scheme
+    in the scalar names."""
+    import jax
+
+    stats = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        parts = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        name = "/".join(parts)
+        low = name.lower()
+        if "encoder" in low:
+            scope = "Encoder"
+        elif "decoder" in low:
+            scope = "Decoder"
+        elif "latent" in low:
+            scope = "Latent"
+        else:
+            scope = "InputOutputLayers"
+        if namescope:
+            scope = f"{namescope}/{scope}"
+        arr = np.asarray(leaf)
+        kind = "biases" if arr.ndim == 1 else "weights"
+        stats[f"{scope}/{name}/{kind}/mean"] = float(arr.mean())
+        stats[f"{scope}/{name}/{kind}/std"] = float(arr.std())
+    writer.write_scalars(step, stats)

@@ -37,7 +37,8 @@ from ..ops.distances import pairwise_dist
 from ..parameters import ADCParameters
 
 __all__ = ["ADCShapes", "init_params", "encode", "decode", "forward",
-           "cartesian_pwd_slice", "regularization_sum"]
+           "cartesian_pwd_slice", "regularization_sum",
+           "ADCFunctionalModel", "gen_functional_model"]
 
 Array = jax.Array
 
@@ -464,3 +465,71 @@ def forward_sidechains(
     inp_pair = pairwise_dist(all_cartesians[:, pwd_idx], flat=True)
     out_pair = pairwise_dist(back[:, pwd_idx], flat=True)
     return out_ca, out_cdi, out_sa, out_sdi, back, inp_pair, out_pair, latent
+
+
+class ADCFunctionalModel:
+    """Self-contained ADC model bundle: parameter pytree + the pure apply
+    functions above, with keras-like conveniences —
+    ``model(inputs)`` runs the full forward pass (same output tuple as
+    :func:`forward`), ``model.encoder(inputs)`` / ``model.decoder(latent)``
+    run the halves.
+
+    The functional equivalent of the reference's ``ADCFunctionalModel``
+    (``models/models.py:2152-2523``) for custom training loops;
+    `AngleDihedralCartesianEncoderMap` composes the pure functions
+    directly. ``inputs`` is the usual tuple
+    ``(angles, dihedrals, cartesians, distances[, side_dihedrals])``.
+    """
+
+    def __init__(self, input_shapes, parameters: ADCParameters = None,
+                 sparse: bool = False, seed: int = None) -> None:
+        self.p = parameters if parameters is not None else ADCParameters()
+        a, d, c, dist = input_shapes[:4]
+        side = input_shapes[4] if len(input_shapes) >= 5 else None
+        self.shapes = ADCShapes(
+            n_angles=int(np.atleast_1d(a)[-1]),
+            n_dihedrals=int(np.atleast_1d(d)[-1]),
+            # cartesians may be given as (n_atoms, 3) or n_atoms
+            n_cartesians=int(np.atleast_1d(c)[0]),
+            n_distances=int(np.atleast_1d(dist)[-1]),
+            n_side_dihedrals=(
+                0 if side is None else int(np.atleast_1d(side)[-1])
+            ),
+        )
+        self.sparse = bool(sparse)
+        if seed is None:
+            seed = self.p.seed if self.p.seed is not None else 0
+        self.params = init_params(
+            jax.random.PRNGKey(seed), self.p, self.shapes, sparse=sparse
+        )
+
+    def _prep(self, inputs: tuple) -> tuple:
+        inputs = tuple(jnp.asarray(x, jnp.float32) for x in inputs)
+        if self.sparse:
+            inputs = densify_inputs(self.params, self.p, inputs)
+        return inputs
+
+    def encoder(self, inputs: tuple) -> Array:
+        return encode(self.params, self.p, self._prep(inputs))
+
+    def decoder(self, latent) -> tuple:
+        return decode(self.params, self.p, jnp.asarray(latent, jnp.float32),
+                      self.shapes)
+
+    def __call__(self, inputs: tuple) -> tuple:
+        return forward(self.params, self.p, self._prep(inputs), self.shapes)
+
+
+def gen_functional_model(input_shapes, parameters: ADCParameters = None,
+                         sparse: bool = False, seed: int = None
+                         ) -> "ADCFunctionalModel":
+    """Model factory with the reference's core signature
+    (``models/models.py:385-1060``): ``input_shapes`` is the per-input
+    shape tuple ``((n_angles,), (n_dihedrals,), (n_cartesians, 3),
+    (n_distances,)[, (n_side_dihedrals,)])``. The reference's extra
+    keras-specific kwargs (kernel/bias initializer literals,
+    ``write_summary``, ``use_experimental_model``) have no counterpart —
+    initialization is a seeded PRNG pytree and summaries live in the
+    training loop."""
+    return ADCFunctionalModel(input_shapes, parameters, sparse=sparse,
+                              seed=seed)

@@ -35,6 +35,8 @@ __all__ = [
     "decode",
     "forward",
     "regularization_sum",
+    "SequentialModel",
+    "gen_sequential_model",
 ]
 
 Array = jax.Array
@@ -149,3 +151,64 @@ def _orig_input_dim(params: dict, p: Parameters) -> int:
     """Recover the original (pre-sin/cos) input dim from the param shapes."""
     eff = params["encoder"][0]["kernel"].shape[0]
     return eff // 2 if p.periodicity < float("inf") else eff
+
+
+class SequentialModel:
+    """A self-contained model bundle: parameter pytree + the pure apply
+    functions above, with keras-like conveniences (``model(x)``,
+    ``model.encoder(x)``, ``model.decoder(z)``).
+
+    The functional equivalent of the reference's ``SequentialModel``
+    (``models/models.py:3099-3401``) for users building custom training
+    loops; `EncoderMap` itself composes the pure functions directly.
+    Mutating ``model.params`` (e.g. assigning the pytree an optimizer
+    produced) is the intended update mechanism.
+    """
+
+    def __init__(self, input_shape: int, parameters: Parameters = None,
+                 sparse: bool = False, seed: int = None) -> None:
+        self.p = parameters if parameters is not None else Parameters()
+        self.input_shape = int(input_shape)
+        self.sparse = bool(sparse)
+        if seed is None:
+            seed = self.p.seed if self.p.seed is not None else 0
+        self.params = init_params(
+            jax.random.PRNGKey(seed), self.p, self.input_shape, sparse=sparse
+        )
+
+    def encoder(self, x) -> Array:
+        x = jnp.asarray(x, jnp.float32)
+        if self.sparse:
+            x = densify(self.params, jnp.nan_to_num(x))
+        return encode(self.params, self.p, x)
+
+    def decoder(self, z) -> Array:
+        return decode(self.params, self.p, jnp.asarray(z, jnp.float32))
+
+    def __call__(self, x) -> Array:
+        return self.decoder(self.encoder(x))
+
+
+def gen_sequential_model(input_shape: int, parameters=None,
+                         sparse: bool = False):
+    """Model factory with the reference's signature
+    (``models/models.py:256-288``): returns a :class:`SequentialModel`
+    bundle for ``Parameters``; for ``ADCParameters`` the reference's
+    ``ADCSequentialModel`` is subsumed by the functional ADC graph — use
+    :func:`encodermap_tpu.models.adc.gen_functional_model`."""
+    from ..parameters import ADCParameters
+
+    if parameters is None:
+        parameters = Parameters()
+    if isinstance(parameters, ADCParameters):
+        raise TypeError(
+            "For ADCParameters use gen_functional_model (the reference's "
+            "ADCSequentialModel is @testing-gated and subsumed by the "
+            "functional graph)."
+        )
+    if not isinstance(parameters, Parameters):
+        raise TypeError(
+            f"parameters must be encodermap Parameters or ADCParameters, "
+            f"got {type(parameters)}"
+        )
+    return SequentialModel(input_shape, parameters, sparse=sparse)

@@ -102,6 +102,14 @@ def __getattr__(name):
         mod = importlib.import_module(".train.callbacks", __name__)
         if not hasattr(mod, "EncoderMapBaseCallback"):
             mod.EncoderMapBaseCallback = mod.Callback
+        if not hasattr(mod, "EncoderMapBaseMetric"):
+            # the reference's callbacks/__init__.py re-exports the metric
+            # classes alongside the callbacks (metrics.py:250-581)
+            metrics_mod = importlib.import_module(
+                ".train.metrics", __name__
+            )
+            for _name in metrics_mod.__all__:
+                setattr(mod, _name, getattr(metrics_mod, _name))
         return mod
     if name == "get_from_kondata":
         from .kondata import get_from_kondata

@@ -325,6 +325,29 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         }
         return terms, (back, inp_all_cart)
 
+    def _metric_io(self, params, batch):
+        """``(y_true, y_pred)`` for metric *objects*
+        (:mod:`encodermap_tpu.train.metrics`): ``y_true`` is the input tuple
+        and ``y_pred`` puts the backmapped cartesians at index 2 for EVERY
+        ADC variant (see the module docstring there for the deliberate
+        divergence from the reference's shifted output list)."""
+        p = self.p
+        if p.reconstruct_sidechains:
+            (out_ca, out_cdi, out_sa, out_sdi, back, inp_pair, out_pair,
+             _latent) = adc.forward_sidechains(
+                params, p, batch, self.shapes, self.sidechain_spec
+            )
+            return batch, (out_ca, out_cdi, back, out_sa, out_sdi,
+                           inp_pair, out_pair)
+        if self.sparse:
+            batch = adc.densify_inputs(params, p, batch)
+        (out_angles, out_dihedrals, out_side, back, inp_pair, out_pair,
+         _latent) = adc.forward(params, p, batch, self.shapes)
+        y_pred = (out_angles, out_dihedrals, back, inp_pair, out_pair)
+        if out_side is not None:
+            y_pred = y_pred + (out_side,)
+        return batch, y_pred
+
     def _aux_metric_terms(self, aux: tuple, batch: tuple) -> dict[str, Array]:
         """Optional clash / RMSD metrics (``callbacks/metrics.py:470-581``),
         computed from the loss forward's backmapped coordinates (one-step-

@@ -144,8 +144,27 @@ class TrainerExtensions:
         self._trainer = None  # force retrace with the new graph
 
     def add_metric(self, metric_fn, name: Optional[str] = None) -> None:
-        """Add a metric ``fn(params, batch) -> scalar`` logged every step
-        (no gradient contribution)."""
+        """Add a metric logged every step (no gradient contribution).
+
+        Accepts, like the reference's ``add_metric`` (``autoencoder.py:
+        1045``), an :class:`~encodermap_tpu.train.metrics.EncoderMapBaseMetric`
+        subclass (instantiated with this trainer's parameters) or instance —
+        its ``update(y_true, y_pred)`` is traced into the jitted step — or a
+        plain function ``fn(params, batch) -> scalar``.
+        """
+        from .metrics import EncoderMapBaseMetric
+
+        if isinstance(metric_fn, type) and issubclass(
+            metric_fn, EncoderMapBaseMetric
+        ):
+            metric_fn = metric_fn(self.p)
+        if isinstance(metric_fn, EncoderMapBaseMetric):
+            metric = metric_fn
+
+            def metric_fn(params, batch, _m=metric):
+                return _m.update(*self._metric_io(params, batch))
+
+            name = name or metric.name
         self.custom_metrics.append(
             (name or getattr(metric_fn, "__name__", "custom_metric"),
              metric_fn)
@@ -181,6 +200,15 @@ class TrainerExtensions:
 
     def _custom_metric_terms(self, params, batch) -> dict:
         return {name: fn(params, batch) for name, fn in self.custom_metrics}
+
+    def _metric_io(self, params, batch):
+        """``(y_true, y_pred)`` handed to metric *objects* (see
+        :mod:`encodermap_tpu.train.metrics`): the densified input batch and
+        the decoded output, matching what the reference's keras fit loop
+        feeds its metrics."""
+        batch = seq.densify(params, batch)
+        out = seq.decode(params, self.p, seq.encode(params, self.p, batch))
+        return batch, out
 
     # ------------------------------------------------------------------ train step
     def _loss_and_aux(self, params, batch, step):

@@ -85,6 +85,17 @@ class Feature:
     def indices(self) -> Optional[np.ndarray]:
         return getattr(self, "_indices", None)
 
+    @property
+    def indexes(self) -> Optional[np.ndarray]:
+        """Reference-named alias of :attr:`indices` — the reference's
+        features carry their atom-index table as ``.indexes``
+        (``features.py:651-734``) and its xarray bridge assigns to it."""
+        return self.indices
+
+    @indexes.setter
+    def indexes(self, val) -> None:
+        self._indices = np.asarray(val)
+
     def remap(self, mapping: np.ndarray) -> Optional["Feature"]:
         """A shallow copy whose atom indices are translated through
         ``mapping`` (old index -> sliced-xyz index), or None when this

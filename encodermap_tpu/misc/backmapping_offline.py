@@ -29,7 +29,8 @@ from ..data.topology import Topology
 from ..ops.backmap import rotation_matrices
 
 __all__ = ["guess_bonds", "near_and_far_masks", "dihedral_rotate",
-           "backmap_topology", "traj_rotate"]
+           "backmap_topology", "traj_rotate", "mdtraj_backmapping",
+           "mdtraj_rotate"]
 
 # covalent radii (nm) for bond guessing
 _COV_RADII = {

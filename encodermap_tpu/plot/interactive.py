@@ -100,6 +100,35 @@ class InteractivePlotting:
         )
         self._selection: Optional[np.ndarray] = None
 
+    @classmethod
+    def from_project(cls, project_name: str) -> "InteractivePlotting":
+        """Build a session from a kondata project (reference
+        ``interactive_plotting.py:606-615``): download/load the project's
+        trajectories + trained autoencoder and wire them together."""
+        from ..kondata import load_project
+
+        trajs, autoencoder = load_project(
+            project_name, traj=-1, load_autoencoder=True
+        )
+        return cls(autoencoder=autoencoder, trajs=trajs)
+
+    def help(self, n: Optional[int] = None) -> str:
+        """Print usage instructions for the session (reference
+        ``interactive_plotting.py:1759``). Returns the text too, so
+        notebooks can render it."""
+        text = (
+            "InteractivePlotting usage:\n"
+            "  sess.select(polygon)        lasso-select latent points\n"
+            "  sess.cluster(name)          save the selection as a cluster\n"
+            "  sess.path(points)           Bezier path through the latent "
+            "space\n"
+            "  sess.generate(path)         decode/backmap along the path\n"
+            "  sess.write_cluster(name)    persist the active selection\n"
+            "More: https://github.com/AG-Peter/encodermap"
+        )
+        print(text)
+        return text
+
     def generate(self, path: np.ndarray) -> Any:
         """Backmap/decode along explicit latent points (the reference's
         ``sess.generate(path)``)."""

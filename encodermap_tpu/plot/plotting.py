@@ -363,7 +363,8 @@ _ELEMENT_COLORS = {
 def plot_ball_and_stick(
     traj,
     frame: int = 0,
-    highlight: Optional[Sequence[int]] = None,
+    highlight: Union[str, Sequence[int], None] = "atoms",
+    atom_indices: Optional[Sequence[int]] = None,
     ax: Any = None,
     save_path: Optional[Union[str, Path]] = None,
 ):
@@ -371,7 +372,13 @@ def plot_ball_and_stick(
     ``plotting.py:654, 2233`` draws this with plotly; this is the
     matplotlib-3D backend so it works without optional packages).
 
-    Bonds are guessed from covalent radii via
+    ``highlight`` follows the reference's string modes: ``"atoms"``
+    (emphasize ``atom_indices`` if given), ``"bonds"`` (accent every
+    guessed bond), ``"angles"`` (accent the backbone N-CA-C atoms whose
+    angles the ADC features use), ``"dihedrals"`` (accent every atom in
+    the central + sidechain dihedral quadruples). A plain index sequence
+    is also accepted and behaves like ``highlight="atoms"`` with those
+    ``atom_indices``. Bonds are guessed from covalent radii via
     :func:`..misc.backmapping_offline.guess_bonds`.
     """
     from ..misc.backmapping_offline import guess_bonds
@@ -380,6 +387,26 @@ def plot_ball_and_stick(
     xyz = np.asarray(traj.xyz[frame], np.float64)
     top = traj.top
     bonds = guess_bonds(top, xyz)
+    if highlight is not None and not isinstance(highlight, str):
+        atom_indices, highlight = np.asarray(highlight, int), "atoms"
+    elif highlight is None:
+        highlight = "atoms"
+    if highlight not in ("atoms", "bonds", "angles", "dihedrals"):
+        raise ValueError(
+            f"highlight must be 'atoms', 'bonds', 'angles', 'dihedrals' "
+            f"or an index sequence, got {highlight!r}"
+        )
+    accent_atoms = np.zeros(top.n_atoms, bool)
+    if highlight == "atoms" and atom_indices is not None:
+        accent_atoms[np.asarray(atom_indices, int)] = True
+    elif highlight == "angles":
+        accent_atoms[top.backbone_indices().reshape(-1)] = True
+    elif highlight == "dihedrals":
+        from ..loading.features import CentralDihedrals, SideChainDihedrals
+
+        for feat in (CentralDihedrals(top), SideChainDihedrals(top)):
+            if feat._indices is not None and len(feat._indices):
+                accent_atoms[np.asarray(feat._indices, int).reshape(-1)] = True
     if ax is None:
         fig = plt.figure(figsize=(8, 8))
         ax = fig.add_subplot(projection="3d")
@@ -387,15 +414,19 @@ def plot_ball_and_stick(
         fig = ax.figure
     for a, b in bonds:
         seg = xyz[[a, b]]
-        ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], color="0.5", lw=1.2,
-                zorder=1)
+        accent = highlight == "bonds" or (
+            accent_atoms[a] and accent_atoms[b]
+        )
+        ax.plot(
+            seg[:, 0], seg[:, 1], seg[:, 2],
+            color="C1" if accent else "0.5",
+            lw=2.4 if accent else 1.2, zorder=1,
+        )
     colors = [
         _ELEMENT_COLORS.get(a.element.upper(), (0.6, 0.2, 0.6))
         for a in top.atoms
     ]
-    sizes = np.full(top.n_atoms, 40.0)
-    if highlight is not None:
-        sizes[np.asarray(highlight, int)] = 140.0
+    sizes = np.where(accent_atoms, 140.0, 40.0)
     ax.scatter(xyz[:, 0], xyz[:, 1], xyz[:, 2], c=colors, s=sizes,
                depthshade=True, zorder=2, edgecolors="k", linewidths=0.3)
     ax.set_axis_off()

@@ -172,6 +172,23 @@ class TestPlotting:
         out = plot_ball_and_stick(traj, save_path=tmp_path / "bs.png")
         assert Path(out).exists() and Path(out).stat().st_size > 0
 
+    def test_ball_and_stick_highlight_modes(self, tmp_path):
+        """The reference's string highlight modes (``plotting.py:2236``)
+        plus the legacy index-sequence form."""
+        import pytest
+
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.plot import plot_ball_and_stick
+
+        traj = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        for h in ("atoms", "bonds", "angles", "dihedrals", [0, 1, 2]):
+            out = plot_ball_and_stick(
+                traj, highlight=h, save_path=tmp_path / "bs_mode.png"
+            )
+            assert Path(out).stat().st_size > 0
+        with pytest.raises(ValueError, match="highlight"):
+            plot_ball_and_stick(traj, highlight="nope")
+
     def test_render_vmd_script(self, tmp_path):
         """Without vmd on PATH the tcl script is still generated (same
         structure as reference ``plotting.py:2604``)."""

@@ -87,14 +87,48 @@ def plot_free_energy(
 
 
 def plot_ramachandran(
-    phi: np.ndarray,
-    psi: np.ndarray,
+    phi: Any,
+    psi: Optional[np.ndarray] = None,
     bins: int = 72,
     ax: Any = None,
     save_path: Optional[Union[str, Path]] = None,
+    subsample: Optional[Union[int, slice, np.ndarray]] = None,
 ):
-    """Ramachandran density plot (reference ``plotting.py:2258-2341``)."""
+    """Ramachandran density plot (reference ``plotting.py:2258-2341``).
+
+    The first argument follows the reference's flexible ``angles`` input:
+    separate ``phi``/``psi`` arrays, a ``(psi, phi)`` tuple, one stacked
+    ``(2, n_frames, n_angles)`` array (reference order: psi first), or a
+    SingleTraj, whose phi/psi torsions are computed on the fly.
+    ``subsample`` thins the frame axis the reference way: an int keeps
+    one frame, a slice/index array selects frames.
+    """
     plt = _mpl()
+    if psi is None:
+        if hasattr(phi, "xyz") and hasattr(phi, "top"):  # SingleTraj
+            from ..ops.geometry import compute_dihedrals
+
+            traj, top = phi, phi.top
+            xyz = np.asarray(traj.xyz)
+            phi = np.asarray(compute_dihedrals(
+                xyz, np.asarray(top.indices_phi, np.int64).reshape(-1, 4)))
+            psi = np.asarray(compute_dihedrals(
+                xyz, np.asarray(top.indices_psi, np.int64).reshape(-1, 4)))
+        elif isinstance(phi, (tuple, list)) and len(phi) == 2:
+            psi, phi = phi  # reference order: (psi, phi)
+        else:
+            arr = np.asarray(phi)
+            if arr.ndim != 3 or arr.shape[0] != 2:
+                raise ValueError(
+                    "without psi, pass a SingleTraj, a (psi, phi) tuple, or "
+                    f"a (2, n_frames, n_angles) array — got {arr.shape}"
+                )
+            psi, phi = arr[0], arr[1]
+    phi, psi = np.asarray(phi), np.asarray(psi)
+    if subsample is not None:
+        if isinstance(subsample, int):
+            subsample = slice(subsample, subsample + 1)
+        phi, psi = phi[subsample], psi[subsample]
     if ax is None:
         fig, ax = plt.subplots()
     else:

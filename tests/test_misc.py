@@ -172,6 +172,36 @@ class TestPlotting:
         out = plot_ball_and_stick(traj, save_path=tmp_path / "bs.png")
         assert Path(out).exists() and Path(out).stat().st_size > 0
 
+    def test_ramachandran_input_forms(self, tmp_path):
+        """The reference's flexible angles input (``plotting.py:2258``):
+        SingleTraj, (psi, phi) tuple, stacked (2, n, k) array, subsample."""
+        import numpy as np
+
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.plot import plot_ramachandran
+
+        traj = SingleTraj(
+            "/root/reference/tests/data/asp7.xtc",
+            "/root/reference/tests/data/asp7.pdb",
+        )
+        out = plot_ramachandran(traj, save_path=tmp_path / "rama_traj.png")
+        assert Path(out).stat().st_size > 0
+        rng = np.random.default_rng(0)
+        psi = rng.uniform(-np.pi, np.pi, (50, 6))
+        phi = rng.uniform(-np.pi, np.pi, (50, 6))
+        for form in ((psi, phi), np.stack([psi, phi])):
+            out = plot_ramachandran(
+                form, save_path=tmp_path / "rama_form.png"
+            )
+            assert Path(out).stat().st_size > 0
+        out = plot_ramachandran(
+            (psi, phi), subsample=slice(0, 10),
+            save_path=tmp_path / "rama_sub.png",
+        )
+        assert Path(out).stat().st_size > 0
+        with pytest.raises(ValueError, match="psi"):
+            plot_ramachandran(np.zeros((50, 6)))
+
     def test_ball_and_stick_highlight_modes(self, tmp_path):
         """The reference's string highlight modes (``plotting.py:2236``)
         plus the legacy index-sequence form."""

@@ -317,3 +317,149 @@ def traj_rotate(
     return backmap_topology(
         traj.top, xyz, angles, dihedral_indices=indices, bonds=bonds
     )
+
+
+def mdtraj_rotate(
+    traj,
+    angles: np.ndarray,
+    indices: np.ndarray,
+    deg: bool = False,
+    check_cyclic_backbone: bool = True,
+    verify_every_rotation: bool = False,
+    drop_proline_angles: bool = False,
+    delete_sulfide_bridges: bool = True,
+) -> np.ndarray:
+    """Reference-named entry point (``misc/rotate.py:117``) for
+    :func:`traj_rotate`.
+
+    Signature-compatible with the reference; three of its flags are
+    no-ops here by construction: ``check_cyclic_backbone`` and
+    ``drop_proline_angles`` are subsumed by the ring detection in
+    :func:`near_and_far_masks` (unrotatable ring dihedrals are always
+    detected and skipped, cyclic or proline alike), and
+    ``verify_every_rotation`` is a numba-debugging aid in the reference
+    whereas the device sweep here sets each dihedral exactly by a single
+    closed-form rotation. Returns ``(n_frames, n_atoms, 3)`` coordinates
+    (this framework has no mdtraj to wrap them in).
+    """
+    del check_cyclic_backbone, verify_every_rotation, drop_proline_angles
+    return traj_rotate(
+        traj, angles, indices, deg=deg,
+        delete_sulfide_bridges=delete_sulfide_bridges,
+    )
+
+
+def mdtraj_backmapping(
+    top=None,
+    dihedrals: Optional[np.ndarray] = None,
+    sidechain_dihedrals: Optional[np.ndarray] = None,
+    trajs=None,
+    remove_component_size: int = 0,
+    verify_every_rotation: bool = False,
+    angle_type: str = "radian",
+    omega: bool = True,
+    guess_sp2_atoms: bool = True,
+    return_indices: bool = False,
+    parallel: bool = False,
+    progbar=None,
+):
+    """Reference-named entry point (``misc/backmapping.py:1027-1790``) for
+    :func:`backmap_topology`.
+
+    Resolves the seed structure the reference way: ``top`` may be a
+    topology file path (frame 0 of that file seeds the rotation), or an
+    int indexing into ``trajs``; with ``top=None`` the first trajectory
+    of ``trajs`` is used. ``dihedrals`` columns follow the
+    ``central_dihedrals`` CV order (PSI/OMEGA/PHI interleave, honoring
+    ``omega``) when their width matches it, else the phi+psi
+    ``BackboneTorsionFeature`` order. ``angle_type="degree"`` converts.
+    ``sidechain_dihedrals`` follow the ``side_dihedrals`` CV order.
+
+    Returns ``(n_frames, n_atoms, 3)`` coordinates — this framework's
+    offline-backmapping currency (no mdtraj in the image); pass
+    ``return_indices=True`` to also get the ``{"dihedrals": quads,
+    "side_dihedrals": quads}`` index tables actually rotated.
+    ``remove_component_size``/``parallel``/``progbar`` are accepted for
+    signature compatibility (disconnected-component pruning does not
+    apply to the covalent-radius bond guesser, and the rotation sweep is
+    already a single vmapped device program).
+    """
+    del remove_component_size, verify_every_rotation, guess_sp2_atoms
+    del parallel, progbar
+    if dihedrals is None:
+        raise ValueError("mdtraj_backmapping needs a `dihedrals` array")
+
+    # --- resolve the seed trajectory/topology --------------------------
+    seed = None
+    if isinstance(top, (int, np.integer)):
+        if trajs is None:
+            raise ValueError("top=<int> indexes into `trajs`; pass trajs")
+        seed = trajs[int(top)] if hasattr(trajs, "trajs") else trajs
+    elif top is not None and not isinstance(top, Topology):
+        from ..data.trajectory import SingleTraj
+
+        seed = SingleTraj(top)
+    elif trajs is not None:
+        seed = trajs.trajs[0] if hasattr(trajs, "trajs") else trajs
+    if seed is not None:
+        topology = seed.top
+        base_xyz = np.asarray(seed.xyz, np.float32)[0]
+    elif isinstance(top, Topology):
+        raise ValueError(
+            "a bare Topology carries no coordinates; pass a file path or "
+            "trajs so a seed conformation exists"
+        )
+    else:
+        raise ValueError("pass `top` (path/int) and/or `trajs`")
+
+    dihedrals = np.atleast_2d(np.asarray(dihedrals, np.float32))
+    if sidechain_dihedrals is not None:
+        sidechain_dihedrals = np.atleast_2d(
+            np.asarray(sidechain_dihedrals, np.float32)
+        )
+    if angle_type == "degree":
+        dihedrals = np.radians(dihedrals)
+        if sidechain_dihedrals is not None:
+            sidechain_dihedrals = np.radians(sidechain_dihedrals)
+    elif angle_type != "radian":
+        raise ValueError(f"angle_type must be 'radian'/'degree', "
+                         f"got {angle_type!r}")
+
+    # --- map columns onto quadruplets ----------------------------------
+    from ..loading.features import CentralDihedrals
+
+    cd = CentralDihedrals(topology, omega=omega)
+    n_central = len(cd._indices)
+    phi = np.asarray(topology.indices_phi, np.int64).reshape(-1, 4)
+    psi = np.asarray(topology.indices_psi, np.int64).reshape(-1, 4)
+    if dihedrals.shape[1] == n_central:
+        quads = np.asarray(cd._indices, np.int64)
+    elif dihedrals.shape[1] == len(phi) + len(psi):
+        quads = np.vstack([phi, psi])
+    else:
+        raise ValueError(
+            f"dihedrals has {dihedrals.shape[1]} columns; topology "
+            f"expects {n_central} (central_dihedrals order) or "
+            f"{len(phi) + len(psi)} (phi+psi order)"
+        )
+
+    side_indices = None
+    if sidechain_dihedrals is not None:
+        from ..loading.features import SideChainDihedrals
+
+        side_indices = np.asarray(
+            SideChainDihedrals(topology)._indices, np.int64
+        )
+
+    out = backmap_topology(
+        topology, base_xyz, dihedrals,
+        dihedral_indices=quads,
+        side_dihedrals=sidechain_dihedrals,
+        side_indices=side_indices,
+    )
+    if return_indices:
+        tables = {"dihedrals": quads}
+        if side_indices is not None:
+            tables["side_dihedrals"] = side_indices
+        return out, tables
+    return out

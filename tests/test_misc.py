@@ -682,6 +682,58 @@ class TestTrajRotate:
                                     out[:, q[3]])
         np.testing.assert_allclose(meas, np.pi / 2, atol=1e-5)
 
+    def test_reference_named_wrappers(self):
+        """mdtraj_backmapping/mdtraj_rotate: the reference-named entry
+        points (``misc/backmapping.py:1027``, ``misc/rotate.py:117``)
+        resolve trajs/top, honor angle_type and column order, and return
+        the rotated index tables on request."""
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+        from encodermap_tpu.loading.features import CentralDihedrals
+        from encodermap_tpu.misc.backmapping_offline import (
+            mdtraj_backmapping,
+            mdtraj_rotate,
+            traj_rotate,
+        )
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        idx = t.top.indices_psi[:2]
+        targets = np.array([[0.5, -1.0]], np.float32)
+        np.testing.assert_array_equal(
+            mdtraj_rotate(t, targets, idx), traj_rotate(t, targets, idx)
+        )
+
+        # central_dihedrals column order via trajs=
+        cd = CentralDihedrals(t.top)
+        rng = np.random.default_rng(1)
+        dih = rng.uniform(-3, 3, (2, len(cd._indices))).astype(np.float32)
+        out, tables = mdtraj_backmapping(
+            trajs=TrajEnsemble([t]), dihedrals=dih, return_indices=True
+        )
+        assert out.shape == (2, t.top.n_atoms, 3)
+        np.testing.assert_array_equal(tables["dihedrals"], cd._indices)
+
+        # phi+psi order via a top path + degree conversion
+        phi, psi = t.top.indices_phi, t.top.indices_psi
+        dih_deg = np.degrees(
+            rng.uniform(-3, 3, (1, len(phi) + len(psi)))
+        ).astype(np.float32)
+        out_deg = mdtraj_backmapping(
+            top="/root/reference/tests/data/asp7.pdb",
+            dihedrals=dih_deg, angle_type="degree",
+        )
+        out_rad = mdtraj_backmapping(
+            top="/root/reference/tests/data/asp7.pdb",
+            dihedrals=np.radians(dih_deg),
+        )
+        np.testing.assert_allclose(out_deg, out_rad, atol=1e-6)
+
+        with pytest.raises(ValueError, match="dihedrals"):
+            mdtraj_backmapping(trajs=TrajEnsemble([t]))
+        with pytest.raises(ValueError, match="columns"):
+            mdtraj_backmapping(
+                trajs=TrajEnsemble([t]), dihedrals=np.zeros((1, 3))
+            )
+
 
 class TestPlottingBuildingBlocks:
     """get_histogram/density/free-energy pipeline + raw data, end-to-end,

@@ -685,6 +685,19 @@ class SingleTraj:
         out._materialized = True
         return out
 
+    def join(self, other: "SingleTraj") -> "SingleTraj":
+        """Join two trajectories along the frame axis (reference
+        ``info_single.py:1778`` — which returns a bare mdtraj Trajectory;
+        here a materialized SingleTraj). Like the reference's, the result
+        loses CVs and file provenance."""
+        return TrajEnsemble([self.copy(), other.copy()]).traj_joined
+
+    def stack(self, other: "SingleTraj") -> "SingleTraj":
+        """Stack two trajectories along the ATOM axis into one
+        merged-topology trajectory (reference ``info_single.py:1789``;
+        same frame counts required). Loses CVs, like the reference's."""
+        return TrajEnsemble([self.copy(), other.copy()]).stack()
+
     def unload(self, CVs: bool = False) -> None:
         """Free the cached coordinate arrays so the next access re-reads
         from file (reference ``info_single.py:1294-1316``). A no-op for

@@ -861,3 +861,34 @@ class TestReferenceInitContract:
         t.save_CV_as_numpy(name, target, overwrite=True)
         assert np.array_equal(np.load(target, allow_pickle=False),
                               t.CVs[name])
+
+
+class TestSingleTrajJoinStack:
+    """SingleTraj.join/stack (reference ``info_single.py:1778-1798``):
+    frame-axis and atom-axis composition, CVs dropped like the reference's
+    mdtraj return value."""
+
+    def test_join_frames(self):
+        a = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        b = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        a.load_CV(np.zeros((a.n_frames, 2)), "lowd")
+        j = a.join(b)
+        assert j.n_frames == a.n_frames + b.n_frames
+        assert j.top.n_atoms == a.top.n_atoms
+        np.testing.assert_array_equal(np.asarray(j.xyz)[: a.n_frames],
+                                      np.asarray(a.xyz))
+        assert not j.CVs  # provenance lost, like the reference
+        # operands untouched
+        assert a.n_frames == b.n_frames == 100 and "lowd" in a.CVs
+
+    def test_stack_atoms(self):
+        a = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        b = SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb")
+        s = a.stack(b)
+        assert s.top.n_atoms == a.top.n_atoms + b.top.n_atoms
+        assert np.asarray(s.xyz).shape == (
+            a.n_frames, a.top.n_atoms + b.top.n_atoms, 3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s.xyz)[:, : a.top.n_atoms], np.asarray(a.xyz)
+        )

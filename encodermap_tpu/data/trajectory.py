@@ -1973,6 +1973,78 @@ class TrajEnsemble:
         finally:
             src.close()
 
+    def tf_dataset(
+        self,
+        batch_size: int,
+        replace: bool = False,
+        sidechains: bool = False,
+        reconstruct_sidechains: bool = False,
+        CV_names: Optional[Sequence[str]] = None,
+        deterministic: bool = False,
+        prefetch: bool = True,
+        start: int = 1,
+    ):
+        """A ``tf.data.Dataset`` over :meth:`batch_iterator` batches — the
+        reference's signature (``info_all.py:3080-3154``), for users whose
+        downstream pipelines still consume tf.data. The framework's own
+        trainers do NOT go through this (they sample on device /
+        stream superbatches); it exists for migration interop and needs
+        tensorflow importable. ``sidechains``/``reconstruct_sidechains``
+        pick the reference's CV_names defaults; batches are dense float32
+        (this framework's sparse story is masked-dense, so no
+        SparseTensors are emitted)."""
+        import tensorflow as tf
+
+        if CV_names is None:
+            if reconstruct_sidechains:
+                CV_names = [
+                    "central_angles", "central_dihedrals", "all_cartesians",
+                    "central_distances", "side_angles", "side_dihedrals",
+                    "side_distances",
+                ]
+            elif sidechains:
+                CV_names = [
+                    "central_angles", "central_dihedrals",
+                    "central_cartesians", "central_distances",
+                    "side_dihedrals",
+                ]
+            else:
+                CV_names = [
+                    "central_angles", "central_dihedrals",
+                    "central_cartesians", "central_distances",
+                ]
+        # cheap key check (does NOT materialize lazy CV data)
+        available = set(self.trajs[0]._CVs.keys())
+        for t in self.trajs[1:]:
+            available &= set(t._CVs.keys())
+        for o in CV_names:
+            assert o in available, (
+                f"The CV '{o}' is not loaded in this ensemble."
+            )
+
+        kwargs = dict(
+            batch_size=batch_size, replace=replace, CV_names=list(CV_names),
+            deterministic=deterministic, start=start,
+        )
+        sample = next(self.batch_iterator(**kwargs))
+        if isinstance(sample, tuple):
+            specs = tuple(
+                tf.TensorSpec(shape=s.shape, dtype="float32")
+                for s in sample
+            )
+        else:
+            specs = tf.TensorSpec(shape=sample.shape, dtype="float32")
+        dataset = tf.data.Dataset.from_generator(
+            lambda: self.batch_iterator(**kwargs), output_signature=specs
+        )
+        if prefetch:
+            dataset = dataset.prefetch(batch_size * 4)
+        if deterministic:
+            options = tf.data.Options()
+            options.deterministic = True
+            dataset = dataset.with_options(options)
+        return dataset
+
     # ------------------------------------------------------------------ analysis
     def cluster(
         self,

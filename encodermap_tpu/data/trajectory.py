@@ -2026,7 +2026,12 @@ class TrajEnsemble:
             batch_size=batch_size, replace=replace, CV_names=list(CV_names),
             deterministic=deterministic, start=start,
         )
-        sample = next(self.batch_iterator(**kwargs))
+        _spec_it = self.batch_iterator(**kwargs)
+        try:
+            sample = next(_spec_it)
+        finally:
+            # lazy sources hold the backing h5 open until generator close
+            _spec_it.close()
         if isinstance(sample, tuple):
             specs = tuple(
                 tf.TensorSpec(shape=s.shape, dtype="float32")

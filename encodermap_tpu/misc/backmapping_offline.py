@@ -394,7 +394,17 @@ def mdtraj_backmapping(
     if isinstance(top, (int, np.integer)):
         if trajs is None:
             raise ValueError("top=<int> indexes into `trajs`; pass trajs")
-        seed = trajs[int(top)] if hasattr(trajs, "trajs") else trajs
+        if hasattr(trajs, "top") and not hasattr(trajs, "trajs"):
+            # a bare SingleTraj has nothing to index into
+            if int(top) != 0:
+                raise ValueError(
+                    f"top={int(top)} indexes into an ensemble/list of "
+                    "trajectories, but `trajs` is a single trajectory"
+                )
+            seed = trajs
+        else:
+            # TrajEnsemble and plain lists both index positionally
+            seed = trajs[int(top)]
     elif top is not None and not isinstance(top, Topology):
         from ..data.trajectory import SingleTraj
 

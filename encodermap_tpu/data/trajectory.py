@@ -63,7 +63,19 @@ def _fetch_url_cached(url: str, cache_dir: str = "/tmp/em_url_cache") -> str:
 
 class SingleTraj:
     """One trajectory: (traj_file, top_file) pair (or a single PDB/H5),
-    loaded lazily, with frame indexing composing before any IO happens."""
+    loaded lazily, with frame indexing composing before any IO happens.
+
+    Examples:
+        >>> from encodermap_tpu import SingleTraj
+        >>> traj = SingleTraj("/root/reference/tests/data/asp7.xtc",
+        ...                   "/root/reference/tests/data/asp7.pdb")
+        >>> traj.n_atoms
+        73
+        >>> sub = traj[::10]          # indexing composes lazily (no IO yet)
+        >>> sub.load_CV("central_dihedrals")
+        >>> sub.CVs["central_dihedrals"].shape[1]
+        18
+    """
 
     def __init__(
         self,

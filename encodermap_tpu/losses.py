@@ -38,6 +38,7 @@ __all__ = [
     "cartesian_distance_loss_matrix",
     "cartesian_loss",
     "cartesian_loss_matrix",
+    "cartesian_losses_blocked",
     "auto_loss",
     "angle_loss",
     "dihedral_loss",
@@ -66,6 +67,14 @@ def periodic_diff_cost(
     """The mean_abs/mean_square/mean_norm family over periodic differences.
 
     Reference: e.g. ``loss_functions.py:596-610``.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from math import pi
+        >>> from encodermap_tpu.losses import periodic_diff_cost
+        >>> a = jnp.asarray([[0.1]]); b = jnp.asarray([[2 * pi - 0.1]])
+        >>> round(float(periodic_diff_cost(a, b, 2 * pi, "mean_abs")), 5)
+        0.2
     """
     d = _periodic_distance(y_true, y_pred, periodicity)
     if variant == "mean_square":
@@ -170,6 +179,15 @@ def soft_start_scale(p: ADCParameters, step: Array) -> Array:
     * step <  a: 0
     * a <= step <= b: cartesian_cost_scale * (step - a) / (b - a)
     * step >  b: cartesian_cost_scale
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from encodermap_tpu import ADCParameters
+        >>> from encodermap_tpu.losses import soft_start_scale
+        >>> p = ADCParameters(cartesian_cost_scale=1.0,
+        ...                   cartesian_cost_scale_soft_start=(10, 20))
+        >>> [float(soft_start_scale(p, jnp.asarray(s))) for s in (5, 15, 25)]
+        [0.0, 0.5, 1.0]
     """
     scale = p.cartesian_cost_scale if p.cartesian_cost_scale is not None else 0.0
     a, b = p.cartesian_cost_scale_soft_start
@@ -247,6 +265,53 @@ def cartesian_loss_matrix(
     if scale is None:
         scale = p.cartesian_cost_scale if p.cartesian_cost_scale is not None else 0.0
     return cost * scale
+
+
+def cartesian_losses_blocked(
+    inp_xyz: Array,
+    out_xyz: Array,
+    latent: Array,
+    p: ADCParameters,
+    scale: Union[Array, float, None] = None,
+    block: int = 128,
+) -> tuple[Array, Array]:
+    """``(cartesian_loss, cartesian_distance_loss)`` for LARGE proteins,
+    computed blockwise so the ``(B, n, n)`` distance matrices never
+    materialize (``ops.blocked_cartesian``; same values as
+    :func:`cartesian_loss_matrix` + :func:`cartesian_distance_loss_matrix`
+    up to f32 summation order).
+
+    Args:
+        inp_xyz / out_xyz: ``(B, n, 3)`` SELECTED (CA) input / backmapped
+            coordinates.
+        latent: ``(B, d)`` latent points for the CA-pair sigmoid loss.
+    """
+    from math import sqrt
+
+    from .ops.blocked_cartesian import blocked_cartesian_terms, sigmoid_from_gram
+
+    want_sigmoid = p.cartesian_distance_cost_scale is not None
+    acc, gram = blocked_cartesian_terms(
+        inp_xyz, out_xyz, variant=p.cartesian_cost_variant, block=block,
+        with_gram=want_sigmoid,
+    )
+    B, n, _ = inp_xyz.shape
+    n_pairs = n * (n - 1) // 2
+    if p.cartesian_cost_variant in ("mean_square", "mean_abs"):
+        cost = acc / (2 * n_pairs * B)
+    else:  # mean_norm: per-sample full-matrix squared sums
+        cost = jnp.mean(jnp.sqrt(acc / 2.0))
+    cost = cost / p.cartesian_cost_reference
+    if scale is None:
+        scale = p.cartesian_cost_scale if p.cartesian_cost_scale is not None else 0.0
+    cart = cost * scale
+
+    if not want_sigmoid:
+        return cart, jnp.asarray(0.0, jnp.float32)
+    sig_h, a_h, b_h, sig_l, a_l, b_l = p.cartesian_dist_sig_parameters
+    params = (sig_h * sqrt(2.0), a_h, b_h, sig_l, a_l, b_l)
+    cdist = sigmoid_from_gram(gram, latent, params)
+    return cart, cdist * p.cartesian_distance_cost_scale
 
 
 def auto_loss(y_true: Array, y_pred: Array, p: Parameters) -> Array:

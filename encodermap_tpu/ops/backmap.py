@@ -575,6 +575,19 @@ def backmap(distances: Array, angles: Array, dihedrals: Array) -> Array:
 
     Returns:
         ``(batch, n_atoms, 3)``.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from encodermap_tpu.ops.backmap import backmap
+        >>> d = jnp.full((2, 4), 0.15)           # 5 atoms -> 4 bonds
+        >>> a = jnp.full((2, 3), 2.0)            # 3 bond angles
+        >>> t = jnp.zeros((2, 2))                # 2 dihedrals
+        >>> xyz = backmap(d, a, t)
+        >>> xyz.shape
+        (2, 5, 3)
+        >>> bond = jnp.linalg.norm(xyz[0, 1] - xyz[0, 0])
+        >>> bool(jnp.isclose(bond, 0.15, atol=1e-5))
+        True
     """
     # NOTE: the reference computes a `fixed_distances` guard (negative/zero
     # -> batch mean) but then averages the RAW distances — the guard is

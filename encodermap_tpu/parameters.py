@@ -200,6 +200,21 @@ class Parameters(ParametersFramework):
       takes entries [1:], decoder reversed [-2::-1] (+ final "").
     - ``periodicity``: input periodicity; ``float('inf')`` for non-periodic.
     - ``dist_sig_parameters``: (sig_h, a_h, b_h, sig_l, a_l, b_l).
+
+    Examples:
+        >>> import tempfile
+        >>> from encodermap_tpu import Parameters
+        >>> p = Parameters(periodicity=float("inf"), n_steps=50)
+        >>> p.n_neurons          # reference defaults
+        [128, 128, 2]
+        >>> p["batch_size"]      # dict-style access works too
+        256
+        >>> with tempfile.TemporaryDirectory() as td:
+        ...     p2 = Parameters(main_path=td)
+        ...     path = p2.save()
+        ...     loaded = Parameters.from_file(path)
+        >>> loaded.n_steps == p2.n_steps
+        True
     """
 
     n_neurons: list[int] = field(default_factory=lambda: [128, 128, 2])

@@ -36,6 +36,7 @@ from ..misc.saving import (
 from ..misc.summaries import MetricsWriter
 from ..models import adc
 from ..ops.backmap import backmap as backmap_op
+from ..ops.blocked_cartesian import MIN_BLOCKED_ATOMS
 from ..ops.distances import pairwise_dist
 from ..ops.kabsch import rmsd as rmsd_op
 from ..parameters import ADCParameters
@@ -244,26 +245,40 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # on TPU; see losses.cartesian_loss_matrix). A matrix-free Pallas
         # tile kernel was built and measured SLOWER at every scale tested
         # (512-1024 residues) — XLA's dense fusions win; see
-        # docs/mosaic_findings.md ("blocked cartesian cost").
-        inp_mat = adc.cartesian_pwd_matrix(p, inp_cartesians)
-        out_mat = adc.cartesian_pwd_matrix(p, back_cartesians)
-        terms = {
-            "dihedral_loss": L.dihedral_loss(inp_dihedrals, out_dihedrals, p),
-            "angle_loss": L.angle_loss(inp_angles, out_angles, p),
-            "cartesian_loss": L.cartesian_loss_matrix(inp_mat, out_mat, p,
-                                                      scale=scale),
-            "distance_loss": L.distance_loss(enc_inp, latent, p),
+        # docs/mosaic_findings.md ("blocked cartesian cost"). Past
+        # MIN_BLOCKED_ATOMS the (B, n, n) matrices themselves become the
+        # bottleneck (268 MB each at n=512) and BOTH cartesian costs switch
+        # to the XLA-blocked remat scan (ops/blocked_cartesian.py) that
+        # never materializes them.
+        inp_sel = adc._ca_slice(p, inp_cartesians)
+        out_sel = adc._ca_slice(p, back_cartesians)
+        n_sel = inp_sel.shape[1]
+        if n_sel >= MIN_BLOCKED_ATOMS:
+            cart_loss, cdist_loss = L.cartesian_losses_blocked(
+                inp_sel, out_sel, latent, p, scale=scale
+            )
+        else:
+            inp_mat = pairwise_dist(inp_sel)
+            out_mat = pairwise_dist(out_sel)
+            cart_loss = L.cartesian_loss_matrix(inp_mat, out_mat, p,
+                                                scale=scale)
             # matrix form: same value as the flat-pair loss, but reuses
             # inp_mat instead of the triu coordinate gather (which was
             # ~40% of the 158-res step; docs/adc_ablation_r3.json) —
             # inp_pair/out_pair then go dead and XLA eliminates them.
             # Below ~64 CAs the gather is cheap and the matrix doubles the
             # Gram width, so small proteins keep the flat form.
-            "cartesian_distance_loss": (
+            cdist_loss = (
                 L.cartesian_distance_loss_matrix(inp_mat, latent, p)
-                if inp_mat.shape[-1] >= 64
+                if n_sel >= 64
                 else L.cartesian_distance_loss(inp_pair, latent, p)
-            ),
+            )
+        terms = {
+            "dihedral_loss": L.dihedral_loss(inp_dihedrals, out_dihedrals, p),
+            "angle_loss": L.angle_loss(inp_angles, out_angles, p),
+            "cartesian_loss": cart_loss,
+            "distance_loss": L.distance_loss(enc_inp, latent, p),
+            "cartesian_distance_loss": cdist_loss,
             "center_loss": L.center_loss(latent, p),
             "regularization_loss": L.regularization_loss(
                 adc.regularization_sum(params), p
@@ -299,24 +314,34 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # four encoder inputs belong in it.
         enc_inp = jnp.concatenate([inp_ca, inp_cdi, inp_sa, inp_sdi], axis=1)
         scale = L.soft_start_scale(p, step)
-        # dense-matrix cartesian cost: scatter-free backward (see _loss_terms)
+        # dense-matrix cartesian cost: scatter-free backward (see _loss_terms);
+        # blocked remat scan past MIN_BLOCKED_ATOMS (no (B, n, n) matrices)
         pwd_idx = adc.sidechain_pwd_indices(p, self.sidechain_spec)
-        inp_mat = pairwise_dist(inp_all_cart[:, pwd_idx])
-        out_mat = pairwise_dist(back[:, pwd_idx])
+        inp_sel = inp_all_cart[:, pwd_idx]
+        out_sel = back[:, pwd_idx]
+        if len(pwd_idx) >= MIN_BLOCKED_ATOMS:
+            cart_loss, cdist_loss = L.cartesian_losses_blocked(
+                inp_sel, out_sel, latent, p, scale=scale
+            )
+        else:
+            inp_mat = pairwise_dist(inp_sel)
+            out_mat = pairwise_dist(out_sel)
+            cart_loss = L.cartesian_loss_matrix(inp_mat, out_mat, p,
+                                                scale=scale)
+            # matrix form above ~64 atoms — see _loss_terms
+            cdist_loss = (
+                L.cartesian_distance_loss_matrix(inp_mat, latent, p)
+                if inp_mat.shape[-1] >= 64
+                else L.cartesian_distance_loss(inp_pair, latent, p)
+            )
         terms = {
             "dihedral_loss": L.dihedral_loss(inp_cdi, out_cdi, p),
             "angle_loss": L.angle_loss(inp_ca, out_ca, p)
             + L.angle_loss(inp_sa, out_sa, p),
             "side_dihedral_loss": L.side_dihedral_loss(inp_sdi, out_sdi, p),
-            "cartesian_loss": L.cartesian_loss_matrix(inp_mat, out_mat, p,
-                                                      scale=scale),
+            "cartesian_loss": cart_loss,
             "distance_loss": L.distance_loss(enc_inp, latent, p),
-            # matrix form above ~64 atoms — see _loss_terms
-            "cartesian_distance_loss": (
-                L.cartesian_distance_loss_matrix(inp_mat, latent, p)
-                if inp_mat.shape[-1] >= 64
-                else L.cartesian_distance_loss(inp_pair, latent, p)
-            ),
+            "cartesian_distance_loss": cdist_loss,
             "center_loss": L.center_loss(latent, p),
             "regularization_loss": L.regularization_loss(
                 adc.regularization_sum(params), p

@@ -150,15 +150,27 @@ class HDF5BatchSource:
     ``trajinfo/info_all.py:2870-3078``).
 
     Sampling is slab-based, matching the reference's contiguous-read
-    design: per superbatch ONE contiguous random window of
-    ``slab_frames`` rows is read per CV (at most two h5py reads each,
-    for wrap-around), shuffled resident in RAM, and the
-    ``steps_per_scan x batch`` samples are carved from it with numpy
+    design: per superbatch ``n_windows`` contiguous random windows
+    totalling ``slab_frames`` rows are read per CV (at most two h5py
+    reads each, for wrap-around), shuffled resident in RAM, and the
+    ``steps_per_scan x batch`` samples are carved from them with numpy
     fancy-indexing. Per-sample scattered h5py gathers (the previous
     design) cost ~1000 seeks per chunk and capped streaming at ~180k
-    samples/s; the slab read is pure sequential I/O. Successive
-    superbatches draw new random windows, so training still covers the
-    whole file.
+    samples/s; a handful of sequential window reads keeps the I/O
+    pattern while successive superbatches draw new random windows, so
+    training covers the whole file.
+
+    ``n_windows`` exists because a SINGLE window correlates batches on
+    time-ordered trajectories: every batch of a superbatch then comes
+    from one contiguous stretch of simulation time. Measured on a
+    worst-case smooth feature-space walk (8192 frames, slab 1/16 of the
+    file), single-window training converged to a 9x worse full-data
+    loss than uniform in-memory sampling; 8 windows recovers uniform
+    quality within noise while keeping >95% of the single-window read
+    throughput (``scripts/slab_stats_experiment.py``, numbers in
+    BASELINE.md). The default is therefore 8 (capped so each window
+    still holds at least one batch); pass ``n_windows=1`` to reproduce
+    the pure single-slab read pattern.
 
     When the file (or slab) holds fewer rows than a batch needs, samples
     repeat (with-replacement semantics) instead of raising — the
@@ -181,14 +193,17 @@ class HDF5BatchSource:
                  seed: Optional[int] = 0,
                  slab_frames: Optional[int] = None,
                  replace: bool = True,
-                 skip_all_nan: bool = False) -> None:
+                 skip_all_nan: bool = False,
+                 n_windows: int = 8) -> None:
         """``seed=None`` draws OS entropy (non-reproducible streams).
         ``replace=False`` keeps samples unique within each batch (raising
         when a slab holds fewer valid rows than a batch, mirroring the
         reference's unique-index guard). ``skip_all_nan=True`` drops slab
         rows that are all-NaN for any CV (ragged NaN-aligned ensembles) —
         the training paths keep the default False because the models'
-        sparse mode consumes NaN rows directly."""
+        sparse mode consumes NaN rows directly. ``n_windows`` splits each
+        superbatch's slab into that many independent contiguous windows
+        (see the class docstring for the statistics)."""
         import h5py
         import numpy as np
 
@@ -232,6 +247,7 @@ class HDF5BatchSource:
         self._rng = np.random.default_rng(seed)
         self.replace = replace
         self.skip_all_nan = skip_all_nan
+        self.n_windows = n_windows
 
     def __iter__(self):
         return self
@@ -265,22 +281,41 @@ class HDF5BatchSource:
         total = self.steps_per_scan * self.batch_size
         S = self.slab_frames if self.slab_frames else total
         S = max(1, min(S, self.n_frames))
+        kw = max(1, int(self.n_windows))
+        if S >= self.n_frames:
+            kw = 1  # the slab already covers the whole file
+        # each window should still hold at least one batch worth of rows
+        kw = min(kw, max(1, S // self.batch_size))
+        w = -(-S // kw)
+        n_rows = kw * w
         for _ in range(8):
-            start = int(self._rng.integers(0, self.n_frames))
+            starts = self._rng.integers(0, self.n_frames, size=kw)
             slabs = [
-                self._read_slab(k, start, S)
-                for k in range(len(self.cv_names))
+                np.concatenate(
+                    [self._read_slab(c, int(s), w) for s in starts], axis=0
+                ) if kw > 1 else self._read_slab(c, int(starts[0]), w)
+                for c in range(len(self.cv_names))
             ]
+            # global frame number of each slab row, for frame identity
+            # (yield_index) and cross-window dedup
+            global_rows = np.concatenate(
+                [(int(s) + np.arange(w)) % self.n_frames for s in starts]
+            )
             if self.skip_all_nan:
-                valid = np.ones(S, bool)
+                valid = np.ones(n_rows, bool)
                 for s in slabs:
                     if s.dtype.kind == "f":
                         valid &= ~np.all(
-                            np.isnan(s.reshape(S, -1)), axis=1
+                            np.isnan(s.reshape(n_rows, -1)), axis=1
                         )
                 rows = np.where(valid)[0]
             else:
-                rows = np.arange(S)
+                rows = np.arange(n_rows)
+            if not self.replace and len(rows):
+                # windows may overlap: keep one slab row per distinct frame
+                # so unique-within-batch means unique FRAMES, not just rows
+                _, first = np.unique(global_rows[rows], return_index=True)
+                rows = rows[np.sort(first)]
             if len(rows):
                 break
         else:
@@ -315,7 +350,7 @@ class HDF5BatchSource:
         idx = rows[idx_rows].reshape(self.steps_per_scan, B)
         # global row numbers of the sampled frames, for consumers that
         # need frame identity (TrajEnsemble.batch_iterator yield_index)
-        self.last_indices = (start + idx) % self.n_frames
+        self.last_indices = global_rows[idx]
         return tuple(slab[idx] for slab in slabs)
 
     def read_prototype(self, n: int = 4):

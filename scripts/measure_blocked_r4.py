@@ -2,9 +2,12 @@
 """Round-4 ablation: dense (B,n,n)-matrix cartesian losses vs the blocked
 remat scan (ops/blocked_cartesian.py) on the real TPU, across chain lengths.
 
-Usage: python scripts/measure_blocked_r4.py <n_res> <variant> [block]
+Usage: python scripts/measure_blocked_r4.py <n_res> <variant> [block] [sel]
   variant: dense | blocked
   block:   row-block size for the blocked path (default 128)
+  sel:     'ca' (default; cartesian_pwd_start=1/step=3 like every r3 scale
+           measurement, so n pairwise atoms == n_res) or 'all' (the
+           reference's all-atom default: n == 3*n_res)
 
 Prints one JSON line; aggregate results land in docs/blocked_ablation_r4.json
 (hand-collected across invocations — each variant is a separate process so a
@@ -34,6 +37,7 @@ def main() -> None:
     n_res = int(sys.argv[1])
     variant = sys.argv[2]
     block = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    sel = sys.argv[4] if len(sys.argv) > 4 else "ca"
 
     from encodermap_tpu import ADCParameters
     from encodermap_tpu import losses as L
@@ -57,15 +61,19 @@ def main() -> None:
 
     steps = 500 if n_res <= 320 else (200 if n_res <= 512 else 100)
     cvs = make_cvs(n_res, 1024)
+    sel_kw = (
+        dict(cartesian_pwd_start=1, cartesian_pwd_step=3)
+        if sel == "ca" else {}
+    )
     p = ADCParameters(
         batch_size=256, n_steps=10**9, steps_per_scan=steps,
         use_backbone_angles=True, use_sidechains=True, seed=0,
-        n_neurons=[128, 128, 2],
+        n_neurons=[128, 128, 2], **sel_kw,
     )
     emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
     sec = time_step(emap, steps_per_scan=steps, n_chunks=3)
     print(json.dumps({
-        "n_res": n_res, "variant": variant,
+        "n_res": n_res, "sel": sel, "variant": variant,
         "block": block if variant == "blocked" else None,
         "us_per_step": round(sec * 1e6, 1),
         "samples_per_sec": round(256 / sec, 1),

@@ -44,3 +44,32 @@ def test_example_runs(script, tmp_path):
         f"{script.name} failed\nstdout:\n{proc.stdout[-3000:]}\n"
         f"stderr:\n{proc.stderr[-3000:]}"
     )
+
+
+@pytest.mark.slow
+def test_two_state_separation(tmp_path):
+    """The two-state example must actually SEPARATE the states at a real
+    step count (the smoke parametrization above runs 8 steps; this is the
+    scientific assertion — reference analog: the M1-diUbq two-state
+    latent-clustering test, ``tests/test_autoencoder.py:1688``)."""
+    script = REPO / "examples" / "two_state_ensemble.py"
+    if not Path("/root/reference/tests/data").exists():
+        pytest.skip("reference test data not mounted")
+    env = dict(os.environ)
+    env.update(
+        EM_EXAMPLE_STEPS="300",
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR=str(REPO / ".jax_cache"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
+        PYTHONPATH=str(REPO),
+        MPLBACKEND="Agg",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(script)], cwd=tmp_path, env=env,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines()
+            if "1-NN label accuracy" in l][0]
+    acc = float(line.rsplit(":", 1)[1])
+    assert acc >= 0.9, proc.stdout

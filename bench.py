@@ -107,9 +107,10 @@ def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 100,
 
 
 def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
-              n_chunks: int = 5) -> float:
+              n_chunks: int = 5, steps_per_scan: int = 1000) -> float:
     """ADC training throughput (BASELINE config 3 scale: trp-cage ~20
-    residues): full 7-loss step incl. in-graph backmapping."""
+    residues): full 7-loss step incl. in-graph backmapping. Also drives
+    the large-protein legs (158/512 residues) at other scales."""
     import jax
     import jax.numpy as jnp
 
@@ -121,7 +122,8 @@ def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
 
     rng = np.random.default_rng(0)
     n_atoms = 3 * n_res
-    steps_per_scan = 1000  # amortize the ~6.5 ms host->tunnel dispatch
+    # default 1000 amortizes the ~6.5 ms host->tunnel dispatch; large
+    # proteins (ms-scale steps) pass fewer
     angles = rng.uniform(1.6, 2.4, (n_frames, n_atoms - 2)).astype(np.float32)
     dihedrals = rng.uniform(-np.pi, np.pi, (n_frames, n_atoms - 3)).astype(
         np.float32
@@ -484,6 +486,10 @@ def main() -> None:
                         results.get("adc", 0.0), 1),
                     "adc_train_samples_per_sec_lysozyme_158res": round(
                         results.get("adc_lysozyme", 0.0), 1),
+                    # VERDICT r3 #2: the >=320-residue scale regime; see
+                    # docs/perf_r4.md for the full dense-vs-blocked ablation
+                    "adc_train_samples_per_sec_512res": round(
+                        results.get("adc_512res", 0.0), 1),
                     "featurize_frames_per_sec_1am7": round(
                         results.get("featurize", 0.0), 1),
                     "featurize_device_only_fps": round(
@@ -525,6 +531,9 @@ def main() -> None:
     run("adc", bench_adc)
     run("adc_lysozyme",
         lambda: bench_adc(n_res=158, n_frames=2048, n_chunks=3))
+    run("adc_512res",
+        lambda: bench_adc(n_res=512, n_frames=1024, n_chunks=3,
+                          steps_per_scan=200))
     run("featurize", bench_featurize, pair="featurize_dev")
     run("generate", bench_generate, pair="generate_dev")
     run("streaming", bench_streaming)

@@ -38,6 +38,7 @@ __all__ = [
     "cartesian_distance_loss_matrix",
     "cartesian_loss",
     "cartesian_loss_matrix",
+    "cartesian_losses_analytic",
     "cartesian_losses_blocked",
     "auto_loss",
     "angle_loss",
@@ -265,6 +266,56 @@ def cartesian_loss_matrix(
     if scale is None:
         scale = p.cartesian_cost_scale if p.cartesian_cost_scale is not None else 0.0
     return cost * scale
+
+
+def cartesian_losses_analytic(
+    inp_xyz: Array,
+    out_xyz: Array,
+    latent: Array,
+    p: ADCParameters,
+    scale: Union[Array, float, None] = None,
+) -> tuple[Array, Array]:
+    """``(cartesian_loss, cartesian_distance_loss)`` for LARGE proteins via
+    hand-written VJPs (``ops.cartesian_analytic``): the backward recomputes
+    the distance matrices inside fused reductions instead of storing
+    ``(B, n, n)`` residuals, and the CA-pair sigmoid consumes a single
+    HIGH-precision MXU Gram of the input rows. Same values as
+    :func:`cartesian_loss_matrix` + :func:`cartesian_distance_loss_matrix`
+    up to f32 summation order; the round-4 production path at >= 320
+    selected atoms (dense autodiff wins below, ``docs/perf_r4.md``).
+
+    Args:
+        inp_xyz / out_xyz: ``(B, n, 3)`` SELECTED (CA) input / backmapped
+            coordinates. No gradient flows to the input side.
+        latent: ``(B, d)`` latent points for the CA-pair sigmoid loss.
+    """
+    from math import sqrt
+
+    from .ops.blocked_cartesian import sigmoid_from_gram
+    from .ops.cartesian_analytic import (
+        cartesian_cost_analytic,
+        input_row_gram,
+    )
+
+    inp_xyz = jax.lax.stop_gradient(inp_xyz)
+    acc = cartesian_cost_analytic(out_xyz, inp_xyz, p.cartesian_cost_variant)
+    B, n, _ = inp_xyz.shape
+    n_pairs = n * (n - 1) // 2
+    if p.cartesian_cost_variant in ("mean_square", "mean_abs"):
+        cost = acc / (2 * n_pairs * B)
+    else:  # mean_norm: per-sample full-matrix squared sums
+        cost = jnp.mean(jnp.sqrt(acc / 2.0))
+    cost = cost / p.cartesian_cost_reference
+    if scale is None:
+        scale = p.cartesian_cost_scale if p.cartesian_cost_scale is not None else 0.0
+    cart = cost * scale
+
+    if p.cartesian_distance_cost_scale is None:
+        return cart, jnp.asarray(0.0, jnp.float32)
+    sig_h, a_h, b_h, sig_l, a_l, b_l = p.cartesian_dist_sig_parameters
+    params = (sig_h * sqrt(2.0), a_h, b_h, sig_l, a_l, b_l)
+    cdist = sigmoid_from_gram(input_row_gram(inp_xyz), latent, params)
+    return cart, cdist * p.cartesian_distance_cost_scale
 
 
 def cartesian_losses_blocked(

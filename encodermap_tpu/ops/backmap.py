@@ -545,16 +545,78 @@ def split_and_reverse_cartesians(x: Array) -> tuple[Array, Array]:
     return x[:, split + 1 :: -1], x[:, split - 1 :]
 
 
+#: test hook: force the batched-halves branch regardless of backend
+#: (lets the CPU suite validate the TPU-only code path)
+_FORCE_BATCHED_HALVES = False
+
+
+def _batched_halves() -> bool:
+    """Whether to fold both half-chain ``_one_way`` calls into ONE call at
+    2x batch. The backmap fwd+bwd is LAUNCH-bound on TPU (~314 fusion
+    kernels at 512 residues, and batch-64 measured *slower* than batch-256
+    — docs/perf512_micro_r4.json), so halving the call count is the lever.
+    TPU-gated: padding the shorter half changes the associative-scan tree
+    length, which perturbs last-bit f32 numerics — the CPU default path
+    must stay bit-identical to the stored determinism references."""
+    if _FORCE_BATCHED_HALVES:
+        return True
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing never fails
+        return False
+
+
 def dihedrals_to_cartesian(dihedrals: Array, cartesians: Array) -> Array:
     """Full both-ways dihedral application: the chain center stays planar and
     both tails curl into 3D.
 
     Reference: ``misc/backmapping.py:259-307``.
+
+    On TPU both half-chains run as ONE ``_one_way`` call at 2x batch (the
+    shorter half padded with an extrapolated atom + zero dihedral whose
+    output row is sliced away): one associative scan / one suffix-sum
+    einsum / one adjoint instead of two, for a launch-bound computation.
     """
     cartesians_left, cartesians_right = split_and_reverse_cartesians(cartesians)
     dihedrals_left, dihedrals_right = split_and_reverse_dihedrals(dihedrals)
-    new_left = dihedral_to_cartesian_one_way(dihedrals_left, cartesians_left)
-    new_right = dihedral_to_cartesian_one_way(dihedrals_right, cartesians_right)
+    nl = dihedrals_left.shape[1]
+    nr = dihedrals_right.shape[1]
+    if nl and nr and _batched_halves():
+        n = max(nl, nr)
+        B = dihedrals.shape[0]
+
+        def pad(dih: Array, cart: Array) -> tuple[Array, Array]:
+            k = n - dih.shape[1]
+            if not k:
+                return dih, cart
+            dih = jnp.concatenate(
+                [dih, jnp.zeros((B, k), dih.dtype)], axis=1
+            )
+            # extrapolate along the final bond: pad atoms stay distinct, so
+            # the adjoint's 1/|u| terms never divide by zero (the padded
+            # rows are sliced off below; their cotangents are zero)
+            last_bond = cart[:, -1:, :] - cart[:, -2:-1, :]
+            steps = jnp.arange(1, k + 1, dtype=cart.dtype)[None, :, None]
+            cart = jnp.concatenate(
+                [cart, cart[:, -1:, :] + steps * last_bond], axis=1
+            )
+            return dih, cart
+
+        dl, cl = pad(dihedrals_left, cartesians_left)
+        dr, cr = pad(dihedrals_right, cartesians_right)
+        both = _one_way(
+            jnp.concatenate([dl, dr], axis=0),
+            jnp.concatenate([cl, cr], axis=0),
+        )
+        new_left = both[:B, : nl + 3]
+        new_right = both[B:, : nr + 3]
+    else:
+        new_left = dihedral_to_cartesian_one_way(
+            dihedrals_left, cartesians_left
+        )
+        new_right = dihedral_to_cartesian_one_way(
+            dihedrals_right, cartesians_right
+        )
     return jnp.concatenate([new_left[:, ::-1], new_right[:, 3:]], axis=1)
 
 

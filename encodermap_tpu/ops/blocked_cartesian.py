@@ -14,7 +14,14 @@ reference's own perf TODO points at the same O(n^2) pairwise stages
 This module re-evaluates the SAME math blockwise at the XLA level (a
 previous matrix-free Pallas tile kernel lost to XLA's fusions at every
 scale — ``docs/mosaic_findings.md``; this is the other lever the round-3
-verdict asked for):
+verdict asked for). MEASURED OUTCOME (round 4): the blocked scan also
+loses ON SPEED at every scale — its per-block recompute costs more than
+the saved HBM traffic (512 CA: 6206 us full step vs 5395 dense / ~4950
+analytic; 1024 CA: 18852 vs 15749 — ``docs/perf_r4.md``). The production
+large-protein path is ``ops.cartesian_analytic`` (hand-written VJPs, no
+(B, n, n) residuals); this module remains ONLY as the memory-bounded
+fallback past ``MIN_BLOCKED_ATOMS``, where even the analytic path's
+``(B, n^2)`` Gram rows are too large:
 
 * a ``lax.scan`` over row-blocks of the atom axis computes ``(B, R, n)``
   distance-row slabs for input and backmapped coordinates, immediately
@@ -51,11 +58,15 @@ __all__ = ["blocked_cartesian_terms", "sigmoid_from_gram", "MIN_BLOCKED_ATOMS"]
 
 Array = jax.Array
 
-#: atom count at/above which the ADC loss assembly switches from the dense
-#: (B, n, n) matrices to the blocked scan. Crossover measured on v5e
-#: (batch 256): dense wins at 158 (496 us vs 560), blocked wins at 320+
-#: (1.24x) and 512+ (2.4x) — see docs/perf_r4.md.
-MIN_BLOCKED_ATOMS = 320
+#: atom count at/above which the ADC loss assembly falls back to the
+#: blocked scan FOR MEMORY: on speed it LOSES to both the dense matrices
+#: and the analytic VJPs at every scale measured (512 CA: 6206 us full
+#: step vs 5395 dense; 1024 CA: 18852 vs 15749 — docs/perf_r4.md), but it
+#: is the only path whose peak memory is O(B*R*n): the analytic path's
+#: input-row Gram still materializes (B, n^2) f32 rows (4.3 GB at
+#: n = 1536, batch 256), which crowds a 16 GB chip once autodiff
+#: residuals for the rest of the step are added.
+MIN_BLOCKED_ATOMS = 1536
 
 _HIGH = jax.lax.Precision.HIGH
 

@@ -37,6 +37,7 @@ from ..misc.summaries import MetricsWriter
 from ..models import adc
 from ..ops.backmap import backmap as backmap_op
 from ..ops.blocked_cartesian import MIN_BLOCKED_ATOMS
+from ..ops.cartesian_analytic import MIN_ANALYTIC_ATOMS
 from ..ops.distances import pairwise_dist
 from ..ops.kabsch import rmsd as rmsd_op
 from ..parameters import ADCParameters
@@ -242,19 +243,23 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # cartesian cost from FULL distance matrices: identical pair values,
         # but the backward through the backmapped coordinates is a dense
         # reduction instead of a triu-index scatter (~2 ms at 158 residues
-        # on TPU; see losses.cartesian_loss_matrix). A matrix-free Pallas
-        # tile kernel was built and measured SLOWER at every scale tested
-        # (512-1024 residues) — XLA's dense fusions win; see
-        # docs/mosaic_findings.md ("blocked cartesian cost"). Past
-        # MIN_BLOCKED_ATOMS the (B, n, n) matrices themselves become the
-        # bottleneck (268 MB each at n=512) and BOTH cartesian costs switch
-        # to the XLA-blocked remat scan (ops/blocked_cartesian.py) that
-        # never materializes them.
+        # on TPU; see losses.cartesian_loss_matrix). Past MIN_ANALYTIC_ATOMS
+        # autodiff's (B, n, n) residuals (sign / 1/d — 268 MB each at
+        # n = 512) dominate and both cartesian costs switch to hand-written
+        # VJPs that recompute the matrices inside fused reductions
+        # (losses.cartesian_losses_analytic); past MIN_BLOCKED_ATOMS memory
+        # forces the blocked remat scan (slower, O(B*R*n) peak). A Pallas
+        # tile kernel and the blocked scan both lost ON SPEED at every
+        # scale measured — docs/mosaic_findings.md, docs/perf_r4.md.
         inp_sel = adc._ca_slice(p, inp_cartesians)
         out_sel = adc._ca_slice(p, back_cartesians)
         n_sel = inp_sel.shape[1]
         if n_sel >= MIN_BLOCKED_ATOMS:
             cart_loss, cdist_loss = L.cartesian_losses_blocked(
+                inp_sel, out_sel, latent, p, scale=scale
+            )
+        elif n_sel >= MIN_ANALYTIC_ATOMS:
+            cart_loss, cdist_loss = L.cartesian_losses_analytic(
                 inp_sel, out_sel, latent, p, scale=scale
             )
         else:
@@ -314,13 +319,18 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # four encoder inputs belong in it.
         enc_inp = jnp.concatenate([inp_ca, inp_cdi, inp_sa, inp_sdi], axis=1)
         scale = L.soft_start_scale(p, step)
-        # dense-matrix cartesian cost: scatter-free backward (see _loss_terms);
-        # blocked remat scan past MIN_BLOCKED_ATOMS (no (B, n, n) matrices)
+        # dense-matrix cartesian cost: scatter-free backward (see
+        # _loss_terms); analytic VJPs past MIN_ANALYTIC_ATOMS, blocked
+        # remat scan past MIN_BLOCKED_ATOMS (memory)
         pwd_idx = adc.sidechain_pwd_indices(p, self.sidechain_spec)
         inp_sel = inp_all_cart[:, pwd_idx]
         out_sel = back[:, pwd_idx]
         if len(pwd_idx) >= MIN_BLOCKED_ATOMS:
             cart_loss, cdist_loss = L.cartesian_losses_blocked(
+                inp_sel, out_sel, latent, p, scale=scale
+            )
+        elif len(pwd_idx) >= MIN_ANALYTIC_ATOMS:
+            cart_loss, cdist_loss = L.cartesian_losses_analytic(
                 inp_sel, out_sel, latent, p, scale=scale
             )
         else:

@@ -3,7 +3,7 @@
 remat scan (ops/blocked_cartesian.py) on the real TPU, across chain lengths.
 
 Usage: python scripts/measure_blocked_r4.py <n_res> <variant> [block] [sel]
-  variant: dense | blocked
+  variant: dense | analytic | blocked
   block:   row-block size for the blocked path (default 128)
   sel:     'ca' (default; cartesian_pwd_start=1/step=3 like every r3 scale
            measurement, so n pairwise atoms == n_res) or 'all' (the
@@ -48,6 +48,10 @@ def main() -> None:
 
     if variant == "dense":
         A.MIN_BLOCKED_ATOMS = 10**9
+        A.MIN_ANALYTIC_ATOMS = 10**9
+    elif variant == "analytic":
+        A.MIN_BLOCKED_ATOMS = 10**9
+        A.MIN_ANALYTIC_ATOMS = 1
     else:
         A.MIN_BLOCKED_ATOMS = 1
         if block != 128:

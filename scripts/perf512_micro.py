@@ -308,12 +308,17 @@ def main():
         "blocked_both_old", "cart_analytic", "gram_f32", "gram_bf16",
         "combo_analytic",
     ]
-    results = {}
+    out_path = "/root/repo/docs/perf512_micro_r4.json"
+    try:  # merge across invocations: each run measures a subset
+        with open(out_path) as fh:
+            results = json.load(fh).get("us", {})
+    except (OSError, ValueError):
+        results = {}
     for name in names:
         us = VARIANTS[name]()
         results[name] = round(us, 1)
         print(json.dumps({"variant": name, "us": round(us, 1)}), flush=True)
-    with open("/root/repo/docs/perf512_micro_r4.json", "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump({"B": B, "n_res": NRES, "us": results}, fh, indent=1)
 
 

@@ -316,3 +316,47 @@ class TestAnalyticAdjoint:
         )(ang, dih)
         np.testing.assert_allclose(custom[0], plain[0], rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(custom[1], plain[1], rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("n_atoms", [30, 31, 330, 331])
+    def test_batched_halves_matches_two_calls(self, rng, n_atoms):
+        """The TPU-only batched-halves branch of dihedrals_to_cartesian (ONE
+        _one_way call at 2x batch, shorter half padded) must match the
+        default two-call path in value AND gradient — forced on via the
+        _FORCE_BATCHED_HALVES hook so the CPU suite covers it. Odd atom
+        counts exercise the padding; 330+ also routes the padded right half
+        through the MXU suffix-sum branch at a length the left never runs."""
+        import sys
+
+        import jax
+
+        from encodermap_tpu.ops.backmap import backmap
+
+        bm = sys.modules["encodermap_tpu.ops.backmap"]
+        B = 3
+        dist = jnp.asarray(rng.uniform(1.0, 1.6, (B, n_atoms - 1)), jnp.float32)
+        ang = jnp.asarray(rng.uniform(1.5, 2.4, (B, n_atoms - 2)), jnp.float32)
+        dih = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, (B, n_atoms - 3)), jnp.float32
+        )
+        w = jnp.asarray(rng.standard_normal((B, n_atoms, 3)), jnp.float32)
+
+        def f(a, d):
+            return jnp.sum(backmap(dist, a, d) * w)
+
+        assert not bm._FORCE_BATCHED_HALVES
+        base_v = f(ang, dih)
+        base_g = jax.grad(f, argnums=(0, 1))(ang, dih)
+        bm._FORCE_BATCHED_HALVES = True
+        try:
+            forced_v = f(ang, dih)
+            forced_g = jax.grad(f, argnums=(0, 1))(ang, dih)
+        finally:
+            bm._FORCE_BATCHED_HALVES = False
+        np.testing.assert_allclose(forced_v, base_v, rtol=1e-5, atol=1e-5)
+        for fg, bg in zip(forced_g, base_g):
+            scale = np.abs(np.asarray(bg)).max()
+            err = np.abs(np.asarray(fg) - np.asarray(bg)).max() / scale
+            assert err < 1e-4, err
+        # padded rows never leak NaN/inf through the slice
+        assert np.isfinite(np.asarray(forced_g[0])).all()
+        assert np.isfinite(np.asarray(forced_g[1])).all()

@@ -243,6 +243,56 @@ class TestMeshShapeParameter:
                 atol=1e-5,
             )
 
+    def test_sharded_adc_step_analytic_route(self, devices_ok, rng,
+                                             monkeypatch):
+        """Same proof for the >=320-atom analytic cartesian route
+        (ops/cartesian_analytic): its input-row Gram is a cross-shard
+        (B, n^2) x (n^2, B) contraction over the dp axis and the
+        custom-VJP backward must transpose correctly under GSPMD."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+
+        monkeypatch.setattr(
+            "encodermap_tpu.train.adc_autoencoder.MIN_ANALYTIC_ATOMS", 1
+        )
+        cvs = self._adc_cvs(rng)
+        p = em.ADCParameters(
+            batch_size=32, use_backbone_angles=True, use_sidechains=True,
+            n_neurons=[16, 16, 2], seed=7,
+            cartesian_cost_scale_soft_start=(0, 4),
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        step = emap._make_train_step()
+        order = ("central_angles", "central_dihedrals", "central_cartesians",
+                 "central_distances", "side_dihedrals")
+        batch = tuple(jnp.asarray(cvs[k][:32]) for k in order)
+
+        ref_state, ref_metrics = jax.jit(step)(emap.state, batch)
+
+        mesh = make_mesh(n_devices=8, tp=2)
+        params = shard_params_tp(emap.state.params, mesh)
+        state = emap.state.replace(
+            params=params, opt_state=emap.optimizer.init(params)
+        )
+        sharded_batch = shard_batch(batch, mesh)
+        with mesh:
+            out_state, out_metrics = jax.jit(step)(state, sharded_batch)
+
+        for k in ref_metrics:
+            assert float(out_metrics[k]) == pytest.approx(
+                float(ref_metrics[k]), rel=1e-5, abs=1e-7
+            ), k
+        for ref_l, out_l in zip(
+            ref_state.params["encoder"] + ref_state.params["decoder"],
+            out_state.params["encoder"] + out_state.params["decoder"],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(out_l["kernel"]), np.asarray(ref_l["kernel"]),
+                atol=1e-5,
+            )
+
     def test_sharded_adc_mean_angles_cross_shard(self, devices_ok, rng):
         """use_backbone_angles=False routes the MeanAngles batch mean — a
         cross-shard reduction over the dp axis — into the backmap chain; the

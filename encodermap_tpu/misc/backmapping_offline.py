@@ -410,7 +410,14 @@ def mdtraj_backmapping(
 
         seed = SingleTraj(top)
     elif trajs is not None:
-        seed = trajs.trajs[0] if hasattr(trajs, "trajs") else trajs
+        if hasattr(trajs, "trajs"):  # TrajEnsemble
+            seed = trajs.trajs[0]
+        elif isinstance(trajs, (list, tuple)):  # plain sequence of trajs
+            if not trajs:
+                raise ValueError("`trajs` is an empty sequence")
+            seed = trajs[0]
+        else:
+            seed = trajs
     if seed is not None:
         topology = seed.top
         base_xyz = np.asarray(seed.xyz, np.float32)[0]

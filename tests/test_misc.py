@@ -780,6 +780,12 @@ class TestTrajRotate:
         with pytest.raises(ValueError, match="single trajectory"):
             mdtraj_backmapping(top=1, trajs=glu7, dihedrals=dih)
 
+        # no top: a plain list seeds from its first element (ADVICE r3)
+        out_fallback = mdtraj_backmapping(trajs=[glu7, asp7], dihedrals=dih)
+        np.testing.assert_array_equal(out_fallback, out_ens)
+        with pytest.raises(ValueError, match="empty"):
+            mdtraj_backmapping(trajs=[], dihedrals=dih)
+
 
 class TestPlottingBuildingBlocks:
     """get_histogram/density/free-energy pipeline + raw data, end-to-end,

@@ -1,12 +1,29 @@
 # encodermap_tpu/misc/__init__.py
-"""Host-side utilities: toy data, checkpointing, summaries."""
+"""Host-side utilities: toy data, checkpointing, summaries.
 
+Mirrors the reference's ``em.misc`` star-export surface
+(``/root/reference/encodermap/misc/__init__.py:26-31`` pulls in
+``distances``/``backmapping``/``misc`` — its own tutorials call
+``em.misc.pairwise_dist``), so migrating code finds the same names here;
+the kernels themselves live in ``ops/``.
+"""
+
+from ..ops.distances import (
+    pairwise_dist,
+    pairwise_dist_periodic,
+    periodic_distance,
+    periodic_distance_np,
+    sigmoid,
+)
+from .backmapping_offline import mdtraj_backmapping, mdtraj_rotate
 from .misc import (
     all_equal,
     arbitrary_dihedral,
+    backbone_hydrogen_oxygen_crossproduct,
     create_n_cube,
     get_full_common_str_and_ref,
     match_files,
+    plot_model,
     printTable,
     random_on_cube_edges,
     run_path,
@@ -25,12 +42,21 @@ __all__ = [
     "save_model",
     "all_equal",
     "arbitrary_dihedral",
+    "backbone_hydrogen_oxygen_crossproduct",
     "create_n_cube",
     "get_full_common_str_and_ref",
     "match_files",
+    "mdtraj_backmapping",
+    "mdtraj_rotate",
+    "pairwise_dist",
+    "pairwise_dist_periodic",
+    "periodic_distance",
+    "periodic_distance_np",
+    "plot_model",
     "printTable",
     "random_on_cube_edges",
     "run_path",
+    "sigmoid",
     "load_checkpoint",
     "load_pytree",
     "save_checkpoint",

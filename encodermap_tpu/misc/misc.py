@@ -17,6 +17,8 @@ __all__ = [
     "match_files",
     "printTable",
     "arbitrary_dihedral",
+    "backbone_hydrogen_oxygen_crossproduct",
+    "plot_model",
 ]
 
 
@@ -298,3 +300,60 @@ def arbitrary_dihedral(pos, out=None) -> np.ndarray:
     x = (v * w).sum(-1)
     y = (np.cross(b1n, v) * w).sum(-1)
     return np.arctan2(y, x, out)
+
+
+def backbone_hydrogen_oxygen_crossproduct(backbone_positions):
+    """Import-parity stub. The reference exports this name from
+    ``em.misc`` but its body is a dead stub (an assert followed by
+    ``pass`` — ``misc/backmapping.py:1915-1917``); amide H/O placement
+    actually happens in :func:`encodermap_tpu.ops.backmap.guess_amide_H`
+    / :func:`guess_amide_O`. Kept so migrating imports resolve; performs
+    the same shape check and, like the reference, returns ``None``."""
+    assert backbone_positions.shape[2] % 3 == 0  # C, CA, N: multiple of 3
+
+
+def plot_model(model, input_dim=None):
+    """Draw a model's layer stack as a box diagram (the analog of the
+    reference's keras-graphviz ``em.misc.plot_model``,
+    ``misc/misc.py:492-520``).
+
+    Accepts a trainer (``EncoderMap`` / ``AngleDihedralCartesianEncoderMap``
+    — anything with a ``plot_network`` method) or a
+    :class:`~encodermap_tpu.models.sequential.SequentialModel`; returns the
+    saved PNG path (the reference returns an IPython ``Image`` or ``None``
+    on graphviz failure — here matplotlib always renders).
+    """
+    if hasattr(model, "plot_network"):
+        return model.plot_network()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    p = getattr(model, "p", None) or getattr(model, "parameters", None)
+    if p is None:
+        raise TypeError(
+            f"plot_model needs a trainer or SequentialModel, got {model!r}"
+        )
+    dims = list([input_dim] if input_dim is not None else [])
+    dims += list(p.n_neurons) + list(p.n_neurons[-2::-1])
+    if input_dim is not None:
+        dims += [input_dim]
+    fig, ax = plt.subplots(figsize=(max(6, len(dims)), 3))
+    for i, d in enumerate(dims):
+        ax.add_patch(plt.Rectangle((i, -0.4), 0.6, 0.8, fc="#4878cf", ec="k"))
+        ax.text(i + 0.3, 0, str(d), ha="center", va="center", color="w",
+                fontsize=9)
+        if i:
+            ax.annotate("", xy=(i, 0), xytext=(i - 0.4, 0),
+                        arrowprops=dict(arrowstyle="->"))
+    ax.set_xlim(-0.5, len(dims))
+    ax.set_ylim(-1, 1)
+    ax.axis("off")
+    ax.set_title(f"{type(model).__name__} layer stack")
+    import tempfile
+
+    out = tempfile.NamedTemporaryFile(suffix=".png", delete=False).name
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out

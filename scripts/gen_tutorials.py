@@ -524,6 +524,199 @@ separation assertion that validates the map — see
 ]
 
 # ---------------------------------------------------------------------------
+# MD 03: the full pipeline primer (reference 01_Understanding_MD)
+# ---------------------------------------------------------------------------
+NOTEBOOKS["notebooks_MD/03_Understanding_MD.ipynb"] = [
+    md("""
+# Understanding MD: the EncoderMap Pipeline
+
+Molecular-dynamics trajectories are long sequences of atomic coordinates.
+EncoderMap condenses them into a 2D *map* you can reason about: every frame
+becomes a point, similar conformations land close together, and any point
+on the map can be decoded back into a 3D structure.
+
+The pipeline is always the same four stages:
+
+1. **Load** trajectories into a `TrajEnsemble`,
+2. **featurize** them into collective variables (angles, dihedrals,
+   distances),
+3. **train** an `AngleDihedralCartesianEncoderMap` on those CVs,
+4. **evaluate** — project frames into the map and generate new structures.
+
+(The reference tutorial runs this on its `linear_dimers` project via
+`em.load_project("linear_dimers")`, a ~GB download; this notebook uses the
+bundled Asp7 heptapeptide so it executes offline. Everything transfers.)
+"""),
+    PRELUDE,
+    md("""## 1. Load"""),
+    code("""
+trajs = em.TrajEnsemble([em.load(str(DATA / "asp7.xtc"),
+                                 str(DATA / "asp7.pdb"))])
+print(trajs)
+print(trajs.n_frames, "frames,", trajs.top[0].n_atoms, "atoms")
+"""),
+    md("""
+## 2. Featurize
+
+`load_CVs("all")` computes the full internal-coordinate set the ADC model
+trains on — backbone angles/dihedrals/distances, CA cartesians, and
+sidechain dihedrals — on the accelerator, and attaches them to the
+ensemble.
+"""),
+    code("""
+trajs.load_CVs("all")
+for name, arr in sorted(trajs.CVs.items()):
+    print(f"{name:<25} {arr.shape}")
+"""),
+    md("""
+## 3. Train
+
+`ADCParameters` collects every hyperparameter. The cartesian cost compares
+pairwise CA distances of backmapped vs input structures; its soft start
+(`cartesian_cost_scale_soft_start`) ramps that cost in once the dihedral
+space has organized.
+"""),
+    code("""
+parameters = em.ADCParameters(
+    cartesian_pwd_start=1, cartesian_pwd_step=3,   # CA atoms
+    main_path="runs/understanding_md",
+    n_steps=N_STEPS, steps_per_scan=min(100, N_STEPS),
+    use_backbone_angles=True, use_sidechains=True,
+    cartesian_cost_scale_soft_start=(max(1, N_STEPS // 10),
+                                     max(2, N_STEPS // 2)),
+)
+emap = em.AngleDihedralCartesianEncoderMap(trajs, parameters)
+history = emap.train()
+print(f"final loss: {history['loss'][-1]:.4f}")
+"""),
+    md("""## 4. Evaluate"""),
+    code("""
+latent = emap.encode()
+print("latent:", latent.shape)
+
+from encodermap_tpu.plot import plot_free_energy
+
+plot_free_energy(latent)
+"""),
+    code("""
+# decode any map location back into a full backbone structure
+conformations = emap.generate(latent[:5])
+print("generated:", conformations.shape)
+"""),
+    md("""
+With a trained map, `InteractivePlotting` supports lasso-selecting states,
+path sampling, and cluster export; `plot_dssp` / `plot_ramachandran`
+validate generated geometry. When you have network access, the reference
+datasets are one call away: `trajs = em.load_project("linear_dimers")`.
+"""),
+]
+
+# ---------------------------------------------------------------------------
+# MD 04: container deep dive (reference 01_Working_with_trajectory_ensembles)
+# ---------------------------------------------------------------------------
+NOTEBOOKS["notebooks_MD/04_Working_with_Trajectory_Ensembles.ipynb"] = [
+    md("""
+# Working with Trajectory Ensembles: a Container Deep Dive
+
+A tour of `SingleTraj` / `TrajEnsemble` mechanics: construction, on-demand
+loading, lazy indexing, frame selection, CV plots, and sharing data as a
+single HDF5 file.
+"""),
+    PRELUDE,
+    md("""
+## Construction
+
+A `SingleTraj` wraps a (trajectory, topology) file pair — or a standalone
+PDB/H5. Construction does **no IO**: files are read when coordinates are
+first needed. (URLs and PDB ids work too when online:
+`em.SingleTraj('https://files.rcsb.org/view/1YUF.pdb')`,
+`em.SingleTraj.from_pdb_id('1YUG')`.)
+"""),
+    code("""
+traj = em.SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+print(traj.basename, "|", traj.traj_file)
+print(traj)
+"""),
+    md("""
+## On-demand loading
+
+`backend="no_load"` is the default: the native decoder runs on first
+coordinate access. `load_traj()` forces it, `unload()` drops the arrays
+(keeping the lazy view), and the context-manager form scopes a load.
+"""),
+    code("""
+traj.load_traj()
+print("loaded:", traj.xyz.shape)
+traj.unload()
+with traj as t:
+    print("in context:", t.n_frames, "frames")
+"""),
+    md("""
+## Indexing
+
+Integer / slice / fancy indexing compose lazily — `traj[::2][2]` decodes
+one frame, not the file. Plain indexing counts in the *current view*;
+`.fsel` counts in original-file frame numbers.
+"""),
+    code("""
+print(traj[0])
+print(traj[:10][[0, 1]].n_frames, "frames from a composed view")
+print("view index 2 of traj[::2]:  time", float(traj[::2][2].time[0]))
+print("file frame 4 via fsel:      time", float(traj[::2].fsel[4].time[0]))
+"""),
+    md("""
+## Atom selection and per-traj CV plots
+"""),
+    code("""
+ca = traj.select("name CA")
+print("CA atom indices:", ca)
+"""),
+    code("""
+from encodermap_tpu.plot import plot_ball_and_stick, plot_end2end
+
+plot_ball_and_stick(traj, frame=0, highlight="dihedrals")
+plot_end2end(traj)
+"""),
+    md("""
+## Ensembles
+
+`TrajEnsemble` groups trajectories (mixed topologies welcome); frames stay
+addressable as (traj_num, frame_num) pairs and `common_str` tags group
+related files. `.tsel` selects by traj_num, iteration yields `SingleTraj`s.
+"""),
+    code("""
+trajs = em.load(
+    [str(DATA / "glu7.xtc"), str(DATA / "asp7.xtc")],
+    [str(DATA / "glu7.pdb"), str(DATA / "asp7.pdb")],
+    common_str=["glu7", "asp7"],
+)
+print(trajs)
+print("by common_str:", {k: len(v) for k, v in
+                         trajs.trajs_by_common_str.items()})
+print("tsel:", trajs.tsel[1].basename)
+"""),
+    code("""
+trajs.load_CVs("central_dihedrals", ensemble=True)
+print(trajs.CVs["central_dihedrals"].shape)  # NaN-padded across topologies
+"""),
+    md("""
+## Sharing MD data
+
+`save()` writes ONE HDF5 with per-topology groups — coordinates, topology,
+CVs, and attrs — that `TrajEnsemble.from_dataset` (or streaming training
+via `HDF5BatchSource`) reads back without the original files.
+"""),
+    code("""
+out = Path("runs/ensemble_tour/trajs.h5")
+out.parent.mkdir(parents=True, exist_ok=True)
+trajs.save(str(out))
+back = em.TrajEnsemble.from_dataset(str(out))
+print(back)
+print("CVs survive:", list(back.CVs.keys()))
+"""),
+]
+
+# ---------------------------------------------------------------------------
 # customization 01: custom scalars
 # ---------------------------------------------------------------------------
 NOTEBOOKS["notebooks_customization/01_custom_scalars.ipynb"] = [

@@ -28,6 +28,47 @@ class TestTopLevelAPI:
         assert em.plot.plot_free_energy is not None
         assert em.misc.run_path is not None
 
+    def test_misc_surface(self):
+        """em.misc exposes the reference's star-export names
+        (``/root/reference/encodermap/misc/__init__.py:26-31`` — its own
+        Ub_mutants tutorial calls ``em.misc.pairwise_dist``)."""
+        import encodermap_tpu as em
+
+        for name in (
+            "sigmoid", "periodic_distance", "periodic_distance_np",
+            "pairwise_dist", "pairwise_dist_periodic", "create_n_cube",
+            "plot_model", "run_path", "get_full_common_str_and_ref",
+            "backbone_hydrogen_oxygen_crossproduct", "mdtraj_backmapping",
+        ):
+            assert getattr(em.misc, name) is not None, name
+        # the distance kernels are the real ops, not copies
+        d = em.misc.pairwise_dist(np.arange(12, dtype=np.float32).reshape(4, 3))
+        assert d.shape == (1, 4, 4)  # reference expand_dims a 2-D input too
+        # reference's crossproduct is a dead stub: shape-check then None
+        assert em.misc.backbone_hydrogen_oxygen_crossproduct(
+            np.zeros((2, 5, 9))) is None
+        with pytest.raises(AssertionError):
+            em.misc.backbone_hydrogen_oxygen_crossproduct(np.zeros((2, 5, 7)))
+
+    def test_plot_model(self, tmp_path):
+        """em.misc.plot_model draws the layer stack for a trainer and for a
+        bare SequentialModel (reference ``misc/misc.py:492-520``)."""
+        import encodermap_tpu as em
+
+        p = em.Parameters(main_path=str(tmp_path), n_steps=1,
+                          periodicity=float("inf"))
+        emap = em.EncoderMap(p, np.random.default_rng(0)
+                             .normal(size=(32, 6)).astype(np.float32))
+        out = em.misc.plot_model(emap)
+        assert Path(out).exists()
+        from encodermap_tpu.models.sequential import SequentialModel
+
+        model = SequentialModel(6, p)
+        out2 = em.misc.plot_model(model, input_dim=6)
+        assert Path(out2).exists()
+        with pytest.raises(TypeError):
+            em.misc.plot_model(object())
+
     def test_reference_all_covered(self):
         """Every name in the reference's __all__ resolves here too."""
         import encodermap_tpu as em

@@ -325,10 +325,11 @@ def plot_model(model, input_dim=None):
     """
     if hasattr(model, "plot_network"):
         return model.plot_network()
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    # render offscreen WITHOUT matplotlib.use("Agg"): that flips the
+    # process-global backend and would kill any interactive plotting the
+    # caller does afterwards (same rule as misc/summaries.py)
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     p = getattr(model, "p", None) or getattr(model, "parameters", None)
     if p is None:
@@ -339,9 +340,13 @@ def plot_model(model, input_dim=None):
     dims += list(p.n_neurons) + list(p.n_neurons[-2::-1])
     if input_dim is not None:
         dims += [input_dim]
-    fig, ax = plt.subplots(figsize=(max(6, len(dims)), 3))
+    from matplotlib.patches import Rectangle
+
+    fig = Figure(figsize=(max(6, len(dims)), 3))
+    FigureCanvasAgg(fig)
+    ax = fig.subplots()
     for i, d in enumerate(dims):
-        ax.add_patch(plt.Rectangle((i, -0.4), 0.6, 0.8, fc="#4878cf", ec="k"))
+        ax.add_patch(Rectangle((i, -0.4), 0.6, 0.8, fc="#4878cf", ec="k"))
         ax.text(i + 0.3, 0, str(d), ha="center", va="center", color="w",
                 fontsize=9)
         if i:
@@ -355,5 +360,4 @@ def plot_model(model, input_dim=None):
 
     out = tempfile.NamedTemporaryFile(suffix=".png", delete=False).name
     fig.savefig(out, dpi=120, bbox_inches="tight")
-    plt.close(fig)
     return out

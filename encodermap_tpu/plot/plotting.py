@@ -43,9 +43,9 @@ __all__ = [
 
 
 def _mpl():
-    import matplotlib
-
-    matplotlib.use("Agg")
+    # no matplotlib.use("Agg") here: that flips the process-global backend
+    # and kills the caller's interactive figures (notebooks, the lasso UI).
+    # Headless environments auto-select Agg on pyplot import anyway.
     import matplotlib.pyplot as plt
 
     return plt
@@ -758,9 +758,6 @@ def animate_lowd_trajectory(
     """Animate a trajectory's path through the 2D projection over a density
     background (reference ``plotting.py:1103-1184``; matplotlib
     FuncAnimation; saved as .gif or .mp4 by extension)."""
-    import matplotlib
-
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib.animation import FuncAnimation, PillowWriter
 

@@ -397,9 +397,8 @@ class TrainerExtensions:
     def plot_network(self) -> Optional[str]:
         """Draw the layer stack to ``main_path/network.png`` (the analog of
         the reference's keras ``plot_model`` call, ``autoencoder.py:1094``)."""
-        import matplotlib
-
-        matplotlib.use("Agg")
+        # offscreen render without flipping the process-global backend
+        # (same rule as misc/summaries.py)
         import matplotlib.pyplot as plt
 
         dims: list = [self.input_dim] if hasattr(self, "input_dim") else []

@@ -226,6 +226,14 @@ class ADCClashMetric(AngleDihedralCartesianEncoderMapBaseMetric):
         clashes = jnp.sum((d < self.clash_distance).astype(jnp.float32), axis=-1)
         return jnp.mean(clashes)
 
+    def get_config(self) -> dict[str, Any]:
+        # the reference's get_config (callbacks/metrics.py:448-457) omits
+        # distance_unit, so its from_config crashes on the then-missing
+        # required argument; round-trip it properly here
+        config = super().get_config()
+        config["distance_unit"] = "nm" if self.clash_distance == 0.1 else "ang"
+        return config
+
 
 class ADCRMSDMetric(AngleDihedralCartesianEncoderMapBaseMetric):
     """Batch-mean weighted-Kabsch RMSD (nm) of the backmapped backbone vs

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# library code no longer flips the global backend itself (meta-test in
+# test_project_structure.py), so pin the headless one for the suite
+os.environ.setdefault("MPLBACKEND", "Agg")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

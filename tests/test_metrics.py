@@ -94,6 +94,13 @@ class TestBaseMetricContract:
         assert isinstance(m2.p, ADCParameters)
         assert m2.p.batch_size == 17
 
+    def test_clash_metric_config_round_trips_distance_unit(self):
+        # the reference's get_config omits distance_unit (its from_config
+        # would crash on the missing required arg); ours must round-trip it
+        m = ADCClashMetric(distance_unit="ang", parameters=ADCParameters())
+        m2 = ADCClashMetric.from_config(m.get_config())
+        assert m2.clash_distance == m.clash_distance == 1.0
+
     def test_exposed_via_callbacks_subpackage(self):
         assert em.callbacks.EncoderMapBaseMetric is EncoderMapBaseMetric
         assert em.callbacks.ADCClashMetric is ADCClashMetric

@@ -73,6 +73,28 @@ class TestImportHygiene:
                     if root == "tensorflow":
                         assert rel in allowed_tf, f"{rel} imports tensorflow"
 
+    def test_no_global_matplotlib_backend_flip(self):
+        """``matplotlib.use('Agg')`` flips the process-global backend and
+        silently kills the caller's interactive figures (notebooks, the
+        lasso UI). Library code must render offscreen via
+        ``matplotlib.figure.Figure`` + ``FigureCanvasAgg`` (see
+        misc/summaries.py) or plain pyplot (headless environments
+        auto-select Agg)."""
+        offenders = []
+        for p in PKG.rglob("*.py"):
+            for node in ast.walk(ast.parse(p.read_text())):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "use"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "matplotlib"
+                ):
+                    offenders.append(str(p.relative_to(PKG)))
+        assert not offenders, (
+            f"global matplotlib backend flip in {offenders}"
+        )
+
 
 #: packages not installed in this environment (the data layer is
 #: self-contained) — importing them at module top level would break

@@ -83,6 +83,19 @@ def __getattr__(name):
         import importlib
 
         return importlib.import_module(".misc", __name__)
+    if name == "loading":
+        # em.loading.CentralDihedrals etc., like the reference's subpackage
+        import importlib
+
+        return importlib.import_module(".loading", __name__)
+    if name == "data":
+        import importlib
+
+        return importlib.import_module(".data", __name__)
+    if name == "parallel":
+        import importlib
+
+        return importlib.import_module(".parallel", __name__)
     if name == "models":
         # em.models.gen_sequential_model / gen_functional_model, like the
         # reference's subpackage (models/__init__.py)

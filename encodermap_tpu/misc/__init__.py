@@ -8,6 +8,15 @@ Mirrors the reference's ``em.misc`` star-export surface
 the kernels themselves live in ``ops/``.
 """
 
+from ..ops.backmap import (
+    guess_amide_H,
+    guess_amide_O,
+    guess_sp2_atom,
+    merge_cartesians,
+    split_and_reverse_cartesians,
+    split_and_reverse_dihedrals,
+)
+from ..ops.backmap import rotation_matrices as rotation_matrix
 from ..ops.distances import (
     pairwise_dist,
     pairwise_dist_periodic,
@@ -15,7 +24,17 @@ from ..ops.distances import (
     periodic_distance_np,
     sigmoid,
 )
-from .backmapping_offline import mdtraj_backmapping, mdtraj_rotate
+from .backmapping_offline import (
+    dihedral_backmapping,
+    mdtraj_backmapping,
+    mdtraj_rotate,
+)
+from .summaries import (
+    MetricsWriter,
+    add_layer_summaries,
+    histogram_summary,
+    image_summary,
+)
 from .misc import (
     all_equal,
     arbitrary_dihedral,
@@ -44,10 +63,22 @@ __all__ = [
     "arbitrary_dihedral",
     "backbone_hydrogen_oxygen_crossproduct",
     "create_n_cube",
+    "dihedral_backmapping",
     "get_full_common_str_and_ref",
+    "guess_amide_H",
+    "guess_amide_O",
+    "guess_sp2_atom",
     "match_files",
     "mdtraj_backmapping",
     "mdtraj_rotate",
+    "merge_cartesians",
+    "rotation_matrix",
+    "split_and_reverse_cartesians",
+    "split_and_reverse_dihedrals",
+    "MetricsWriter",
+    "add_layer_summaries",
+    "histogram_summary",
+    "image_summary",
     "pairwise_dist",
     "pairwise_dist_periodic",
     "periodic_distance",

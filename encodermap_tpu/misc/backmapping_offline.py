@@ -30,7 +30,7 @@ from ..ops.backmap import rotation_matrices
 
 __all__ = ["guess_bonds", "near_and_far_masks", "dihedral_rotate",
            "backmap_topology", "traj_rotate", "mdtraj_backmapping",
-           "mdtraj_rotate"]
+           "mdtraj_rotate", "dihedral_backmapping"]
 
 # covalent radii (nm) for bond guessing
 _COV_RADII = {
@@ -480,3 +480,28 @@ def mdtraj_backmapping(
             tables["side_dihedrals"] = side_indices
         return out, tables
     return out
+
+
+def dihedral_backmapping(
+    pdb_path, dihedral_trajectory, rough_n_points: int = -1, sidechains=None
+):
+    """Legacy reference-named entry (``misc/backmapping.py:1993-2044``):
+    rotate the structure in ``pdb_path`` to match the given phi/psi
+    ``dihedral_trajectory``, optionally subsampled to roughly
+    ``rough_n_points`` frames (the reference's step-size rule, where
+    ``-1`` keeps every frame).
+
+    The reference returns an MDAnalysis ``Universe``; this framework's
+    offline-backmapping currency is ``(n_frames, n_atoms, 3)``
+    coordinates (see :func:`mdtraj_backmapping`).
+    """
+    dihedral_trajectory = np.asarray(dihedral_trajectory)
+    step_size = max(1, int(len(dihedral_trajectory) / rough_n_points))
+    dihedral_trajectory = dihedral_trajectory[::step_size]
+    if sidechains is not None:
+        sidechains = np.asarray(sidechains)[::step_size]
+    return mdtraj_backmapping(
+        top=pdb_path,
+        dihedrals=dihedral_trajectory,
+        sidechain_dihedrals=sidechains,
+    )

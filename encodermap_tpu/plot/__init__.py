@@ -34,6 +34,12 @@ from .plotting import (
 
 __all__ = [
     "Dashboard",
+    "DashboardSession",
+    "HomePage",
+    "UploadPage",
+    "TrajPage",
+    "TopPage",
+    "ProjectionPage",
     "InteractivePlotting",
     "DistanceHistogramInteractive",
     "interactive_path_visualization",
@@ -63,10 +69,18 @@ __all__ = [
 ]
 
 
+#: dashboard members resolved lazily (the module logic is dash-free, but
+#: keeping the import deferred spares every non-dashboard user its cost)
+_DASHBOARD_NAMES = (
+    "Dashboard", "DashboardSession", "HomePage", "UploadPage", "TrajPage",
+    "TopPage", "ProjectionPage",
+)
+
+
 def __getattr__(name):
     """Lazy import for optional-dependency members."""
-    if name == "Dashboard":
-        from .dashboard import Dashboard
+    if name in _DASHBOARD_NAMES:
+        from . import dashboard
 
-        return Dashboard
+        return getattr(dashboard, name)
     raise AttributeError(name)

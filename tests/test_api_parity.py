@@ -50,6 +50,61 @@ class TestTopLevelAPI:
         with pytest.raises(AssertionError):
             em.misc.backbone_hydrogen_oxygen_crossproduct(np.zeros((2, 5, 7)))
 
+    def test_subpackage_surfaces(self):
+        """The reference star-exports its submodules inside each
+        subpackage (``encodermap/loading/__init__.py``,
+        ``misc/__init__.py:26-31``, ``plot/__init__.py``); migrating
+        imports like ``from encodermap.loading import CentralDihedrals``
+        must resolve here too."""
+        import encodermap_tpu as em
+
+        for name in (
+            "Feature", "CustomFeature", "SelectionFeature",
+            "CentralDihedrals", "SideChainDihedrals", "CentralCartesians",
+            "BackboneTorsionFeature", "EnsembleFeaturizer",
+            "describe_last_feats", "pair", "pairs", "unpair",
+        ):
+            assert getattr(em.loading, name) is not None, name
+        for name in (
+            "guess_amide_H", "guess_amide_O", "guess_sp2_atom",
+            "merge_cartesians", "split_and_reverse_cartesians",
+            "split_and_reverse_dihedrals", "rotation_matrix",
+            "dihedral_backmapping", "image_summary", "add_layer_summaries",
+            "MetricsWriter",
+        ):
+            assert getattr(em.misc, name) is not None, name
+        for name in (
+            "DashboardSession", "HomePage", "UploadPage", "TrajPage",
+            "TopPage", "ProjectionPage",
+        ):
+            assert getattr(em.plot, name) is not None, name
+        # rotation_matrix follows the reference's Rodrigues convention
+        axis = np.array([[0.0, 0.0, 1.0]], np.float32)
+        R = np.asarray(em.misc.rotation_matrix(axis, np.array([np.pi / 2],
+                                                              np.float32)))
+        assert R.shape == (1, 3, 3)
+        np.testing.assert_allclose(
+            R[0], [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6
+        )
+
+    @needs_data
+    def test_dihedral_backmapping_legacy_entry(self):
+        """em.misc.dihedral_backmapping (reference
+        ``misc/backmapping.py:1993-2044``): phi/psi trajectory + pdb seed,
+        with the reference's rough_n_points subsampling rule."""
+        import encodermap_tpu as em
+
+        traj = em.load(str(DATA / "asp7.pdb"))
+        n_res = traj.top.n_residues
+        n_dih = 2 * (n_res - 1)
+        rng = np.random.default_rng(0)
+        dihedrals = rng.uniform(-np.pi, np.pi, (10, n_dih)).astype(np.float32)
+        out = em.misc.dihedral_backmapping(str(DATA / "asp7.pdb"), dihedrals,
+                                           rough_n_points=5)
+        out = np.asarray(out)
+        assert out.shape == (5, traj.n_atoms, 3)  # step_size 2 -> 5 frames
+        assert np.isfinite(out).all()
+
     def test_plot_model(self, tmp_path):
         """em.misc.plot_model draws the layer stack for a trainer and for a
         bare SequentialModel (reference ``misc/misc.py:492-520``)."""

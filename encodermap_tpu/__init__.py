@@ -123,6 +123,16 @@ def __getattr__(name):
             )
             for _name in metrics_mod.__all__:
                 setattr(mod, _name, getattr(metrics_mod, _name))
+            # the reference's callbacks/metrics.py also defines the Kabsch
+            # helpers at module level (metrics.py:63-172); same names here
+            from .ops.kabsch import kabsch_weighted, rmsd
+
+            mod.kabsch_weighted = kabsch_weighted
+            mod.rmsd = rmsd
+            # the reference's weight-NaN abort callback; the loss-NaN abort
+            # catches the same divergence one step earlier (callbacks.py
+            # docstring)
+            mod.NoneInterruptCallback = mod.NaNInterrupt
         return mod
     if name == "get_from_kondata":
         from .kondata import get_from_kondata

@@ -46,6 +46,7 @@ from .misc import (
     printTable,
     random_on_cube_edges,
     run_path,
+    temp_seed,
 )
 from .saving import (
     load_checkpoint,
@@ -75,6 +76,7 @@ __all__ = [
     "rotation_matrix",
     "split_and_reverse_cartesians",
     "split_and_reverse_dihedrals",
+    "temp_seed",
     "MetricsWriter",
     "add_layer_summaries",
     "histogram_summary",

@@ -5,6 +5,7 @@ reference uses as fallback training data
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
 from typing import Optional
 
 import numpy as np
@@ -19,6 +20,7 @@ __all__ = [
     "arbitrary_dihedral",
     "backbone_hydrogen_oxygen_crossproduct",
     "plot_model",
+    "temp_seed",
 ]
 
 
@@ -361,3 +363,24 @@ def plot_model(model, input_dim=None):
     out = tempfile.NamedTemporaryFile(suffix=".png", delete=False).name
     fig.savefig(out, dpi=120, bbox_inches="tight")
     return out
+
+
+@_contextmanager
+def temp_seed(seed: int):
+    """Temporarily set numpy's global RNG seed (reference
+    ``trajinfo/info_all.py:206-225``), restoring the previous state on
+    exit.
+
+    Examples:
+        >>> import numpy as np
+        >>> from encodermap_tpu.misc import temp_seed
+        >>> with temp_seed(123456789):
+        ...     print(np.random.randint(low=0, high=10, size=(5,)))
+        [8 2 9 7 4]
+    """
+    state = np.random.get_state()
+    np.random.seed(seed)
+    try:
+        yield
+    finally:
+        np.random.set_state(state)

@@ -78,6 +78,15 @@ class TestTopLevelAPI:
             "TopPage", "ProjectionPage",
         ):
             assert getattr(em.plot, name) is not None, name
+        for name in ("CustomTopology", "SingleTraj", "TrajEnsemble"):
+            assert getattr(em.data, name) is not None, name
+        for name in ("kabsch_weighted", "rmsd", "NoneInterruptCallback",
+                     "EncoderMapBaseCallback", "ADCClashMetric"):
+            assert getattr(em.callbacks, name) is not None, name
+        # temp_seed reproduces the reference's global-RNG context manager
+        with em.misc.temp_seed(123456789):
+            vals = np.random.randint(low=0, high=10, size=(5,))
+        assert list(vals) == [8, 2, 9, 7, 4]
         # rotation_matrix follows the reference's Rodrigues convention
         axis = np.array([[0.0, 0.0, 1.0]], np.float32)
         R = np.asarray(em.misc.rotation_matrix(axis, np.array([np.pi / 2],

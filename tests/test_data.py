@@ -98,6 +98,57 @@ class TestSingleTraj:
         assert subsub.n_frames == 10
         np.testing.assert_array_equal(subsub.xyz, traj.xyz[10:30][::2])
 
+    def test_lazy_index_composition_fuzz(self):
+        """Random chains of frame-index operations (slices with negative
+        bounds/steps, fancy int arrays incl. negatives and repeats, boolean
+        masks, scalar ints) applied lazily must match the same chain applied
+        eagerly to the materialized coordinates, and CVs must follow."""
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        cv = np.arange(traj.n_frames, dtype=np.float32)[:, None]
+        traj.load_CV(cv, attr_name="frame_id")
+        eager_xyz = np.array(traj.xyz)
+        rng = np.random.default_rng(1234)
+
+        def random_op(n, allow_empty):
+            kind = rng.integers(0, 4 if n > 0 else 1)
+            if n == 0 or kind == 0:  # slice
+                lo = int(rng.integers(-n - 2, n + 2)) if n else 0
+                hi = int(rng.integers(-n - 2, n + 2)) if n else 0
+                step = int(rng.choice([-3, -2, -1, 1, 2, 3]))
+                return slice(lo, hi, step)
+            if kind == 1:  # fancy int array (repeats + negatives allowed)
+                k = int(rng.integers(0 if allow_empty else 1, n + 1))
+                return rng.integers(-n, n, size=k)
+            if kind == 2:  # boolean mask
+                return rng.random(n) < 0.5
+            return int(rng.integers(-n, n))  # scalar
+
+        for trial in range(25):
+            lazy = traj
+            ref_xyz = eager_xyz
+            ref_cv = cv
+            for depth in range(int(rng.integers(1, 5))):
+                op = random_op(len(ref_xyz), allow_empty=False)
+                if np.isscalar(op) and not isinstance(op, (slice, np.ndarray)):
+                    # scalar keeps the frame axis in SingleTraj
+                    ref_xyz = ref_xyz[np.asarray([op])]
+                    ref_cv = ref_cv[np.asarray([op])]
+                else:
+                    ref_xyz = ref_xyz[op]
+                    ref_cv = ref_cv[op]
+                lazy = lazy[op]
+                if len(ref_xyz) == 0:
+                    break
+            assert lazy.n_frames == len(ref_xyz), f"trial {trial}"
+            if len(ref_xyz):
+                np.testing.assert_array_equal(
+                    np.asarray(lazy.xyz), ref_xyz, err_msg=f"trial {trial}"
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(lazy.CVs["frame_id"]), ref_cv,
+                    err_msg=f"trial {trial}",
+                )
+
     def test_load_cv_array(self):
         traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
         data = np.random.default_rng(0).standard_normal(

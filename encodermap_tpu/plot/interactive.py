@@ -316,7 +316,19 @@ class DistanceHistogramInteractive:
             )
         setattr(parameters, attribute, self.params)
 
-    def show(self):  # pragma: no cover - notebook UI
+    def show(self):
+        """Render the tuning UI. In a notebook with ipywidgets installed
+        this uses FloatSliders; otherwise it falls back to matplotlib's own
+        ``Slider`` widgets (which also work headlessly — moving a slider
+        with ``set_val`` updates ``.params`` and the curves). Returns the
+        slider dict either way."""
+        try:
+            import ipywidgets as widgets  # noqa: F401
+        except ImportError:
+            return self._show_mpl()
+        return self._show_ipywidgets()
+
+    def _show_ipywidgets(self):  # pragma: no cover - notebook UI
         import ipywidgets as widgets
         import matplotlib.pyplot as plt
         from IPython.display import display
@@ -349,14 +361,48 @@ class DistanceHistogramInteractive:
         plt.show()
         return sliders
 
+    def _show_mpl(self):
+        """ipywidgets-free tuning UI on matplotlib's native ``Slider``
+        widgets (``matplotlib.widgets.Slider`` responds to ``set_val``
+        even on the Agg backend, so this path is headless-testable)."""
+        import matplotlib.pyplot as plt
+        from matplotlib.widgets import Slider
+
+        names = ("sig_h", "a_h", "b_h", "sig_l", "a_l", "b_l")
+        fig = plt.figure(figsize=(8, 7))
+        # histogram + curves on top, six slider rows below
+        ax = fig.add_axes([0.1, 0.45, 0.85, 0.5])
+        ax.hist(self.distances, bins=self.bins, density=True, alpha=0.5)
+        ax2 = ax.twinx()
+        x_h, y_h, x_l, y_l = self.update()
+        (lh,) = ax2.plot(x_h, y_h, label="high-d sigmoid")
+        (ll,) = ax2.plot(x_l, y_l, label="low-d sigmoid")
+        ax2.legend()
+        sliders = {}
+        for k, (n, v) in enumerate(zip(names, self.params)):
+            sax = fig.add_axes([0.15, 0.32 - 0.05 * k, 0.7, 0.03])
+            sliders[n] = Slider(sax, n, valmin=0.1,
+                                valmax=max(4 * v, 20), valinit=v)
+
+        def on_change(_val):
+            x_h, y_h, x_l, y_l = self.update(
+                **{n: s.val for n, s in sliders.items()}
+            )
+            lh.set_data(x_h, y_h)
+            ll.set_data(x_l, y_l)
+            fig.canvas.draw_idle()
+
+        for s in sliders.values():
+            s.on_changed(on_change)
+        plt.show(block=False)
+        return sliders
+
 
 def interactive_path_visualization(traj, lowd, path):
     """Scrub through a generated path: density background + path line +
     current-position marker, with a frame slider (reference
-    ``plotting.py:1517-1649``; ipywidgets + matplotlib instead of
-    plotly/nglview)."""
-    import ipywidgets as widgets
-
+    ``plotting.py:1517-1649``; ipywidgets when available, else
+    matplotlib's native ``Slider`` — both instead of plotly/nglview)."""
     lowd = np.asarray(lowd)[:, :2]
     path = np.asarray(path)
     n = len(path)
@@ -369,21 +415,46 @@ def interactive_path_visualization(traj, lowd, path):
     # headless tests set MPLBACKEND themselves
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots()
+    try:
+        import ipywidgets as widgets
+    except ImportError:
+        widgets = None
+
+    if widgets is None:
+        from matplotlib.widgets import Slider
+
+        fig = plt.figure()
+        ax = fig.add_axes([0.1, 0.25, 0.85, 0.7])
+    else:
+        fig, ax = plt.subplots()
     ax.hist2d(lowd[:, 0], lowd[:, 1], bins=100, cmap="Greys")
     ax.plot(path[:, 0], path[:, 1], "-", color="tab:blue")
     (dot,) = ax.plot([path[0, 0]], [path[0, 1]], "o", color="tab:red", ms=8)
 
-    slider = widgets.IntSlider(value=0, min=0, max=n - 1,
-                               description="frame")
-
     def on_change(change):
-        k = int(change["new"] if isinstance(change, dict) else change)
+        if isinstance(change, dict):
+            k = int(change["new"])
+        else:
+            k = int(change)
         dot.set_data(path[k:k + 1, 0], path[k:k + 1, 1])
         fig.canvas.draw_idle()
 
-    slider.observe(on_change, "value")
-    box = widgets.VBox([slider])
+    if widgets is None:
+        sax = fig.add_axes([0.15, 0.1, 0.7, 0.04])
+        slider = Slider(sax, "frame", valmin=0, valmax=max(n - 1, 1),
+                        valinit=0, valstep=1)
+        slider.on_changed(on_change)
+
+        class _Box:
+            """Minimal stand-in for the ipywidgets VBox return value."""
+
+        box = _Box()
+        box.children = (slider,)
+    else:
+        slider = widgets.IntSlider(value=0, min=0, max=n - 1,
+                                   description="frame")
+        slider.observe(on_change, "value")
+        box = widgets.VBox([slider])
     box._figure = fig  # keep alive; tests reach in
     box._on_change = on_change
     return box

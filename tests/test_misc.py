@@ -841,6 +841,46 @@ class TestInteractiveTools:
         h.apply(p)
         assert p.dist_sig_parameters == (3.0, 12, 6, 1, 4, 6)
 
+    def test_distance_histogram_mpl_fallback(self, rng):
+        """The ipywidgets-free tuner UI: matplotlib Slider widgets respond
+        to set_val on the Agg backend and write through to .params."""
+        from encodermap_tpu.plot import DistanceHistogramInteractive
+
+        data = rng.uniform(-np.pi, np.pi, (60, 4)).astype(np.float32)
+        h = DistanceHistogramInteractive(data, 2 * np.pi)
+        sliders = h._show_mpl()
+        assert set(sliders) == {"sig_h", "a_h", "b_h", "sig_l", "a_l", "b_l"}
+        sliders["sig_h"].set_val(3.25)
+        assert h.params[0] == pytest.approx(3.25)
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
+    def test_path_visualization_mpl_fallback(self, rng, monkeypatch):
+        """Without ipywidgets the scrubber falls back to a matplotlib
+        Slider; the returned box still carries children/_figure/_on_change."""
+        import sys
+        from types import SimpleNamespace
+
+        import encodermap_tpu.plot.interactive  # ensure module imported
+
+        monkeypatch.setitem(sys.modules, "ipywidgets", None)  # import fails
+        from encodermap_tpu.plot import interactive_path_visualization
+
+        path = rng.standard_normal((8, 2)).astype(np.float32)
+        traj = SimpleNamespace(xyz=np.zeros((8, 5, 3)))
+        box = interactive_path_visualization(
+            traj, rng.standard_normal((50, 2)), path
+        )
+        from matplotlib.widgets import Slider
+
+        assert isinstance(box.children[0], Slider)
+        box.children[0].set_val(5)  # scrub via the widget
+        box._on_change(2)           # and via the callback directly
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
     def test_path_visualization_widget(self, rng):
         from types import SimpleNamespace
 

@@ -96,9 +96,10 @@ class TestImportHygiene:
         )
 
 
-#: packages not installed in this environment (the data layer is
-#: self-contained) — importing them at module top level would break
-#: `import encodermap_tpu` outright, so they may only appear inside
+#: packages not guaranteed installed (most are absent in this environment;
+#: networkx/ipywidgets happen to be present but stay on the list so lean
+#: deployments keep working) — importing them at module top level would
+#: break `import encodermap_tpu` outright, so they may only appear inside
 #: functions or import-gated blocks
 _ABSENT_DEPS = {
     "mdtraj", "MDAnalysis", "xarray", "dask", "numba", "networkx",

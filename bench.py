@@ -70,12 +70,15 @@ def bench_train(n_warm_chunks: int = 2, n_chunks: int = 5,
     return steps * p.batch_size / dt
 
 
-def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 100,
+def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 400,
                   outer: int = 2) -> float:
     """Backmapping throughput: ``iters`` batches per dispatch inside one jit
     (fori_loop with per-iteration input perturbation so nothing is CSE'd),
     so the number reflects device throughput rather than the remote-dispatch
-    latency of this development setup."""
+    latency of this development setup. iters=400 puts ~90 ms of device work
+    behind each dispatch — at the previous 100, a slow-tunnel day's ~10 ms
+    RTT showed up as a 20-30% swing in a metric that is defined to measure
+    the device."""
     import jax
     import jax.numpy as jnp
 

@@ -214,7 +214,10 @@ def bench_featurize(n_frames: int = 1024, block: int = 512
     box = t2.unitcell_vectors
     bb = jnp.asarray(box[:block]) if box is not None else None
     triclinic = box is not None and geom.boxes_are_triclinic(box)
-    iters = 20
+    # 20 iters over a ~51-frame block was ~4 ms of device work per dispatch
+    # — smaller than the tunnel RTT, so the "device-only" figure mostly
+    # measured the relay. 500 iters puts ~100 ms behind the dispatch.
+    iters = 500
 
     @jax.jit
     def loop(x):
@@ -287,7 +290,9 @@ def bench_generate(n_res: int = 158, batch: int = 2048, reps: int = 3
     mean_lengths = jnp.asarray(emap.train_data[3].mean(0, keepdims=True))
     mean_angles = jnp.asarray(emap.train_data[0].mean(0, keepdims=True))
     params = emap.state.params
-    iters = 50
+    # ~50 ms device work at 50 iters left ~15% dispatch dilution; 200
+    # iters (~220 ms) makes the figure tunnel-insensitive
+    iters = 200
 
     @jax.jit
     def loop(params, z):

@@ -235,6 +235,35 @@ class TestXTCWriter:
         assert back.n_frames == 10
         np.testing.assert_allclose(back.xyz, traj.xyz, atol=6e-4)
 
+    def test_roundtrip_property_fuzz(self, tmp_path, rng):
+        """Write->read round-trips across system sizes (incl. the <=9-atom
+        plain-float storage path), coordinate ranges (negative, large
+        magnitude), and random triclinic boxes, each within the XTC
+        fixed-point precision."""
+        from encodermap_tpu.data.xtc import write_xtc
+
+        for trial, n_atoms in enumerate((1, 2, 9, 10, 11, 64, 333)):
+            n_frames = int(rng.integers(1, 5))
+            lo, hi = sorted(rng.uniform(-40, 40, 2))
+            hi = max(hi, lo + 1e-3)
+            xyz = rng.uniform(lo, hi, (n_frames, n_atoms, 3)).astype(
+                np.float32
+            )
+            box = rng.uniform(0.0, 12.0, (n_frames, 3, 3)).astype(np.float32)
+            steps = rng.integers(0, 2**30, n_frames).astype(np.int64)
+            f = tmp_path / f"fuzz_{trial}.xtc"
+            write_xtc(f, xyz, box=box, steps=steps)
+            r = XTCReader(f)
+            out_xyz, out_box, _t, out_steps = r.read()
+            assert r.n_frames == n_frames, (trial, n_atoms)
+            # fixed-point grid is 1/1000 nm; decode error <= half a grid
+            # step (plain floats below 10 atoms round-trip exactly)
+            atol = 1e-6 if n_atoms <= 9 else 6e-4
+            np.testing.assert_allclose(out_xyz, xyz, atol=atol,
+                                       err_msg=f"{trial=} {n_atoms=}")
+            np.testing.assert_allclose(out_box, box, atol=1e-5)
+            np.testing.assert_array_equal(out_steps, steps)
+
     def test_higher_precision(self, tmp_path, rng):
         from encodermap_tpu.data.xtc import write_xtc
 

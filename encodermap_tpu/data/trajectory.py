@@ -290,6 +290,10 @@ class SingleTraj:
                         self._top = CustomTopology.from_json(
                             self._top, f.attrs["custom_topology"]
                         ).apply()
+                if not self.common_str and "common_str" in f.attrs:
+                    # persisted by save() like the reference
+                    # (info_single.py:1897-1902)
+                    self.common_str = str(f.attrs["common_str"])
         if not top_only:
             with h5py.File(self._traj_path, "r") as ft:
                 self._n_frames_file = ft["coordinates"].shape[0]
@@ -962,13 +966,26 @@ class SingleTraj:
         raise AttributeError(name)
 
     # ------------------------------------------------------------------ save
-    def save(self, path: Union[str, Path]) -> None:
+    def save(self, path: Union[str, Path],
+             CVs: Union[str, list] = "all",
+             overwrite: bool = False) -> None:
         """Write trajectory + CVs to one HDF5 file (mdtraj-compatible layout
-        plus a CVs group, like ``TrajEnsemble.save``)."""
+        plus a CVs group, like ``TrajEnsemble.save``).
+
+        Args:
+            CVs: ``"all"`` stores every loaded CV; a list of names stores
+                only those (reference ``info_single.py:1858-1925``).
+            overwrite: an existing file raises ``IOError`` unless True,
+                like the reference.
+        """
         import h5py
 
         from .mdtraj_h5 import topology_to_json
 
+        if Path(path).is_file() and not overwrite:
+            raise IOError(
+                f"{path} already exists. Set overwrite=True to overwrite."
+            )
         self.load()
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(path, "w") as f:
@@ -1008,8 +1025,27 @@ class SingleTraj:
             custom = getattr(self.top, "_custom_def_json", None)
             if custom is not None:
                 f.attrs["custom_topology"] = custom
+            if self.common_str:
+                # persisted like the reference (info_single.py:1897-1902)
+                f.attrs["common_str"] = self.common_str
         if len(self._CVs):
-            self._CVs.to_hdf5(path)
+            if CVs == "all":
+                self._CVs.to_hdf5(path)
+            elif isinstance(CVs, (list, tuple)):
+                subset = type(self._CVs)()
+                for name in CVs:
+                    if name not in self._CVs:
+                        raise KeyError(
+                            f"CV {name!r} is not loaded on this trajectory "
+                            f"(have: {sorted(self._CVs.keys())})"
+                        )
+                    e = self._CVs.entry(name)
+                    subset.add(name, e.data, e.labels, e.indices, e.attrs)
+                subset.to_hdf5(path)
+            else:
+                raise ValueError(
+                    f"CVs must be 'all' or a list of CV names, got {CVs!r}"
+                )
 
     def save_xtc(self, path: Union[str, Path], precision: float = 1000.0
                  ) -> str:
@@ -2197,21 +2233,39 @@ class TrajEnsemble:
         return out
 
     # ------------------------------------------------------------------ save
-    def save(self, path: Union[str, Path]) -> None:
+    def save(self, path: Union[str, Path],
+             CVs: Union[str, list, bool] = "all",
+             overwrite: bool = False,
+             only_top: bool = False) -> None:
+        """Save the ensemble into one multi-group ``.h5`` file.
+
+        Args:
+            CVs: ``"all"`` stores every loaded CV, a list of names stores
+                only those, ``False`` stores none (reference
+                ``info_all.py:2551-2640``).
+            overwrite: an existing file raises ``IOError`` unless True.
+            only_top: write only the topologies (no coordinates/CVs).
+        """
         import h5py
 
         from .mdtraj_h5 import topology_to_json
 
+        if Path(path).is_file() and not overwrite and not only_top:
+            raise IOError(
+                f"File {path} already exists. Set `overwrite` to True to "
+                f"overwrite."
+            )
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(path, "w") as f:
             for t in self.trajs:
-                t.load()
                 g = f.create_group(f"traj_{t.traj_num}")
-                g.create_dataset("coordinates", data=t.xyz)
-                g.create_dataset("time", data=t.time)
-                if t.unitcell_vectors is not None:
-                    g.create_dataset("cell_vectors",
-                                     data=t.unitcell_vectors)
+                if not only_top:
+                    t.load()
+                    g.create_dataset("coordinates", data=t.xyz)
+                    g.create_dataset("time", data=t.time)
+                    if t.unitcell_vectors is not None:
+                        g.create_dataset("cell_vectors",
+                                         data=t.unitcell_vectors)
                 g.create_dataset(
                     "topology",
                     data=np.asarray([topology_to_json(t.top).encode()]),
@@ -2221,9 +2275,23 @@ class TrajEnsemble:
                 custom = getattr(t.top, "_custom_def_json", None)
                 if custom is not None:
                     g.attrs["custom_topology"] = custom
+        if only_top or CVs is False:
+            return
         for t in self.trajs:
-            if len(t._CVs):
-                t._CVs.to_hdf5(path, group=f"traj_{t.traj_num}/CVs")
+            if not len(t._CVs):
+                continue
+            store = t._CVs
+            if isinstance(CVs, (list, tuple)):
+                store = type(t._CVs)()
+                for name in CVs:
+                    if name not in t._CVs:
+                        raise KeyError(
+                            f"CV {name!r} is not loaded on traj "
+                            f"{t.traj_num} (have: {sorted(t._CVs.keys())})"
+                        )
+                    e = t._CVs.entry(name)
+                    store.add(name, e.data, e.labels, e.indices, e.attrs)
+            store.to_hdf5(path, group=f"traj_{t.traj_num}/CVs")
         self._source_h5 = str(path)
 
     def __repr__(self) -> str:

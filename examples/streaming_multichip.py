@@ -34,7 +34,7 @@ def main() -> None:
     # 1) featurize the (mixed-topology) ensemble and persist it
     trajs = em.load(TRAJS, TOPS)
     trajs.load_CVs("all", ensemble=True)  # NaN-aligned across topologies
-    trajs.save("runs/stream/ens.h5")
+    trajs.save("runs/stream/ens.h5", overwrite=True)
 
     # 2) build the model from the on-disk shapes (tiny prototype read) and
     #    train fully out-of-core, data-parallel over the available devices

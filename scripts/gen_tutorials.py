@@ -709,7 +709,7 @@ via `HDF5BatchSource`) reads back without the original files.
     code("""
 out = Path("runs/ensemble_tour/trajs.h5")
 out.parent.mkdir(parents=True, exist_ok=True)
-trajs.save(str(out))
+trajs.save(str(out), overwrite=True)
 back = em.TrajEnsemble.from_dataset(str(out))
 print(back)
 print("CVs survive:", list(back.CVs.keys()))

@@ -158,6 +158,55 @@ class TestSingleTraj:
         np.testing.assert_array_equal(traj.my_cv, data)
         np.testing.assert_array_equal(traj.CVs["my_cv"], data)
 
+    def test_save_reference_signature(self, tmp_path):
+        """save(CVs=..., overwrite=...) follows the reference contract
+        (``info_single.py:1858``, ``info_all.py:2551``): existing files
+        raise unless overwrite=True; a CV name list stores only those;
+        ensemble CVs=False stores none; only_top skips coordinates."""
+        import h5py
+
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+        traj.load_CV(np.ones((traj.n_frames, 2), np.float32), attr_name="a")
+        traj.load_CV(np.zeros((traj.n_frames, 3), np.float32), attr_name="b")
+        f = tmp_path / "t.h5"
+        traj.save(f, CVs=["a"])
+        with h5py.File(f, "r") as h:
+            assert set(h["CVs"]) == {"a"}
+        with pytest.raises(IOError, match="overwrite"):
+            traj.save(f)
+        traj.save(f, overwrite=True)  # now all CVs
+        with h5py.File(f, "r") as h:
+            assert set(h["CVs"]) == {"a", "b"}
+        with pytest.raises(KeyError, match="not loaded"):
+            traj.save(tmp_path / "u.h5", CVs=["nope"])
+
+        trajs = TrajEnsemble([SingleTraj(DATA / "asp7.xtc",
+                                         DATA / "asp7.pdb")])
+        trajs.load_CVs("all")
+        e = tmp_path / "e.h5"
+        trajs.save(e, CVs=False)
+        with h5py.File(e, "r") as h:
+            assert "CVs" not in h["traj_0"]
+        with pytest.raises(IOError, match="overwrite"):
+            trajs.save(e)
+        trajs.save(e, overwrite=True, CVs=["central_dihedrals"])
+        with h5py.File(e, "r") as h:
+            assert set(h["traj_0/CVs"]) == {"central_dihedrals",
+                                            "central_dihedrals__indices"}
+        trajs.save(tmp_path / "top.h5", only_top=True)
+        with h5py.File(tmp_path / "top.h5", "r") as h:
+            assert "topology" in h["traj_0"]
+            assert "coordinates" not in h["traj_0"]
+
+    def test_save_persists_common_str(self, tmp_path):
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb",
+                          common_str="asp7")
+        f = tmp_path / "cs.h5"
+        traj.save(f)
+        back = SingleTraj(f)
+        back.load()
+        assert back.common_str == "asp7"
+
     def test_hdf5_roundtrip(self, tmp_path):
         traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
         traj.load_CV(

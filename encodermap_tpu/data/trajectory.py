@@ -1062,6 +1062,53 @@ class SingleTraj:
     def save_pdb(self, path: Union[str, Path]) -> None:
         write_pdb(path, self.top, self.xyz, None)
 
+    @property
+    def traj(self) -> "SingleTraj":
+        """The loaded trajectory (reference ``info_single.py:838`` returns
+        an ``mdtraj.Trajectory``; this framework's trajectory object IS the
+        container, so the loaded self is the drop-in)."""
+        self.load()
+        return self
+
+    def show_traj(self, gui: bool = True):
+        """An nglview widget of this trajectory (reference
+        ``info_single.py:1391``; nglview is optional — the matplotlib
+        equivalent is :func:`encodermap_tpu.plot.plot_ball_and_stick`)."""
+        try:
+            import nglview
+        except ImportError as e:
+            raise ImportError(
+                "show_traj needs nglview (not installed). For a "
+                "matplotlib rendering use em.plot.plot_ball_and_stick(traj)."
+            ) from e
+        import tempfile
+
+        f = tempfile.NamedTemporaryFile(suffix=".pdb", delete=False)
+        f.close()
+        self.save_pdb(f.name)
+        return nglview.show_file(f.name, gui=gui)
+
+    def dash_summary(self):
+        """A :obj:`pandas.DataFrame` summarizing this trajectory
+        (reference ``info_single.py:1407-1460``)."""
+        import pandas as pd
+
+        self.load()
+        dt = np.unique(self.time[1:] - self.time[:-1])
+        if len(dt) == 1:
+            dt = dt[0]
+        elif len(dt) == 0:
+            dt = "single frame"
+        index = "[::]" if self.index is None else self.index
+        return pd.DataFrame(
+            {
+                "field": ["n_frames", "n_atoms", "dt (ps)", "traj_file",
+                          "top_file", "index", "common_str"],
+                "value": [self.n_frames, self.n_atoms, dt, self.traj_file,
+                          self.top_file, index, self.common_str],
+            }
+        ).astype(str)
+
     def __repr__(self) -> str:
         return (
             f"<SingleTraj {self.basename}: {self.n_frames} frames, "
@@ -1524,6 +1571,35 @@ class TrajEnsemble:
             for j, seq in enumerate(tops[0].to_fasta()):
                 out += f">{cs or trajs.trajs[0].basename}_{j}\n{seq}\n"
         return out
+
+    def dash_summary(self):
+        """A :obj:`pandas.DataFrame` summarizing this ensemble (reference
+        ``info_all.py:2362-2412``; single-member ensembles delegate to the
+        member's summary)."""
+        import pandas as pd
+
+        if self.n_trajs == 1:
+            return self.trajs[0].dash_summary()
+        n_atoms = np.unique([t.n_atoms for t in self.trajs])
+        if len(n_atoms) == 1:
+            n_atoms = n_atoms[0]
+        dt: list = []
+        for t in self.trajs:
+            t.load()
+            dt.extend(np.unique(t.time[1:] - t.time[:-1]))
+        dt = np.unique(np.asarray(dt))
+        if len(dt) == 1:
+            dt = dt[0]
+        return pd.DataFrame(
+            {
+                "field": ["n_trajs", "n_frames", "n_atoms", "dt (ps)",
+                          "trajs", "multiple tops", "common_str"],
+                "value": [self.n_trajs, self.n_frames, n_atoms, dt,
+                          [t.basename for t in self.trajs],
+                          len({t.top for t in self.trajs}) != 1,
+                          list(set(self.common_str))],
+            }
+        ).astype(str)
 
     def to_dataframe(self, CV: Union[str, Sequence[str]]):
         """One row per frame with traj provenance + the named CV columns

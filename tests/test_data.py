@@ -198,6 +198,29 @@ class TestSingleTraj:
             assert "topology" in h["traj_0"]
             assert "coordinates" not in h["traj_0"]
 
+    def test_traj_property_and_dash_summary(self):
+        """SingleTraj.traj returns the loaded container (reference returns
+        an mdtraj.Trajectory, info_single.py:838); dash_summary gives the
+        reference's field/value DataFrame on both container levels."""
+        traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb",
+                          common_str="asp7")
+        t = traj.traj
+        assert t is traj and t._xyz is not None  # loaded
+        df = traj.dash_summary()
+        fields = dict(zip(df["field"], df["value"]))
+        assert fields["n_frames"] == str(traj.n_frames)
+        assert fields["common_str"] == "asp7"
+        trajs = TrajEnsemble([
+            SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb"),
+            SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb"),
+        ])
+        df2 = trajs.dash_summary()
+        fields2 = dict(zip(df2["field"], df2["value"]))
+        assert fields2["n_trajs"] == "2"
+        assert fields2["multiple tops"] == "True"
+        with pytest.raises(ImportError, match="nglview"):
+            traj.show_traj()
+
     def test_save_persists_common_str(self, tmp_path):
         traj = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb",
                           common_str="asp7")

@@ -662,6 +662,63 @@ class EnsembleFeaturizer:
     def n_features(self) -> int:
         return len(self._calls)
 
+    def _containers(self, ensemble: bool = False) -> dict:
+        """Topology -> replayed :class:`SingleTrajFeaturizer` (the
+        reference's ``feature_containers`` dict, ``featurizer.py:1521``).
+        Rebuilt lazily whenever add_* calls were recorded since the last
+        build (recorded-replay has no incremental container updates)."""
+        key = (len(self._calls), bool(ensemble))
+        if getattr(self, "_container_key", None) != key:
+            cache: dict = {}
+            out: dict = {}
+            for t in self.trajs:
+                feat = self._featurizer_for(t, cache, ensemble)
+                out.setdefault(t.top, feat)
+            self._container_cache = out
+            self._container_key = key
+        return self._container_cache
+
+    @property
+    def feature_containers(self) -> dict:
+        """Reference-named alias of :meth:`_containers`."""
+        return self._containers()
+
+    @property
+    def features(self) -> list:
+        """Flat list of every feature over all topology containers
+        (reference ``featurizer.py:1803-1808``)."""
+        feats: list = []
+        for c in self._containers().values():
+            feats.extend(c.features)
+        return feats
+
+    def describe(self) -> dict:
+        """Per-topology feature labels: ``{Topology: [labels]}``
+        (reference ``featurizer.py:1543-1556``)."""
+        return {top: c.describe() for top, c in self._containers().items()}
+
+    def transform(self, traj, outer_p=None, inner_p=None,
+                  inner_p_id=None) -> np.ndarray:
+        """Apply this featurizer's features to ONE trajectory of the
+        ensemble (reference ``featurizer.py:1810-1900``; the progress-bar
+        arguments are accepted for signature parity)."""
+        del outer_p, inner_p, inner_p_id
+        cache: dict = {}
+        feat = self._featurizer_for(traj, cache, ensemble=False)
+        return feat.transform(
+            np.asarray(traj.xyz, np.float32), traj.unitcell_vectors
+        )
+
+    def get_output(self, ensemble: bool = False, pbar=None) -> dict:
+        """Run the featurization and return ``{traj_num: CVCollection}``
+        (the reference returns an ``xarray.Dataset``,
+        ``featurizer.py:1924``; the CVCollection is this framework's
+        labeled-array stand-in). Like ``trajs.load_CVs(self)``, the CVs are
+        also attached to the member trajectories."""
+        del pbar
+        self.apply(ensemble=ensemble)
+        return {t.traj_num: t._CVs for t in self.trajs}
+
     def _featurizer_for(self, traj, cache: dict, ensemble: bool
                         ) -> SingleTrajFeaturizer:
         """Replay the recorded add_* calls onto ``traj`` — once per

@@ -44,6 +44,22 @@ __all__ = ["Autoencoder", "EncoderMap"]
 Array = jax.Array
 
 
+class _SubModel:
+    """Callable wrapper giving ``encoder``/``decoder`` submodels the keras
+    call conventions migrating code expects (``model(x)`` and
+    ``model.predict(x)``)."""
+
+    def __init__(self, fn) -> None:
+        self._fn = fn
+
+    def __call__(self, x, *args, **kwargs):
+        return self._fn(x)
+
+    def predict(self, x, *args, **kwargs):
+        """keras-style alias of ``__call__`` (batching is internal)."""
+        return self._fn(x)
+
+
 class TrainerExtensions:
     """User-extension hooks + the shared jitted train-step machinery for all
     autoencoder classes (the reference's
@@ -61,6 +77,19 @@ class TrainerExtensions:
     def add_callback(self, callback) -> None:
         """Append a :class:`Callback` dispatched at chunk granularity."""
         self.callbacks.append(callback)
+
+    @property
+    def encoder(self):
+        """The encoder as a standalone callable with a keras-style
+        ``predict`` alias (reference ``autoencoder.py:936``/``2161`` return
+        the keras submodel)."""
+        return _SubModel(self.encode)
+
+    @property
+    def decoder(self):
+        """The decoder as a standalone callable with a keras-style
+        ``predict`` alias (reference ``autoencoder.py:941``/``2166``)."""
+        return _SubModel(self.decode)
 
     # -------------------------------------------------------- shared persistence
     @classmethod

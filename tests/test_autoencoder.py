@@ -353,6 +353,19 @@ class TestTrainerExtensions:
         out = emap.plot_network()
         assert Path(out).exists()
 
+    def test_encoder_decoder_submodels(self, cube_data, tmp_path):
+        """emap.encoder / emap.decoder behave like the reference's keras
+        submodels (autoencoder.py:936-943): callable and with .predict."""
+        p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
+        emap = EncoderMap(p, cube_data)
+        z = emap.encoder(cube_data[:7])
+        np.testing.assert_array_equal(z, emap.encode(cube_data[:7]))
+        np.testing.assert_array_equal(
+            emap.encoder.predict(cube_data[:7]), z
+        )
+        back = emap.decoder(z)
+        np.testing.assert_array_equal(back, emap.decode(z))
+
     def test_set_train_data(self, cube_data, tmp_path):
         p = _small_params(tmp_path, n_steps=2, steps_per_scan=2)
         emap = EncoderMap(p, cube_data)

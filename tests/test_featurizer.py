@@ -199,6 +199,33 @@ class TestEnsembleAlignment:
         bt = trajs.CVs["BackboneTorsionFeature"]
         assert bt.shape[0] == trajs.n_frames
 
+    def test_ensemble_describe_features_transform_get_output(self):
+        """The reference's container surface (featurizer.py:1543-1935):
+        describe() keyed by Topology, the flat features list, per-traj
+        transform(), and get_output() returning per-traj collections."""
+        trajs = load(
+            [DATA / "asp7.xtc", DATA / "glu7.xtc"],
+            [DATA / "asp7.pdb", DATA / "glu7.pdb"],
+        )
+        feat = EnsembleFeaturizer(trajs)
+        feat.add_backbone_torsions()
+        desc = feat.describe()
+        assert len(desc) == 2  # two topologies
+        for top, labels in desc.items():
+            assert top in {t.top for t in trajs.trajs}
+            assert all(isinstance(s, str) for s in labels)
+        assert len(feat.features) == 2  # one feature per topology container
+        assert len(feat.feature_containers) == 2
+        out = feat.transform(trajs.trajs[0])
+        assert out.shape == (trajs.trajs[0].n_frames,
+                             len(desc[trajs.trajs[0].top]))
+        # adding more features invalidates the container cache
+        feat.add_distances([[0, 5]], periodic=False)
+        assert len(feat.features) == 4
+        res = feat.get_output()
+        assert set(res) == {0, 1}
+        assert "BackboneTorsionFeature" in res[0]
+
     def test_ensemble_unknown_attr_raises(self):
         trajs = load([DATA / "asp7.xtc"], [DATA / "asp7.pdb"])
         feat = EnsembleFeaturizer(trajs)

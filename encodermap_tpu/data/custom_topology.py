@@ -246,6 +246,145 @@ class CustomTopology:
         ct._protein_names = set(data.get("protein_names", []))
         return ct
 
+    # ------------------------------------------------ reference conveniences
+    def add_new_residue(self, name: str, bonds: Sequence[tuple] = (),
+                        **chi_tables: Sequence[str]) -> "CustomTopology":
+        """Reference-named alias of :meth:`add_residue`
+        (``trajinfo_utils.py:827`` takes a ``NewResidue`` dataclass; this
+        framework's residue definitions are plain tables)."""
+        return self.add_residue(name, bonds=bonds, **chi_tables)
+
+    def add_bonds(self) -> Topology:
+        """Apply the collected bond additions/deletions and return the new
+        topology (reference ``trajinfo_utils.py:848-860``) — an alias of
+        :meth:`apply` here, where all patches land at once."""
+        return self.apply()
+
+    @property
+    def new_residues(self) -> list[str]:
+        """Names of the user-declared residues (the reference returns its
+        ``NewResidue`` dataclasses; the tables live in :meth:`to_dict`)."""
+        return sorted(self._protein_names)
+
+    def to_dict(self) -> dict:
+        """The definitions as a ``CustomAAsDict`` — the same format
+        :meth:`from_custom_aas`/:meth:`from_dict` consume (reference
+        ``trajinfo_utils.py:1390-1421``)."""
+        tables: dict[str, dict] = {n: {} for n in sorted(self._protein_names)}
+        for chi_n, per_res in self._custom_chi.items():
+            for res, atoms in per_res.items():
+                tables.setdefault(res, {})[chi_n.upper()] = list(atoms)
+        for (kind, res), names in self._dihedral_overrides.items():
+            tables.setdefault(res, {})[kind] = list(names)
+        for kind, res in sorted(self._not_dihedrals):
+            tables.setdefault(res, {})[f"not_{kind}"] = True
+        for res, a, b in self._extra_bonds:
+            tables.setdefault(res, {}).setdefault("bonds", []).append([a, b])
+        for res, a, b, strict in self._delete_bonds:
+            key = "delete_bonds" if strict else "optional_delete_bonds"
+            tables.setdefault(res, {}).setdefault(key, []).append([a, b])
+        return {res: (tbl or None) for res, tbl in tables.items()}
+
+    @classmethod
+    def from_dict(cls, custom_aas: dict, top) -> "CustomTopology":
+        """Build from a ``CustomAAsDict`` (reference
+        ``trajinfo_utils.py:1464``); ``top`` may be a Topology or any
+        traj-like with ``.top``."""
+        top = getattr(top, "top", top)
+        return cls.from_custom_aas(top, custom_aas)
+
+    def to_yaml(self) -> str:
+        """The :meth:`to_dict` definitions as YAML (reference
+        ``trajinfo_utils.py:1423``)."""
+        import yaml
+
+        return yaml.safe_dump(self.to_dict())
+
+    @classmethod
+    def from_yaml(cls, text_or_path, top) -> "CustomTopology":
+        """Build from :meth:`to_yaml` output (text or a file path)."""
+        from pathlib import Path
+
+        import yaml
+
+        text = str(text_or_path)
+        if "\n" not in text and Path(text).is_file():
+            text = Path(text).read_text()
+        data = yaml.safe_load(text)
+        # yaml round-trips the not_* markers as True; from_custom_aas
+        # expects their presence only
+        for tbl in (data or {}).values():
+            if isinstance(tbl, dict):
+                for k in [k for k, v in tbl.items()
+                          if k.startswith("not_") and v is True]:
+                    tbl[k] = []
+        return cls.from_dict(data or {}, top)
+
+    def to_hdf_file(self, fname) -> None:
+        """Persist the definitions into an HDF5 file's attrs — the same
+        ``custom_topology`` key ``SingleTraj.save`` writes, so
+        :meth:`from_hdf5_file` and the h5 loaders agree (reference
+        ``trajinfo_utils.py:1375``)."""
+        import h5py
+
+        with h5py.File(fname, "a") as f:
+            f.attrs["custom_topology"] = self.to_json()
+
+    @classmethod
+    def from_hdf5_file(cls, fname, top) -> "CustomTopology":
+        """Read definitions persisted by :meth:`to_hdf_file` /
+        ``SingleTraj.save`` (reference ``trajinfo_utils.py:1428``)."""
+        import h5py
+
+        top = getattr(top, "top", top)
+        with h5py.File(fname, "r") as f:
+            if "custom_topology" not in f.attrs:
+                raise KeyError(
+                    f"{fname} carries no custom_topology definitions"
+                )
+            return cls.from_json(top, f.attrs["custom_topology"])
+
+    def _patched(self) -> "_PatchedTopology":
+        return self.apply()
+
+    @property
+    def indices_phi(self) -> np.ndarray:
+        """PHI quadruplets of the patched topology (reference delegates the
+        same way, ``trajinfo_utils.py:1100-1170``)."""
+        return self._patched().indices_phi
+
+    @property
+    def indices_psi(self) -> np.ndarray:
+        return self._patched().indices_psi
+
+    @property
+    def indices_omega(self) -> np.ndarray:
+        return self._patched().indices_omega
+
+    def indices_chi(self, n: int) -> np.ndarray:
+        """CHI-n quadruplets of the patched topology."""
+        return self._patched().indices_chi(n)
+
+    @property
+    def indices_chi1(self) -> np.ndarray:
+        return self.indices_chi(1)
+
+    @property
+    def indices_chi2(self) -> np.ndarray:
+        return self.indices_chi(2)
+
+    @property
+    def indices_chi3(self) -> np.ndarray:
+        return self.indices_chi(3)
+
+    @property
+    def indices_chi4(self) -> np.ndarray:
+        return self.indices_chi(4)
+
+    @property
+    def indices_chi5(self) -> np.ndarray:
+        return self.indices_chi(5)
+
     def apply(self) -> _PatchedTopology:
         """Build the patched Topology."""
         out = _PatchedTopology()

@@ -200,6 +200,47 @@ class TestCustomTopology:
         patched = ct.apply()
         assert len(patched.indices_phi) < n_phi
 
+    def test_reference_io_surface(self, tmp_path):
+        """to_dict/from_dict (CustomAAsDict format), yaml and hdf5
+        round-trips, add_new_residue/add_bonds aliases, and the indices_*
+        delegation (reference ``trajinfo_utils.py:827-1464``)."""
+        import h5py
+
+        from encodermap_tpu.data import load_pdb
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top, _, _ = load_pdb(DATA / "asp7.pdb")
+        ct = CustomTopology(top)
+        ct.add_new_residue("ASP", chi1=["N", "CA", "CB", "OD1"],
+                           bonds=[("CB", "OD2")])
+        ct.remove_dihedral("PHI", "ASP")
+        assert ct.new_residues == ["ASP"]
+
+        d = ct.to_dict()
+        assert d["ASP"]["CHI1"] == ["N", "CA", "CB", "OD1"]
+        ct2 = CustomTopology.from_dict(d, top)
+        np.testing.assert_array_equal(ct2.indices_chi1, ct.indices_chi1)
+        np.testing.assert_array_equal(ct2.indices_phi, ct.indices_phi)
+        assert len(ct.indices_phi) < len(top.indices_phi)  # not_PHI kept
+
+        ct3 = CustomTopology.from_yaml(ct.to_yaml(), top)
+        np.testing.assert_array_equal(ct3.indices_chi1, ct.indices_chi1)
+        np.testing.assert_array_equal(ct3.indices_phi, ct.indices_phi)
+
+        f = tmp_path / "ct.h5"
+        with h5py.File(f, "w"):
+            pass
+        ct.to_hdf_file(f)
+        ct4 = CustomTopology.from_hdf5_file(f, top)
+        np.testing.assert_array_equal(ct4.indices_chi1, ct.indices_chi1)
+        with pytest.raises(KeyError, match="custom_topology"):
+            with h5py.File(tmp_path / "empty.h5", "w"):
+                pass
+            CustomTopology.from_hdf5_file(tmp_path / "empty.h5", top)
+
+        patched = ct.add_bonds()  # alias of apply()
+        assert patched.indices_chi1.shape == ct.indices_chi1.shape
+
     def test_override_with_neighbor_refs(self):
         from encodermap_tpu.data import load_pdb
         from encodermap_tpu.data.custom_topology import CustomTopology

@@ -130,6 +130,8 @@ class CustomTopology:
         self._delete_bonds: list[tuple[str, str, str, bool]] = []
         self._not_dihedrals: set[tuple[str, str]] = set()
         self._protein_names: set[str] = set()
+        #: resname -> one-letter code (CustomAAsDict tuples; drives FASTA)
+        self._one_letter_codes: dict[str, str] = {}
 
     def add_residue(
         self,
@@ -161,7 +163,9 @@ class CustomTopology:
         for resname, val in dict(custom).items():
             tables = val
             if isinstance(val, tuple):
-                _one_letter, tables = val
+                one_letter, tables = val
+                if one_letter:
+                    ct._one_letter_codes[resname] = str(one_letter)
             if tables is None:
                 ct.add_residue(resname)
                 continue
@@ -219,6 +223,7 @@ class CustomTopology:
             "delete_bonds": [list(e) for e in self._delete_bonds],
             "not_dihedrals": sorted(list(t) for t in self._not_dihedrals),
             "protein_names": sorted(self._protein_names),
+            "one_letter_codes": dict(self._one_letter_codes),
         })
 
     @classmethod
@@ -244,6 +249,7 @@ class CustomTopology:
             tuple(t) for t in data.get("not_dihedrals", [])
         }
         ct._protein_names = set(data.get("protein_names", []))
+        ct._one_letter_codes = dict(data.get("one_letter_codes", {}))
         return ct
 
     # ------------------------------------------------ reference conveniences
@@ -266,6 +272,18 @@ class CustomTopology:
         ``NewResidue`` dataclasses; the tables live in :meth:`to_dict`)."""
         return sorted(self._protein_names)
 
+    @property
+    def amino_acid_codes(self) -> dict[str, str]:
+        """resname -> one-letter code for the declared residues (reference
+        ``trajinfo_utils.py:1352``); drives the patched topology's FASTA."""
+        return dict(self._one_letter_codes)
+
+    def add_amino_acid_codes(self) -> dict[str, str]:
+        """Reference-named accessor of :attr:`amino_acid_codes` (there it
+        merges into a mutable class attribute; here codes flow into
+        ``apply()`` automatically)."""
+        return self.amino_acid_codes
+
     def to_dict(self) -> dict:
         """The definitions as a ``CustomAAsDict`` — the same format
         :meth:`from_custom_aas`/:meth:`from_dict` consume (reference
@@ -283,7 +301,11 @@ class CustomTopology:
         for res, a, b, strict in self._delete_bonds:
             key = "delete_bonds" if strict else "optional_delete_bonds"
             tables.setdefault(res, {}).setdefault(key, []).append([a, b])
-        return {res: (tbl or None) for res, tbl in tables.items()}
+        out = {}
+        for res, tbl in tables.items():
+            code = self._one_letter_codes.get(res)
+            out[res] = (code, tbl or None) if code else (tbl or None)
+        return out
 
     @classmethod
     def from_dict(cls, custom_aas: dict, top) -> "CustomTopology":
@@ -399,6 +421,8 @@ class CustomTopology:
         out._dihedral_overrides = self._dihedral_overrides
         out._not_dihedrals = self._not_dihedrals
         out._custom_def_json = self.to_json()
+        if self._one_letter_codes:
+            out._custom_one_letter = dict(self._one_letter_codes)
         def resolve(res_index: int, name):
             """Atom lookup honoring '-'/'+' previous/next-residue prefixes
             (the neighbor-reference syntax the class docstring promises).

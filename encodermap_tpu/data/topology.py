@@ -388,9 +388,12 @@ class Topology:
         chain numbering stays aligned. Unknown/capping residues become no
         letter; protonation-state variants resolve through their parent."""
         chains: list[list[str]] = [[] for _ in range(self.n_chains)]
+        # user-declared one-letter codes (CustomAAsDict tuples) extend the
+        # standard table on patched topologies
+        custom = getattr(self, "_custom_one_letter", {})
         for r in self.residues:
             name = RESIDUE_VARIANTS.get(r.name, r.name)
-            letter = _AA_ONE_LETTER.get(name)
+            letter = custom.get(r.name) or _AA_ONE_LETTER.get(name)
             if letter:
                 chains[r.chain_index].append(letter)
         return ["".join(c) for c in chains]

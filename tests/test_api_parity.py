@@ -241,6 +241,34 @@ class TestCustomTopology:
         patched = ct.add_bonds()  # alias of apply()
         assert patched.indices_chi1.shape == ct.indices_chi1.shape
 
+    def test_one_letter_codes_flow_into_fasta(self):
+        """CustomAAsDict tuples carry a one-letter code (reference
+        ``trajinfo_utils.py:600-770``, ``add_amino_acid_codes`` at 1352);
+        it must reach the patched topology's to_fasta and survive the json
+        round-trip."""
+        from encodermap_tpu.data import load_pdb
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top, _, _ = load_pdb(DATA / "asp7.pdb")
+        # rename one residue to a fake unnatural AA
+        top.residues[3].name = "XYZ"
+        base_fasta = top.to_fasta()[0]
+        assert "X" not in base_fasta and len(base_fasta) == 6  # XYZ skipped
+        ct = CustomTopology.from_custom_aas(
+            top, {"XYZ": ("Z", {"CHI1": ["N", "CA", "CB", "CG"]})}
+        )
+        assert ct.amino_acid_codes == {"XYZ": "Z"}
+        assert ct.add_amino_acid_codes() == {"XYZ": "Z"}
+        patched = ct.apply()
+        fasta = patched.to_fasta()[0]
+        assert len(fasta) == 7 and fasta[3] == "Z"
+        # survives json (and therefore h5 attrs) round-trips
+        ct2 = CustomTopology.from_json(top, ct.to_json())
+        assert ct2.apply().to_fasta()[0] == fasta
+        # and the CustomAAsDict round-trip keeps the tuple form
+        d = ct.to_dict()
+        assert d["XYZ"][0] == "Z"
+
     def test_override_with_neighbor_refs(self):
         from encodermap_tpu.data import load_pdb
         from encodermap_tpu.data.custom_topology import CustomTopology

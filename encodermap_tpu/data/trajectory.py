@@ -1590,6 +1590,8 @@ class TrajEnsemble:
         dt = np.unique(np.asarray(dt))
         if len(dt) == 1:
             dt = dt[0]
+        elif len(dt) == 0:
+            dt = "single frames"
         return pd.DataFrame(
             {
                 "field": ["n_trajs", "n_frames", "n_atoms", "dt (ps)",
@@ -2332,9 +2334,14 @@ class TrajEnsemble:
                 f"overwrite."
             )
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        with h5py.File(path, "w") as f:
+        # only_top bypasses the overwrite guard like the reference — which
+        # is only safe because the reference APPENDS in that flow
+        # (info_all.py:2599 opens mode "a"); truncating here would destroy
+        # previously saved coordinates/CVs.
+        mode = "a" if only_top else "w"
+        with h5py.File(path, mode) as f:
             for t in self.trajs:
-                g = f.create_group(f"traj_{t.traj_num}")
+                g = f.require_group(f"traj_{t.traj_num}")
                 if not only_top:
                     t.load()
                     g.create_dataset("coordinates", data=t.xyz)
@@ -2342,6 +2349,8 @@ class TrajEnsemble:
                     if t.unitcell_vectors is not None:
                         g.create_dataset("cell_vectors",
                                          data=t.unitcell_vectors)
+                if "topology" in g:
+                    del g["topology"]
                 g.create_dataset(
                     "topology",
                     data=np.asarray([topology_to_json(t.top).encode()]),

@@ -197,6 +197,14 @@ class TestSingleTraj:
         with h5py.File(tmp_path / "top.h5", "r") as h:
             assert "topology" in h["traj_0"]
             assert "coordinates" not in h["traj_0"]
+        # only_top on an EXISTING file appends (reference info_all.py:2599
+        # opens mode "a") — previously saved coordinates/CVs must survive.
+        trajs.save(e, only_top=True)
+        with h5py.File(e, "r") as h:
+            assert "coordinates" in h["traj_0"]
+            assert set(h["traj_0/CVs"]) == {"central_dihedrals",
+                                            "central_dihedrals__indices"}
+            assert h["traj_0/topology"].shape == (1,)  # rewritten, not dup
 
     def test_traj_property_and_dash_summary(self):
         """SingleTraj.traj returns the loaded container (reference returns
@@ -218,6 +226,15 @@ class TestSingleTraj:
         fields2 = dict(zip(df2["field"], df2["value"]))
         assert fields2["n_trajs"] == "2"
         assert fields2["multiple tops"] == "True"
+        # single-frame members have no time deltas; the reference labels
+        # that case "single frames" (info_all.py:2387) instead of crashing
+        singles = TrajEnsemble([
+            SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")[0],
+            SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb")[0],
+        ])
+        df3 = singles.dash_summary()
+        fields3 = dict(zip(df3["field"], df3["value"]))
+        assert fields3["dt (ps)"] == "single frames"
         with pytest.raises(ImportError, match="nglview"):
             traj.show_traj()
 

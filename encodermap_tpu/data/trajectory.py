@@ -1081,12 +1081,11 @@ class SingleTraj:
                 "show_traj needs nglview (not installed). For a "
                 "matplotlib rendering use em.plot.plot_ball_and_stick(traj)."
             ) from e
-        import tempfile
+        from ..misc.misc import _session_tmpfile
 
-        f = tempfile.NamedTemporaryFile(suffix=".pdb", delete=False)
-        f.close()
-        self.save_pdb(f.name)
-        return nglview.show_file(f.name, gui=gui)
+        fname = _session_tmpfile(".pdb")
+        self.save_pdb(fname)
+        return nglview.show_file(fname, gui=gui)
 
     def dash_summary(self):
         """A :obj:`pandas.DataFrame` summarizing this trajectory

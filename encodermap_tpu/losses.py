@@ -160,16 +160,27 @@ def cartesian_distance_loss_matrix(
     """
     if p.cartesian_distance_cost_scale is None:
         return jnp.asarray(0.0, jnp.float32)
-    from math import sqrt
-
-    sig_h, a_h, b_h, sig_l, a_l, b_l = p.cartesian_dist_sig_parameters
-    params = (sig_h * sqrt(2.0), a_h, b_h, sig_l, a_l, b_l)
     B = inp_mat.shape[0]
     cost = sigmoid_loss(
-        inp_mat.reshape(B, -1), latent, params, float("inf"),
+        inp_mat.reshape(B, -1), latent, _matrix_sig_params(p), float("inf"),
         h_precision="high",
     )
     return cost * p.cartesian_distance_cost_scale
+
+
+def _matrix_sig_params(p: "ADCParameters") -> tuple:
+    """``cartesian_dist_sig_parameters`` adjusted for FULL-distance-matrix
+    rows: the high-D sig scales by ``sqrt(2)`` because every unordered pair
+    appears twice in a matrix row (diagonal zero), so row-space distances
+    are exactly ``sqrt(2)`` x the triu form's, and sketch-map's sigmoid
+    absorbs that via ``sig(sqrt(2) r; sqrt(2) sig, a, b) == sig(r; sig, a,
+    b)`` (full proof in :func:`cartesian_distance_loss_matrix`). The low-D
+    triplet is latent-space and unscaled. Single-sourced here because the
+    matrix/analytic/blocked routes must stay exactly equivalent."""
+    from math import sqrt
+
+    sig_h, a_h, b_h, sig_l, a_l, b_l = p.cartesian_dist_sig_parameters
+    return (sig_h * sqrt(2.0), a_h, b_h, sig_l, a_l, b_l)
 
 
 def soft_start_scale(p: ADCParameters, step: Array) -> Array:
@@ -289,8 +300,6 @@ def cartesian_losses_analytic(
             coordinates. No gradient flows to the input side.
         latent: ``(B, d)`` latent points for the CA-pair sigmoid loss.
     """
-    from math import sqrt
-
     from .ops.blocked_cartesian import sigmoid_from_gram
     from .ops.cartesian_analytic import (
         cartesian_cost_analytic,
@@ -312,9 +321,8 @@ def cartesian_losses_analytic(
 
     if p.cartesian_distance_cost_scale is None:
         return cart, jnp.asarray(0.0, jnp.float32)
-    sig_h, a_h, b_h, sig_l, a_l, b_l = p.cartesian_dist_sig_parameters
-    params = (sig_h * sqrt(2.0), a_h, b_h, sig_l, a_l, b_l)
-    cdist = sigmoid_from_gram(input_row_gram(inp_xyz), latent, params)
+    cdist = sigmoid_from_gram(input_row_gram(inp_xyz), latent,
+                              _matrix_sig_params(p))
     return cart, cdist * p.cartesian_distance_cost_scale
 
 
@@ -337,8 +345,6 @@ def cartesian_losses_blocked(
             coordinates.
         latent: ``(B, d)`` latent points for the CA-pair sigmoid loss.
     """
-    from math import sqrt
-
     from .ops.blocked_cartesian import blocked_cartesian_terms, sigmoid_from_gram
 
     want_sigmoid = p.cartesian_distance_cost_scale is not None
@@ -359,9 +365,7 @@ def cartesian_losses_blocked(
 
     if not want_sigmoid:
         return cart, jnp.asarray(0.0, jnp.float32)
-    sig_h, a_h, b_h, sig_l, a_l, b_l = p.cartesian_dist_sig_parameters
-    params = (sig_h * sqrt(2.0), a_h, b_h, sig_l, a_l, b_l)
-    cdist = sigmoid_from_gram(gram, latent, params)
+    cdist = sigmoid_from_gram(gram, latent, _matrix_sig_params(p))
     return cart, cdist * p.cartesian_distance_cost_scale
 
 

@@ -358,11 +358,35 @@ def plot_model(model, input_dim=None):
     ax.set_ylim(-1, 1)
     ax.axis("off")
     ax.set_title(f"{type(model).__name__} layer stack")
-    import tempfile
-
-    out = tempfile.NamedTemporaryFile(suffix=".png", delete=False).name
+    out = _session_tmpfile(".png")
     fig.savefig(out, dpi=120, bbox_inches="tight")
     return out
+
+
+def _session_tmpfile(suffix: str) -> str:
+    """Path to a fresh temp file that is removed at interpreter exit.
+
+    ``NamedTemporaryFile(delete=False)`` alone leaks one file per call —
+    in a long notebook session looping ``show_traj``/``plot_model`` over
+    ensemble members that is unbounded /tmp growth. The consumers only
+    need the file for the current session (nglview reads it once; the
+    image callback re-reads within the run), so exit-time cleanup bounds
+    the leak without invalidating live paths."""
+    import atexit
+    import os
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    f.close()
+
+    def _cleanup(path=f.name):
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
+    return f.name
 
 
 @_contextmanager

@@ -54,6 +54,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .distances import component_plane_dists, sqrt_guard
+
 __all__ = ["blocked_cartesian_terms", "sigmoid_from_gram", "MIN_BLOCKED_ATOMS"]
 
 Array = jax.Array
@@ -71,28 +73,11 @@ MIN_BLOCKED_ATOMS = 1536
 _HIGH = jax.lax.Precision.HIGH
 
 
-def _sqrt_guard(d2: Array) -> Array:
-    """sqrt with an exact zero (and zero gradient) at d2 == 0 — the same
-    guard ``ops.distances.pairwise_dist`` applies, so blocked and dense
-    paths agree on the diagonal."""
-    mask = (d2 == 0.0).astype(d2.dtype)
-    return jnp.sqrt(d2 + mask * 1e-16) * (1.0 - mask)
-
-
 def _row_dists(blk: Array, full: Array) -> Array:
     """Distances from a row-block of atoms to ALL atoms: (B, R, n).
-
-    Component-wise planes (three (B, R, n) broadcasts) rather than a
-    stacked (B, R, n, 3) difference tensor — the trailing dim of 3 would
-    idle 125/128 TPU lanes (measured 58x on the backmap scan; same layout
-    rule as ``ops.distances.pairwise_dist``'s direct path).
-    """
-    d2 = None
-    for c in range(3):
-        diff = blk[..., c][:, :, None] - full[..., c][:, None, :]
-        sq = diff * diff
-        d2 = sq if d2 is None else d2 + sq
-    return _sqrt_guard(d2)
+    Component-plane layout + the shared :func:`ops.distances.sqrt_guard`
+    convention, so blocked and dense paths agree on the diagonal."""
+    return component_plane_dists(blk, full)
 
 
 def blocked_cartesian_terms(
@@ -190,7 +175,7 @@ def sigmoid_from_gram(gram: Array, latent: Array, params: tuple) -> Array:
     s = jnp.diagonal(gram)
     d2 = jnp.maximum(s[:, None] + s[None, :] - 2.0 * gram, 0.0)
     d2 = d2 * (1.0 - jnp.eye(d2.shape[0], dtype=d2.dtype))
-    dist_h = _sqrt_guard(d2)
+    dist_h = sqrt_guard(d2)
     dist_l = pairwise_dist(latent)
     return jnp.mean(
         jnp.square(

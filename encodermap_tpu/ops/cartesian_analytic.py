@@ -50,6 +50,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .distances import component_plane_dists, sqrt_guard
+
 __all__ = ["cartesian_cost_analytic", "input_row_gram", "MIN_ANALYTIC_ATOMS"]
 
 Array = jax.Array
@@ -64,24 +66,11 @@ MIN_ANALYTIC_ATOMS = 320
 _HIGH = jax.lax.Precision.HIGH
 
 
-def _sqrt_guard(d2: Array) -> Array:
-    """sqrt with an exact zero (and zero gradient) at d2 == 0 — the same
-    diagonal convention as ``ops.distances.pairwise_dist``."""
-    mask = (d2 == 0.0).astype(d2.dtype)
-    return jnp.sqrt(d2 + mask * 1e-16) * (1.0 - mask)
-
-
 def _dmat(x: Array) -> Array:
-    """(B, n, n) pairwise distances as component-plane expressions (three
-    (B, n, n) broadcasts — a stacked (B, n, n, 3) difference tensor would
-    idle 125/128 lanes). XLA fuses this into its consumers; nothing here
-    forces a materialization."""
-    d2 = None
-    for c in range(3):
-        diff = x[..., c][:, :, None] - x[..., c][:, None, :]
-        sq = diff * diff
-        d2 = sq if d2 is None else d2 + sq
-    return _sqrt_guard(d2)
+    """(B, n, n) pairwise distances; component-plane layout + the shared
+    :func:`ops.distances.sqrt_guard` diagonal convention (single-sourced —
+    the dense-vs-analytic loss equality depends on it)."""
+    return component_plane_dists(x, x)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

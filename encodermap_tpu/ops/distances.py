@@ -35,9 +35,39 @@ __all__ = [
     "pairwise_dist",
     "pairwise_dist_periodic",
     "triu_indices_mask",
+    "sqrt_guard",
+    "component_plane_dists",
 ]
 
 Array = jax.Array
+
+
+def sqrt_guard(d2: Array) -> Array:
+    """``sqrt(d2)`` with an exact zero value AND zero gradient where
+    ``d2 == 0`` (+1e-16 under the mask, then re-zero). This is THE diagonal
+    convention of every distance-matrix producer in the package
+    (:func:`pairwise_dist`, ``ops.cartesian_analytic``,
+    ``ops.blocked_cartesian``) — single-sourced because the
+    dense-vs-analytic-vs-blocked loss-equality guarantees depend on all
+    paths guarding identically."""
+    mask = (d2 == 0.0).astype(d2.dtype)
+    return jnp.sqrt(d2 + mask * 1e-16) * (1.0 - mask)
+
+
+def component_plane_dists(a: Array, b: Array) -> Array:
+    """Euclidean distances ``(..., R, n)`` between the length-3 rows of
+    ``a`` ``(..., R, 3)`` and ``b`` ``(..., n, 3)``, accumulated as three
+    component-plane broadcasts: a stacked ``(..., R, n, 3)`` difference
+    tensor would put the 3 in the TPU lane axis and idle 125/128 lanes
+    (measured 58x on the backmap scan). XLA fuses the planes into the
+    consumer; nothing here forces a materialization. Shares
+    :func:`sqrt_guard`'s diagonal convention."""
+    d2 = None
+    for c in range(3):
+        diff = a[..., c][..., :, None] - b[..., c][..., None, :]
+        sq = diff * diff
+        d2 = sq if d2 is None else d2 + sq
+    return sqrt_guard(d2)
 
 
 def sigmoid(sig: float, a: float, b: float) -> Callable[[Array], Array]:
@@ -133,8 +163,7 @@ def pairwise_dist_periodic(positions: Array, periodicity: float) -> Array:
         d2 = jnp.maximum(delta2 - corr, 0.0)
         n = d2.shape[0]
         d2 = d2 * (1.0 - jnp.eye(n, dtype=d2.dtype))
-        mask = (d2 == 0.0).astype(d2.dtype)
-        return jnp.sqrt(d2 + mask * 1e-16) * (1.0 - mask) + 1e-12
+        return sqrt_guard(d2) + 1e-12
     vecs = periodic_distance(
         positions[:, None, :], positions[None, :, :], periodicity
     )
@@ -251,7 +280,4 @@ def pairwise_dist(
     if squared:
         return d2
 
-    # sqrt grad guard: +1e-16 where exactly zero, then re-zero those entries.
-    mask = (d2 == 0.0).astype(d2.dtype)
-    d = jnp.sqrt(d2 + mask * 1e-16)
-    return d * (1.0 - mask)
+    return sqrt_guard(d2)

@@ -434,13 +434,45 @@ def mdtraj_backmapping(
         sidechain_dihedrals = np.atleast_2d(
             np.asarray(sidechain_dihedrals, np.float32)
         )
-    if angle_type == "degree":
+    # unit sanity checks mirror the reference (backmapping.py:1232-1274):
+    # radians must stay within pi; degrees must have SOME value above pi
+    # (an all-<=pi "degree" array is almost certainly radians mislabeled)
+    if angle_type == "radian":
+        if np.any(dihedrals > np.pi):
+            raise ValueError(
+                "angle_type='radian', but some dihedrals are greater than "
+                "pi — they look like degrees"
+            )
+        if sidechain_dihedrals is not None and np.any(
+                sidechain_dihedrals > np.pi):
+            raise ValueError(
+                "angle_type='radian', but some sidechain dihedrals are "
+                "greater than pi — they look like degrees"
+            )
+    elif angle_type == "degree":
+        if np.all(dihedrals <= np.pi):
+            raise ValueError(
+                "angle_type='degree', but none of the dihedrals are "
+                "greater than pi — they look like radians"
+            )
         dihedrals = np.radians(dihedrals)
         if sidechain_dihedrals is not None:
+            if np.all(sidechain_dihedrals <= np.pi):
+                raise ValueError(
+                    "angle_type='degree', but none of the sidechain "
+                    "dihedrals are greater than pi — they look like radians"
+                )
             sidechain_dihedrals = np.radians(sidechain_dihedrals)
-    elif angle_type != "radian":
+    else:
         raise ValueError(f"angle_type must be 'radian'/'degree', "
                          f"got {angle_type!r}")
+    if (sidechain_dihedrals is not None
+            and len(dihedrals) != len(sidechain_dihedrals)):
+        raise ValueError(
+            f"The number of provided dihedrals ({len(dihedrals)}) and "
+            f"sidechain dihedrals ({len(sidechain_dihedrals)}) must be "
+            f"the same."
+        )
 
     # --- map columns onto quadruplets ----------------------------------
     from ..loading.features import CentralDihedrals

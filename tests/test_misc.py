@@ -755,6 +755,52 @@ class TestTrajRotate:
                 trajs=TrajEnsemble([t]), dihedrals=np.zeros((1, 3))
             )
 
+    def test_angle_type_unit_sanity(self):
+        """The reference refuses unit-mislabeled dihedrals
+        (``misc/backmapping.py:1232-1281``, mirrored from its
+        ``test_backmapping_em1_em2.py`` deg/rad case matrix): radian input
+        must stay within pi, degree input must exceed pi somewhere, and
+        dihedrals/sidechain_dihedrals must agree on the frame count."""
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+        from encodermap_tpu.loading.features import (
+            CentralDihedrals,
+            SideChainDihedrals,
+        )
+        from encodermap_tpu.misc.backmapping_offline import mdtraj_backmapping
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        trajs = TrajEnsemble([t])
+        n_c = len(CentralDihedrals(t.top)._indices)
+        n_s = len(SideChainDihedrals(t.top)._indices)
+        rng = np.random.default_rng(3)
+        rad_c = rng.uniform(-np.pi, np.pi, (4, n_c)).astype(np.float32)
+        rad_s = rng.uniform(-np.pi, np.pi, (4, n_s)).astype(np.float32)
+        deg_c = np.degrees(rad_c)
+        deg_s = np.degrees(rad_s)
+
+        with pytest.raises(ValueError, match="look like degrees"):
+            mdtraj_backmapping(trajs=trajs, dihedrals=deg_c,
+                               sidechain_dihedrals=deg_s)
+        with pytest.raises(ValueError, match="look like radians"):
+            mdtraj_backmapping(trajs=trajs, dihedrals=rad_c,
+                               sidechain_dihedrals=rad_s,
+                               angle_type="degree")
+        # valid central block but mislabeled sidechains still raises
+        with pytest.raises(ValueError, match="sidechain"):
+            mdtraj_backmapping(trajs=trajs, dihedrals=rad_c,
+                               sidechain_dihedrals=deg_s)
+        with pytest.raises(ValueError, match="must be the same"):
+            mdtraj_backmapping(trajs=trajs, dihedrals=deg_c,
+                               sidechain_dihedrals=deg_s[:2],
+                               angle_type="degree")
+        out = mdtraj_backmapping(trajs=trajs, dihedrals=deg_c,
+                                 sidechain_dihedrals=deg_s,
+                                 angle_type="degree")
+        out_rad = mdtraj_backmapping(trajs=trajs, dihedrals=rad_c,
+                                     sidechain_dihedrals=rad_s)
+        # f32 deg<->rad rounding amplifies through the rotation chain
+        np.testing.assert_allclose(out, out_rad, atol=1e-4)
+
     def test_top_int_indexes_lists_and_single_trajs(self):
         """top=<int> must index plain lists like TrajEnsembles, and pair
         sanely with a bare SingleTraj (ADVICE r3)."""

@@ -900,6 +900,24 @@ class TestTfDataset:
         b = next(iter(trajs.tf_dataset(4, deterministic=True)))
         np.testing.assert_array_equal(a[1].numpy(), b[1].numpy())
 
+    def test_shuffled_batches_keep_frame_correspondence(self, trajs):
+        """Shuffling must permute FRAMES, not each CV independently: every
+        batch row's angle/dihedral pair must come from the same source
+        frame (the reference's
+        ``test_shuffled_multi_tensor_dataset_returns_correct_order``,
+        ``tests/test_autoencoder.py:1504``)."""
+        ang_src = trajs.CVs["central_angles"]
+        dih_src = trajs.CVs["central_dihedrals"]
+        ds = trajs.tf_dataset(8, CV_names=["central_angles",
+                                           "central_dihedrals"])
+        ang, dih = (t.numpy() for t in next(iter(ds)))
+        for row_a, row_d in zip(ang, dih):
+            matches = np.where((ang_src == row_a).all(axis=1))[0]
+            assert len(matches), "batch row not found in source CVs"
+            assert any(
+                np.array_equal(dih_src[m], row_d) for m in matches
+            ), "angle and dihedral rows come from different frames"
+
     def test_lazy_source_closed_after_spec_sampling(self, trajs, tmp_path,
                                                     monkeypatch):
         """Constructing the dataset on a disk-backed ensemble must not

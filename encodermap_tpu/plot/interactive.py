@@ -65,13 +65,12 @@ class InteractivePlotting:
             highd_data = data
 
         def _cv(name):
+            # trajs is always a TrajEnsemble here (bare SingleTrajs are
+            # wrapped above), so ensemble .CVs is the only lookup needed
             if trajs is None:
                 return None
-            cvs = getattr(trajs, "_CVs", None)
-            if cvs is not None and name in cvs:  # SingleTraj
-                return np.asarray(cvs[name])
             try:
-                return np.asarray(trajs.CVs[name])  # TrajEnsemble
+                return np.asarray(trajs.CVs[name])
             except (KeyError, AttributeError, TypeError):
                 return None
 
@@ -255,24 +254,11 @@ class DistanceHistogramInteractive:
         low_d_max: float = 5.0,
         bins: Union[int, str] = "auto",
     ) -> None:
-        from ..ops.distances import pairwise_dist, pairwise_dist_periodic
+        from .plotting import _subsampled_pdists
 
         data = np.asarray(data, np.float32)
         assert not np.any(np.isnan(data)), "You provided some nans."
-        # the histogram needs a representative sample, not every frame:
-        # the periodic branch materializes an (n, n) matrix, which at
-        # routine trajectory sizes (1e5 frames) would be tens of GB
-        if len(data) > 1000:
-            data = data[np.linspace(0, len(data) - 1, 1000).astype(int)]
-        if periodicity == float("inf"):
-            d = np.asarray(pairwise_dist(data, flat=True))[0]
-        else:
-            import jax.numpy as jnp
-
-            full = np.asarray(pairwise_dist_periodic(jnp.asarray(data),
-                                                     periodicity))
-            d = full[np.triu_indices(len(data), k=1)]
-        self.distances = d
+        self.distances = _subsampled_pdists(data, periodicity)
         self.low_d_max = low_d_max
         self.bins = bins
         self.params = tuple(initial_guess or (4.5, 12, 6, 1, 2, 6))

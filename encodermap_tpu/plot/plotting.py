@@ -101,7 +101,10 @@ def plot_ramachandran(
     ``(2, n_frames, n_angles)`` array (reference order: psi first), or a
     SingleTraj, whose phi/psi torsions are computed on the fly.
     ``subsample`` thins the frame axis the reference way: an int keeps
-    one frame, a slice/index array selects frames.
+    every Nth frame (``psi[::subsample]``), a slice/index array selects
+    frames. Degree-valued input is auto-detected like the reference
+    (``np.all(psi < 4)`` -> radians, else degrees, ``plotting.py:2298``)
+    and plotted on a ``[-180, 180]`` range.
     """
     plt = _mpl()
     if psi is None:
@@ -135,22 +138,49 @@ def plot_ramachandran(
         fig, ax = plt.subplots()
     else:
         fig = ax.figure
+    # deg-vs-rad auto-detect, reference plotting.py:2298: radians never
+    # exceed pi, degree data essentially always does
+    lim = np.pi if np.all(psi < 4) else 180.0
+    unit = "rad" if lim == np.pi else "deg"
     ax.hist2d(
         np.asarray(phi).ravel(),
         np.asarray(psi).ravel(),
         bins=bins,
-        range=[[-np.pi, np.pi], [-np.pi, np.pi]],
+        range=[[-lim, lim], [-lim, lim]],
         cmap="viridis",
     )
-    ax.set_xlabel(r"$\phi$ / rad")
-    ax.set_ylabel(r"$\psi$ / rad")
-    ax.set_xlim(-np.pi, np.pi)
-    ax.set_ylim(-np.pi, np.pi)
+    ax.set_xlabel(rf"$\phi$ / {unit}")
+    ax.set_ylabel(rf"$\psi$ / {unit}")
+    ax.set_xlim(-lim, lim)
+    ax.set_ylim(-lim, lim)
     if save_path:
         fig.savefig(save_path, dpi=120)
         plt.close(fig)
         return str(save_path)
     return ax
+
+
+def _subsampled_pdists(
+    data: np.ndarray, periodicity: float, max_frames: int = 1000
+) -> np.ndarray:
+    """Condensed pairwise distances of an evenly-thinned frame sample —
+    shared by the static (:func:`distance_histogram`) and interactive
+    (``DistanceHistogramInteractive``) sigmoid-tuning histograms so both
+    use THE same distance conventions (:mod:`..ops.distances`, incl. its
+    zero-distance guards). The periodic branch materializes an ``(n, n)``
+    matrix, so the sample is capped at ``max_frames`` (at routine
+    trajectory sizes, 1e5 frames, the full matrix would be tens of GB)."""
+    from ..ops.distances import pairwise_dist, pairwise_dist_periodic
+
+    data = np.asarray(data, np.float32)
+    if len(data) > max_frames:
+        data = data[np.linspace(0, len(data) - 1, max_frames).astype(int)]
+    if periodicity == float("inf"):
+        return np.asarray(pairwise_dist(data, flat=True))[0]
+    import jax.numpy as jnp
+
+    full = np.asarray(pairwise_dist_periodic(jnp.asarray(data), periodicity))
+    return full[np.triu_indices(len(data), k=1)]
 
 
 def distance_histogram(
@@ -169,23 +199,8 @@ def distance_histogram(
     """
     plt = _mpl()
     from ..ops.distances import sigmoid
-    from scipy.spatial.distance import pdist
 
-    data = np.asarray(data)
-    if len(data) > 1000:
-        data = data[np.linspace(0, len(data) - 1, 1000).astype(int)]
-    if periodicity == float("inf"):
-        dists = pdist(data)
-    else:
-        # periodic pdist, accumulated per dimension: one (n, n, n_dims)
-        # broadcast would be ~2.4 GB for 1000 frames of a 307-dim CV
-        n = len(data)
-        sq = np.zeros((n, n), np.float64)
-        for k in range(data.shape[1]):
-            d = np.abs(data[:, None, k] - data[None, :, k])
-            d = np.minimum(d, periodicity - d)
-            sq += d * d
-        dists = np.sqrt(sq[np.triu_indices(n, 1)])
+    dists = _subsampled_pdists(data, periodicity)
 
     sig_h, a_h, b_h, sig_l, a_l, b_l = sigmoid_parameters
     fig, axes = plt.subplots(1, 2, figsize=(10, 4))
@@ -319,13 +334,26 @@ def plot_trajs_by_parameter(
                                save_path=save_path)
 
 
-_DSSP_COLORS_SIMPLE = {"H": (0.0, 0.0, 1.0), "E": (1.0, 0.0, 0.0),
-                       "C": (1.0, 1.0, 1.0), "NA": (0.8, 0.8, 0.8)}
-_DSSP_COLORS_FULL = {
-    "H": (0.0, 0.0, 1.0), "B": (0.0, 0.0, 0.0), "E": (1.0, 0.0, 0.0),
-    "G": (0.5, 0.5, 0.5), "I": (0.0, 1.0, 1.0), "T": (0.0, 1.0, 0.0),
-    "S": (1.0, 0.0, 1.0), " ": (1.0, 1.0, 1.0), "NA": (0.8, 0.8, 0.8),
+# THE dssp color convention (reference ``plotting.py:2462-2516``); also
+# consumed by ``dssp_to_rgb`` below so the map figure and the rgb helper
+# can never disagree on a code's color.
+_DSSP_RGB = {
+    " ": (1.0, 1.0, 1.0),
+    "B": (0.0, 0.0, 0.0),
+    "E": (1.0, 0.0, 0.0),
+    "G": (0.5, 0.5, 0.5),
+    "H": (0.0, 0.0, 1.0),
+    "I": (0.0, 1.0, 1.0),
+    "S": (0.0, 1.0, 0.0),
+    "T": (1.0, 1.0, 0.0),
 }
+_DSSP_RGB_SIMPLIFIED = {
+    "C": (1.0, 1.0, 1.0),
+    "E": (1.0, 0.0, 0.0),
+    "H": (0.0, 0.0, 1.0),
+}
+_DSSP_COLORS_SIMPLE = {**_DSSP_RGB_SIMPLIFIED, "NA": (0.8, 0.8, 0.8)}
+_DSSP_COLORS_FULL = {**_DSSP_RGB, "NA": (0.8, 0.8, 0.8)}
 _DSSP_NAMES_SIMPLE = {"H": "Helical", "E": "Extended", "C": "Coil"}
 _DSSP_NAMES_FULL = {
     "H": "Alpha-helix", "B": "Isolated beta-bridge", "E": "Extended beta-ladder",
@@ -371,7 +399,8 @@ def plot_dssp(
     labels = np.array(
         [f"{r.name}{r.resSeq}" for r in traj.top.residues], dtype=object
     )
-    if residue_subsample > -1 and len(residues) > residue_subsample:
+    # <= 0 keeps every label (0 used to divide by zero)
+    if residue_subsample > 0 and len(residues) > residue_subsample:
         step = max(1, len(residues) // residue_subsample)
         residues, labels = residues[::step], labels[::step]
     ax.set_yticks(residues)
@@ -448,16 +477,23 @@ def plot_ball_and_stick(
         ax = fig.add_subplot(projection="3d")
     else:
         fig = ax.figure
-    for a, b in bonds:
-        seg = xyz[[a, b]]
-        accent = highlight == "bonds" or (
-            accent_atoms[a] and accent_atoms[b]
-        )
-        ax.plot(
-            seg[:, 0], seg[:, 1], seg[:, 2],
-            color="C1" if accent else "0.5",
-            lw=2.4 if accent else 1.2, zorder=1,
-        )
+    # two batched Line3DCollections (plain + accented) instead of one
+    # Line3D artist per bond: a 2000-bond protein renders in one draw call
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    bonds = np.asarray(list(bonds), int).reshape(-1, 2)
+    if len(bonds):
+        if highlight == "bonds":
+            accent_mask = np.ones(len(bonds), bool)
+        else:
+            accent_mask = (accent_atoms[bonds[:, 0]]
+                           & accent_atoms[bonds[:, 1]])
+        segs = xyz[bonds]  # (n_bonds, 2, 3)
+        for mask, color, lw in ((~accent_mask, "0.5", 1.2),
+                                (accent_mask, "C1", 2.4)):
+            if mask.any():
+                ax.add_collection3d(Line3DCollection(
+                    segs[mask], colors=color, linewidths=lw, zorder=1))
     colors = [
         _ELEMENT_COLORS.get(a.element.upper(), (0.6, 0.2, 0.6))
         for a in top.atoms
@@ -548,10 +584,26 @@ def render_vmd(
                 "{animate goto $i; mol ssrecalc top}"
             )
         lines += list(additional_lines)
+    # renderer mapping follows the reference (plotting.py:2780-2795):
+    # 'snapshot' must use TachyonInternal — a literal 'render snapshot'
+    # grabs the OpenGL window, which does not exist under the headless
+    # `vmd -dispdev text` invocation below
     if renderer == "tachyon":
         lines.append(f"render Tachyon {image_base}.dat")
+    elif renderer == "snapshot":
+        lines.append("render aasamples TachyonInternal 6")
+        lines.append(f"render TachyonInternal {image_base}.tga")
+    elif renderer == "STL":
+        lines.append("axes location off")
+        lines.append(f"render STL {image_base}.stl")
+    elif renderer == "Wavefront":
+        lines.append("axes location off")
+        lines.append(f"render Wavefront {image_base}.obj")
     else:
-        lines.append(f"render snapshot {image_base}.tga")
+        raise NotImplementedError(
+            f"renderer must be one of 'tachyon', 'snapshot', 'STL', "
+            f"'Wavefront'; got {renderer!r}"
+        )
     lines.append("exit")
     script_path.write_text("\n".join(filter(None, lines)) + "\n")
 
@@ -566,6 +618,10 @@ def render_vmd(
 
     subprocess.run([vmd, "-dispdev", "text", "-e", str(script_path)],
                    check=True, capture_output=True)
+    if renderer == "STL":
+        return str(Path(f"{image_base}.stl"))
+    if renderer == "Wavefront":
+        return str(Path(f"{image_base}.obj"))
     if renderer == "tachyon":
         tachyon = shutil.which("tachyon")
         if tachyon is None:
@@ -647,19 +703,30 @@ def get_histogram(
     transpose: bool = False,
     return_edges: bool = False,
 ):
-    """2D histogram with bin-center meshgrids (reference
-    ``plotting.py:115-194``)."""
+    """2D histogram with 1-D bin-center arrays, exactly the reference's
+    return contract (``plotting.py:115-194``): ``(xcenters, ycenters, H)``,
+    or ``(xcenters, ycenters, xedges, yedges, H)`` with ``return_edges``.
+
+    Examples:
+        >>> import numpy as np
+        >>> from encodermap_tpu.plot import get_histogram
+        >>> x, y = np.random.uniform(size=(2, 500))
+        >>> xcenters, ycenters, H = get_histogram(x, y)
+        >>> xcenters.shape
+        (100,)
+        >>> H.shape
+        (100, 100)
+    """
     H, xedges, yedges = np.histogram2d(x, y, bins=bins, weights=weights)
     if avoid_zero_count:
         H = np.maximum(H, np.min(H[H.nonzero()]))
     xcenters = (xedges[:-1] + xedges[1:]) / 2
     ycenters = (yedges[:-1] + yedges[1:]) / 2
-    X, Y = np.meshgrid(xcenters, ycenters)
     if transpose:
         H = H.T
     if return_edges:
-        return X, Y, H, xedges, yedges
-    return X, Y, H
+        return xcenters, ycenters, xedges, yedges, H
+    return xcenters, ycenters, H
 
 
 def to_density(H: np.ndarray) -> np.ndarray:
@@ -680,15 +747,17 @@ def to_free_energy(D: np.ndarray, kT: float = 1.0) -> np.ndarray:
 def get_density(x, y, bins: int = 100, weights=None,
                 avoid_zero_count: bool = False, transpose: bool = False):
     """2D density (reference ``plotting.py:195-226``)."""
-    X, Y, H = get_histogram(x, y, bins, weights, avoid_zero_count, transpose)
-    return X, Y, to_density(H)
+    xc, yc, H = get_histogram(x, y, bins, weights, avoid_zero_count,
+                              transpose)
+    return xc, yc, to_density(H)
 
 
 def get_free_energy(x, y, bins: int = 100, weights=None, kT: float = 1.0,
                     avoid_zero_count: bool = False, transpose: bool = True):
     """2D free-energy surface (reference ``plotting.py:268-310``)."""
-    X, Y, D = get_density(x, y, bins, weights, avoid_zero_count, transpose)
-    return X, Y, to_free_energy(D, kT)
+    xc, yc, D = get_density(x, y, bins, weights, avoid_zero_count,
+                            transpose)
+    return xc, yc, to_free_energy(D, kT)
 
 
 def plot_raw_data(
@@ -799,26 +868,6 @@ _DSSP_TEXT = {
     "T": "Hydrogen bonded Turn",
 }
 _DSSP_TEXT_SIMPLIFIED = {"C": "Coil", "E": "Extended", "H": "Helical"}
-
-#: DSSP code -> display color, matching the reference's scheme
-#: (``plot/plotting.py:2462-2516``): coil white, sheet red, helix blue,
-#: bridge black, 3/10 grey, pi cyan, bend green, turn yellow.
-_DSSP_RGB = {
-    " ": (1.0, 1.0, 1.0),
-    "B": (0.0, 0.0, 0.0),
-    "E": (1.0, 0.0, 0.0),
-    "G": (0.5, 0.5, 0.5),
-    "H": (0.0, 0.0, 1.0),
-    "I": (0.0, 1.0, 1.0),
-    "S": (0.0, 1.0, 0.0),
-    "T": (1.0, 1.0, 0.0),
-}
-_DSSP_RGB_SIMPLIFIED = {
-    "C": (1.0, 1.0, 1.0),
-    "E": (1.0, 0.0, 0.0),
-    "H": (0.0, 0.0, 1.0),
-}
-
 
 def dssp_to_text(val: str, simplified: bool = False) -> str:
     """Human-readable name of one DSSP code (simplified: C/E/H)."""

@@ -223,6 +223,45 @@ class TestPlotting:
         finally:
             plt.close(fig)
 
+    def test_ramachandran_degree_autodetect(self, tmp_path):
+        """Degree-valued dihedrals must land inside the hist range like the
+        reference (deg-vs-rad auto-detect at ``plotting.py:2298``) instead
+        of producing an empty [-pi, pi] plot."""
+        import matplotlib.pyplot as plt
+
+        from encodermap_tpu.plot import plot_ramachandran
+
+        rng = np.random.default_rng(4)
+        psi = np.degrees(rng.uniform(-3, 3, (20, 6)))
+        phi = np.degrees(rng.uniform(-3, 3, (20, 6)))
+        fig, ax = plt.subplots()
+        try:
+            plot_ramachandran((psi, phi), ax=ax)
+            counts = ax.collections[-1].get_array()
+            assert float(np.sum(counts)) == 20 * 6  # nothing clipped
+            assert ax.get_xlim() == (-180.0, 180.0)
+            assert "deg" in ax.get_xlabel()
+        finally:
+            plt.close(fig)
+
+    def test_dssp_color_tables_agree(self, tmp_path):
+        """plot_dssp's full-mode colors and dssp_to_rgb must be THE same
+        table (reference scheme: bend green, turn yellow), and
+        residue_subsample=0 must not divide by zero."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.plot import dssp_to_rgb, plot_dssp
+        from encodermap_tpu.plot.plotting import _DSSP_COLORS_FULL
+
+        for code in " BEGHIST":
+            assert _DSSP_COLORS_FULL[code] == dssp_to_rgb(code), code
+        assert dssp_to_rgb("S") == (0.0, 1.0, 0.0)  # bend green
+        assert dssp_to_rgb("T") == (1.0, 1.0, 0.0)  # turn yellow
+        traj = SingleTraj("/root/reference/tests/data/asp7.xtc",
+                          "/root/reference/tests/data/asp7.pdb")
+        out = plot_dssp(traj, simplified=False, residue_subsample=0,
+                        save_path=tmp_path / "dssp0.png")
+        assert Path(out).stat().st_size > 0
+
     def test_ball_and_stick_highlight_modes(self, tmp_path):
         """The reference's string highlight modes (``plotting.py:2236``)
         plus the legacy index-sequence form."""
@@ -253,6 +292,27 @@ class TestPlotting:
         txt = Path(out).read_text()
         assert "mol new" in txt and "render Tachyon" in txt
         assert "rotate x by 90" in txt and "mol ssrecalc" in txt
+
+        # snapshot must render via TachyonInternal — a literal 'render
+        # snapshot' grabs the (absent) OpenGL window under -dispdev text
+        # (reference plotting.py:2783); unknown renderers raise
+        out = render_vmd(
+            "/root/reference/tests/data/asp7.pdb", renderer="snapshot",
+            script_location=tmp_path / "snap.tcl", script_only=True,
+        )
+        snap = Path(out).read_text()
+        assert "render TachyonInternal" in snap
+        assert "render snapshot" not in snap
+        out = render_vmd(
+            "/root/reference/tests/data/asp7.pdb", renderer="STL",
+            script_location=tmp_path / "stl.tcl", script_only=True,
+        )
+        assert "render STL" in Path(out).read_text()
+        with pytest.raises(NotImplementedError, match="renderer"):
+            render_vmd("/root/reference/tests/data/asp7.pdb",
+                       renderer="povray",
+                       script_location=tmp_path / "bad.tcl",
+                       script_only=True)
 
     def test_interactive_bezier_path(self):
         """Bezier path mode: quadratic curve through control polygon
@@ -842,8 +902,12 @@ class TestPlottingBuildingBlocks:
                                          get_histogram, to_free_energy)
 
         x, y = rng.standard_normal((2, 500))
-        X, Y, H, xe, ye = get_histogram(x, y, bins=20, return_edges=True)
+        # reference return order (plotting.py:115-194): centers are 1-D and
+        # H comes LAST when edges are requested
+        xc, yc, xe, ye, H = get_histogram(x, y, bins=20, return_edges=True)
         assert H.sum() == 500 and len(xe) == 21
+        assert xc.shape == (20,) and yc.shape == (20,)
+        np.testing.assert_allclose(xc, (xe[:-1] + xe[1:]) / 2)
         _, _, D = get_density(x, y, bins=20)
         np.testing.assert_allclose(D.sum(), 1.0)
         _, _, F = get_free_energy(x, y, bins=20)

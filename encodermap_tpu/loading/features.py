@@ -161,6 +161,17 @@ class Feature:
                      "count_contacts", "deg", "mass_weighted"):
             if getattr(self, attr, None) != getattr(other, attr, None):
                 return False
+        # array-valued parameters describe() may not encode: the residue
+        # pair table of count_contacts residue-mindist features (its label
+        # is the same for every pair set) and AlignFeature's superposition
+        # atom selections (reference features.py:520-522 compares these)
+        for attr in ("contacts", "align_indices", "ref_align_indices"):
+            va, vb = getattr(self, attr, None), getattr(other, attr, None)
+            if (va is None) != (vb is None):
+                return False
+            if va is not None and not np.array_equal(
+                    np.asarray(va), np.asarray(vb)):
+                return False
         ra, rb = getattr(self, "ref", None), getattr(other, "ref", None)
         if (ra is None) != (rb is None):
             return False

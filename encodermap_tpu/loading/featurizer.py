@@ -40,9 +40,10 @@ ALL_FEATS = (
     "central_distances",
     "side_dihedrals",
 )
+# the reference's "full" set (featurizer.py:506-516) — nine classes; it
+# does NOT include AllBondDistances (only request that one by name)
 FULL_FEATS = ALL_FEATS + (
     "all_cartesians",
-    "all_distances",
     "side_cartesians",
     "side_distances",
     "side_angles",
@@ -106,9 +107,18 @@ class _FeatureList(list):
     (append/extend/insert/+=) funnel through the same guard."""
 
     def append(self, feature) -> None:
-        if any(feature == f for f in self):
-            import warnings
+        import warnings
 
+        if getattr(feature, "dimension", None) == 0:
+            # an empty/ineffective selection yields a 0-column CV; the
+            # reference warn-skips it (featurizer.py:633-638)
+            warnings.warn(
+                f"Given an empty feature (e.g. due to an empty/ineffective "
+                f"selection). Skipping it. Feature desc: "
+                f"{feature.describe()}"
+            )
+            return
+        if any(feature == f for f in self):
             warnings.warn(
                 f"Tried to re-add the same feature "
                 f"{feature.__class__.__name__}; skipping."
@@ -177,7 +187,16 @@ class SingleTrajFeaturizer:
             which = ALL_FEATS
         elif which == "full":
             which = FULL_FEATS
+        elif isinstance(which, str):
+            # a single feature name wraps into a list like the reference
+            # (featurizer.py:529) — otherwise the loop iterates characters
+            which = [which]
+        # the reference also accepts CamelCase class names
+        # (UNDERSCORE_MAPPING values, featurizer.py:501)
+        camel_to_key = {cls.__name__: key
+                        for key, cls in F.ADC_FEATURES.items()}
         for name in which:
+            name = camel_to_key.get(name, name)
             cls = F.ADC_FEATURES.get(name)
             if cls is None:
                 raise ValueError(
@@ -219,13 +238,20 @@ class SingleTrajFeaturizer:
                 )
             feature.name = f"CustomFeature_{feature.id}"
         else:
-            # subclasses without their own `name` get the class name, like
-            # the reference (featurizer.py:1607-1611); a read-only `name`
-            # property keeps its value
-            try:
-                feature.name = type(feature).__name__
-            except AttributeError:
-                pass
+            # subclasses KEEP a `name` they defined themselves (class- or
+            # instance-level), like the reference's hasattr guard
+            # (featurizer.py:603) — the CV key must stay the user's name;
+            # only unnamed subclasses get the class name
+            has_own_name = "name" in feature.__dict__ or any(
+                "name" in klass.__dict__
+                for klass in type(feature).__mro__
+                if klass not in (F.Feature, F.CustomFeature, object)
+            )
+            if not has_own_name:
+                try:
+                    feature.name = type(feature).__name__
+                except AttributeError:
+                    pass
         before = len(self.features)
         self.features.append(feature)  # warns + skips value-duplicates
         if (len(self.features) > before
@@ -270,11 +296,15 @@ class SingleTrajFeaturizer:
             F.InverseDistanceFeature(self.traj.top, atom_pairs, periodic)
         )
 
-    def add_contacts(self, indices, threshold: float = 0.45,
-                     periodic: bool = True, indices2=None) -> None:
+    def add_contacts(self, indices, indices2=None, threshold: float = 0.3,
+                     periodic: bool = True,
+                     count_contacts: bool = False) -> None:
+        # reference signature/defaults (featurizer.py:935): indices2 is the
+        # SECOND positional (pairs-from-two-groups form), threshold 0.3 nm
         atom_pairs = _parse_pairwise_input(indices, indices2)
         self.features.append(
-            F.ContactFeature(self.traj.top, atom_pairs, threshold, periodic)
+            F.ContactFeature(self.traj.top, atom_pairs, threshold, periodic,
+                             count_contacts)
         )
 
     def add_angles(self, indexes, deg: bool = False, cossin: bool = False,
@@ -433,10 +463,16 @@ class SingleTrajFeaturizer:
         return self.get_output_for(self.traj, ensemble=ensemble)
 
     def _get_runner(self):
-        # keyed on the feature objects' identities: adding, removing, or
-        # replacing a feature (self.features is a public list) invalidates
-        # the cached jitted program
-        key = tuple(id(f) for f in self.features)
+        # keyed on the feature objects' identities AND their index-table
+        # contents: adding/removing/replacing a feature invalidates the
+        # cached jitted program, and so does assigning through the public
+        # `indexes` setter (the runner bakes remapped copies of the
+        # tables in as constants — identity alone would serve stale rows)
+        key = tuple(
+            (id(f), None if getattr(f, "indices", None) is None
+             else hash(np.asarray(f.indices).tobytes()))
+            for f in self.features
+        )
         if self._runner is None or self._runner[0] != key:
             run, slice_xyz = make_feature_runner(self.features)
             # the snapshot keeps the keyed feature objects ALIVE: id() of
@@ -658,9 +694,23 @@ class EnsembleFeaturizer:
             f"{type(self).__name__!r} object has no attribute {name!r}"
         )
 
-    @property
     def n_features(self) -> int:
-        return len(self._calls)
+        """Number of active features per topology (a METHOD, like the
+        reference's ``featurizer.py:1908``), asserting every topology
+        carries the same count — NOT the number of recorded add_* calls
+        (one ``add_list_of_feats("all")`` call is five features)."""
+        counts = {
+            top: len(feat.features)
+            for top, feat in self._containers().items()
+        }
+        if not counts:
+            return 0
+        lengths = set(counts.values())
+        assert len(lengths) == 1, (
+            f"There are different numbers of features per topology: "
+            f"{ {str(k): v for k, v in counts.items()} }"
+        )
+        return lengths.pop()
 
     def _containers(self, ensemble: bool = False) -> dict:
         """Topology -> replayed :class:`SingleTrajFeaturizer` (the
@@ -703,8 +753,12 @@ class EnsembleFeaturizer:
         ensemble (reference ``featurizer.py:1810-1900``; the progress-bar
         arguments are accepted for signature parity)."""
         del outer_p, inner_p, inner_p_id
-        cache: dict = {}
-        feat = self._featurizer_for(traj, cache, ensemble=False)
+        # reuse the per-topology container cache (Topology compares by
+        # value): repeated transform() calls must not replay every
+        # recorded add_* (add_residue_mindist('all') is O(n_residues^2))
+        feat = self._containers(ensemble=False).get(traj.top)
+        if feat is None:  # a topology not in the ensemble
+            feat = self._featurizer_for(traj, {}, ensemble=False)
         return feat.transform(
             np.asarray(traj.xyz, np.float32), traj.unitcell_vectors
         )

@@ -729,3 +729,145 @@ class TestCustomFeatureReviewFixes:
         t = SingleTraj(DATA / "1am7_corrected_with_CVs.h5")
         # no .CVs / .n_frames touch first: attribute access still works
         assert t.x_and_y_coordinate.shape == (51, 2504, 2)
+
+
+class TestLoadingReviewWave:
+    """Regressions for the loading-package review wave (round 4): the
+    reference's add_contacts signature, add_list_of_feats string forms,
+    feature-equality blind spots, CustomFeature naming, n_features
+    semantics, runner-cache invalidation, empty-feature skipping, and the
+    'full' shortcut set (ground truth:
+    ``/root/reference/encodermap/loading/featurizer.py``)."""
+
+    def _traj(self):
+        return SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")
+
+    def test_add_contacts_reference_signature(self):
+        """indices2 is the SECOND positional (two-group form), threshold
+        defaults to 0.3 nm, count_contacts is supported
+        (reference ``featurizer.py:935``)."""
+        traj = self._traj()
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_contacts([0, 5], [40, 60])  # two groups, positionally
+        f = feat.features[-1]
+        assert f.threshold == 0.3
+        assert f._indices.shape == (4, 2)  # 2x2 group product
+        feat.add_contacts([[0, 40]], count_contacts=True)
+        out = feat.get_output()
+        counts = np.asarray(out["ContactFeature"])
+        assert counts.shape[-1] == 4 or counts.ndim == 2
+
+    def test_add_list_of_feats_single_string_and_camelcase(self):
+        """A single feature name wraps into a list (reference
+        ``featurizer.py:529``); CamelCase class names are accepted."""
+        traj = self._traj()
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_list_of_feats("central_dihedrals")
+        assert len(feat.features) == 1
+        feat2 = SingleTrajFeaturizer(traj)
+        feat2.add_list_of_feats(["CentralDihedrals", "side_dihedrals"])
+        assert [type(f).__name__ for f in feat2.features] == [
+            "CentralDihedrals", "SideChainDihedrals"]
+        with pytest.raises(ValueError, match="unknown feature"):
+            feat2.add_list_of_feats("bogus_name")
+
+    def test_full_shortcut_excludes_all_distances(self):
+        """The reference's 'full' set is nine classes WITHOUT
+        AllBondDistances (``featurizer.py:506-516``)."""
+        traj = self._traj()
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_list_of_feats("full")
+        names = {type(f).__name__ for f in feat.features}
+        assert "AllBondDistances" not in names
+        assert len(feat.features) == 9
+
+    def test_count_contacts_pair_tables_not_equal(self):
+        """Two count_contacts residue-mindist features over DIFFERENT
+        pair tables must not dedup-drop (their describe() is identical:
+        one 'counted' label)."""
+        import encodermap_tpu as em
+
+        traj = self._traj()
+        a = em.features.ResidueMinDistanceFeature(
+            traj.top, contacts=np.array([[0, 3]]), threshold=0.4,
+            count_contacts=True)
+        b = em.features.ResidueMinDistanceFeature(
+            traj.top, contacts=np.array([[0, 4]]), threshold=0.4,
+            count_contacts=True)
+        assert a != b
+        feat = SingleTrajFeaturizer(traj)
+        feat.features.append(a)
+        feat.features.append(b)
+        assert len(feat.features) == 2
+
+    def test_align_feature_indices_not_equal(self):
+        import encodermap_tpu as em
+
+        traj = self._traj()
+        ref_xyz = traj.xyz[0:1]
+        a = em.features.AlignFeature(traj.top, [0, 1, 2], ref_xyz,
+                                     atom_indices=[0, 1, 2])
+        b = em.features.AlignFeature(traj.top, [0, 1, 2], ref_xyz,
+                                     atom_indices=[3, 4, 5])
+        assert a != b
+
+    def test_custom_subclass_keeps_class_level_name(self):
+        """A subclass's own class-level ``name`` is the CV key (the
+        reference's hasattr guard, ``featurizer.py:603``)."""
+        import encodermap_tpu as em
+
+        traj = self._traj()
+
+        class Named(em.features.CustomFeature):
+            name = "my_cv"
+
+            def __init__(self, traj):
+                super().__init__(fun=None, dim=1)
+                self._traj = traj
+
+            def call(self, t):
+                return t.xyz[:, 0, :1].copy()
+
+            def describe(self):
+                return ["my label"]
+
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_custom_feature(Named(traj))
+        assert feat.features[-1].name == "my_cv"
+        out = feat.get_output()
+        assert "my_cv" in list(out)
+
+    def test_ensemble_n_features_counts_features_not_calls(self):
+        from encodermap_tpu.data.trajectory import TrajEnsemble
+        from encodermap_tpu.loading.featurizer import EnsembleFeaturizer
+
+        trajs = TrajEnsemble([self._traj()])
+        feat = EnsembleFeaturizer(trajs)
+        feat.add_list_of_feats("all")
+        assert feat.n_features() == 5  # one call, five features
+
+    def test_indexes_setter_invalidates_runner(self):
+        """Assigning a new index table through the public ``indexes``
+        setter must recompile the runner (its tables are baked-in
+        constants)."""
+        traj = self._traj()
+        feat = SingleTrajFeaturizer(traj)
+        feat.add_distances(np.array([[0, 5]]))
+        first = np.asarray(feat.get_output()["DistanceFeature"]).copy()
+        feat.features[0].indexes = np.array([[0, 40]])
+        second = np.asarray(feat.get_output()["DistanceFeature"])
+        assert not np.allclose(first, second)
+        from encodermap_tpu.ops.geometry import compute_distances
+        import jax.numpy as jnp
+
+        want = np.asarray(compute_distances(
+            jnp.asarray(traj.xyz), np.array([[0, 40]])))
+        np.testing.assert_allclose(second.squeeze(), want.squeeze(),
+                                   atol=1e-6)
+
+    def test_empty_feature_warn_skipped(self):
+        traj = self._traj()
+        feat = SingleTrajFeaturizer(traj)
+        with pytest.warns(UserWarning, match="empty feature"):
+            feat.add_angles(np.zeros((0, 3), np.int64))
+        assert len(feat.features) == 0

@@ -162,7 +162,15 @@ class CustomTopology:
         ct = cls(top)
         for resname, val in dict(custom).items():
             tables = val
-            if isinstance(val, tuple):
+            # yaml.safe_dump serializes the (code, tables) tuple as a
+            # 2-element list; accept both spellings so to_yaml/from_yaml
+            # round-trips residues that carry a one-letter code.
+            if isinstance(val, tuple) or (
+                isinstance(val, list)
+                and len(val) == 2
+                and (val[0] is None or isinstance(val[0], str))
+                and (val[1] is None or isinstance(val[1], dict))
+            ):
                 one_letter, tables = val
                 if one_letter:
                     ct._one_letter_codes[resname] = str(one_letter)
@@ -334,8 +342,11 @@ class CustomTopology:
             text = Path(text).read_text()
         data = yaml.safe_load(text)
         # yaml round-trips the not_* markers as True; from_custom_aas
-        # expects their presence only
+        # expects their presence only.  A (code, tables) tuple comes back
+        # as a 2-element list — normalize the nested tables dict too.
         for tbl in (data or {}).values():
+            if isinstance(tbl, list) and len(tbl) == 2:
+                tbl = tbl[1]
             if isinstance(tbl, dict):
                 for k in [k for k, v in tbl.items()
                           if k.startswith("not_") and v is True]:
@@ -367,7 +378,17 @@ class CustomTopology:
             return cls.from_json(top, f.attrs["custom_topology"])
 
     def _patched(self) -> "_PatchedTopology":
-        return self.apply()
+        """:meth:`apply`, memoized on the current definitions: the five
+        ``indices_chi1..5`` reads would otherwise rebuild the whole
+        patched topology (full residue/atom reconstruction + json
+        serialization) once each. The key is :meth:`to_json` so any
+        mutation (add_residue, override_dihedral, ...) invalidates."""
+        key = self.to_json()
+        cached = getattr(self, "_patched_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (key, self.apply())
+            self._patched_cache = cached
+        return cached[1]
 
     @property
     def indices_phi(self) -> np.ndarray:

@@ -986,6 +986,19 @@ class SingleTraj:
             raise IOError(
                 f"{path} already exists. Set overwrite=True to overwrite."
             )
+        # Validate the CVs argument BEFORE the file is opened (mode "w"
+        # truncates) — a typo'd name must not destroy an existing file.
+        if isinstance(CVs, (list, tuple)):
+            for name in CVs:
+                if name not in self._CVs:
+                    raise KeyError(
+                        f"CV {name!r} is not loaded on this trajectory "
+                        f"(have: {sorted(self._CVs.keys())})"
+                    )
+        elif CVs != "all":
+            raise ValueError(
+                f"CVs must be 'all' or a list of CV names, got {CVs!r}"
+            )
         self.load()
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(path, "w") as f:
@@ -2332,6 +2345,19 @@ class TrajEnsemble:
                 f"File {path} already exists. Set `overwrite` to True to "
                 f"overwrite."
             )
+        # Validate the CVs selection BEFORE the file is opened: mode "w"
+        # truncates, and a typo'd name must neither destroy an existing
+        # file nor leave some trajs' CV groups written and others not.
+        if isinstance(CVs, (list, tuple)) and not only_top:
+            for t in self.trajs:
+                if not len(t._CVs):
+                    continue
+                for name in CVs:
+                    if name not in t._CVs:
+                        raise KeyError(
+                            f"CV {name!r} is not loaded on traj "
+                            f"{t.traj_num} (have: {sorted(t._CVs.keys())})"
+                        )
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         # only_top bypasses the overwrite guard like the reference — which
         # is only safe because the reference APPENDS in that flow

@@ -438,29 +438,32 @@ def mdtraj_backmapping(
     # radians must stay within pi; degrees must have SOME value above pi
     # (an all-<=pi "degree" array is almost certainly radians mislabeled)
     if angle_type == "radian":
-        if np.any(dihedrals > np.pi):
+        # magnitude checks: signed comparisons (the reference's
+        # backmapping.py:1251 form) misclassify all-negative degree data
+        if np.any(np.abs(dihedrals) > np.pi):
             raise ValueError(
-                "angle_type='radian', but some dihedrals are greater than "
-                "pi — they look like degrees"
+                "angle_type='radian', but some dihedrals exceed pi in "
+                "magnitude — they look like degrees"
             )
         if sidechain_dihedrals is not None and np.any(
-                sidechain_dihedrals > np.pi):
+                np.abs(sidechain_dihedrals) > np.pi):
             raise ValueError(
-                "angle_type='radian', but some sidechain dihedrals are "
-                "greater than pi — they look like degrees"
+                "angle_type='radian', but some sidechain dihedrals exceed "
+                "pi in magnitude — they look like degrees"
             )
     elif angle_type == "degree":
-        if np.all(dihedrals <= np.pi):
+        if np.all(np.abs(dihedrals) <= np.pi):
             raise ValueError(
-                "angle_type='degree', but none of the dihedrals are "
-                "greater than pi — they look like radians"
+                "angle_type='degree', but none of the dihedrals exceed pi "
+                "in magnitude — they look like radians"
             )
         dihedrals = np.radians(dihedrals)
         if sidechain_dihedrals is not None:
-            if np.all(sidechain_dihedrals <= np.pi):
+            if np.all(np.abs(sidechain_dihedrals) <= np.pi):
                 raise ValueError(
                     "angle_type='degree', but none of the sidechain "
-                    "dihedrals are greater than pi — they look like radians"
+                    "dihedrals exceed pi in magnitude — they look like "
+                    "radians"
                 )
             sidechain_dihedrals = np.radians(sidechain_dihedrals)
     else:

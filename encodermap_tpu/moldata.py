@@ -25,7 +25,7 @@ class MolData:
         self.trajs = trajs
         needed = (
             "central_angles", "central_dihedrals", "central_cartesians",
-            "central_distances", "side_dihedrals",
+            "central_distances",
         )
         if not all(k in trajs.CVs for k in needed):
             trajs.load_CVs("all")
@@ -42,7 +42,15 @@ class MolData:
         )
         self.lengths = np.asarray(cvs["central_distances"])
         self.distances = self.lengths
-        self.sidedihedrals = np.asarray(cvs["side_dihedrals"])
+        if "side_dihedrals" in cvs:
+            self.sidedihedrals = np.asarray(cvs["side_dihedrals"])
+        else:
+            # chi-less peptides (e.g. poly-ALA/GLY) have no side
+            # dihedrals; the featurizer warn-skips the empty feature, and
+            # the reference TF1 MolData ends up with an empty array too
+            self.sidedihedrals = np.zeros(
+                (len(self.dihedrals), 0), np.float32
+            )
 
     def __len__(self) -> int:
         return len(self.dihedrals)

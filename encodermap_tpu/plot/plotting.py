@@ -102,9 +102,10 @@ def plot_ramachandran(
     SingleTraj, whose phi/psi torsions are computed on the fly.
     ``subsample`` thins the frame axis the reference way: an int keeps
     every Nth frame (``psi[::subsample]``), a slice/index array selects
-    frames. Degree-valued input is auto-detected like the reference
-    (``np.all(psi < 4)`` -> radians, else degrees, ``plotting.py:2298``)
-    and plotted on a ``[-180, 180]`` range.
+    frames. Degree-valued input is auto-detected by magnitude
+    (``np.all(|psi| < 4)`` -> radians, else degrees; the reference's
+    signed check at ``plotting.py:2298`` misreads all-negative degree
+    data) and plotted on a ``[-180, 180]`` range.
     """
     plt = _mpl()
     if psi is None:
@@ -138,9 +139,12 @@ def plot_ramachandran(
         fig, ax = plt.subplots()
     else:
         fig = ax.figure
-    # deg-vs-rad auto-detect, reference plotting.py:2298: radians never
-    # exceed pi, degree data essentially always does
-    lim = np.pi if np.all(psi < 4) else 180.0
+    # deg-vs-rad auto-detect: |radians| never exceed pi, degree data
+    # essentially always does.  The reference (plotting.py:2298) tests
+    # the SIGNED values (np.all(psi < 4)), which misreads all-negative
+    # degree data (a pure alpha-helix, psi ~ -47 deg) as radians and
+    # clips every point out of range — we use the magnitude instead.
+    lim = np.pi if np.all(np.abs(psi) < 4) else 180.0
     unit = "rad" if lim == np.pi else "deg"
     ax.hist2d(
         np.asarray(phi).ravel(),
@@ -169,18 +173,33 @@ def _subsampled_pdists(
     use THE same distance conventions (:mod:`..ops.distances`, incl. its
     zero-distance guards). The periodic branch materializes an ``(n, n)``
     matrix, so the sample is capped at ``max_frames`` (at routine
-    trajectory sizes, 1e5 frames, the full matrix would be tens of GB)."""
-    from ..ops.distances import pairwise_dist, pairwise_dist_periodic
+    trajectory sizes, 1e5 frames, the full matrix would be tens of GB).
 
-    data = np.asarray(data, np.float32)
+    Computed in host numpy (float64), NOT via the jitted
+    :mod:`..ops.distances` kernels: a plotting helper must stay instant,
+    and on this package's target environments an XLA compile per new
+    ``(n_frames, n_dims)`` shape costs seconds (CPU) to minutes (remote
+    TPU). The min-image + 1e-12 zero-guard conventions below mirror
+    :func:`..ops.distances.pairwise_dist_periodic` exactly; the
+    dimension loop keeps peak memory at one ``(n_pairs,)`` buffer per
+    dim instead of an ``(n, n, d)`` tensor."""
+    data = np.asarray(data, np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
     if len(data) > max_frames:
         data = data[np.linspace(0, len(data) - 1, max_frames).astype(int)]
-    if periodicity == float("inf"):
-        return np.asarray(pairwise_dist(data, flat=True))[0]
-    import jax.numpy as jnp
-
-    full = np.asarray(pairwise_dist_periodic(jnp.asarray(data), periodicity))
-    return full[np.triu_indices(len(data), k=1)]
+    iu, ju = np.triu_indices(len(data), k=1)
+    d2 = np.zeros(len(iu), np.float64)
+    periodic = np.isfinite(periodicity)
+    for k in range(data.shape[1]):
+        delta = np.abs(data[iu, k] - data[ju, k])
+        if periodic:
+            delta = np.minimum(delta, periodicity - delta)
+            # the reference's +1e-12 guard on exactly-zero components
+            delta = delta + (delta == 0.0) * 1e-12
+        d2 += np.square(delta)
+    dists = np.sqrt(d2)
+    return dists + 1e-12 if periodic else dists
 
 
 def distance_histogram(

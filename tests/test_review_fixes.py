@@ -2787,3 +2787,145 @@ class TestWave19NativeHardening:
             if backup is not None and not so.exists():
                 so.write_bytes(backup)
             B.load_library("xdr_xtc")
+
+
+class TestWave21Fixes:
+    """Round-4 continuation review wave: yaml code-tuple round-trip,
+    save() validate-before-truncate, magnitude-based unit guards,
+    host-numpy sigmoid-tuning distances, memoized topology patching."""
+
+    def test_custom_topology_yaml_roundtrip_with_code(self, tmp_path):
+        """to_yaml/from_yaml must round-trip residues WITH a one-letter
+        code: yaml serializes the (code, tables) tuple as a list, which
+        from_custom_aas previously fed to dict() and crashed."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        ct = CustomTopology.from_custom_aas(
+            t.top, {"ASP": ("D", {"CHI1": ["N", "CA", "CB", "CG"]})}
+        )
+        rt = CustomTopology.from_yaml(ct.to_yaml(), t.top)
+        assert rt._one_letter_codes == {"ASP": "D"}
+        assert rt._custom_chi["chi1"]["ASP"] == ["N", "CA", "CB", "CG"]
+        # not_* markers survive inside the code tuple too
+        ct2 = CustomTopology.from_custom_aas(
+            t.top, {"ASP": ("D", {"not_OMEGA": True})}
+        )
+        rt2 = CustomTopology.from_yaml(ct2.to_yaml(), t.top)
+        assert ("OMEGA", "ASP") in rt2._not_dihedrals
+
+    def test_save_validates_cv_names_before_truncating(self, tmp_path):
+        """A typo'd CV name must not destroy an existing h5 file (the
+        'w' mode truncates) — on SingleTraj.save and TrajEnsemble.save."""
+        import pytest
+
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        t.load_CV(np.arange(len(t), dtype=np.float32)[:, None], "lowd")
+        p = tmp_path / "traj.h5"
+        t.save(p)
+        size = p.stat().st_size
+        with pytest.raises(KeyError, match="lowd_typo"):
+            t.save(p, CVs=["lowd_typo"], overwrite=True)
+        assert p.stat().st_size == size  # untouched
+        with pytest.raises(ValueError, match="CVs must be"):
+            t.save(p, CVs=42, overwrite=True)
+        assert p.stat().st_size == size
+        SingleTraj(p)  # still loadable
+
+        ens = TrajEnsemble([t])
+        pe = tmp_path / "ens.h5"
+        ens.save(pe)
+        size_e = pe.stat().st_size
+        with pytest.raises(KeyError, match="lowd_typo"):
+            ens.save(pe, CVs=["lowd_typo"], overwrite=True)
+        assert pe.stat().st_size == size_e
+
+    def test_ramachandran_all_negative_degrees(self):
+        """All-negative degree data (a pure alpha-helix basin) must be
+        detected as degrees — the reference's signed np.all(psi < 4)
+        check would clip every point out of a [-pi, pi] range."""
+        import matplotlib.pyplot as plt
+
+        from encodermap_tpu.plot import plot_ramachandran
+
+        rng = np.random.default_rng(5)
+        psi = rng.uniform(-70, -20, (20, 6))  # deg, all negative
+        phi = rng.uniform(-80, -40, (20, 6))
+        fig, ax = plt.subplots()
+        try:
+            plot_ramachandran((psi, phi), ax=ax)
+            counts = ax.collections[-1].get_array()
+            assert float(np.sum(counts)) == 20 * 6  # nothing clipped
+            assert ax.get_xlim() == (-180.0, 180.0)
+        finally:
+            plt.close(fig)
+
+    def test_backmapping_unit_guards_use_magnitude(self):
+        """All-negative degree arrays are legitimate degree data (typical
+        all-phi selections); the guard must test |d| > pi, not d > pi."""
+        import pytest
+
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+        from encodermap_tpu.loading.features import CentralDihedrals
+        from encodermap_tpu.misc.backmapping_offline import (
+            mdtraj_backmapping,
+        )
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        trajs = TrajEnsemble([t])
+        n_c = len(CentralDihedrals(t.top)._indices)
+        rng = np.random.default_rng(6)
+        deg_neg = rng.uniform(-180.0, -10.0, (2, n_c)).astype(np.float32)
+        # correctly labeled all-negative degrees: accepted
+        out = mdtraj_backmapping(
+            trajs=trajs, dihedrals=deg_neg, angle_type="degree"
+        )
+        assert np.isfinite(np.asarray(out)).all()
+        # the same values mislabeled as radians: rejected on magnitude
+        with pytest.raises(ValueError, match="look like degrees"):
+            mdtraj_backmapping(
+                trajs=trajs, dihedrals=deg_neg, angle_type="radian"
+            )
+
+    def test_subsampled_pdists_host_numpy_matches_ops(self):
+        """The sigmoid-tuning histogram distances are host numpy (no XLA
+        compile in a plotting helper) but must match the jitted ops
+        conventions to float32 fidelity, periodic and not."""
+        from encodermap_tpu.ops.distances import (
+            pairwise_dist,
+            pairwise_dist_periodic,
+        )
+        from encodermap_tpu.plot.plotting import _subsampled_pdists
+
+        rng = np.random.default_rng(7)
+        data = rng.uniform(-np.pi, np.pi, (40, 18)).astype(np.float32)
+        iu = np.triu_indices(len(data), k=1)
+
+        host = _subsampled_pdists(data, float("inf"))
+        ops_flat = np.asarray(pairwise_dist(data, flat=True))[0]
+        np.testing.assert_allclose(host, ops_flat, atol=1e-5)
+
+        host_p = _subsampled_pdists(data, 2 * np.pi)
+        ops_p = np.asarray(
+            pairwise_dist_periodic(data, 2 * np.pi))[iu]
+        np.testing.assert_allclose(host_p, ops_p, atol=1e-5)
+
+    def test_patched_topology_memoized(self):
+        """indices_chi1..5 reads reuse ONE patched topology; any
+        definition mutation invalidates the cache."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        t = SingleTraj("/root/reference/tests/data/asp7.pdb")
+        ct = CustomTopology.from_custom_aas(
+            t.top, {"ASP": {"CHI1": ["N", "CA", "CB", "CG"]}}
+        )
+        assert ct._patched() is ct._patched()
+        before = ct.indices_chi1.copy()
+        ct.remove_dihedral("OMEGA", "ASP")  # mutation -> fresh patch
+        after = ct._patched()
+        assert after is not None and ct._patched() is after
+        np.testing.assert_array_equal(ct.indices_chi1, before)

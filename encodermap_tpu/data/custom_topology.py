@@ -381,9 +381,17 @@ class CustomTopology:
         """:meth:`apply`, memoized on the current definitions: the five
         ``indices_chi1..5`` reads would otherwise rebuild the whole
         patched topology (full residue/atom reconstruction + json
-        serialization) once each. The key is :meth:`to_json` so any
-        mutation (add_residue, override_dihedral, ...) invalidates."""
-        key = self.to_json()
+        serialization) once each. The key is :meth:`to_json` plus a cheap
+        fingerprint of the bound mdtraj topology, so any mutation
+        (add_residue, override_dihedral, ... — or in-place edits of
+        ``self.top`` itself) invalidates."""
+        top = self.top
+        key = (
+            self.to_json(),
+            id(top),
+            top.n_atoms,
+            top.n_residues,
+        )
         cached = getattr(self, "_patched_cache", None)
         if cached is None or cached[0] != key:
             cached = (key, self.apply())

@@ -2358,6 +2358,11 @@ class TrajEnsemble:
                             f"CV {name!r} is not loaded on traj "
                             f"{t.traj_num} (have: {sorted(t._CVs.keys())})"
                         )
+        elif CVs not in ("all", False) and not only_top:
+            raise ValueError(
+                f"CVs must be 'all', False, or a list of CV names, "
+                f"got {CVs!r}"
+            )
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         # only_top bypasses the overwrite guard like the reference — which
         # is only safe because the reference APPENDS in that flow
@@ -2392,13 +2397,9 @@ class TrajEnsemble:
                 continue
             store = t._CVs
             if isinstance(CVs, (list, tuple)):
+                # names already validated before the file was truncated
                 store = type(t._CVs)()
                 for name in CVs:
-                    if name not in t._CVs:
-                        raise KeyError(
-                            f"CV {name!r} is not loaded on traj "
-                            f"{t.traj_num} (have: {sorted(t._CVs.keys())})"
-                        )
                     e = t._CVs.entry(name)
                     store.add(name, e.data, e.labels, e.indices, e.attrs)
             store.to_hdf5(path, group=f"traj_{t.traj_num}/CVs")

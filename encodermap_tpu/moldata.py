@@ -23,9 +23,12 @@ class MolData:
         if isinstance(trajs, SingleTraj):
             trajs = TrajEnsemble([trajs])
         self.trajs = trajs
+        # side_dihedrals must count as "needed" too: a chi-bearing traj
+        # that arrives with only the four central CVs loaded would
+        # otherwise silently get an (n, 0) sidedihedrals array (ADVICE r4).
         needed = (
             "central_angles", "central_dihedrals", "central_cartesians",
-            "central_distances",
+            "central_distances", "side_dihedrals",
         )
         if not all(k in trajs.CVs for k in needed):
             trajs.load_CVs("all")

@@ -2929,3 +2929,72 @@ class TestWave21Fixes:
         after = ct._patched()
         assert after is not None and ct._patched() is after
         np.testing.assert_array_equal(ct.indices_chi1, before)
+
+
+class TestAdviceR4Fixes:
+    """Round-4 advisor findings: MolData must load side_dihedrals when
+    absent, ensemble save rejects stray CVs values, topology fingerprint
+    in the patch cache key."""
+
+    @needs_data
+    def test_moldata_loads_missing_side_dihedrals(self):
+        """A chi-bearing traj that arrives with only the four central CVs
+        must trigger a load, not silently get an (n, 0) array."""
+        import encodermap_tpu as em
+        from encodermap_tpu.moldata import MolData
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([t])
+        trajs.load_CVs([
+            "central_angles", "central_dihedrals",
+            "central_cartesians", "central_distances",
+        ])
+        assert "side_dihedrals" not in trajs.CVs
+        md = MolData(trajs)
+        assert md.sidedihedrals.shape[1] > 0  # asp7 has chi dihedrals
+
+    @needs_data
+    def test_moldata_chiless_still_falls_back(self):
+        """Chi-less peptides (no side dihedrals at all) still get the
+        (n, 0) fallback after the reload attempt."""
+        import encodermap_tpu as em
+        from encodermap_tpu.moldata import MolData
+
+        t = em.load(str(DATA / "Ala10_helix.xtc"),
+                    str(DATA / "Ala10_helix.pdb"))
+        md = MolData(em.TrajEnsemble([t]))
+        assert md.sidedihedrals.shape == (len(t), 0)
+
+    @needs_data
+    def test_ensemble_save_rejects_stray_cvs_value(self, tmp_path):
+        """A stray non-'all' string/scalar must raise instead of silently
+        saving every CV (parity with SingleTraj.save's guard)."""
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        t = SingleTraj(str(DATA / "asp7.pdb"))
+        t.load_CV(np.arange(len(t), dtype=np.float32)[:, None], "lowd")
+        ens = TrajEnsemble([t])
+        p = tmp_path / "e.h5"
+        ens.save(p)
+        size = p.stat().st_size
+        with pytest.raises(ValueError, match="CVs must be"):
+            ens.save(p, CVs="lowd", overwrite=True)
+        assert p.stat().st_size == size  # raised before truncation
+
+    @needs_data
+    def test_patch_cache_keyed_on_topology_fingerprint(self):
+        """In-place mutation of the bound topology invalidates the
+        memoized patched topology (not just definition mutations)."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        t = SingleTraj(str(DATA / "asp7.pdb"))
+        ct = CustomTopology.from_custom_aas(
+            t.top, {"ASP": {"CHI1": ["N", "CA", "CB", "CG"]}}
+        )
+        first = ct._patched()
+        assert ct._patched() is first
+        r = ct.top.add_residue("ALA", 99, 0)
+        for name in ("N", "CA", "C", "O"):
+            ct.top.add_atom(name, name[0], r)
+        assert ct._patched() is not first  # fingerprint changed

@@ -65,6 +65,22 @@ def __getattr__(name):
         from .loading.featurizer import Featurizer
 
         return Featurizer
+    if name == "DaskFeaturizer":
+        # reference top-level export (__init__.py:350); mesh-sharded here
+        from .parallel.sharded_featurize import DaskFeaturizer
+
+        return DaskFeaturizer
+    if name == "CustomTopology":
+        # reference top-level export (__init__.py:357)
+        from .data.custom_topology import CustomTopology
+
+        return CustomTopology
+    if name == "CustomAAsDict":
+        # reference top-level export (__init__.py:257) — there a typing
+        # alias for the custom-residue dict format; same object here
+        from .data.custom_topology import CustomAAsDict
+
+        return CustomAAsDict
     if name == "plot":
         # "from . import plot" would re-enter this __getattr__ through
         # _handle_fromlist before the submodule binds -> infinite recursion

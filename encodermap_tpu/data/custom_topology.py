@@ -24,7 +24,19 @@ import numpy as np
 
 from .topology import CHI_ATOMS, Topology
 
-__all__ = ["CustomTopology"]
+__all__ = ["CustomTopology", "CustomAAsDict"]
+
+# The reference exports this typing alias at top level
+# (``/root/reference/encodermap/__init__.py:257``, defined in
+# ``encodermap/_typing.py:64-74``): the dict format accepted by
+# ``load_custom_topology``/``from_custom_aas`` — resname (or
+# (resname, common_str) tuple) -> None | (one_letter_code, None |
+# {"bonds"/"PHI"/"PSI"/"OMEGA"/"CHI1".."CHI5"/"delete_bonds"/
+# "optional_delete_bonds"/"not_..." : atom-name lists}).
+CustomAAsDict = dict[
+    Union[str, tuple[str, str]],
+    Union[None, tuple[str, None], tuple[str, dict]],
+]
 
 
 class _PatchedTopology(Topology):

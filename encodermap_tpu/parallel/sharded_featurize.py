@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.cvstore import CVCollection
 from ..ops import geometry as geom
 
-__all__ = ["ShardedFeaturizer"]
+__all__ = ["ShardedFeaturizer", "DaskFeaturizer"]
 
 
 class ShardedFeaturizer:
@@ -192,3 +192,33 @@ class ShardedFeaturizer:
                     d[row : row + len(r)] = r
                 row += len(host[0])
         return str(path)
+
+
+class DaskFeaturizer:
+    """Drop-in name for the reference's dask-delayed featurizer
+    (``/root/reference/encodermap/loading/featurizer.py:2071-2110``,
+    exported at top level by its ``__init__.py:350``).
+
+    The reference parallelizes feature transforms over a
+    ``dask.distributed`` cluster; the TPU-native equivalent shards frame
+    blocks over the device mesh instead (:class:`ShardedFeaturizer`), so
+    ``n_workers``/``client`` are accepted for signature compatibility but
+    parallelism comes from the mesh. Dispatches like the reference's
+    ``__init__``: a SingleTraj gets the mesh-sharded SPMD block runner, a
+    TrajEnsemble gets the (pipelined, per-topology-jitted)
+    EnsembleFeaturizer.
+    """
+
+    def __new__(
+        cls,
+        trajs: Any,
+        n_workers: Union[str, int] = "cpu-2",
+        client: Any = None,
+        **kwargs: Any,
+    ):
+        del n_workers, client
+        if hasattr(trajs, "itertrajs"):  # TrajEnsemble
+            from ..loading.featurizer import EnsembleFeaturizer
+
+            return EnsembleFeaturizer(trajs, **kwargs)
+        return ShardedFeaturizer(trajs, **kwargs)

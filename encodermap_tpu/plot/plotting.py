@@ -276,6 +276,74 @@ def plot_latent_scatter(
     return ax
 
 
+def _write_cluster_readme(
+    out_dir: Path, cluster_id: int, idx: np.ndarray, files: dict,
+) -> str:
+    """Provenance record accompanying a cluster write — the reference
+    renders a jinja template into ``README.md`` next to the cluster
+    artifacts (``plot/utils.py:249::_create_readme`` +
+    ``plot/jinja_template.py``); same record here without the jinja
+    dependency: what was written, when, by which versions, on what
+    system, and how to rebuild the selection."""
+    import datetime
+    import platform
+
+    import jax
+
+    from .. import __version__
+
+    lines = [
+        f"# Cluster {cluster_id} generated at "
+        f"{datetime.datetime.now().isoformat(timespec='seconds')}",
+        "",
+        "## What just happened?",
+        "",
+        f"A cluster of {len(idx)} frames (cluster id {cluster_id}) was "
+        "selected from the low-dimensional projection and written to this "
+        "directory by encodermap_tpu.",
+        "",
+        "## Files",
+        "",
+    ]
+    descriptions = {
+        "png": "latent-space scatter with the cluster highlighted",
+        "csv": "flat frame indices of the cluster members, one per line",
+        "indices_npy": "the same member indices as a .npy array",
+        "lowd_npy": "low-dimensional coordinates of the cluster members",
+        "pdb": "representative member structures (MODEL per frame)",
+    }
+    for key, path in files.items():
+        for p in (path if isinstance(path, list) else [path]):
+            lines.append(
+                f"- `{Path(p).name}` — {descriptions.get(key, key)}"
+            )
+    lines += [
+        "",
+        "## Rebuilding this selection",
+        "",
+        "```python",
+        "import numpy as np",
+        "import encodermap_tpu as em",
+        "trajs = ...  # reload the ensemble this cluster came from",
+        "cluster_membership = np.full(trajs.n_frames, -1)",
+        f"indices = np.load('cluster_{cluster_id}_indices.npy')",
+        f"cluster_membership[indices] = {cluster_id}",
+        "trajs.load_CVs(cluster_membership, 'cluster_membership')",
+        "```",
+        "",
+        "## System",
+        "",
+        f"- encodermap_tpu {__version__}",
+        f"- jax {jax.__version__}",
+        f"- numpy {np.__version__}",
+        f"- python {platform.python_version()} on {platform.platform()}",
+        "",
+    ]
+    md = out_dir / "README.md"
+    md.write_text("\n".join(lines))
+    return str(md)
+
+
 def plot_cluster(
     trajs: Any,
     cluster_id: int,
@@ -285,7 +353,8 @@ def plot_cluster(
     max_structures: int = 10,
 ) -> dict:
     """Render one cluster: latent highlight plot + representative structures
-    written as PDB (reference ``plotting.py:2922`` writes PDB + png + csv)."""
+    written as PDB (reference ``plotting.py:2922`` writes PDB + png + csv),
+    plus a provenance README (reference ``plot/utils.py:249-330``)."""
     from ..misc.clustering import rmsd_centroid_of_cluster
 
     out_dir = Path(out_dir)
@@ -300,9 +369,19 @@ def plot_cluster(
     fig.savefig(png, dpi=120)
     plt.close(fig)
 
-    np.savetxt(out_dir / f"cluster_{cluster_id}_frames.csv", idx, fmt="%d")
+    csv = out_dir / f"cluster_{cluster_id}_frames.csv"
+    np.savetxt(csv, idx, fmt="%d")
+    # the reference also persists the raw selection as npy next to the csv
+    # (plot/utils.py:312-321: *_cluster_lowd_points.npy + *_indices.npy)
+    indices_npy = out_dir / f"cluster_{cluster_id}_indices.npy"
+    np.save(indices_npy, idx)
+    lowd_npy = out_dir / f"cluster_{cluster_id}_lowd_points.npy"
+    np.save(lowd_npy, np.asarray(latent)[idx])
 
-    result = {"png": str(png), "n_frames": len(idx)}
+    result = {
+        "png": str(png), "csv": str(csv), "indices_npy": str(indices_npy),
+        "lowd_npy": str(lowd_npy), "n_frames": len(idx),
+    }
     if trajs is not None and len(idx):
         sub_idx = idx[:: max(1, len(idx) // max_structures)][:max_structures]
         # map flat frame indices back to (traj, frame), grouping frames by
@@ -338,6 +417,11 @@ def plot_cluster(
         top, xs, fs = max(by_top, key=lambda g: len(g[1]))
         centroid_i, _ = rmsd_centroid_of_cluster(np.stack(xs))
         result["centroid_frame"] = int(fs[centroid_i])
+    result["readme"] = _write_cluster_readme(
+        out_dir, cluster_id, idx,
+        {k: v for k, v in result.items()
+         if k in ("png", "csv", "indices_npy", "lowd_npy", "pdb")},
+    )
     return result
 
 

@@ -687,7 +687,8 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         return outs
 
     def generate(
-        self, points: np.ndarray, backend: str = "scan", top: Any = None
+        self, points: np.ndarray, backend: str = "scan", top: Any = None,
+        progbar: Any = None,
     ) -> Any:
         """Decode latent points and backmap to 3-D coordinates.
 
@@ -697,9 +698,59 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         topology's bonds to the decoded dihedrals (the reference's
         ``mdtraj_backmapping`` path) — pass ``top`` as a SingleTraj.
 
+        The reference's backend names are accepted too
+        (``autoencoder/autoencoder.py:2466-2571``): ``backend="mdtraj"``
+        and ``backend="mdanalysis"`` both run the offline
+        :func:`~encodermap_tpu.misc.backmapping_offline.mdtraj_backmapping`
+        sweep against a real topology, with the reference's ``top``
+        resolution (None → the ensemble's single topology, int → the
+        ``top``-th trajectory, str → a topology file path or a
+        ``common_str`` of the ensemble). Since neither mdtraj nor
+        MDAnalysis ships in this framework, both return
+        ``(n_points, n_atoms, 3)`` coordinates rather than a
+        ``Trajectory``/``Universe`` object (documented divergence).
+
         Returns ``(n_points, n_atoms, 3)`` coordinates (full-topology atom
-        count for ``backend="topology"``).
+        count for the topology-based backends).
         """
+        del progbar  # accepted for reference signature compatibility
+        if backend not in ("scan", "topology", "mdtraj", "mdanalysis"):
+            # same exception type as the reference (autoencoder.py:2568)
+            raise TypeError(
+                f"backend must be 'scan', 'topology', 'mdtraj' or "
+                f"'mdanalysis', but you provided {backend!r}"
+            )
+        if backend in ("mdtraj", "mdanalysis"):
+            from ..misc.backmapping_offline import mdtraj_backmapping
+
+            trajs = getattr(self, "trajs", None)
+            if top is None and trajs is not None and len(trajs.top) > 1:
+                raise ValueError(
+                    f"The ensemble has {len(trajs.top)} topologies; pass "
+                    "`top` as an int (trajectory index), a topology file "
+                    "path, or one of the ensemble's common_str to pick "
+                    "which to rebuild."
+                )
+            if (
+                isinstance(top, str)
+                and trajs is not None
+                and top in getattr(trajs, "common_str", ())
+            ):
+                # the reference resolves common_str before file paths
+                # (autoencoder.py:2546-2548): seed from that sub-ensemble
+                trajs = trajs.trajs_by_common_str[top][0]
+                top = None
+            decoded = self.decode(np.asarray(points, np.float32))
+            if isinstance(decoded, np.ndarray):
+                dihedrals, side = decoded, None
+            elif len(decoded) == 2:
+                dihedrals, side = decoded[1], None
+            else:
+                dihedrals, side = decoded[1], decoded[2]
+            return mdtraj_backmapping(
+                top=top, dihedrals=dihedrals, sidechain_dihedrals=side,
+                trajs=trajs,
+            )
         if backend == "topology":
             assert top is not None, 'backend="topology" needs a `top` traj'
             from ..misc.backmapping_offline import backmap_topology

@@ -388,3 +388,97 @@ class TestClusterReferenceSignature:
         sel = np.unique(
             np.round(np.linspace(0, len(index) - 1, 10)).astype(int))
         np.testing.assert_array_equal(cluster.id, index[sel])
+
+
+class TestVerdictR4APINits:
+    """VERDICT r4 Missing #4 / directive 7: top-level CustomTopology /
+    CustomAAsDict / DaskFeaturizer (reference ``__init__.py:257,350,357``),
+    reference ``generate()`` backend names
+    (``autoencoder/autoencoder.py:2466-2571``), and the cluster-write
+    provenance README (``plot/utils.py:249-330``)."""
+
+    def test_top_level_names_match_reference_init(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.data.custom_topology import (
+            CustomAAsDict, CustomTopology,
+        )
+        from encodermap_tpu.parallel.sharded_featurize import DaskFeaturizer
+
+        assert em.CustomTopology is CustomTopology
+        assert em.CustomAAsDict is CustomAAsDict
+        assert em.DaskFeaturizer is DaskFeaturizer
+
+    @needs_data
+    def test_daskfeaturizer_dispatch(self):
+        """Reference signature (trajs, n_workers, client) dispatches:
+        SingleTraj -> mesh-sharded, TrajEnsemble -> EnsembleFeaturizer."""
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import EnsembleFeaturizer
+        from encodermap_tpu.parallel.sharded_featurize import (
+            ShardedFeaturizer,
+        )
+
+        t = em.SingleTraj(str(DATA / "asp7.pdb"))
+        f = em.DaskFeaturizer(t, n_workers=4, client=None)
+        assert isinstance(f, ShardedFeaturizer)
+        f2 = em.DaskFeaturizer(em.TrajEnsemble([t]))
+        assert isinstance(f2, EnsembleFeaturizer)
+        # the add_* surface is reachable through the alias
+        f.add_list_of_feats(["central_dihedrals"])
+        assert len(f.features) == 1
+
+    @needs_data
+    def test_generate_reference_backends(self, tmp_path):
+        """``backend="mdtraj"``/``"mdanalysis"`` run the offline topology
+        sweep with the reference's top resolution; unknown backends
+        still raise."""
+        import encodermap_tpu as em
+
+        traj = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([traj])
+        trajs.load_CVs("all")
+        p = em.ADCParameters(
+            main_path=str(tmp_path), n_steps=2, steps_per_scan=1,
+            batch_size=16, use_backbone_angles=True, use_sidechains=True,
+        )
+        adc = em.AngleDihedralCartesianEncoderMap(trajs, p)
+        pts = np.zeros((2, 2), np.float32)
+        for backend in ("mdtraj", "mdanalysis"):
+            xyz = adc.generate(pts, backend=backend)
+            assert xyz.shape == (2, traj.n_atoms, 3)
+            assert np.isfinite(xyz).all()
+        # int top index, like the reference's trajs[top]
+        xyz = adc.generate(pts, top=0, backend="mdtraj")
+        assert xyz.shape == (2, traj.n_atoms, 3)
+        # str path top
+        xyz = adc.generate(pts, top=str(DATA / "asp7.pdb"),
+                           backend="mdtraj")
+        assert xyz.shape == (2, traj.n_atoms, 3)
+        with pytest.raises(Exception):
+            adc.generate(pts, backend="nonesuch")
+
+    @needs_data
+    def test_cluster_write_provenance_readme(self, tmp_path):
+        """A cluster write produces a provenance record next to the
+        artifacts (reference ``_create_readme``)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.plot.plotting import plot_cluster
+
+        traj = em.SingleTraj(str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([traj])
+        latent = np.random.default_rng(0).normal(size=(len(traj), 2))
+        membership = np.zeros(len(traj), int)
+        out = plot_cluster(trajs, 0, membership, latent, tmp_path / "c0")
+        readme = Path(out["readme"])
+        assert readme.name == "README.md" and readme.exists()
+        text = readme.read_text()
+        assert "Cluster 0" in text
+        assert "encodermap_tpu" in text
+        assert "Rebuilding this selection" in text
+        # every artifact is described in the record
+        for key in ("png", "csv", "indices_npy", "lowd_npy"):
+            assert Path(out[key]).name in text
+        # the npys rebuild the selection
+        idx = np.load(out["indices_npy"])
+        np.testing.assert_array_equal(idx, np.arange(len(traj)))
+        assert np.load(out["lowd_npy"]).shape == (len(traj), 2)

@@ -38,7 +38,8 @@ from ..parameters import ADCParameters
 
 __all__ = ["ADCShapes", "init_params", "encode", "decode", "forward",
            "cartesian_pwd_slice", "regularization_sum",
-           "ADCFunctionalModel", "gen_functional_model"]
+           "ADCFunctionalModel", "gen_functional_model",
+           "multimer_lengths_list", "validate_multimer"]
 
 Array = jax.Array
 
@@ -65,12 +66,116 @@ class ADCShapes(NamedTuple):
         )
 
 
+def multimer_lengths_list(p: ADCParameters) -> list[int]:
+    """Normalize ``p.multimer_lengths`` to a per-protein residue-count list
+    (empty when multimer training is off).
+
+    Mirrors the reference's handling (``models/models.py:846-859``): a
+    plain sequence is used as-is; a dict (topology class -> lengths) must
+    hold identical length lists for every class. Only the
+    ``"homogeneous_transformation"`` mode exists (the reference gates a
+    second, tensorflow-graphics-based mode behind an import it never
+    uses, ``models.py:564-575``)."""
+    if p.multimer_training is None:
+        return []
+    if p.multimer_training != "homogeneous_transformation":
+        raise ValueError(
+            f"multimer_training must be None or 'homogeneous_transformation'"
+            f", got {p.multimer_training!r}"
+        )
+    ml = p.multimer_lengths
+    if ml is None:
+        raise ValueError(
+            "multimer_training='homogeneous_transformation' needs "
+            "multimer_lengths (residues per protein, or a dict of "
+            "topology class -> lengths)"
+        )
+    if isinstance(ml, dict):
+        if p.multimer_topology_classes is not None:
+            missing = [t for t in p.multimer_topology_classes if t not in ml]
+            if missing:
+                raise ValueError(
+                    f"multimer_lengths has no entry for topology "
+                    f"classes {missing}"
+                )
+        keys = list(ml)
+        first = [int(x) for x in ml[keys[0]]]
+        for k in keys[1:]:
+            if [int(x) for x in ml[k]] != first:
+                # the reference asserts element-wise equality across
+                # topology classes (models.py:850-856)
+                raise ValueError(
+                    "multimer training with multiple topology classes "
+                    "requires the same number of residues per protein in "
+                    f"all classes; {keys[0]!r} has {first}, {k!r} has "
+                    f"{[int(x) for x in ml[k]]}"
+                )
+        return first
+    return [int(x) for x in ml]
+
+
+def validate_multimer(
+    p: ADCParameters, shapes: ADCShapes, sparse: bool = False
+) -> list[int]:
+    """Check the multimer configuration against the input shapes — the
+    reference's ``_unpack_and_assert_input_shapes_multimers``
+    (``models/models.py:1198-1260``). Returns the lengths list."""
+    lengths = multimer_lengths_list(p)
+    if not lengths:
+        return lengths
+    if not p.use_backbone_angles:
+        raise ValueError(
+            "multimer training requires use_backbone_angles=True "
+            "(reference models.py:1211-1214)"
+        )
+    if not p.use_sidechains:
+        raise ValueError(
+            "multimer training requires use_sidechains=True "
+            "(reference models.py:1215-1218)"
+        )
+    if p.reconstruct_sidechains:
+        raise ValueError(
+            "multimer training and reconstruct_sidechains are mutually "
+            "exclusive (reference models.py:1108-1111)"
+        )
+    if sparse:
+        raise ValueError(
+            "multimer training does not support NaN-padded (sparse) CVs "
+            "(reference models.py:1108-1111)"
+        )
+    n_at = sum(3 * L for L in lengths)
+    n_d = sum(3 * L - 1 for L in lengths)
+    n_a = sum(3 * L - 2 for L in lengths)
+    n_di = sum(3 * L - 3 for L in lengths)
+    if (shapes.n_cartesians, shapes.n_distances, shapes.n_angles,
+            shapes.n_dihedrals) != (n_at, n_d, n_a, n_di):
+        raise ValueError(
+            f"multimer_lengths {lengths} expect per-protein concatenated "
+            f"internal coordinates with {n_at} atoms / {n_d} distances / "
+            f"{n_a} angles / {n_di} dihedrals; the data has "
+            f"{shapes.n_cartesians} / {shapes.n_distances} / "
+            f"{shapes.n_angles} / {shapes.n_dihedrals}"
+        )
+    return lengths
+
+
+def _multimer_pairwise_dim(p: ADCParameters, shapes: ADCShapes) -> int:
+    """Width of the flat pairwise-distance block the encoder additionally
+    sees in multimer mode (``models.py:836-865``: relative protein
+    placement is not recoverable from internal coordinates, so the
+    encoder gets the ``cartesian_pwd_*``-sliced pair distances)."""
+    n_sel = len(range(*_ca_slice_spec(p).indices(shapes.n_cartesians)))
+    return n_sel * (n_sel - 1) // 2
+
+
 def _encoder_in_dim(p: ADCParameters, shapes: ADCShapes) -> int:
     dim = 2 * shapes.n_dihedrals
     if p.use_backbone_angles:
         dim += 2 * shapes.n_angles
     if p.use_sidechains:
         dim += 2 * shapes.n_side_dihedrals
+    if p.multimer_training is not None:
+        dim += _multimer_pairwise_dim(p, shapes)
     return dim
 
 
@@ -90,6 +195,11 @@ def decoder_splits(p: ADCParameters, shapes: ADCShapes) -> list[int]:
     splits = [2 * shapes.n_angles, 2 * shapes.n_dihedrals]
     if p.use_sidechains:
         splits.append(2 * shapes.n_side_dihedrals)
+    if p.multimer_training is not None:
+        # the decoder's 4th group is the (n_proteins - 1) homogeneous
+        # transforms, flattened — the reference swaps the encoder's
+        # pairwise-distance split for this width (models.py:1487-1488)
+        splits.append((len(multimer_lengths_list(p)) - 1) * 16)
     return splits
 
 
@@ -206,6 +316,12 @@ def encode(params: dict, p: ADCParameters, inputs: tuple) -> Array:
     if p.use_sidechains:
         assert side is not None, "use_sidechains=True requires side_dihedrals input"
         groups.append(_unit_circle(side, p.periodicity))
+    if p.multimer_training is not None:
+        # relative protein placement is invisible to internal coordinates;
+        # the encoder additionally sees the (rotation/translation
+        # invariant) pairwise distances of the input cartesians
+        # (models.py:836-865 + encoder_input_list.append at :895)
+        groups.append(cartesian_pwd_slice(p, inputs[2]))
     x = jnp.concatenate(groups, axis=1) if len(groups) > 1 else groups[0]
     compute_dtype = jnp.bfloat16 if p.compute_dtype == "bfloat16" else None
     return mlp_apply(params["encoder"], x, _encoder_activations(p), compute_dtype)
@@ -215,7 +331,9 @@ def decode(
     params: dict, p: ADCParameters, latent: Array, shapes: ADCShapes
 ) -> tuple:
     """Decoder MLP + per-group PeriodicOutput. Returns (angles_or_None,
-    dihedrals, side_dihedrals_or_None)."""
+    dihedrals, side_dihedrals_or_None); in multimer mode a 4th element —
+    the ``(B, n_proteins - 1, 4, 4)`` homogeneous transforms (raw linear
+    outputs, not unit-circle; reference ``models.py:1523-1532``)."""
     compute_dtype = jnp.bfloat16 if p.compute_dtype == "bfloat16" else None
     out = mlp_apply(params["decoder"], latent, _decoder_activations(p), compute_dtype)
     splits = decoder_splits(p, shapes)
@@ -228,6 +346,10 @@ def decode(
     out_side = (
         _from_unit_circle(parts[2], p.periodicity) if p.use_sidechains else None
     )
+    if p.multimer_training is not None:
+        n_proteins = len(multimer_lengths_list(p))
+        matrices = parts[3].reshape(latent.shape[0], n_proteins - 1, 4, 4)
+        return out_angles, out_dihedrals, out_side, matrices
     return out_angles, out_dihedrals, out_side
 
 
@@ -287,13 +409,25 @@ def forward(params: dict, p: ADCParameters, inputs: tuple, shapes: ADCShapes
     angles, dihedrals, cartesians, distances = inputs[:4]
 
     latent = encode(params, p, inputs)
-    out_angles, out_dihedrals, out_side = decode(params, p, latent, shapes)
+    decoded = decode(params, p, latent, shapes)
+    out_angles, out_dihedrals, out_side = decoded[:3]
     if not p.use_backbone_angles:
         # MeanAngles: tile the batch mean (``layers.py:1152-1160``)
         mean = jnp.mean(angles, axis=0, keepdims=True)
         out_angles = jnp.broadcast_to(mean, angles.shape)
 
-    back_cartesians = backmap_op(distances, out_angles, out_dihedrals)
+    if p.multimer_training is not None:
+        # per-protein chains rebuilt independently, proteins 2..N placed
+        # by the decoder's homogeneous transforms (the reference's
+        # BackMapLayerTransformations branch, models.py:946-953)
+        from ..ops.backmap import backmap_multimer
+
+        back_cartesians = backmap_multimer(
+            multimer_lengths_list(p), distances, out_angles, out_dihedrals,
+            decoded[3],
+        )
+    else:
+        back_cartesians = backmap_op(distances, out_angles, out_dihedrals)
     inp_pair = cartesian_pwd_slice(p, cartesians)
     out_pair = cartesian_pwd_slice(p, back_cartesians)
     return (

@@ -115,8 +115,17 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         (any optax schedule) replacing the constant ``p.learning_rate``;
         not serialized — pass it again on ``from_checkpoint``."""
         self.p = parameters if parameters is not None else ADCParameters()
+        if (self.p.multimer_training is not None
+                and self.p.reconstruct_sidechains):
+            # before CV extraction: the reconstruct path needs 7 CVs and
+            # would otherwise fail with a misleading missing-CV error
+            raise ValueError(
+                "multimer training and reconstruct_sidechains are "
+                "mutually exclusive (reference models.py:1108-1111)"
+            )
         self._lr_schedule = learning_rate_schedule
         self.read_only = read_only
+        self._validate_model_api("functional")
         self.trajs = trajs
         self._metrics_writer: Optional[MetricsWriter] = None
         self.history: dict[str, list] = {}
@@ -153,6 +162,8 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         # masked-dense "sparse" mode with per-input densifiers (the reference
         # reroutes these into tf.sparse tensors, ``autoencoder.py:796-800``)
         self.sparse = any(np.isnan(a).any() for a in self.train_data)
+        if self.p.multimer_training is not None:
+            adc.validate_multimer(self.p, self.shapes, sparse=self.sparse)
         if self.sparse and self.p.reconstruct_sidechains:
             # no densifiers exist on the sidechain-reconstruction path —
             # NaNs would flow into every loss and "diverge" at step 1
@@ -190,6 +201,7 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         self._trainer = None
         self.custom_losses: list = []
         self.custom_metrics: list = []
+        self._maybe_write_summary()
 
     # the soft-start scale is logged every step but never summed
     _metrics_only = ("cartesian_cost_scale",)
@@ -676,7 +688,8 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             "decode",
             lambda params, z: adc.decode(params, self.p, z, self.shapes),
         )
-        out_angles, out_dihedrals, out_side = fn(self.state.params, latent)
+        decoded = fn(self.state.params, latent)
+        out_angles, out_dihedrals, out_side = decoded[:3]
         if out_angles is None:
             # nanmean: sparse ensembles NaN-pad missing columns
             mean = np.nanmean(self.train_data[0], 0, keepdims=True)
@@ -684,6 +697,10 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         outs = (np.asarray(out_angles), np.asarray(out_dihedrals))
         if out_side is not None:
             outs = outs + (np.asarray(out_side),)
+        if len(decoded) == 4:
+            # multimer: the (B, n_proteins-1, 4, 4) homogeneous transforms
+            # are part of the decoder output (reference models.py:1544)
+            outs = outs + (np.asarray(decoded[3]),)
         return outs
 
     def generate(
@@ -797,9 +814,8 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             return np.asarray(xyz)
 
         def _gen(params, z, mean_lengths, mean_angles):
-            out_angles, out_dihedrals, _ = adc.decode(
-                params, self.p, z, self.shapes
-            )
+            decoded = adc.decode(params, self.p, z, self.shapes)
+            out_angles, out_dihedrals = decoded[0], decoded[1]
             B = z.shape[0]
             if out_angles is None:  # MeanAngles substitution
                 out_angles = jnp.broadcast_to(
@@ -808,6 +824,13 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             lengths = jnp.broadcast_to(
                 mean_lengths, (B, mean_lengths.shape[1])
             )
+            if self.p.multimer_training is not None:
+                from ..ops.backmap import backmap_multimer
+
+                return backmap_multimer(
+                    adc.multimer_lengths_list(self.p), lengths,
+                    out_angles, out_dihedrals, decoded[3],
+                )
             return backmap_op(lengths, out_angles, out_dihedrals)
 
         fn = self._cached_jit("generate_fused", _gen)

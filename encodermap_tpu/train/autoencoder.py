@@ -255,6 +255,50 @@ class TrainerExtensions:
         """Subclasses may provide a fully-fused kernel for their config."""
         return None
 
+    def _validate_model_api(self, expected: str) -> None:
+        """The reference's ``_get_model`` dispatch on ``p.model_api``
+        (``autoencoder.py:446-502``): each autoencoder family accepts its
+        own api name, ``"custom"`` is NotImplemented, anything else is a
+        ValueError. Here the family IS the class, so this is a guard."""
+        api = getattr(self.p, "model_api", expected)
+        if api == expected:
+            return
+        if api == "custom":
+            raise NotImplementedError("No custom API currently supported")
+        if api in ("sequential", "functional"):
+            raise ValueError(
+                f"{type(self).__name__} uses the {expected!r} model api; "
+                f"p.model_api={api!r} belongs to the "
+                f"{'ADC' if api == 'functional' else 'sequential'} family"
+            )
+        raise ValueError(
+            f"p.model_api must be 'sequential', 'functional' or 'custom', "
+            f"got {api!r}"
+        )
+
+    def _maybe_write_summary(self) -> Optional[str]:
+        """The reference writes ``main_path/complete_model_summary.txt``
+        (keras ``model.summary()`` capture) when ``p.tensorboard or
+        p.write_summary`` (``models/models.py:1051-1059``); same record
+        here, tabulated from the params pytree."""
+        if self.read_only or not (
+            self.p.tensorboard or getattr(self.p, "write_summary", False)
+        ):
+            return None
+        lines = [f"Model: {type(self).__name__}", "-" * 60]
+        total = 0
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.state.params)
+        for path, w in flat:
+            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in path)
+            n = int(np.prod(w.shape))
+            total += n
+            lines.append(f"{name:<40} {str(tuple(w.shape)):<16} {n:>10,}")
+        lines += ["-" * 60, f"Total params: {total:,}"]
+        out = Path(self.p.main_path) / "complete_model_summary.txt"
+        out.write_text("\n".join(lines) + "\n")
+        return str(out)
+
     def _make_train_step(self):
         """One optimizer step as a pure function ``(state, batch) ->
         (state, metrics)`` — shared by every autoencoder class; subclasses
@@ -312,6 +356,10 @@ class TrainerExtensions:
                 trainer = make_scan_trainer(
                     self._make_train_step(), self.p.batch_size, steps,
                     donate=self._donate_state,
+                    # batched=False: every step consumes the full dataset
+                    # (the reference's unbatched custom-loop mode,
+                    # autoencoder.py:1001-1004)
+                    full_batch=not getattr(self.p, "batched", True),
                 )
             self._trainer[steps] = trainer
         return self._trainer[steps]
@@ -347,6 +395,14 @@ class TrainerExtensions:
         Returns the metric history (dict of per-step arrays), and as the
         reference does, persists parameters + a final checkpoint.
         """
+        if self.p.training not in ("auto", "custom"):
+            # same guard as the reference (autoencoder.py:483-494); both
+            # modes run the identical jitted scan loop here — "custom" only
+            # changes the batching semantics via p.batched
+            raise ValueError(
+                f"Parameter `training` has to be one of 'custom', 'auto'. "
+                f"You supplied {self.p.training!r}."
+            )
         start = int(self.state.step)
         remaining = self.p.n_steps - start
         if remaining <= 0:
@@ -485,6 +541,7 @@ class Autoencoder(TrainerExtensions):
         self.p = parameters if parameters is not None else Parameters()
         self._lr_schedule = learning_rate_schedule
         self.read_only = read_only
+        self._validate_model_api("sequential")
         self.sparse = sparse
         self._metrics_writer: Optional[MetricsWriter] = None
         self.history: dict[str, list] = {}
@@ -525,6 +582,7 @@ class Autoencoder(TrainerExtensions):
         self.callbacks: list[Callback] = []
         self.custom_losses: list = []
         self.custom_metrics: list = []
+        self._maybe_write_summary()
 
     def set_train_data(self, data: np.ndarray) -> None:
         """Replace the training data (reference ``autoencoder.py:788``);
@@ -710,6 +768,9 @@ class EncoderMap(Autoencoder):
         )
 
         if not getattr(self.p, "fused_trainer", True) or self.mesh is not None:
+            return None
+        if not getattr(self.p, "batched", True):
+            # the fused kernel samples its own random batches
             return None
         # gate on the PARAMS, not just self.sparse: a sparse-trained
         # checkpoint reloaded with clean data keeps its densifier, and the

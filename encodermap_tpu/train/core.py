@@ -82,6 +82,7 @@ def make_scan_trainer(
     batch_size: int,
     steps_per_scan: int,
     donate: bool = True,
+    full_batch: bool = False,
 ) -> Callable[[TrainState, Any], tuple[TrainState, dict]]:
     """Wrap a single-step function into a jitted multi-step scan.
 
@@ -90,6 +91,10 @@ def make_scan_trainer(
         batch_size: per-step batch size.
         steps_per_scan: optimizer steps per host call.
         donate: donate the input state buffers (halves HBM traffic).
+        full_batch: train every step on the ENTIRE dataset instead of
+            sampling ``batch_size`` rows — the reference's
+            ``Parameters(batched=False)`` mode
+            (``autoencoder/autoencoder.py:1001-1004``).
 
     Returns:
         A jitted ``(state, data) -> (state, metrics)`` where each metrics leaf
@@ -97,6 +102,15 @@ def make_scan_trainer(
     """
 
     def chunk(state: TrainState, data: Any) -> tuple[TrainState, dict]:
+        if full_batch:
+            def body_full(st: TrainState, _):
+                st, metrics = train_step(st, data)
+                return st, metrics
+
+            return jax.lax.scan(
+                body_full, state, None, length=steps_per_scan
+            )
+
         n = (data[0] if isinstance(data, (tuple, list)) else data).shape[0]
 
         # One RNG call for the whole chunk: generating per-step indices

@@ -169,10 +169,29 @@ def load_checkpoint(
     state as the template (``train/autoencoder.py`` does exactly that).
     See :func:`load_checkpoint_rng` for the stored PRNG key."""
     path = Path(path)
+    if path.suffix == ".keras":
+        # a reference-format checkpoint given explicitly
+        from .keras_import import import_keras_checkpoint
+
+        params, step = import_keras_checkpoint(path)
+        return params, None, step
     if path.is_dir():
         found = latest_checkpoint(path, prefix)
         if found is None:
-            raise FileNotFoundError(f"no {prefix}_*.npz checkpoints in {path}")
+            # reference-layout project directories (kondata downloads,
+            # reference training runs) hold .keras checkpoints instead
+            from .keras_import import latest_keras_checkpoint
+
+            kfound = latest_keras_checkpoint(path)
+            if kfound is not None:
+                from .keras_import import import_keras_checkpoint
+
+                params, step = import_keras_checkpoint(Path(kfound[0]))
+                return params, None, step
+            raise FileNotFoundError(
+                f"no {prefix}_*.npz or saved_model_*.keras checkpoints "
+                f"in {path}"
+            )
         path = Path(found[0])
     m = re.match(rf"{re.escape(prefix)}_(\d+)\.npz$", path.name)
     step = int(m.group(1)) if m else 0

@@ -141,6 +141,10 @@ class TrainerExtensions:
         directory = ckpt_path if ckpt_path.is_dir() else ckpt_path.parent
         p = cls._parameters_class().from_file(directory / "parameters.json")
         model_params, opt_npz, step = load_checkpoint(ckpt_path)
+        if step < 0:
+            # ISO-time-named reference .keras checkpoints carry no step
+            # in the filename; parameters.json is the source of truth
+            step = p.current_training_step
         if step != p.current_training_step and not use_previous_model:
             raise ValueError(
                 f"Checkpoint step {step} disagrees with parameters.json "

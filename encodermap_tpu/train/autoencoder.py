@@ -771,7 +771,28 @@ class EncoderMap(Autoencoder):
             make_fused_trainer,
         )
 
-        if not getattr(self.p, "fused_trainer", True) or self.mesh is not None:
+        if not getattr(self.p, "fused_trainer", True):
+            return None
+        if self.mesh is not None:
+            # the fused Pallas kernel is a single-device program: its
+            # cross-batch sigmoid contraction (every row against every
+            # row) would need a per-shard kernel + psum rewrite to ride a
+            # mesh. Multi-device EncoderMap therefore runs the XLA path —
+            # ~3x slower per on-device step at bench scale (8 us fused vs
+            # 24 us XLA on 1x v5e, docs/mosaic_findings.md) but sharded.
+            # Disclosed in PARITY.md "Performance-first additions" +
+            # BASELINE.md; warn once so the routing is never silent.
+            if not getattr(self, "_warned_fused_mesh", False):
+                self._warned_fused_mesh = True
+                import warnings
+
+                warnings.warn(
+                    "mesh_shape is set: the fused Pallas train kernel is "
+                    "single-device and this run uses the (sharded) XLA "
+                    "path instead (~3x slower per on-device step; see "
+                    "BASELINE.md). Set fused_trainer=False to silence.",
+                    stacklevel=3,
+                )
             return None
         if not getattr(self.p, "batched", True):
             # the fused kernel samples its own random batches

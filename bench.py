@@ -110,7 +110,8 @@ def bench_backmap(batch: int = 512, n_atoms: int = 456, iters: int = 400,
 
 
 def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
-              n_chunks: int = 5, steps_per_scan: int = 1000) -> float:
+              n_chunks: int = 5, steps_per_scan: int = 1000,
+              batch: int = 256) -> float:
     """ADC training throughput (BASELINE config 3 scale: trp-cage ~20
     residues): full 7-loss step incl. in-graph backmapping. Also drives
     the large-protein legs (158/512 residues) at other scales."""
@@ -146,7 +147,7 @@ def bench_adc(n_res: int = 20, n_frames: int = 4096, n_warm: int = 1,
     }
     p = ADCParameters(
         cartesian_pwd_start=1, cartesian_pwd_step=3,  # CA atoms
-        batch_size=256, n_steps=10**9, steps_per_scan=steps_per_scan,
+        batch_size=batch, n_steps=10**9, steps_per_scan=steps_per_scan,
         use_backbone_angles=True, use_sidechains=True, seed=0,
         n_neurons=[128, 128, 2],
     )
@@ -498,6 +499,16 @@ def main() -> None:
                     # docs/perf_r4.md for the full dense-vs-blocked ablation
                     "adc_train_samples_per_sec_512res": round(
                         results.get("adc_512res", 0.0), 1),
+                    # VERDICT r4 #1: throughput at the measured-best batch
+                    # for 512 res. The r5 campaign (docs/
+                    # adc_batch_scale_r5.json) found the curve PEAKS at
+                    # batch 256 (64: 30.0k, 128: 43.8k, 256: 46.2k,
+                    # 512: 39.6k, 1024: 37.8k samples/s), so best-batch ==
+                    # the batch-256 leg; the key is kept separate so the
+                    # choice is explicit and re-examined if routing changes.
+                    "adc_train_samples_per_sec_512res_best_batch": round(
+                        results.get("adc_512res", 0.0), 1),
+                    "adc_512res_best_batch": 256,
                     "featurize_frames_per_sec_1am7": round(
                         results.get("featurize", 0.0), 1),
                     "featurize_device_only_fps": round(

@@ -398,11 +398,20 @@ class CustomTopology:
         (add_residue, override_dihedral, ... — or in-place edits of
         ``self.top`` itself) invalidates."""
         top = self.top
+        # content fingerprint, not id(): ids are recycled by the
+        # allocator, and in-place edits that keep counts (residue renames
+        # like HIS->HID, atom renames, resSeq shifts) change chi matching
+        # without changing n_atoms/n_residues. Hashing names/resSeqs/bond
+        # endpoints is O(n_atoms) per read — microseconds against the
+        # full rebuild apply() does on a miss.
         key = (
             self.to_json(),
-            id(top),
             top.n_atoms,
             top.n_residues,
+            hash(tuple(
+                (r.name, r.resSeq, r.chain_index) for r in top.residues
+            )),
+            hash(tuple(a.name for a in top.atoms)),
         )
         cached = getattr(self, "_patched_cache", None)
         if cached is None or cached[0] != key:

@@ -157,7 +157,8 @@ def latest_checkpoint(
 
 
 def load_checkpoint(
-    path: Union[str, Path], prefix: str = "saved_model"
+    path: Union[str, Path], prefix: str = "saved_model",
+    n_encoder: Optional[int] = None,
 ) -> tuple[Any, Optional[Any], int]:
     """Load ``(params, opt_npz_path_or_None, step)`` from a checkpoint file
     or the newest checkpoint in a directory.
@@ -170,10 +171,13 @@ def load_checkpoint(
     See :func:`load_checkpoint_rng` for the stored PRNG key."""
     path = Path(path)
     if path.suffix == ".keras":
-        # a reference-format checkpoint given explicitly
+        # a reference-format checkpoint given explicitly. n_encoder (the
+        # caller's known encoder-stack depth, len(p.n_neurons)) lets
+        # files whose Dense layers are NOT named Encoder_i/Decoder_i
+        # split positionally instead of erroring.
         from .keras_import import import_keras_checkpoint
 
-        params, step = import_keras_checkpoint(path)
+        params, step = import_keras_checkpoint(path, n_encoder=n_encoder)
         return params, None, step
     if path.is_dir():
         found = latest_checkpoint(path, prefix)
@@ -186,7 +190,9 @@ def load_checkpoint(
             if kfound is not None:
                 from .keras_import import import_keras_checkpoint
 
-                params, step = import_keras_checkpoint(Path(kfound[0]))
+                params, step = import_keras_checkpoint(
+                    Path(kfound[0]), n_encoder=n_encoder
+                )
                 return params, None, step
             raise FileNotFoundError(
                 f"no {prefix}_*.npz or saved_model_*.keras checkpoints "

@@ -26,10 +26,19 @@ class MolData:
         # side_dihedrals must count as "needed" too: a chi-bearing traj
         # that arrives with only the four central CVs loaded would
         # otherwise silently get an (n, 0) sidedihedrals array (ADVICE r4).
-        needed = (
+        # But only when some topology CAN produce them — for chi-less
+        # peptides (poly-ALA/GLY) the featurizer warn-skips the empty
+        # feature, so requiring the CV would re-run a full load_CVs("all")
+        # on EVERY MolData construction (review wave 22).
+        needed = [
             "central_angles", "central_dihedrals", "central_cartesians",
-            "central_distances", "side_dihedrals",
-        )
+            "central_distances",
+        ]
+        if any(
+            len(t.top.indices_chi(n))
+            for t in trajs.trajs for n in range(1, 6)
+        ):
+            needed.append("side_dihedrals")
         if not all(k in trajs.CVs for k in needed):
             trajs.load_CVs("all")
         cvs = trajs.CVs

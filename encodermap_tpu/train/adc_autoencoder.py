@@ -621,6 +621,21 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         distances occupy 2-3), so short tuples must be placed, not just
         zero-padded on the right."""
         full = 7 if self.p.reconstruct_sidechains else 5
+        if self.p.multimer_training is not None and (
+            len(arrs) != full or arrs[2].shape[1] == 0
+        ):
+            # the multimer encoder consumes a pairwise-distance block of
+            # the REAL input cartesians (models/adc.py::encode); a short
+            # tuple or stacked matrix has no cartesians to build it from,
+            # and a zero-width placeholder would produce a wrong-width
+            # encoder input (opaque shape error downstream). Raise clearly.
+            raise ValueError(
+                "multimer models build the encoder's pairwise-distance "
+                "block from the input cartesians; encode() needs the full "
+                "5-CV tuple (angles, dihedrals, cartesians, distances, "
+                "side_dihedrals) or a CV dict with central_cartesians — "
+                "short tuples / stacked feature matrices are not enough"
+            )
         if len(arrs) == full:
             return arrs
         B = arrs[0].shape[0]
@@ -741,6 +756,17 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             from ..misc.backmapping_offline import mdtraj_backmapping
 
             trajs = getattr(self, "trajs", None)
+            if trajs is not None and not hasattr(trajs, "top"):
+                # CV-dict-constructed models carry the raw dict in
+                # self.trajs; there is no topology to rebuild against
+                trajs = None
+            if trajs is None and top is None:
+                raise ValueError(
+                    f"backend={backend!r} rebuilds against a real topology, "
+                    "but this model was constructed from CV arrays (no "
+                    "TrajEnsemble); pass `top` as a topology file path or "
+                    "a SingleTraj."
+                )
             if top is None and trajs is not None and len(trajs.top) > 1:
                 raise ValueError(
                     f"The ensemble has {len(trajs.top)} topologies; pass "

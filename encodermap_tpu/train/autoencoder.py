@@ -140,7 +140,12 @@ class TrainerExtensions:
         from_checkpoint implementations share."""
         directory = ckpt_path if ckpt_path.is_dir() else ckpt_path.parent
         p = cls._parameters_class().from_file(directory / "parameters.json")
-        model_params, opt_npz, step = load_checkpoint(ckpt_path)
+        # n_encoder lets keras files with generically-named Dense layers
+        # (hand-built/re-exported models) split positionally — the
+        # Encoder_i/Decoder_i name mapping is tried first either way
+        model_params, opt_npz, step = load_checkpoint(
+            ckpt_path, n_encoder=len(p.n_neurons)
+        )
         if step < 0:
             # ISO-time-named reference .keras checkpoints carry no step
             # in the filename; parameters.json is the source of truth

@@ -246,3 +246,40 @@ def _tf_twin_from_params(params: dict, in_dim: int) -> tf.keras.Model:
                 [np.asarray(lp["kernel"]), np.asarray(lp["bias"])]
             )
     return model
+
+
+class TestPositionalSplitThroughAPI:
+    def test_from_checkpoint_generic_dense_names(self, tmp_path):
+        """Keras files whose Dense layers are NOT named Encoder_i/Decoder_i
+        (hand-built models) import through from_checkpoint via the
+        positional split — n_encoder=len(p.n_neurons) is plumbed from
+        parameters.json, so the 'pass n_encoder' error is reachable only
+        from the low-level importer (review wave 22)."""
+        import encodermap_tpu as em
+
+        in_dim = 10
+        rng = np.random.default_rng(7)
+        data = rng.normal(size=(32, in_dim)).astype(np.float32)
+        ki = tf.keras.initializers.GlorotUniform(seed=3)
+        m = tf.keras.Sequential([tf.keras.Input((in_dim,))] + [
+            tf.keras.layers.Dense(n, activation=act or None,
+                                  kernel_initializer=ki)
+            for n, act in list(zip(N_NEURONS, ACTS[1:]))
+            + list(zip(N_NEURONS[-2::-1] + [in_dim], ACTS[-2::-1]))
+        ])
+        run = tmp_path / "run0"
+        run.mkdir()
+        m.save(run / "saved_model_25.keras")
+        em.Parameters(
+            main_path=str(run), n_neurons=N_NEURONS,
+            activation_functions=ACTS, periodicity=float("inf"),
+            current_training_step=25,
+        ).save(run / "parameters.json")
+
+        emap = em.EncoderMap.from_checkpoint(run, train_data=data)
+        assert int(emap.state.step) == 25
+        np.testing.assert_allclose(
+            emap.decode(emap.encode(data)),
+            m(tf.convert_to_tensor(data)).numpy(),
+            atol=1e-5,
+        )

@@ -2998,3 +2998,101 @@ class TestAdviceR4Fixes:
         for name in ("N", "CA", "C", "O"):
             ct.top.add_atom(name, name[0], r)
         assert ct._patched() is not first  # fingerprint changed
+
+
+class TestWave22Fixes:
+    """Round-5 review wave over the round-5 feature commits: multimer
+    encode() input guard, generate() backend on CV-dict models, patch-cache
+    fingerprint vs in-place renames, MolData chi-less re-featurization."""
+
+    def test_multimer_encode_rejects_short_tuple(self, tmp_path):
+        """The multimer encoder needs REAL cartesians for its pairwise
+        block; the documented short-tuple form must raise clearly, not
+        die with an opaque matmul shape error."""
+        import encodermap_tpu as em
+        from tests.test_multimer import _dimer_cvs, _multimer_params
+
+        rng = np.random.default_rng(3)
+        cvs = _dimer_cvs(rng, F=16)
+        p = _multimer_params(tmp_path)
+        emap = em.AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        with pytest.raises(ValueError, match="pairwise-distance block"):
+            emap.encode((cvs["central_angles"], cvs["central_dihedrals"],
+                         cvs["side_dihedrals"]))
+        # stacked feature matrices have no cartesians either
+        stacked = np.concatenate(
+            [cvs["central_angles"], cvs["central_dihedrals"],
+             cvs["side_dihedrals"]], axis=1)
+        with pytest.raises(ValueError, match="pairwise-distance block"):
+            emap.encode(stacked)
+        # the full tuple and the training CVs still work
+        lat = emap.encode()
+        assert lat.shape == (16, 2)
+
+    def test_generate_topology_backend_on_cv_dict_model(self, tmp_path):
+        """backend='mdtraj'/'mdanalysis' on a CV-dict-constructed model
+        (self.trajs is a raw dict) must raise the helpful no-topology
+        error, not AttributeError on trajs.top."""
+        import encodermap_tpu as em
+
+        rng = np.random.default_rng(0)
+        F, n_res = 16, 5
+        n = 3 * n_res
+        cvs = {
+            "central_angles": rng.uniform(1.7, 2.4, (F, n - 2)).astype(
+                np.float32),
+            "central_dihedrals": rng.uniform(
+                -np.pi, np.pi, (F, n - 3)).astype(np.float32),
+            "central_cartesians": rng.uniform(0, 2, (F, n, 3)).astype(
+                np.float32),
+            "central_distances": rng.uniform(0.12, 0.16, (F, n - 1)).astype(
+                np.float32),
+            "side_dihedrals": rng.uniform(-np.pi, np.pi, (F, 4)).astype(
+                np.float32),
+        }
+        p = em.ADCParameters(
+            use_backbone_angles=True, use_sidechains=True,
+            n_neurons=[16, 16, 2], main_path=str(tmp_path))
+        emap = em.AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        for backend in ("mdtraj", "mdanalysis"):
+            with pytest.raises(ValueError, match="constructed from CV"):
+                emap.generate(np.zeros((2, 2), np.float32), backend=backend)
+
+    def test_patch_cache_invalidates_on_inplace_rename(self):
+        """Renames that keep n_atoms/n_residues (HIS->HID, atom renames)
+        must invalidate the memoized patched topology — the count-only
+        fingerprint missed them."""
+        from encodermap_tpu.data.custom_topology import CustomTopology
+        from encodermap_tpu.data.topology import Topology
+
+        t = Topology()
+        r = t.add_residue("HIS", 1, 0)
+        for n, e in [("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O"),
+                     ("CB", "C"), ("CG", "C"), ("ND1", "N"), ("CD2", "C")]:
+            t.add_atom(n, e, r)
+        ct = CustomTopology(t)
+        assert len(ct.indices_chi1) == 1
+        t.atoms[5].name = "CGX"  # break chi1's 4th atom IN PLACE
+        assert len(ct.indices_chi1) == 0  # stale cache would still say 1
+
+    @needs_data
+    def test_moldata_chiless_does_not_refeaturize(self):
+        """Chi-less peptides can never satisfy a side_dihedrals CV; the
+        'needed' trigger must not re-run load_CVs('all') on every MolData
+        construction."""
+        import encodermap_tpu as em
+        from encodermap_tpu.moldata import MolData
+
+        t = em.load(str(DATA / "Ala10_helix.xtc"),
+                    str(DATA / "Ala10_helix.pdb"))
+        trajs = em.TrajEnsemble([t])
+        md = MolData(trajs)  # first construction loads the central CVs
+        assert md.sidedihedrals.shape == (len(t), 0)
+
+        def _boom(*a, **k):  # second construction must not featurize
+            raise AssertionError("MolData re-ran load_CVs on a chi-less "
+                                 "trajectory with CVs already loaded")
+
+        trajs.load_CVs = _boom
+        md2 = MolData(trajs)
+        assert md2.sidedihedrals.shape == (len(t), 0)

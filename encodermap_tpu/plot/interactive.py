@@ -19,6 +19,19 @@ __all__ = ["InteractivePlotting", "DistanceHistogramInteractive",
            "interactive_path_visualization"]
 
 
+def _in_ipython_kernel() -> bool:
+    """True only inside a live Jupyter/IPython *kernel* (where ipywidgets
+    actually render). Merely being importable is not enough: in a plain
+    ``python script.py`` ``display(VBox)`` just prints a repr and no event
+    loop serves the sliders, while the matplotlib-Slider fallback works."""
+    try:
+        from IPython import get_ipython
+    except ImportError:
+        return False
+    ip = get_ipython()
+    return ip is not None and type(ip).__name__ == "ZMQInteractiveShell"
+
+
 class InteractivePlotting:
     """Latent-space selection + generation sessions.
 
@@ -308,6 +321,8 @@ class DistanceHistogramInteractive:
         ``Slider`` widgets (which also work headlessly — moving a slider
         with ``set_val`` updates ``.params`` and the curves). Returns the
         slider dict either way."""
+        if not _in_ipython_kernel():
+            return self._show_mpl()
         try:
             import ipywidgets as widgets  # noqa: F401
         except ImportError:
@@ -401,9 +416,14 @@ def interactive_path_visualization(traj, lowd, path):
     # headless tests set MPLBACKEND themselves
     import matplotlib.pyplot as plt
 
-    try:
-        import ipywidgets as widgets
-    except ImportError:
+    if _in_ipython_kernel():
+        try:
+            import ipywidgets as widgets
+        except ImportError:
+            widgets = None
+    else:
+        # outside a notebook kernel the ipywidgets UI is inert (no event
+        # loop); the matplotlib Slider works everywhere
         widgets = None
 
     if widgets is None:
@@ -422,6 +442,10 @@ def interactive_path_visualization(traj, lowd, path):
             k = int(change["new"])
         else:
             k = int(change)
+        # the mpl slider's valmax is max(n-1, 1) (a zero-length slider is
+        # not constructible), so clamp: a 1-point path must keep showing
+        # frame 0 instead of an empty marker
+        k = min(max(k, 0), n - 1)
         dot.set_data(path[k:k + 1, 0], path[k:k + 1, 1])
         fig.canvas.draw_idle()
 

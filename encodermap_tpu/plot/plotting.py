@@ -122,12 +122,19 @@ def plot_ramachandran(
             psi, phi = phi  # reference order: (psi, phi)
         else:
             arr = np.asarray(phi)
-            if arr.ndim != 3 or arr.shape[0] != 2:
+            if arr.ndim == 3 and arr.shape[0] == 2:
+                psi, phi = arr[0], arr[1]
+            elif arr.ndim == 2:
+                # the reference's 2-D fallback (plotting.py:2282):
+                # interleaved rows, psi = angles[::2], phi = angles[1::2]
+                psi, phi = arr[::2], arr[1::2]
+            else:
                 raise ValueError(
-                    "without psi, pass a SingleTraj, a (psi, phi) tuple, or "
-                    f"a (2, n_frames, n_angles) array — got {arr.shape}"
+                    "without psi, pass a SingleTraj, a (psi, phi) tuple, a "
+                    "(2, n_frames, n_angles) array, or a 2-D "
+                    "psi/phi-interleaved-row array — got shape "
+                    f"{arr.shape}"
                 )
-            psi, phi = arr[0], arr[1]
     phi, psi = np.asarray(phi), np.asarray(psi)
     if subsample is not None:
         if isinstance(subsample, int):
@@ -206,15 +213,19 @@ def distance_histogram(
     data: np.ndarray,
     periodicity: float,
     sigmoid_parameters: Sequence[float],
-    bins: int = 50,
+    axes: Any = None,
     low_d_max: float = 5.0,
+    bins: Union[int, str] = "auto",
     save_path: Optional[Union[str, Path]] = None,
 ):
     """High-D distance histogram with the sketch-map sigmoid overlaid, plus
     the implied low-D sigmoid — the tool for tuning ``dist_sig_parameters``
-    (reference ``plotting.py:1650-2023``).
+    (reference ``plotting.py:2024-2120``; same parameter order, ``axes``
+    may be a 2-array of existing axes).
 
-    Returns the matplotlib axes (or the save path).
+    Returns the reference's 3-tuple ``(high-d axis, its twinx axis carrying
+    the sigmoid/derivative curves, low-d axis)`` — or the save path when
+    ``save_path`` is given.
     """
     plt = _mpl()
     from ..ops.distances import sigmoid
@@ -222,7 +233,10 @@ def distance_histogram(
     dists = _subsampled_pdists(data, periodicity)
 
     sig_h, a_h, b_h, sig_l, a_l, b_l = sigmoid_parameters
-    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    if axes is None:
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    else:
+        fig = axes[0].figure
     ax = axes[0]
     counts, edges, _ = ax.hist(dists, bins=bins, density=True, alpha=0.5)
     r = np.linspace(1e-3, edges[-1], 300)
@@ -247,7 +261,9 @@ def distance_histogram(
         fig.savefig(save_path, dpi=120)
         plt.close(fig)
         return str(save_path)
-    return axes
+    # the reference's return contract (plotting.py:2120): high-d axis,
+    # its twinx (the sigmoid + derivative curves live there), low-d axis
+    return axes[0], ax2, axes[1]
 
 
 def plot_latent_scatter(
@@ -357,6 +373,13 @@ def plot_cluster(
     plus a provenance README (reference ``plot/utils.py:249-330``)."""
     from ..misc.clustering import rmsd_centroid_of_cluster
 
+    if trajs is not None and not hasattr(trajs, "trajs"):
+        # accept a bare SingleTraj like every caller does — iterating one
+        # yields per-frame SingleTrajs, which would break the (traj,
+        # frame) mapping below
+        from ..data.trajectory import TrajEnsemble
+
+        trajs = TrajEnsemble([trajs])
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     idx = np.where(np.asarray(cluster_membership) == cluster_id)[0]
@@ -457,11 +480,23 @@ _DSSP_RGB_SIMPLIFIED = {
 }
 _DSSP_COLORS_SIMPLE = {**_DSSP_RGB_SIMPLIFIED, "NA": (0.8, 0.8, 0.8)}
 _DSSP_COLORS_FULL = {**_DSSP_RGB, "NA": (0.8, 0.8, 0.8)}
-_DSSP_NAMES_SIMPLE = {"H": "Helical", "E": "Extended", "C": "Coil"}
-_DSSP_NAMES_FULL = {
-    "H": "Alpha-helix", "B": "Isolated beta-bridge", "E": "Extended beta-ladder",
-    "G": "3/10-helix", "I": "Pi-helix", "T": "Turn", "S": "Bend", " ": "Loop",
+# ONE code->name table (the reference's dssp_to_text values,
+# ``plotting.py:2442-2460``); the legend tables derive from it so the map
+# figure and dssp_to_text can never disagree — same rule the RGB tables
+# follow above.
+_DSSP_TEXT = {
+    " ": "Coil",
+    "B": "Isolated beta-bridge",
+    "E": "Extended beta-ladder",
+    "G": "3/10-helix",
+    "H": "Alpha-helix",
+    "I": "Pi-helix",
+    "S": "Bend",
+    "T": "Hydrogen bonded Turn",
 }
+_DSSP_TEXT_SIMPLIFIED = {"C": "Coil", "E": "Extended", "H": "Helical"}
+_DSSP_NAMES_SIMPLE = _DSSP_TEXT_SIMPLIFIED
+_DSSP_NAMES_FULL = _DSSP_TEXT
 
 
 def plot_dssp(
@@ -776,12 +811,21 @@ def digitize_dssp(
             (helix, extended, coil) fractions; otherwise the per-frame RGB
             colors.
 
-    RGB encoding matches the reference's ``abc_to_rgb``: R=helix, G=extended,
-    B=coil.
+    RGB encoding is the reference's ``abc_to_rgb`` complement mixing
+    (``plot/utils.py:109-112``): with per-bin mean fractions (A=helix,
+    B=extended, C=coil), ``rgb = (min(B+C,1), min(A+C,1), min(A+B,1))`` —
+    a pure-helix bin renders cyan, pure-extended magenta, pure-coil
+    yellow; unpopulated bins stay white, and the image is x-major like the
+    reference's ``digitized[i, j]`` fill (NOTE this differs from
+    :func:`plot_free_energy`'s ``H.T`` row-major-display convention —
+    ``plt.imshow(img.transpose(1, 0, 2), origin="lower")`` puts x
+    horizontal).
     """
     fr = dssp_fractions(dssp)
     if not imshow:
-        return fr
+        # the reference's non-imshow branch returns per-frame abc_to_rgb
+        # colors (utils.py:163-164), not raw fractions
+        return _abc_to_rgb(fr)
     lowd = np.asarray(lowd)[:, :2]
     xe = np.linspace(lowd[:, 0].min(), lowd[:, 0].max(), bins + 1)
     ye = np.linspace(lowd[:, 1].min(), lowd[:, 1].max(), bins + 1)
@@ -793,8 +837,21 @@ def digitize_dssp(
     for c in range(3):
         sums = np.bincount(flat, weights=fr[:, c], minlength=bins * bins)
         np.divide(sums, counts, out=img[:, c], where=counts > 0)
-    img[counts == 0] = 1.0
-    return img.reshape(bins, bins, 3)
+    rgb = _abc_to_rgb(img)
+    rgb[counts == 0] = 1.0
+    return rgb.reshape(bins, bins, 3)
+
+
+def _abc_to_rgb(fractions: np.ndarray) -> np.ndarray:
+    """Vectorized reference ``abc_to_rgb`` (``plot/utils.py:109-112``):
+    (..., 3) [helix, extended, coil] fractions -> (..., 3) rgb via
+    complement mixing."""
+    a, b, c = (fractions[..., 0], fractions[..., 1], fractions[..., 2])
+    return np.stack(
+        [np.minimum(b + c, 1.0), np.minimum(a + c, 1.0),
+         np.minimum(a + b, 1.0)],
+        axis=-1,
+    )
 
 
 def get_histogram(
@@ -838,13 +895,20 @@ def to_density(H: np.ndarray) -> np.ndarray:
     return H / H.sum()
 
 
-def to_free_energy(D: np.ndarray, kT: float = 1.0) -> np.ndarray:
-    """-kT ln(density), shifted so the minimum is 0; empty bins become inf
+def to_free_energy(
+    D: np.ndarray, kT: float = 1.0, minener_zero: bool = False
+) -> np.ndarray:
+    """-kT ln(density); empty bins become inf. ``minener_zero`` shifts the
+    minimum to zero BEFORE the kT scaling, exactly like the reference —
+    and like it, defaults to False (unshifted)
     (reference ``plotting.py:240-267``)."""
+    F = np.full(D.shape, np.inf)
+    nz = D.nonzero()
     with np.errstate(divide="ignore"):
-        F = -kT * np.log(D)
-    F = np.where(np.isfinite(F), F - np.nanmin(F[np.isfinite(F)]), np.inf)
-    return F
+        F[nz] = -np.log(D[nz])
+    if minener_zero and len(F[nz]):
+        F[nz] -= np.min(F[nz])
+    return F * kT
 
 
 def get_density(x, y, bins: int = 100, weights=None,
@@ -856,11 +920,13 @@ def get_density(x, y, bins: int = 100, weights=None,
 
 
 def get_free_energy(x, y, bins: int = 100, weights=None, kT: float = 1.0,
-                    avoid_zero_count: bool = False, transpose: bool = True):
-    """2D free-energy surface (reference ``plotting.py:268-310``)."""
+                    avoid_zero_count: bool = False,
+                    minener_zero: bool = False, transpose: bool = True):
+    """2D free-energy surface (reference ``plotting.py:268-310``; same
+    parameter set and defaults)."""
     xc, yc, D = get_density(x, y, bins, weights, avoid_zero_count,
                             transpose)
-    return xc, yc, to_free_energy(D, kT)
+    return xc, yc, to_free_energy(D, kT, minener_zero)
 
 
 def plot_raw_data(
@@ -895,21 +961,40 @@ def plot_raw_data(
 
 def plot_end2end(
     traj,
-    selection: str = "name CA",
+    selstr: str = "name CA",
+    subsample: Optional[Union[int, slice, np.ndarray]] = None,
+    rolling_avg_window: int = 5,
     ax: Any = None,
     save_path: Optional[Union[str, Path]] = None,
+    selection: Optional[str] = None,
 ):
     """End-to-end distance timeseries of a trajectory (reference
-    ``plotting.py:2504-2536``)."""
+    ``plotting.py:2504-2536``; same ``selstr``/``subsample``/
+    ``rolling_avg_window`` parameters — an int ``subsample`` keeps every
+    Nth frame, the rolling average is overlaid like the reference's
+    plotly trendline. ``selection`` is kept as an alias from earlier
+    releases of this package)."""
     plt = _mpl()
-    idx = traj.top.select(selection)
+    if selection is not None:
+        selstr = selection
+    idx = traj.top.select(selstr)
     xyz = np.asarray(traj.xyz)
     d = np.linalg.norm(xyz[:, idx[-1]] - xyz[:, idx[0]], axis=-1)
+    if subsample is not None:
+        if isinstance(subsample, int):
+            subsample = slice(None, None, subsample)
+        d = d[subsample]
     if ax is None:
         fig, ax = plt.subplots()
     else:
         fig = ax.figure
-    ax.plot(d)
+    ax.plot(d, alpha=0.4, label="per frame")
+    if rolling_avg_window and rolling_avg_window > 1 and len(d) >= rolling_avg_window:
+        kernel = np.full(rolling_avg_window, 1.0 / rolling_avg_window)
+        avg = np.convolve(d, kernel, mode="valid")
+        xs = np.arange(len(avg)) + (rolling_avg_window - 1) / 2
+        ax.plot(xs, avg, "C1", label=f"rolling avg ({rolling_avg_window})")
+        ax.legend(fontsize=8)
     ax.set_xlabel("frame")
     ax.set_ylabel("end-to-end distance / nm")
     if save_path:
@@ -960,18 +1045,6 @@ def animate_lowd_trajectory(
 #: DSSP code -> human-readable name (full mdtraj/DSSP alphabet; the
 #: simplified 3-letter scheme uses C/E/H). Reference
 #: ``plot/plotting.py:2442-2459``.
-_DSSP_TEXT = {
-    " ": "Coil",
-    "B": "Isolated beta-bridge",
-    "E": "Extended beta-ladder",
-    "G": "3/10-helix",
-    "H": "Alpha-helix",
-    "I": "Pi-helix",
-    "S": "Bend",
-    "T": "Hydrogen bonded Turn",
-}
-_DSSP_TEXT_SIMPLIFIED = {"C": "Coil", "E": "Extended", "H": "Helical"}
-
 def dssp_to_text(val: str, simplified: bool = False) -> str:
     """Human-readable name of one DSSP code (simplified: C/E/H)."""
     return (_DSSP_TEXT_SIMPLIFIED if simplified else _DSSP_TEXT)[val]

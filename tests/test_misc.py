@@ -199,8 +199,15 @@ class TestPlotting:
             save_path=tmp_path / "rama_sub.png",
         )
         assert Path(out).stat().st_size > 0
+        # 2-D arrays unpack as interleaved psi/phi rows (reference
+        # ``angles[::2]``/``angles[1::2]``, plotting.py:2282)
+        interleaved = np.empty((2 * 50, 6))
+        interleaved[::2], interleaved[1::2] = psi, phi
+        out = plot_ramachandran(
+            interleaved, save_path=tmp_path / "rama_2d.png")
+        assert Path(out).stat().st_size > 0
         with pytest.raises(ValueError, match="psi"):
-            plot_ramachandran(np.zeros((50, 6)))
+            plot_ramachandran(np.zeros(50))
 
     def test_ramachandran_int_subsample_decimates(self, tmp_path):
         """An int subsample means every-Nth-frame (reference
@@ -910,9 +917,15 @@ class TestPlottingBuildingBlocks:
         np.testing.assert_allclose(xc, (xe[:-1] + xe[1:]) / 2)
         _, _, D = get_density(x, y, bins=20)
         np.testing.assert_allclose(D.sum(), 1.0)
+        # reference default: UNSHIFTED -kT ln(density) (minener_zero=False,
+        # plotting.py:240-310); the shift is opt-in
         _, _, F = get_free_energy(x, y, bins=20)
         finite = F[np.isfinite(F)]
-        assert finite.min() == 0.0
+        assert finite.min() > 0.0  # -log(max density) with density < 1
+        _, _, F0 = get_free_energy(x, y, bins=20, minener_zero=True)
+        finite0 = F0[np.isfinite(F0)]
+        assert finite0.min() == 0.0
+        np.testing.assert_allclose(finite - finite.min(), finite0)
         assert np.isinf(to_free_energy(np.array([[0.0, 1.0]]))[0, 0])
 
     def test_raw_data_end2end_animation(self, rng, tmp_path):

@@ -3096,3 +3096,99 @@ class TestWave22Fixes:
         trajs.load_CVs = _boom
         md2 = MolData(trajs)
         assert md2.sidedihedrals.shape == (len(t), 0)
+
+
+class TestWave23PlotParity:
+    """Plot-module review wave: reference parameter/return parity and
+    crash fixes in plotting.py / interactive.py."""
+
+    def test_free_energy_minener_zero_kwarg(self):
+        from encodermap_tpu.plot import get_free_energy, to_free_energy
+
+        rng = np.random.default_rng(0)
+        x, y = rng.standard_normal((2, 400))
+        # reference-compatible call must not TypeError, default unshifted
+        _, _, F = get_free_energy(x, y, bins=10, minener_zero=False)
+        _, _, F0 = get_free_energy(x, y, bins=10, minener_zero=True)
+        assert np.nanmin(F0[np.isfinite(F0)]) == 0.0
+        assert np.nanmin(F[np.isfinite(F)]) > 0.0
+        D = np.array([[0.5, 0.25], [0.25, 0.0]])
+        F = to_free_energy(D, kT=2.0, minener_zero=True)
+        assert F[0, 0] == 0.0 and np.isinf(F[1, 1])
+
+    def test_digitize_dssp_abc_mixing(self):
+        """Colors follow the reference's abc_to_rgb complement mixing:
+        pure helix -> cyan, not red."""
+        from encodermap_tpu.plot.plotting import digitize_dssp
+
+        dssp = np.full((4, 10), "H")  # all-helix frames
+        colors = digitize_dssp(np.zeros((4, 2)), dssp, imshow=False)
+        np.testing.assert_allclose(colors, [[0.0, 1.0, 1.0]] * 4)
+        img = digitize_dssp(
+            np.random.default_rng(0).standard_normal((4, 2)), dssp, bins=5)
+        populated = ~np.all(img == 1.0, axis=-1)
+        assert populated.any()
+        np.testing.assert_allclose(
+            img[populated],
+            np.tile([0.0, 1.0, 1.0], (int(populated.sum()), 1)),
+        )
+
+    def test_distance_histogram_returns_three_axes(self):
+        from encodermap_tpu.plot import distance_histogram
+
+        rng = np.random.default_rng(0)
+        data = rng.uniform(-np.pi, np.pi, (100, 6))
+        ax1, ax2, ax3 = distance_histogram(data, 2 * np.pi,
+                                           (4.5, 12, 6, 1, 2, 6))
+        # ax2 is ax1's twinx and carries the sigmoid curves
+        assert ax2.figure is ax1.figure and len(ax2.lines) >= 2
+        assert ax3 is not ax1
+
+    @needs_data
+    def test_plot_end2end_reference_kwargs(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.plot import plot_end2end
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        out = plot_end2end(t, selstr="name CA", subsample=2,
+                           rolling_avg_window=3,
+                           save_path=tmp_path / "e2e.png")
+        assert Path(out).stat().st_size > 0
+
+    @needs_data
+    def test_plot_cluster_accepts_single_traj(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.plot import plot_cluster
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        n = len(t)
+        membership = np.full(n, -1)
+        membership[:5] = 0
+        latent = np.random.default_rng(0).standard_normal((n, 2))
+        res = plot_cluster(t, 0, membership, latent, tmp_path / "c0")
+        assert res["n_frames"] == 5 and "pdb" in res
+
+    def test_dssp_name_tables_agree(self):
+        """The plot_dssp legend names and dssp_to_text are one table."""
+        from encodermap_tpu.plot.plotting import (
+            _DSSP_NAMES_FULL, _DSSP_NAMES_SIMPLE, dssp_to_text)
+
+        for code, name in _DSSP_NAMES_FULL.items():
+            assert dssp_to_text(code) == name, code
+        for code, name in _DSSP_NAMES_SIMPLE.items():
+            assert dssp_to_text(code, simplified=True) == name, code
+
+    def test_path_scrubber_clamps_single_point_path(self):
+        from types import SimpleNamespace
+
+        from encodermap_tpu.plot import interactive_path_visualization
+
+        rng = np.random.default_rng(0)
+        box = interactive_path_visualization(
+            SimpleNamespace(xyz=np.zeros((1, 5, 3))),
+            rng.standard_normal((50, 2)),
+            rng.standard_normal((1, 2)).astype(np.float32),
+        )
+        box._on_change({"new": 1})  # would previously show an empty marker
+        dot = box._figure.axes[0].lines[-1]
+        assert len(dot.get_xdata()) == 1

@@ -34,23 +34,51 @@ def load(
     """
     if backend not in ("no_load", "mdtraj"):
         raise ValueError(f"unknown backend {backend!r}")
-    if isinstance(common_str, str):
-        common_str = [common_str]
     if isinstance(trajs, (str, Path)):
-        top = tops
-        if isinstance(tops, (list, tuple)):
-            top = tops[0]
-        out: Union[SingleTraj, TrajEnsemble] = SingleTraj(
-            trajs, top, index=index, traj_num=traj_num,
-            basename_fn=basename_fn,
-        )
+        if isinstance(common_str, (list, tuple)):
+            common_str = common_str[0] if common_str else ""
+        # the reference dispatches single .h5/.nc paths to
+        # TrajEnsemble.from_dataset (__init__.py:505-509) — an ensemble
+        # file is never a SingleTraj. Single-traj h5s (top-level layout)
+        # wrap lazily so the return type still matches the reference's.
+        if Path(trajs).suffix in (".h5", ".nc"):
+            import h5py
+
+            with h5py.File(trajs, "r") as f:
+                multi = any(k.startswith("traj_") for k in f)
+            if multi:
+                out: Union[SingleTraj, TrajEnsemble] = (
+                    TrajEnsemble.from_dataset(trajs)
+                )
+            else:
+                out = TrajEnsemble([SingleTraj(
+                    trajs, tops, common_str=common_str or "",
+                    backend=backend, index=index, traj_num=traj_num,
+                    basename_fn=basename_fn,
+                )])
+        else:
+            top = tops
+            if isinstance(tops, (list, tuple)):
+                top = tops[0]
+            out = SingleTraj(
+                trajs, top, common_str=common_str or "", backend=backend,
+                index=index, traj_num=traj_num, basename_fn=basename_fn,
+            )
     else:
         if isinstance(tops, (str, Path)):
             tops = [tops]
+        if isinstance(common_str, str):
+            common_str = [common_str]
         out = TrajEnsemble(
             list(trajs), tops, common_str=common_str,
             basename_fn=basename_fn,
         )
+        if backend == "mdtraj":
+            # reference parity: backend="mdtraj" loads eagerly at
+            # construction (a missing/corrupt file errors HERE, not at
+            # first frame access)
+            for t in out.trajs:
+                t.load_traj()
     if custom_top is not None:
         out.load_custom_topology(custom_top)
     return out

@@ -14,6 +14,7 @@ from typing import Optional, Union
 
 import numpy as np
 
+from .pdb import _guess_element
 from .topology import Topology
 
 __all__ = ["load_gro", "DCDReader"]
@@ -33,11 +34,12 @@ def load_gro(path: Union[str, Path]) -> tuple[Topology, np.ndarray, Optional[np.
     i = 0
     while i < len(lines):
         if not lines[i].strip() and frames:
-            # trailing/padding blank lines AFTER the first frame; a blank
-            # FIRST line is a legal empty title and must not be skipped
-            # (skipping would misread the atom-count line as the title)
-            i += 1
-            continue
+            # A blank line after the first frame is EITHER trailing/EOF
+            # padding (nothing but blanks follow -> done) OR a legal empty
+            # title line of the next frame (content follows -> parse it;
+            # skipping would misread the atom-count line as the title).
+            if all(not l.strip() for l in lines[i + 1:]):
+                break
         # title line, then atom count
         n_atoms = int(lines[i + 1])
         coords = np.empty((n_atoms, 3), np.float32)
@@ -54,7 +56,7 @@ def load_gro(path: Union[str, Path]) -> tuple[Topology, np.ndarray, Optional[np.
                 if cur_res is None or cur_res.resSeq != res_num or \
                         cur_res.name != res_name:
                     cur_res = top.add_residue(res_name, res_num, 0)
-                element = atom_name.lstrip("0123456789")[:1].upper()
+                element = _guess_element(atom_name, "")
                 top.add_atom(atom_name, element, cur_res)
         built = True
         box_line = lines[i + 2 + n_atoms].split()
@@ -165,6 +167,10 @@ def write_dcd(
         icntrl = [0] * 20
         icntrl[0] = n_frames
         icntrl[10] = 1 if has_cell else 0
+        # CHARMM version field: VMD/mdtraj only parse the unit-cell extra
+        # block when this is non-zero (0 would mean X-PLOR format and the
+        # cell record would be misread as coordinates)
+        icntrl[19] = 24
         rec(b"CORD" + struct.pack("<20i", *icntrl))
         title = b"REMARKS written by encodermap_tpu".ljust(80)
         rec(struct.pack("<i", 1) + title)

@@ -148,7 +148,10 @@ def write_pdb(
             for atom in top.atoms:
                 r = atom.residue
                 x, y, z = (frame[atom.index] * 10.0).tolist()
-                name = atom.name
+                # clamp to the 4-char column like the residue name below —
+                # a 5-char name (legal in GRO input) would shift every
+                # later column and silently corrupt parsed coordinates
+                name = atom.name[:4]
                 name_fmt = f" {name:<3s}" if len(name) < 4 else f"{name:<4s}"
                 chain = chain_ids[r.chain_index % len(chain_ids)]
                 # fixed-column format: wrap overflowing serial/resSeq like

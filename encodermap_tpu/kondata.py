@@ -50,19 +50,37 @@ def _download_urls(dataset_name: str) -> list[str]:
 def get_from_kondata(
     dataset_name: str,
     output: Optional[Union[str, Path]] = None,
-    mirror_dirs: tuple[str, ...] = (),
+    force_overwrite: bool = False,
+    mk_parentdir: bool = False,
     silence_overwrite_message: bool = False,
+    tqdm_class: Optional[object] = None,
     download_extra_data: bool = False,
-    download_checkpoints: bool = True,
+    download_checkpoints: bool = False,
     download_h5: bool = True,
+    mirror_dirs: tuple[str, ...] = (),
 ) -> str:
     """Obtain a named EncoderMap project dataset directory.
 
+    Parameter names, order, and defaults match the reference
+    (``kondata.py:134-144``) so positional call sites port verbatim;
+    ``mirror_dirs`` is this package's keyword-only extension for
+    egress-free environments. ``tqdm_class`` is accepted for
+    compatibility (the urllib fetch here reports no per-chunk progress).
+
     Returns the local dataset directory path.
     """
+    del tqdm_class
     if output is None:
         output = Path.cwd() / dataset_name
     output = Path(output)
+    if not output.parent.exists():
+        if mk_parentdir:
+            output.parent.mkdir(parents=True)
+        else:
+            raise FileNotFoundError(
+                f"parent directory {output.parent} does not exist; pass "
+                f"mk_parentdir=True to create it (reference behavior)"
+            )
 
     candidates = [output]
     env_dir = os.environ.get("ENCODERMAP_DATA_DIR")
@@ -70,11 +88,15 @@ def get_from_kondata(
         candidates.append(Path(env_dir) / dataset_name)
     candidates += [Path(m) / dataset_name for m in mirror_dirs]
 
-    for c in candidates:
-        if c.exists() and any(c.iterdir()):
-            if not silence_overwrite_message and c != output:
-                print(f"using local dataset copy at {c}")
-            return str(c)
+    if not force_overwrite:
+        for c in candidates:
+            # a stray FILE named like the dataset is not a usable copy —
+            # fall through to the download/error path instead of crashing
+            # on iterdir()
+            if c.is_dir() and any(c.iterdir()):
+                if not silence_overwrite_message and c != output:
+                    print(f"using local dataset copy at {c}")
+                return str(c)
 
     # network fetch (only possible with egress). Download + extract into a
     # TEMP sibling and rename atomically: a failed/partial attempt must
@@ -144,13 +166,21 @@ def get_from_kondata(
 def load_project(
     project_name: str,
     traj: int = -1,
-    load_autoencoder: bool = True,
+    load_autoencoder: bool = False,
 ):
-    """Rebuild (trajs, autoencoder) from a downloaded project directory
-    (reference: ``__init__.py:631-747``)."""
+    """Rebuild a project: the trajs (and, with ``load_autoencoder=True``,
+    ``(trajs, autoencoder)``) from a downloaded project directory.
+
+    Matches the reference contract (``__init__.py:631-747``): the default
+    returns ONLY the ensemble (``load_autoencoder`` defaults False there
+    too); ``traj > -1`` selects that single trajectory (a
+    :class:`SingleTraj`) out of the ensemble."""
     from .data.trajectory import SingleTraj, TrajEnsemble
 
-    root = Path(get_from_kondata(project_name))
+    root = Path(get_from_kondata(
+        project_name, silence_overwrite_message=True,
+        download_checkpoints=True, download_h5=True,
+    ))
     h5_files = sorted(root.glob("*.h5"))
     trajs_h5 = [f for f in h5_files if "traj" in f.name.lower()]
     if not trajs_h5:
@@ -173,11 +203,15 @@ def load_project(
         else:
             members.append(SingleTraj(f))
     ensemble = TrajEnsemble(members)
-    if traj != -1:
-        ensemble = TrajEnsemble([ensemble.trajs[traj]])
+    selected: Union[SingleTraj, TrajEnsemble] = ensemble
+    if traj > -1:
+        # the reference's guard is `traj > -1` (__init__.py:700) — any
+        # negative value means "whole ensemble", and the selection is a
+        # SingleTraj like `trajs[traj]` there
+        selected = ensemble[traj]
 
     if not load_autoencoder:
-        return ensemble
+        return selected
 
     # deterministic selection: iterdir() order is filesystem-dependent;
     # prefer the LAST run directory by name (runN sorts naturally enough
@@ -191,10 +225,12 @@ def load_project(
     if (root / "parameters.json").exists():
         ckpt_dirs.insert(0, root)
     if not ckpt_dirs:
-        return ensemble, None
+        return selected, None
     from .train.adc_autoencoder import AngleDihedralCartesianEncoderMap
 
     autoencoder = AngleDihedralCartesianEncoderMap.from_checkpoint(
-        ensemble, ckpt_dirs[0]
+        selected if isinstance(selected, TrajEnsemble)
+        else TrajEnsemble([selected]),
+        ckpt_dirs[0],
     )
-    return ensemble, autoencoder
+    return selected, autoencoder

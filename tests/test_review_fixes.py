@@ -3192,3 +3192,188 @@ class TestWave23PlotParity:
         box._on_change({"new": 1})  # would previously show an empty marker
         dot = box._figure.axes[0].lines[-1]
         assert len(dot.get_xdata()) == 1
+
+
+class TestWave24DataApiParity:
+    """data/api + kondata + format review wave: reference signature
+    parity for load/load_project/get_from_kondata, format interop."""
+
+    def _local_project(self, tmp_path, monkeypatch, n_frames=6):
+        from encodermap_tpu.data import SingleTraj
+
+        project = tmp_path / "mirror" / "proj24"
+        project.mkdir(parents=True)
+        t = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb")[0:n_frames]
+        t.save(project / "trajs.h5")
+        monkeypatch.setenv("ENCODERMAP_DATA_DIR", str(tmp_path / "mirror"))
+        return project
+
+    @needs_data
+    def test_load_project_reference_defaults(self, tmp_path, monkeypatch):
+        """Default load_autoencoder=False (ensemble only, no tuple);
+        traj > -1 selects a SingleTraj; other negatives mean 'all'."""
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        self._local_project(tmp_path, monkeypatch)
+        out = em.load_project("proj24")  # no kwargs, like reference code
+        assert isinstance(out, TrajEnsemble)
+        sel = em.load_project("proj24", traj=0)
+        assert isinstance(sel, SingleTraj)
+        allt = em.load_project("proj24", traj=-2)  # reference: traj > -1
+        assert isinstance(allt, TrajEnsemble)
+
+    def test_get_from_kondata_positional_force_overwrite(
+            self, tmp_path, monkeypatch):
+        """Reference signature order: 3rd positional is force_overwrite
+        (not this package's mirror_dirs), and it skips the local copy."""
+        import urllib.request
+
+        from encodermap_tpu.kondata import get_from_kondata
+
+        out = tmp_path / "dset"
+        out.mkdir()
+        (out / "data.txt").write_text("local")
+
+        # without force_overwrite the local copy wins
+        assert get_from_kondata("dset", out) == str(out)
+
+        def boom(url, target):
+            raise OSError("no egress")
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", boom)
+        with pytest.raises(RuntimeError, match="could not be downloaded"):
+            get_from_kondata("dset", out, True)  # positional like reference
+
+    def test_get_from_kondata_mk_parentdir(self, tmp_path, monkeypatch):
+        import urllib.request
+
+        from encodermap_tpu.kondata import get_from_kondata
+
+        target = tmp_path / "missing_parent" / "dset"
+        with pytest.raises(FileNotFoundError, match="mk_parentdir"):
+            get_from_kondata("dset", target)
+
+        def boom(url, t):
+            raise OSError("no egress")
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", boom)
+        with pytest.raises(RuntimeError):  # parent created, download fails
+            get_from_kondata("dset", target, mk_parentdir=True)
+        assert target.parent.is_dir()
+
+    def test_get_from_kondata_stray_file_candidate(self, tmp_path,
+                                                   monkeypatch):
+        """A regular FILE where the dataset dir would be must not crash
+        with NotADirectoryError before the curated error."""
+        import urllib.request
+
+        from encodermap_tpu.kondata import get_from_kondata
+
+        stray = tmp_path / "dset"
+        stray.write_text("not a directory")
+        monkeypatch.setattr(
+            urllib.request, "urlretrieve",
+            lambda u, t: (_ for _ in ()).throw(OSError("no egress")))
+        with pytest.raises(RuntimeError, match="not available locally"):
+            get_from_kondata("dset", stray)
+
+    @needs_data
+    def test_load_forwards_backend_and_common_str(self, tmp_path):
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"),
+                    common_str="prod")
+        assert t.common_str == "prod"
+        # backend='mdtraj' errors at construction for a missing file
+        with pytest.raises(Exception):
+            em.load(str(tmp_path / "nope.xtc"), str(DATA / "asp7.pdb"),
+                    backend="mdtraj")
+        ens = em.load([str(DATA / "asp7.xtc"), str(DATA / "glu7.xtc")],
+                      [str(DATA / "asp7.pdb"), str(DATA / "glu7.pdb")],
+                      common_str=["asp7", "glu7"], backend="mdtraj")
+        assert ens.n_trajs == 2 and ens.n_frames > 0
+        # and the eager error surfaces for ensembles too
+        with pytest.raises(Exception):
+            em.load([str(tmp_path / "nope.xtc")], [str(DATA / "asp7.pdb")],
+                    backend="mdtraj")
+
+    @needs_data
+    def test_load_h5_returns_ensemble(self, tmp_path):
+        """Reference dispatch (__init__.py:505-509): single .h5 paths go
+        to TrajEnsemble, never SingleTraj."""
+        import encodermap_tpu as em
+        from encodermap_tpu.data import SingleTraj, TrajEnsemble
+
+        t1 = SingleTraj(DATA / "asp7.xtc", DATA / "asp7.pdb", traj_num=0)
+        t2 = SingleTraj(DATA / "glu7.xtc", DATA / "glu7.pdb", traj_num=1)
+        ens_h5 = tmp_path / "ens.h5"
+        TrajEnsemble([t1, t2]).save(ens_h5)
+        out = em.load(str(ens_h5))
+        assert isinstance(out, TrajEnsemble) and out.n_trajs == 2
+
+        single_h5 = tmp_path / "single.h5"
+        t1[0:5].save(single_h5)
+        out = em.load(str(single_h5))
+        assert isinstance(out, TrajEnsemble) and out.n_trajs == 1
+        assert out.trajs[0].n_frames == 5
+
+    def test_dcd_writer_sets_charmm_version(self, tmp_path):
+        """icntrl[19] must be non-zero or VMD/mdtraj read the cell record
+        as coordinates (X-PLOR format has no cell block)."""
+        import struct
+
+        from encodermap_tpu.data.formats import write_dcd
+
+        xyz = np.zeros((2, 3, 3), np.float32)
+        p = tmp_path / "t.dcd"
+        write_dcd(p, xyz, cell_lengths=np.full((2, 3), 2.0, np.float32))
+        raw = p.read_bytes()
+        icntrl = struct.unpack("<20i", raw[8:88])
+        assert icntrl[10] == 1 and icntrl[19] != 0
+
+    def test_gro_empty_intermediate_title(self, tmp_path):
+        """A blank title line on frame 2+ is legal GRO; only pure trailing
+        blanks end the file."""
+        from encodermap_tpu.data.formats import load_gro
+
+        atom = "    1ALA      N    1   1.000   2.000   3.000"
+        frame = ["t", "1", atom, "   5.0   5.0   5.0"]
+        frame2 = ["", "1", atom.replace("1.000", "1.500"),
+                  "   5.0   5.0   5.0"]
+        p = tmp_path / "t.gro"
+        p.write_text("\n".join(frame + frame2 + ["", ""]))
+        top, xyz, box = load_gro(p)
+        assert xyz.shape == (2, 1, 3)
+        assert abs(xyz[1, 0, 0] - 1.5) < 1e-6
+
+    def test_gro_two_letter_elements(self, tmp_path):
+        from encodermap_tpu.data.formats import load_gro
+
+        lines = [
+            "ions", "2",
+            "    1CL      CL    1   1.000   2.000   3.000",
+            "    2NA      NA    2   2.000   3.000   4.000",
+            "   5.0   5.0   5.0",
+        ]
+        p = tmp_path / "i.gro"
+        p.write_text("\n".join(lines))
+        top, _, _ = load_gro(p)
+        assert top.atoms[0].element == "CL"
+        assert top.atoms[1].element == "NA"
+
+    def test_pdb_write_clamps_long_atom_names(self, tmp_path):
+        """A 5-char atom name (legal in GRO) must not shift PDB columns."""
+        from encodermap_tpu.data.pdb import load_pdb, write_pdb
+        from encodermap_tpu.data.topology import Topology
+
+        top = Topology()
+        r = top.add_residue("ALA", 1, 0)
+        top.add_atom("HD11X", "H", r)  # 5 chars
+        top.add_atom("CA", "C", r)
+        xyz = np.array([[[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]]], np.float32)
+        p = tmp_path / "t.pdb"
+        write_pdb(p, top, xyz)
+        top2, xyz2, _ = load_pdb(p)
+        np.testing.assert_allclose(xyz2, xyz, atol=1e-3)
+        assert top2.atoms[0].name == "HD11"  # clamped, columns intact

@@ -156,6 +156,28 @@ def latest_checkpoint(
     return best
 
 
+def _sibling(path: Path, suffix: str) -> "Optional[Path]":
+    """The ``.opt.npz``/``.rng.npy`` sibling of a checkpoint file.
+
+    Derived ONLY for real ``*.npz`` checkpoints — blindly chopping 4
+    characters off an arbitrary filename ("best_model", "x.npz.bak")
+    would produce a garbage path whose non-existence silently skips
+    optimizer/RNG restore. For non-.npz names we warn once so the user
+    knows the sidecars were not looked up."""
+    if path.suffix == ".npz" and not str(path).endswith(suffix):
+        return Path(str(path)[: -len(".npz")] + suffix)
+    import warnings
+
+    warnings.warn(
+        f"checkpoint {path.name!r} does not end in '.npz'; its "
+        f"'{suffix}' sidecar (optimizer state / PRNG key) cannot be "
+        f"derived and will not be restored. Keep the saved_model_N.npz "
+        f"naming to resume exactly.",
+        stacklevel=3,
+    )
+    return None
+
+
 def load_checkpoint(
     path: Union[str, Path], prefix: str = "saved_model",
     n_encoder: Optional[int] = None,
@@ -202,8 +224,9 @@ def load_checkpoint(
     m = re.match(rf"{re.escape(prefix)}_(\d+)\.npz$", path.name)
     step = int(m.group(1)) if m else 0
     params = load_pytree(path)
-    opt_file = Path(str(path)[: -len(".npz")] + ".opt.npz")
-    opt_state = str(opt_file) if opt_file.exists() else None
+    opt_file = _sibling(path, ".opt.npz")
+    opt_state = str(opt_file) if opt_file is not None and opt_file.exists() \
+        else None
     return params, opt_state, step
 
 
@@ -218,8 +241,8 @@ def load_checkpoint_rng(
         if found is None:
             return None
         path = Path(found[0])
-    rng_file = Path(str(path)[: -len(".npz")] + ".rng.npy")
-    if rng_file.exists():
+    rng_file = _sibling(path, ".rng.npy")
+    if rng_file is not None and rng_file.exists():
         return np.load(rng_file)
     return None
 

@@ -87,15 +87,24 @@ class MetricsWriter:
             self._fh.close()
 
 
+def _param_leaf_stats(params: Any):
+    """Yield ``(path_name, leaf_array)`` for every param leaf — the ONE
+    tree walk + path naming shared by :func:`histogram_summary` and
+    :func:`add_layer_summaries` (keeping the name scheme in one place)."""
+    import jax
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        yield name, np.asarray(leaf)
+
+
 def histogram_summary(writer: MetricsWriter, step: int, params: Any) -> None:
     """Log weight/bias summary statistics per layer (the TPU-side stand-in
     for the reference's per-layer histograms, ``summaries.py:73-98``)."""
-    import jax
-
     stats = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        arr = np.asarray(leaf)
+    for name, arr in _param_leaf_stats(params):
         stats[f"weights/{name}/mean"] = float(arr.mean())
         stats[f"weights/{name}/std"] = float(arr.std())
     writer.write_scalars(step, stats)
@@ -130,10 +139,23 @@ def image_summary(
     fig = Figure(figsize=(8, 4))
     FigureCanvasAgg(fig)
     axes = fig.subplots(1, 2)
-    if np.any(np.isnan(latent)):
+    if not np.all(np.isfinite(latent)):
+        # inf kills hist2d just like NaN ("autodetected range ... is not
+        # finite") — and this runs unguarded inside ImageCallback, so a
+        # diverged latent must produce the placeholder, not abort training
+        bad = "NaN" if np.any(np.isnan(latent)) else "inf"
         for ax in axes:
-            ax.text(0.5, 0.5, "NaN in latent", ha="center", va="center")
+            ax.text(0.5, 0.5, f"{bad} in latent", ha="center", va="center")
             ax.set_axis_off()
+    elif latent.ndim < 2 or latent.shape[1] < 2:
+        # 1-D bottleneck: scatter/hist2d need two columns; plot the
+        # histogram of the single latent coordinate instead of crashing
+        flat = latent.reshape(len(latent), -1)
+        col = flat[:, 0] if flat.shape[1] else np.zeros(len(flat))
+        axes[0].plot(col, ".", ms=2)
+        axes[0].set_title("latent (1-D) per point")
+        axes[1].hist(col, bins=50)
+        axes[1].set_title("latent density")
     else:
         axes[0].scatter(latent[:, 0], latent[:, 1], s=2)
         axes[0].set_title("latent scatter")
@@ -197,12 +219,8 @@ def add_layer_summaries(writer: MetricsWriter, step: int, params: Any,
     namescopes derived from the param-tree paths. A thin veneer over
     :func:`histogram_summary` that keeps the reference's grouping scheme
     in the scalar names."""
-    import jax
-
     stats = {}
-    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        parts = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
-        name = "/".join(parts)
+    for name, arr in _param_leaf_stats(params):
         low = name.lower()
         if "encoder" in low:
             scope = "Encoder"
@@ -214,7 +232,6 @@ def add_layer_summaries(writer: MetricsWriter, step: int, params: Any,
             scope = "InputOutputLayers"
         if namescope:
             scope = f"{namescope}/{scope}"
-        arr = np.asarray(leaf)
         kind = "biases" if arr.ndim == 1 else "weights"
         stats[f"{scope}/{name}/{kind}/mean"] = float(arr.mean())
         stats[f"{scope}/{name}/{kind}/std"] = float(arr.std())

@@ -662,6 +662,14 @@ class Autoencoder(TrainerExtensions):
         history = run_streaming(self, source, n,
                                 sharding=self._streaming_sharding())
         self.history = history
+        if getattr(self, "_streaming_nan_stop", False):
+            # same contract as train(): keep parameters.json pointing at
+            # the last finite checkpoint instead of the diverged state
+            print(
+                "Not persisting the diverged state; the newest on-disk "
+                "checkpoint remains the last finite one."
+            )
+            return history
         self.p.current_training_step = int(self.state.step)
         if not self.read_only:
             self.p.save(Path(self.p.main_path) / "parameters.json")

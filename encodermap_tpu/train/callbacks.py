@@ -95,6 +95,8 @@ class CheckpointSaver(Callback):
 
         if not is_primary():
             return
+        if self.checkpoint_step <= 0:
+            return  # <=0 disables checkpointing (ZeroDivision guard)
         n = len(next(iter(metrics.values())))
         last = first_step + n
         due = (last // self.checkpoint_step) * self.checkpoint_step
@@ -206,6 +208,8 @@ class ImageCallback(Callback):
         self._last = -1
 
     def on_chunk_end(self, first_step: int, metrics: dict) -> None:
+        if self.image_step <= 0:
+            return  # <=0 disables image writing (ZeroDivision guard)
         n = len(next(iter(metrics.values())))
         last = first_step + n
         due = (last // self.image_step) * self.image_step

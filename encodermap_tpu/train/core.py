@@ -229,11 +229,27 @@ class HDF5BatchSource:
         self.slab_frames = slab_frames
         self._h5 = h5py.File(path, "r")
         try:
-            traj_groups = sorted(
-                (k for k in self._h5
-                 if k.startswith("traj_") and "CVs" in self._h5[k]),
-                key=lambda k: int(k.split("_")[1]),
-            )
+            if group and group in self._h5:
+                # the explicitly-requested flat group wins — and is
+                # resolved BEFORE scanning traj_* names, so an unrelated
+                # top-level item like 'traj_joined' or a traj_0 DATASET
+                # can't crash the scan below
+                traj_groups: list = []
+            else:
+                def _is_member(k: str) -> bool:
+                    if not k.startswith("traj_"):
+                        return False
+                    try:
+                        int(k.split("_")[1])
+                    except (IndexError, ValueError):
+                        return False  # e.g. 'traj_joined'
+                    node = self._h5[k]
+                    return isinstance(node, h5py.Group) and "CVs" in node
+
+                traj_groups = sorted(
+                    (k for k in self._h5 if _is_member(k)),
+                    key=lambda k: int(k.split("_")[1]),
+                )
             if group and group in self._h5:
                 self._dset_groups = [
                     [self._h5[group][n] for n in self.cv_names]
@@ -244,7 +260,17 @@ class HDF5BatchSource:
                     for k in traj_groups
                 ]
             else:
-                g = self._h5[group] if group else self._h5
+                if group and group in self._h5:
+                    g = self._h5[group]
+                elif all(n in self._h5 for n in self.cv_names):
+                    # flat file with top-level datasets (the group kwarg
+                    # default "CVs" must not hide them behind a KeyError)
+                    g = self._h5
+                else:
+                    raise KeyError(
+                        f"{path} has no {group!r} group, no traj_* member "
+                        f"groups, and its top level lacks {self.cv_names}"
+                    )
                 self._dset_groups = [[g[n] for n in self.cv_names]]
             if not self._dset_groups or not self._dset_groups[0]:
                 raise KeyError(
@@ -468,6 +494,12 @@ def _upload_stage(source, put, n_steps: int):
         remaining = n_steps - done
         if remaining <= 0:
             return
+        if isinstance(superbatch, tuple) and len(superbatch) == 1:
+            # HDF5BatchSource always yields tuples; the plain-EncoderMap
+            # train step takes a bare array — unwrap so the documented
+            # EncoderMap(...).train_streaming(HDF5BatchSource(...)) call
+            # works without a hand-written adapter
+            superbatch = superbatch[0]
         if isinstance(superbatch, tuple):
             if superbatch[0].shape[0] > remaining:
                 superbatch = tuple(x[:remaining] for x in superbatch)
@@ -506,6 +538,26 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None,
         return jnp.asarray(x)
 
     trainer = make_streaming_trainer(autoencoder._make_train_step())
+    # callbacks + per-step metric writing run here exactly like the
+    # in-memory train() loop (train/autoencoder.py) — streaming training
+    # must not silently lose NaNInterrupt / CheckpointSaver / ImageCallback
+    # / progress reporting. The same step-labeling contract holds:
+    # JSONL rows are first_step + i + 1.
+    cbs = (autoencoder._setup_callbacks()
+           if hasattr(autoencoder, "_setup_callbacks") else [])
+    read_only = getattr(autoencoder, "read_only", True)
+    if not read_only:
+        from ..misc.summaries import MetricsWriter
+
+        if getattr(autoencoder, "_metrics_writer", None) is not None:
+            autoencoder._metrics_writer.close()
+        autoencoder._metrics_writer = MetricsWriter(
+            autoencoder.p.main_path,
+            tensorboard=getattr(autoencoder.p, "tensorboard", False),
+        )
+    for cb in cbs:
+        cb.on_train_begin(autoencoder)
+    autoencoder._streaming_nan_stop = False
     if prefetch:
         source = PrefetchSource(source, depth=prefetch)
     # Second pipeline stage: chunk k+1's host->device transfer runs in a
@@ -517,22 +569,55 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None,
     stream = PrefetchSource(uploads, depth=1) if prefetch else uploads
     history: dict[str, list] = {}
     done = 0
+    stop = False
+    # ONE host read before the loop; per-chunk step labels advance by the
+    # chunk sizes. Reading state.step inside the loop would sync the host
+    # with the device every chunk and break the upload/compute overlap
+    # this pipeline exists for.
+    step0 = int(autoencoder.state.step)
     try:
         for n, dev in stream:
+            first_step = step0 + done
             autoencoder.state, metrics = trainer(autoencoder.state, dev)
             metrics = jax.device_get(metrics)
             for k, v in metrics.items():
                 history.setdefault(k, []).append(v)
+            writer = getattr(autoencoder, "_metrics_writer", None)
+            if writer is not None:
+                stride = max(1, getattr(autoencoder.p, "summary_step", 1))
+                for i in range(n):
+                    step_i = first_step + i + 1
+                    if step_i % stride == 0:
+                        writer.write_scalars(
+                            step_i, {k: v[i] for k, v in metrics.items()}
+                        )
+            for cb in cbs:
+                if cb.on_chunk_end(first_step, metrics) is False:
+                    stop = True
+                    # same contract as train(): a NaN abort must not reach
+                    # CheckpointSaver with the diverged parameters
+                    autoencoder._streaming_nan_stop = (
+                        type(cb).__name__ == "NaNInterrupt"
+                    )
+                    break
             done += n
-            if done >= n_steps:
+            if stop or done >= n_steps:
                 break
     finally:
+        for cb in cbs:
+            cb.on_train_end(autoencoder)
+        writer = getattr(autoencoder, "_metrics_writer", None)
+        if writer is not None:
+            writer.close()
+            autoencoder._metrics_writer = None
         if isinstance(stream, PrefetchSource):
             stream.close()
         if isinstance(source, PrefetchSource):
             source.close()
-    out = {k: jnp.concatenate([jnp.asarray(x) for x in v])[:n_steps]
-           for k, v in history.items()}
-    import numpy as _np
-
-    return {k: _np.asarray(v) for k, v in out.items()}
+    # host bookkeeping: metrics were device_get above, so concatenate on
+    # the host (jnp here would round-trip every metric through the device
+    # — a remote dispatch per key on the axon platform)
+    return {
+        k: np.concatenate([np.asarray(x) for x in v])[:n_steps]
+        for k, v in history.items()
+    }

@@ -207,7 +207,9 @@ class TestADCKerasImport:
         m = _tf_twin_from_params(adc.state.params, in_dim)
         m.save(proj / f"saved_model_{int(adc.state.step)}.keras")
 
-        ens2, adc2 = em.load_project(str(proj))
+        # load_autoencoder defaults False like the reference (wave 24);
+        # the tuple return is the opt-in form
+        ens2, adc2 = em.load_project(str(proj), load_autoencoder=True)
         assert adc2 is not None
         np.testing.assert_allclose(
             np.asarray(adc2.state.params["encoder"][0]["kernel"]),

@@ -3377,3 +3377,151 @@ class TestWave24DataApiParity:
         top2, xyz2, _ = load_pdb(p)
         np.testing.assert_allclose(xyz2, xyz, atol=1e-3)
         assert top2.atoms[0].name == "HD11"  # clamped, columns intact
+
+
+class TestWave25TrainInfra:
+    """train/core + callbacks + summaries + saving review wave."""
+
+    def test_plain_streaming_from_hdf5batchsource(self, tmp_path):
+        """The DOCUMENTED streaming path: plain EncoderMap driven directly
+        by an HDF5BatchSource (1-tuple superbatches must unwrap)."""
+        import h5py
+
+        import encodermap_tpu as em
+        from encodermap_tpu.train.core import HDF5BatchSource
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((512, 4)).astype(np.float32)
+        h5 = tmp_path / "d.h5"
+        with h5py.File(h5, "w") as f:
+            f.create_dataset("features", data=data)
+        p = em.Parameters(main_path=str(tmp_path / "run"), n_steps=20,
+                          steps_per_scan=10, batch_size=32,
+                          periodicity=float("inf"), seed=0,
+                          fused_trainer=False)
+        emap = em.EncoderMap(p, data[:8])
+        src = HDF5BatchSource(h5, ["features"], 32, 10)
+        hist = emap.train_streaming(src)
+        assert len(hist["loss"]) == 20
+        assert np.isfinite(hist["loss"]).all()
+
+    def test_hdf5batchsource_flat_group_wins_over_stray_traj_items(
+            self, tmp_path):
+        import h5py
+
+        from encodermap_tpu.train.core import HDF5BatchSource
+
+        h5 = tmp_path / "d.h5"
+        with h5py.File(h5, "w") as f:
+            g = f.create_group("CVs")
+            g.create_dataset("x", data=np.zeros((64, 3), np.float32))
+            f.create_dataset("traj_0", data=np.zeros(3))   # stray DATASET
+            f.create_group("traj_joined")                  # unparsable num
+        src = HDF5BatchSource(h5, ["x"], 8, 2, group="CVs")
+        batch = next(iter(src))
+        assert batch[0].shape == (2, 8, 3)
+        src.close()
+
+    def test_checkpoint_and_image_step_zero_disable(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.train.callbacks import CheckpointSaver, ImageCallback
+
+        data, _ = em.create_n_cube(3, points_along_edge=10, seed=1)
+        p = em.Parameters(main_path=str(tmp_path / "r"), n_steps=10,
+                          steps_per_scan=5, batch_size=16,
+                          periodicity=float("inf"), seed=1)
+        emap = em.EncoderMap(p, data, read_only=True)
+        metrics = {"loss": np.zeros(5)}
+        CheckpointSaver(emap, 0).on_chunk_end(0, metrics)   # no ZeroDivision
+        ImageCallback(emap, 0).on_chunk_end(0, metrics)
+        assert not list(Path(tmp_path, "r").glob("saved_model_*"))
+
+    def test_image_summary_inf_and_1d_latents(self, tmp_path):
+        from encodermap_tpu.misc.summaries import image_summary
+
+        inf_latent = np.array([[1.0, np.inf], [0.0, 1.0]], np.float32)
+        out = image_summary(inf_latent, 1, tmp_path)   # must not raise
+        assert Path(out).exists()
+        lat1d = np.random.default_rng(0).standard_normal((50, 1))
+        out = image_summary(lat1d, 2, tmp_path)
+        assert Path(out).exists()
+
+    def test_renamed_checkpoint_warns_not_silent(self, tmp_path):
+        import warnings
+
+        from encodermap_tpu.misc.saving import (load_checkpoint,
+                                                load_checkpoint_rng,
+                                                save_pytree)
+
+        f = tmp_path / "best_model"  # renamed checkpoint, no .npz suffix
+        save_pytree({"w": np.zeros(3)}, tmp_path / "t.npz")
+        (tmp_path / "t.npz").rename(f)
+        import shutil
+        shutil.copyfile(f, str(f) + ".npz")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            load_checkpoint(f)
+            assert any("sidecar" in str(x.message) for x in w)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert load_checkpoint_rng(f) is None
+            assert any("sidecar" in str(x.message) for x in w)
+
+    def test_streaming_runs_callbacks_and_writes_metrics(self, tmp_path):
+        """run_streaming fires the same callback/metric machinery as the
+        in-memory loop: checkpoints appear, JSONL rows are written with
+        the first_step+i+1 labels, images fire at image_step."""
+        import json
+
+        import h5py
+
+        import encodermap_tpu as em
+        from encodermap_tpu.train.core import HDF5BatchSource
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((512, 4)).astype(np.float32)
+        h5 = tmp_path / "d.h5"
+        with h5py.File(h5, "w") as f:
+            f.create_dataset("features", data=data)
+        run = tmp_path / "run"
+        p = em.Parameters(main_path=str(run), n_steps=40, steps_per_scan=20,
+                          batch_size=32, periodicity=float("inf"), seed=0,
+                          checkpoint_step=20, summary_step=1,
+                          fused_trainer=False)
+        emap = em.EncoderMap(p, data[:8])
+        emap.add_images_to_tensorboard(image_step=20)
+        emap.train_streaming(HDF5BatchSource(h5, ["features"], 32, 20))
+        assert (run / "saved_model_20.npz").exists()  # CheckpointSaver ran
+        assert list(run.glob("latent_*.png"))         # ImageCallback ran
+        rows = [json.loads(l) for l in
+                (run / "train_metrics.jsonl").read_text().splitlines()]
+        steps = [r["step"] for r in rows if "loss" in r]
+        assert steps[0] == 1 and steps[-1] == 40      # first_step+i+1 labels
+
+    def test_streaming_nan_interrupt_no_persist(self, tmp_path):
+        """A NaN mid-stream stops training and does NOT overwrite the last
+        finite checkpoint/parameters.json (same contract as train())."""
+        import h5py
+
+        import encodermap_tpu as em
+        from encodermap_tpu.train.core import HDF5BatchSource
+
+        data = np.random.default_rng(0).standard_normal(
+            (256, 4)).astype(np.float32)
+        data[128:] = np.nan  # second half poisons the stream
+        h5 = tmp_path / "d.h5"
+        with h5py.File(h5, "w") as f:
+            f.create_dataset("features", data=data)
+        run = tmp_path / "run"
+        p = em.Parameters(main_path=str(run), n_steps=40, steps_per_scan=10,
+                          batch_size=256, periodicity=float("inf"), seed=0,
+                          checkpoint_step=1000, fused_trainer=False)
+        emap = em.EncoderMap(p, data[:8])
+        src = HDF5BatchSource(h5, ["features"], 256, 10,
+                              slab_frames=256, n_windows=1)
+        hist = emap.train_streaming(src)
+        assert len(hist["loss"]) < 40        # interrupted early
+        import json as _json
+        saved = _json.loads((run / "parameters.json").read_text()) \
+            if (run / "parameters.json").exists() else {}
+        assert saved.get("current_training_step", 0) == 0  # not persisted

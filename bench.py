@@ -373,14 +373,16 @@ def bench_streaming(batch: int = 256, steps_per_scan: int = 1000,
     )
     try:
         state = emap.state
+        # _upload_stage unwraps 1-tuple superbatches (wave 25), so dev is
+        # the bare (steps, batch, features) array
         _, dev = next(stream)
-        state, m = trainer(state, dev[0])  # compile+warm
+        state, m = trainer(state, dev)  # compile+warm
         float(np.asarray(m["loss"])[-1])
 
         t0 = time.perf_counter()
         for _ in range(n_chunks):
             _, dev = next(stream)
-            state, m = trainer(state, dev[0])
+            state, m = trainer(state, dev)
         final = float(np.asarray(m["loss"])[-1])
         dt = time.perf_counter() - t0
     finally:

@@ -76,12 +76,33 @@ def apply_alignment_to_labels(
     """Rewrite the trailing residue number of each generic label to its
     alignment column, so homologous residues share labels across
     topologies."""
+    # residues NOT covered by the alignment (e.g. a truncated construct)
+    # must never collide with a real alignment column — a raw-number
+    # fallback could equal another residue's column and the ensemble
+    # aligner would silently MERGE two different dihedrals into one
+    # NaN-padded column (review wave 26). Unmapped residues are shifted
+    # past the last column instead, keeping them distinct.
+    max_col = max(res_to_col.values(), default=0)
     out = []
+    warned = False
     for lbl in labels:
         m = _RES_NUM_RE.search(lbl)
         if m:
             res_i = int(m.group(1))
-            col = res_to_col.get(res_i, res_i)
+            col = res_to_col.get(res_i)
+            if col is None:
+                col = max_col + res_i
+                if not warned:
+                    warned = True
+                    import warnings
+
+                    warnings.warn(
+                        f"residue {res_i} is not covered by the ClustalW "
+                        f"alignment; its labels are renumbered past the "
+                        f"last alignment column ({max_col}) so they can't "
+                        f"collide with aligned residues.",
+                        stacklevel=2,
+                    )
             lbl = lbl[: m.start(1)] + str(col)
         out.append(lbl)
     return out

@@ -62,13 +62,99 @@ def rmsd_centroid_of_cluster(
     return int(subsample[local]), distances
 
 
-def cluster_to_dict(clusters: np.ndarray) -> dict[int, np.ndarray]:
-    """Cluster-id -> frame-index arrays (noise label -1 excluded),
-    reference ``clustering.py:130-160``."""
-    clusters = np.asarray(clusters)
-    out: dict[int, np.ndarray] = {}
-    for cid in np.unique(clusters):
-        if cid == -1:
-            continue
-        out[int(cid)] = np.where(clusters == cid)[0]
+def cluster_to_dict(
+    trajs,
+    align_string: str = "name CA",
+    ref_align_string: str = "name CA",
+    base_traj=None,
+):
+    """Joined/stacked views of a cluster sub-ensemble — the reference's
+    contract (``clustering.py:130-292``): pass the ``TrajEnsemble`` that
+    ``trajs.cluster(cluster_id)`` returns and get a dict with
+
+    * ``"ensemble"`` — the input ensemble,
+    * ``"series"`` — the per-frame membership values of the cluster CV,
+    * ``"joined_per_top"`` — topology -> superposed frames joined along
+      time (one trajectory per distinct topology),
+    * ``"joined"`` — all frames as one trajectory (only when every member
+      has the same atom count, like the reference), and
+    * ``"stacked"`` — every frame stacked along the ATOM axis into one
+      single-frame trajectory (the overlay view).
+
+    Trajectories are this package's ``SingleTraj`` (the reference returns
+    mdtraj objects — documented divergence). A plain integer membership
+    array is also accepted and returns the legacy
+    ``{cluster_id: frame_indices}`` mapping of earlier releases.
+    """
+    if not hasattr(trajs, "trajs"):
+        clusters = np.asarray(trajs)
+        if clusters.dtype.kind not in "iu":
+            raise TypeError(
+                "cluster_to_dict takes the TrajEnsemble from "
+                "trajs.cluster(...) (reference contract) or an integer "
+                f"membership array; got {type(trajs).__name__} of dtype "
+                f"{clusters.dtype}"
+            )
+        out: dict[int, np.ndarray] = {}
+        for cid in np.unique(clusters):
+            if cid == -1:
+                continue
+            out[int(cid)] = np.where(clusters == cid)[0]
+        return out
+
+    # locate the membership CV: integer-valued with ONE unique id
+    # (reference clustering.py:180-211)
+    col = None
+    cvs = trajs.CVs
+    for name, values in cvs.items():
+        x = np.asarray(values, np.float64).ravel()
+        x = x[~np.isnan(x)]
+        if x.size and np.all(np.mod(x, 1) == 0) and len(np.unique(x)) == 1:
+            col = name
+            break
+    if col is None:
+        raise Exception(
+            "Could not find a CV with a single integer cluster id. Make "
+            "sure to pass the sub-ensemble from trajs.cluster(cluster_id)."
+        )
+    series = np.concatenate(
+        [np.asarray(t._CVs.entry(col).data).ravel() for t in trajs.trajs]
+    )
+
+    joined_per_top: dict = {}
+    all_sup = []
+    for t in trajs.trajs:
+        if t.top in joined_per_top:
+            ref = joined_per_top[t.top].get_single_frame(0)
+        else:
+            ref = t.get_single_frame(0)
+        sup = t.superpose(
+            ref, frame=0,
+            atom_indices=t.top.select(align_string),
+            ref_atom_indices=ref.top.select(ref_align_string),
+        )
+        if t.top in joined_per_top:
+            joined_per_top[t.top] = joined_per_top[t.top].join(sup)
+        else:
+            joined_per_top[t.top] = sup
+        all_sup.append(sup)
+
+    out = {
+        "ensemble": trajs,
+        "series": series,
+        "joined_per_top": joined_per_top,
+    }
+    if all(t.n_atoms == trajs.trajs[0].n_atoms for t in trajs.trajs):
+        joined = all_sup[0]
+        for s in all_sup[1:]:
+            joined = joined.join(s)
+        out["joined"] = joined
+        # stacked: one frame whose atoms are every frame's atoms
+        frames = [
+            s.get_single_frame(i) for s in all_sup for i in range(s.n_frames)
+        ]
+        stacked = frames[0]
+        for f in frames[1:]:
+            stacked = stacked.stack(f)
+        out["stacked"] = stacked
     return out

@@ -6,6 +6,7 @@ reference uses as fallback training data
 from __future__ import annotations
 
 from contextlib import contextmanager as _contextmanager
+from pathlib import Path
 from typing import Optional
 
 import numpy as np
@@ -166,12 +167,17 @@ def get_full_common_str_and_ref(trajs, tops, common_str):
             "different length you must provide a list of common_str to "
             "match them."
         )
+    # branch structure mirrors the reference (misc.py:296-330); anything
+    # that needs real matching delegates to match_files, which RAISES on
+    # an unmatched traj or topology — a silent wrong-topology fallback
+    # would featurize garbage (review wave 26)
     if len(trajs) == len(tops) == len(common_str):
         if all(
             cs is None or (cs in t and cs in p)
             for t, p, cs in zip(trajs, tops, common_str)
         ):
             return trajs, tops, common_str
+        return (trajs, *match_files(trajs, tops, common_str))
     if len(trajs) == len(tops):
         # equal-length lists pair 1:1 (reference ``misc.py:304-310``):
         # no common_str means no grouping; a single one applies to all
@@ -179,22 +185,17 @@ def get_full_common_str_and_ref(trajs, tops, common_str):
             return trajs, tops, [None] * len(trajs)
         if len(common_str) == 1:
             return trajs, tops, [common_str[0]] * len(trajs)
-    if len(tops) == 1 and not common_str:
-        return trajs, tops * len(trajs), [None] * len(trajs)
-
-    matched_tops, matched_cs = [], []
-    for t in trajs:
-        cs_hits = [c for c in common_str if c and c in t]
-        if not cs_hits:
-            raise Exception(
-                f"The traj file {t} does not match any of the common_str "
-                f"{common_str}."
-            )
-        cs = max(cs_hits, key=len)
-        top_hits = [p for p in tops if cs in p]
-        matched_tops.append(top_hits[0] if top_hits else tops[0])
-        matched_cs.append(cs)
-    return trajs, matched_tops, matched_cs
+        return (trajs, *match_files(trajs, tops, common_str))
+    if len(tops) == 1:
+        tops_rep = tops * len(trajs)
+        if not common_str:
+            # reference misc.py:320-321: per-traj file stems, NOT None —
+            # downstream grouping keys on these
+            return trajs, tops_rep, [Path(t).stem for t in trajs]
+        if len(common_str) == len(trajs):
+            return trajs, tops_rep, common_str
+        return (trajs, *match_files(trajs, tops_rep, common_str))
+    return (trajs, *match_files(trajs, tops, common_str))
 
 
 def all_equal(iterable) -> bool:
@@ -229,13 +230,17 @@ def match_files(trajs, tops, common_str):
 
     tops_out, common_str_out = [], []
     for t in trajs:
-        hits = [(t.rfind(cs), cs) for cs in common_str if cs in t]
+        hits = [t.rfind(cs) for cs in common_str if cs in t]
         if not hits:
             raise Exception(
                 f"The traj file {t} does not match any of the common_str "
                 f"you provided: {common_str}"
             )
-        cs = max(hits)[1]
+        # rightmost occurrence wins; ties resolve by common_str LIST ORDER
+        # like the reference (misc.py:236-238: first cs found in the tail),
+        # not lexicographically
+        tail = t[max(hits):]
+        cs = next(c for c in common_str if c in tail)
         if t.endswith(".h5"):
             tops_out.append(t)
         else:
@@ -270,10 +275,14 @@ def printTable(myDict, colList=None, sep: str = "￺") -> str:
         for j in range(len(colList))
     ]
     fmt = " | ".join("{:<%d}" % w for w in widths)
-    lines = [fmt.format(*header)]
-    if sep != "￺":
-        lines.append("-+-".join("-" * w for w in widths))
-    for row in rows:
+    rule = "-+-".join("-" * w for w in widths)
+    # rule placement mirrors the reference (misc.py:374-378): ALWAYS one
+    # dashed rule after the header; with a custom sep the rule repeats at
+    # every row boundary
+    lines = [fmt.format(*header), rule]
+    for r_i, row in enumerate(rows):
+        if r_i and sep != "￺":
+            lines.append(rule)
         depth = max(len(cell) for cell in row) if row else 0
         for k in range(depth):
             lines.append(

@@ -43,6 +43,13 @@ def make_mesh(
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"mesh requests {n_devices} devices but only {len(devices)} "
+            f"are available ({[str(d) for d in devices[:4]]}...). For CPU "
+            f"testing set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices}."
+        )
     devices = devices[:n_devices]
     if dp is None:
         dp = n_devices // tp

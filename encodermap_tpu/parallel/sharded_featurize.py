@@ -134,7 +134,11 @@ class ShardedFeaturizer:
         from ..loading.featurizer import _cv_names
 
         for f, name, blocks in zip(feats, _cv_names(feats), parts):
-            data = np.concatenate(blocks, axis=0)
+            # zero-frame trajs produce no blocks; mirror
+            # SingleTrajFeaturizer.get_output_for's empty guard instead of
+            # crashing in np.concatenate
+            data = (np.concatenate(blocks, axis=0) if blocks
+                    else np.zeros((0, f.dimension), np.float32))
             labels = f.generic_describe() if ensemble else f.describe()
             attrs = None
             if getattr(f, "deg", None) is not None and not getattr(
@@ -169,7 +173,11 @@ class ShardedFeaturizer:
                     for f, name, r in zip(feats, _cv_names(feats), host):
                         d = g.create_dataset(
                             name, shape=(n_frames,) + r.shape[1:],
-                            dtype=np.float32,
+                            # native dtype: host CustomFeatures may emit
+                            # f64/int — CVCollection.to_hdf5 preserves it,
+                            # and the two documented-equivalent paths must
+                            # round-trip the same values
+                            dtype=r.dtype,
                         )
                         labels = (
                             f.generic_describe() if ensemble else f.describe()

@@ -436,9 +436,18 @@ def plot_cluster(
             pdbs.append(str(pdb))
         result["pdb"] = pdbs[0] if len(pdbs) == 1 else pdbs
         # centroid within the LARGEST topology group (RMSD across
-        # different atom counts is undefined)
+        # different atom counts is undefined); heavy atoms only, like the
+        # reference (clustering.py:117 filters element != H — mobile
+        # hydrogens would otherwise dominate the RMSD and shift the pick)
         top, xs, fs = max(by_top, key=lambda g: len(g[1]))
-        centroid_i, _ = rmsd_centroid_of_cluster(np.stack(xs))
+        stacked = np.stack(xs)
+        heavy = np.array(
+            [a.index for a in top.atoms if a.element.upper() != "H"],
+            np.int64,
+        )
+        if len(heavy):
+            stacked = stacked[:, heavy]
+        centroid_i, _ = rmsd_centroid_of_cluster(stacked)
         result["centroid_frame"] = int(fs[centroid_i])
     result["readme"] = _write_cluster_readme(
         out_dir, cluster_id, idx,

@@ -1167,10 +1167,13 @@ class TestSmallUtilityParity:
         ]
         out = printTable(rows)
         lines = out.split("  \n")
-        assert len(lines) == 3
+        # header + dashed rule + 2 rows (the reference ALWAYS emits one
+        # rule after the header, misc.py:374-378)
+        assert len(lines) == 4
         assert all(ln.startswith("    ") for ln in lines)
         assert "name" in lines[0] and "value" in lines[0]
-        assert "longer_name" in lines[2]
+        assert set(lines[1].strip()) <= {"-", "+"}
+        assert "longer_name" in lines[3]
         # all rows align on the same column widths
         assert len(set(map(len, lines))) == 1
         # multi-line cells via sep insert a dashed rule after the header

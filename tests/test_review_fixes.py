@@ -68,7 +68,9 @@ class TestBoxPreservation:
         t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
         path = tmp_path / "d.h5"
         t.save(path)
-        t2 = em.load(str(path))
+        # em.load on .h5 returns a TrajEnsemble (reference dispatch,
+        # wave 24); frame selection happens on the member traj
+        t2 = em.load(str(path)).trajs[0]
         sel = t2[np.array([3, 3, 7, 1, 3])]
         xyz = sel.xyz
         assert xyz.shape[0] == 5
@@ -3525,3 +3527,109 @@ class TestWave25TrainInfra:
         saved = _json.loads((run / "parameters.json").read_text()) \
             if (run / "parameters.json").exists() else {}
         assert saved.get("current_training_step", 0) == 0  # not persisted
+
+
+class TestWave26ParallelMisc:
+    """parallel/ + misc matching/clustering + alignment review wave."""
+
+    def test_match_files_tie_breaks_by_list_order(self):
+        from encodermap_tpu.misc.misc import match_files
+
+        tops, cs = match_files(
+            ["/d/asp7_long.xtc"], ["asp7.pdb", "asp7_long.pdb"],
+            ["asp7", "asp7_long"],
+        )
+        # reference: rightmost-occurrence tail, FIRST list entry found in
+        # it wins — 'asp7' (misc.py:236-238), not the lexicographic max
+        assert cs == ["asp7"] and tops == ["asp7.pdb"]
+
+    def test_common_str_no_silent_topology_fallback(self):
+        from encodermap_tpu.misc.misc import get_full_common_str_and_ref
+
+        with pytest.raises(Exception, match="does not match|No topology"):
+            get_full_common_str_and_ref(
+                ["a_1.xtc", "b_2.xtc"], ["a_top.pdb", "x_top.pdb"],
+                ["a_", "b_"],
+            )
+
+    def test_single_top_no_common_str_uses_stems(self):
+        from encodermap_tpu.misc.misc import get_full_common_str_and_ref
+
+        _, tops, cs = get_full_common_str_and_ref(
+            ["runs/x.xtc", "runs/y.xtc"], ["top.pdb"], [])
+        assert tops == ["top.pdb", "top.pdb"]
+        assert cs == ["x", "y"]  # reference misc.py:320-321
+
+    @needs_data
+    def test_cluster_to_dict_reference_contract(self):
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([t])
+        membership = np.full(trajs.n_frames, -1)
+        membership[::4] = 0
+        trajs.load_CVs(membership, "cluster_membership")
+        cluster = trajs.cluster(0)
+        from encodermap_tpu.misc.clustering import cluster_to_dict
+
+        d = cluster_to_dict(cluster)
+        assert {"ensemble", "series", "joined_per_top", "joined",
+                "stacked"} <= set(d)
+        n = int((membership == 0).sum())
+        assert d["joined"].n_frames == n
+        assert d["stacked"].n_frames == 1
+        assert d["stacked"].n_atoms == n * t.n_atoms
+        assert len(d["series"]) == n and set(d["series"]) == {0}
+        # legacy int-array form still works
+        legacy = cluster_to_dict(np.array([0, 0, 1, -1]))
+        assert set(legacy) == {0, 1}
+
+    def test_alignment_unmapped_residues_never_collide(self):
+        import warnings
+
+        from encodermap_tpu.loading.alignment import apply_alignment_to_labels
+
+        res_to_col = {1: 3, 2: 5, 3: 9}  # residue 9 NOT covered
+        labels = ["CENTERDIH PHI   3", "CENTERDIH PHI   9"]
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = apply_alignment_to_labels(labels, res_to_col)
+            assert any("not covered" in str(x.message) for x in w)
+        assert out[0].endswith(" 9")          # residue 3 -> column 9
+        assert not out[1].endswith(" 9")      # unmapped must NOT collide
+        assert len(set(out)) == 2
+
+    def test_make_mesh_clear_error_on_too_many_devices(self):
+        import jax
+
+        from encodermap_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        with pytest.raises(ValueError, match="only"):
+            make_mesh(n_devices=2 * n, tp=2)
+
+    @needs_data
+    def test_sharded_to_hdf5_preserves_custom_dtype(self, tmp_path):
+        import h5py
+
+        import encodermap_tpu as em
+        from encodermap_tpu.loading import CustomFeature
+        from encodermap_tpu.parallel.sharded_featurize import ShardedFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+
+        def com_f64(traj):
+            return np.asarray(traj.xyz, np.float64).mean(axis=1)
+
+        feat = CustomFeature(com_f64, 3)
+        sf = ShardedFeaturizer(t)
+        sf.add_custom_feature(feat)
+        out = sf.get_output()
+        name = [k for k in out.keys()][0]
+        native = out.entry(name).data
+        p = tmp_path / "cv.h5"
+        sf.to_hdf5(p)
+        with h5py.File(p, "r") as f:
+            stored = f["CVs"][name][:]
+        assert stored.dtype == native.dtype == np.float64
+        np.testing.assert_array_equal(stored, native)

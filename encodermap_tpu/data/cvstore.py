@@ -59,6 +59,14 @@ class CVCollection:
         indices: Optional[np.ndarray] = None,
         attrs: Optional[dict[str, str]] = None,
     ) -> None:
+        if name.endswith("__indices") or name.endswith("__labels"):
+            # the HDF5 writer uses these suffixes for sidecar datasets; a
+            # CV so named would be mistaken for metadata on reload (and
+            # could collide with a sibling entry's sidecar on write)
+            raise ValueError(
+                f"CV name {name!r} ends with a reserved sidecar suffix "
+                f"('__indices'/'__labels'); choose another name"
+            )
         self._entries[name] = CVEntry(name, data, labels, indices, attrs)
 
     def __getitem__(self, name: str) -> np.ndarray:
@@ -77,7 +85,7 @@ class CVCollection:
         return self._entries.keys()
 
     def items(self):
-        return {k: v.data for k, v in self._entries.items()}.items()
+        return [(k, v.data) for k, v in self._entries.items()]
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -104,7 +112,14 @@ class CVCollection:
             for k, e in self._entries.items():
                 ds = g.create_dataset(k, data=e.data)
                 if e.labels is not None:
-                    ds.attrs["labels"] = np.asarray(e.labels, dtype="S")
+                    lab = np.asarray(e.labels, dtype="S")
+                    if lab.nbytes < 60_000:
+                        ds.attrs["labels"] = lab
+                    else:
+                        # HDF5 caps attributes at 64 KB; all-atom
+                        # cartesian labels on mid-size proteins exceed it
+                        # — store as a sidecar dataset instead
+                        g.create_dataset(f"{k}__labels", data=lab)
                 for ak, av in e.attrs.items():
                     ds.attrs[f"attr_{ak}"] = str(av)
                 if e.indices is not None:
@@ -120,11 +135,13 @@ class CVCollection:
                 return out
             g = f[group]
             for k in g:
-                if k.endswith("__indices"):
+                if k.endswith("__indices") or k.endswith("__labels"):
                     continue
                 labels = None
                 if "labels" in g[k].attrs:
                     labels = [s.decode() for s in g[k].attrs["labels"]]
+                elif f"{k}__labels" in g:
+                    labels = [s.decode() for s in g[f"{k}__labels"][:]]
                 attrs = {
                     ak[5:]: (av.decode() if isinstance(av, bytes) else str(av))
                     for ak, av in g[k].attrs.items()

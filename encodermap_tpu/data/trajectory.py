@@ -301,11 +301,23 @@ class SingleTraj:
                 # (``info_all.py:2551``); attach frame-aligned ones to
                 # unsliced trajs (a slice would desynchronize the rows)
                 if "CVs" in ft and self.index is None:
-                    for name, dset in ft["CVs"].items():
-                        if (getattr(dset, "ndim", 0) >= 1
-                                and dset.shape[0] == self._n_frames_file
+                    # go through the canonical reader so labels, indices,
+                    # attrs (angle_units!), and the __labels/__indices
+                    # sidecar conventions survive the round-trip — a raw
+                    # dataset walk dropped them AND could mistake a
+                    # sidecar for a CV (review wave 27)
+                    from .cvstore import CVCollection
+
+                    loaded = CVCollection.from_hdf5(
+                        self._traj_path, group="CVs"
+                    )
+                    for name in loaded:
+                        e = loaded.entry(name)
+                        if (e.data.ndim >= 1
+                                and e.data.shape[0] == self._n_frames_file
                                 and name not in self._CVs):
-                            self._CVs.add(name, np.asarray(dset))
+                            self._CVs.add(name, e.data, e.labels,
+                                          e.indices, e.attrs)
 
     def load_traj(self) -> None:
         """Eagerly materialize the trajectory, raising ``FileNotFoundError``

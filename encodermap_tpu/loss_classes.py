@@ -163,6 +163,12 @@ class ADCBaseLoss(EncoderMapBaseLoss):
         from .models import adc
 
         def term(params, batch):
+            if getattr(autoencoder, "sparse", False):
+                # the trainer densifies NaN-padded ensemble batches before
+                # forward (train/adc_autoencoder.py::_loss_terms_aux);
+                # skipping it here would NaN-poison the whole loss and
+                # disagree with the built-in terms
+                batch = adc.densify_inputs(params, autoencoder.p, batch)
             out = adc.forward(
                 params, autoencoder.p, batch, autoencoder.shapes
             )

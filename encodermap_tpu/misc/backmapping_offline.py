@@ -59,21 +59,27 @@ def guess_bonds(top: Topology, xyz: np.ndarray, tolerance: float = 1.3
     # only test pairs within the same or adjacent residues (covalent bonds
     # along the chain never span further) to stay O(n) on host
     for res_i, res in enumerate(top.residues):
-        atoms_here = [a.index for a in res.atoms]
+        atoms_here = np.array([a.index for a in res.atoms], np.int64)
         atoms_next = (
-            [a.index for a in top.residues[res_i + 1].atoms]
+            np.array([a.index for a in top.residues[res_i + 1].atoms],
+                     np.int64)
             if res_i + 1 < len(top.residues)
-            else []
+            else np.zeros(0, np.int64)
         )
-        candidates = atoms_here + atoms_next
-        for a in atoms_here:
-            for b in candidates:
-                if b <= a:
-                    continue
-                cutoff = (radii[a] + radii[b]) * tolerance
-                d = np.linalg.norm(xyz[a] - xyz[b])
-                if d < cutoff:
-                    bonds.add((a, b))
+        cand = np.concatenate([atoms_here, atoms_next])
+        if not len(atoms_here) or not len(cand):
+            continue
+        # one broadcasted block per residue instead of a Python pair loop
+        # (~160k scalar norm calls on an 8000-atom protein otherwise)
+        d = np.linalg.norm(
+            xyz[atoms_here][:, None, :] - xyz[cand][None, :, :], axis=-1
+        )
+        cutoff = (radii[atoms_here][:, None] + radii[cand][None, :]) \
+            * tolerance
+        ai, bi = np.nonzero(d < cutoff)
+        for a, b in zip(atoms_here[ai], cand[bi]):
+            if b > a:
+                bonds.add((int(a), int(b)))
     # disulfide-bridge pass: S-S pairs across any residue distance
     sulfurs = [a.index for a in top.atoms if a.element.upper() == "S"]
     for i, a in enumerate(sulfurs):
@@ -140,9 +146,13 @@ def near_and_far_masks(
             far = nx.node_connected_component(G, int(c))
         finally:
             G.add_edge(int(b), int(c))
-        if int(a) in far:
-            # ring bond (proline phi, disulfide-bridged backbone, ...) —
-            # unrotatable; the reference likewise special-cases prolines
+        if int(a) in far or int(d) not in far:
+            # a in far: ring bond (proline phi, disulfide-bridged
+            # backbone, ...) — unrotatable; the reference likewise
+            # special-cases prolines. d NOT in far: the c-d bond was
+            # missed by the bond guesser, so rotating the far set would
+            # never move the measured dihedral — mark unrotatable instead
+            # of silently spinning the wrong atoms.
             rotatable[i] = False
             continue
         mask = np.zeros(top.n_atoms, bool)
@@ -199,7 +209,9 @@ def dihedral_rotate(
         # side about b->c, so negate to match.
         R = rotation_matrices(axis[None], -delta[None])[0]
         pivot = pos[quad[2]]
-        rotated = (pos - pivot) @ R + pivot
+        rotated = jnp.matmul(
+            pos - pivot, R, precision=jax.lax.Precision.HIGHEST
+        ) + pivot
         pos = pos + mask * (rotated - pos)
         return pos, None
 
@@ -419,7 +431,20 @@ def mdtraj_backmapping(
         else:
             seed = trajs
     if seed is not None:
-        topology = seed.top
+        # an explicitly passed Topology object wins over the seed's own
+        # (e.g. a chi-patched CustomTopology product) — silently using
+        # seed.top would build quadruplet tables without the user's
+        # patches. Coordinates still come from the seed.
+        if isinstance(top, Topology):
+            if top.n_atoms != seed.top.n_atoms:
+                raise ValueError(
+                    f"the explicit Topology has {top.n_atoms} atoms but "
+                    f"the seed trajectory has {seed.top.n_atoms}; they "
+                    f"must describe the same structure"
+                )
+            topology = top
+        else:
+            topology = seed.top
         base_xyz = np.asarray(seed.xyz, np.float32)[0]
     elif isinstance(top, Topology):
         raise ValueError(
@@ -485,6 +510,12 @@ def mdtraj_backmapping(
     phi = np.asarray(topology.indices_phi, np.int64).reshape(-1, 4)
     psi = np.asarray(topology.indices_psi, np.int64).reshape(-1, 4)
     if dihedrals.shape[1] == n_central:
+        # NOTE: with omega=False this width EQUALS len(phi)+len(psi), so
+        # the dispatch cannot distinguish interleaved central-CV order
+        # from phi-block+psi-block data; interleaved (the featurizer's
+        # own order) wins. Blocked phi+psi data for an omega-less model
+        # must go through backmap_topology with explicit indices (or the
+        # legacy dihedral_backmapping, which is block-ordered).
         quads = np.asarray(cd._indices, np.int64)
     elif dihedrals.shape[1] == len(phi) + len(psi):
         quads = np.vstack([phi, psi])
@@ -529,14 +560,58 @@ def dihedral_backmapping(
     The reference returns an MDAnalysis ``Universe``; this framework's
     offline-backmapping currency is ``(n_frames, n_atoms, 3)``
     coordinates (see :func:`mdtraj_backmapping`).
+
+    Column order is the LEGACY block layout the reference builds from
+    MDAnalysis selections (``backmapping.py:2016-2051``): all psi, then
+    all omega, then all phi; sidechains chi-major (all chi1, all chi2,
+    ...). This differs from :func:`mdtraj_backmapping`'s residue-
+    interleaved ``central_dihedrals`` order — the quadruplet tables are
+    built here in block order so every column rotates the dihedral the
+    legacy API promised.
     """
-    dihedral_trajectory = np.asarray(dihedral_trajectory)
+    dihedral_trajectory = np.atleast_2d(
+        np.asarray(dihedral_trajectory, np.float32)
+    )
     step_size = max(1, int(len(dihedral_trajectory) / rough_n_points))
     dihedral_trajectory = dihedral_trajectory[::step_size]
     if sidechains is not None:
-        sidechains = np.asarray(sidechains)[::step_size]
-    return mdtraj_backmapping(
-        top=pdb_path,
-        dihedrals=dihedral_trajectory,
-        sidechain_dihedrals=sidechains,
+        sidechains = np.atleast_2d(
+            np.asarray(sidechains, np.float32))[::step_size]
+
+    from ..data.trajectory import SingleTraj
+
+    seed = SingleTraj(pdb_path)
+    top = seed.top
+    psi = np.asarray(top.indices_psi, np.int64).reshape(-1, 4)
+    omega = np.asarray(top.indices_omega, np.int64).reshape(-1, 4)
+    phi = np.asarray(top.indices_phi, np.int64).reshape(-1, 4)
+    if dihedral_trajectory.shape[1] == len(psi) + len(omega) + len(phi):
+        quads = np.vstack([psi, omega, phi])
+    elif dihedral_trajectory.shape[1] == len(psi) + len(phi):
+        quads = np.vstack([psi, phi])
+    else:
+        raise ValueError(
+            f"dihedral_trajectory has {dihedral_trajectory.shape[1]} "
+            f"columns; the legacy block layout expects "
+            f"{len(psi) + len(omega) + len(phi)} (psi+omega+phi) or "
+            f"{len(psi) + len(phi)} (psi+phi) for this topology"
+        )
+    side_indices = None
+    if sidechains is not None:
+        chi_blocks = [
+            np.asarray(top.indices_chi(n), np.int64).reshape(-1, 4)
+            for n in range(1, 6)
+        ]
+        side_indices = np.vstack([b for b in chi_blocks if len(b)]) \
+            if any(len(b) for b in chi_blocks) else np.zeros((0, 4), np.int64)
+        if sidechains.shape[1] != len(side_indices):
+            raise ValueError(
+                f"sidechains has {sidechains.shape[1]} columns; the "
+                f"chi-major legacy layout expects {len(side_indices)}"
+            )
+    return backmap_topology(
+        top, np.asarray(seed.xyz, np.float32)[0], dihedral_trajectory,
+        dihedral_indices=quads,
+        side_dihedrals=sidechains,
+        side_indices=side_indices,
     )

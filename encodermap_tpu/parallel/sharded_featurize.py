@@ -182,7 +182,13 @@ class ShardedFeaturizer:
                         labels = (
                             f.generic_describe() if ensemble else f.describe()
                         )
-                        d.attrs["labels"] = np.asarray(labels, dtype="S")
+                        lab = np.asarray(labels, dtype="S")
+                        if lab.nbytes < 60_000:
+                            d.attrs["labels"] = lab
+                        else:
+                            # HDF5 64KB attribute cap (same convention as
+                            # CVCollection.to_hdf5's __labels sidecar)
+                            g.create_dataset(f"{name}__labels", data=lab)
                         # same sidecar metadata as CVCollection.to_hdf5 so
                         # the streaming path round-trips attrs (deg/rad
                         # homogeneity guard) and indices (CV-order

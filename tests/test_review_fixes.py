@@ -3633,3 +3633,122 @@ class TestWave26ParallelMisc:
             stored = f["CVs"][name][:]
         assert stored.dtype == native.dtype == np.float64
         np.testing.assert_array_equal(stored, native)
+
+
+class TestWave27OfflineBackmapLossesCVStore:
+    """backmapping_offline + loss_classes + cvstore review wave."""
+
+    @needs_data
+    def test_legacy_block_order_rotates_right_dihedrals(self):
+        """dihedral_backmapping consumes the reference's BLOCK layout
+        (all psi, all omega, all phi) — each column must end up at its
+        target, which the interleaved central-CV mapping would scramble."""
+        import encodermap_tpu as em
+        from encodermap_tpu.misc.backmapping_offline import (
+            dihedral_backmapping)
+        from encodermap_tpu.ops.geometry import compute_dihedrals
+
+        traj = em.load(str(DATA / "asp7.pdb"))
+        top = traj.top
+        psi = np.asarray(top.indices_psi).reshape(-1, 4)
+        omega = np.asarray(top.indices_omega).reshape(-1, 4)
+        phi = np.asarray(top.indices_phi).reshape(-1, 4)
+        rng = np.random.default_rng(1)
+        targets = np.concatenate([
+            rng.uniform(-2.5, 2.5, len(psi)),
+            np.full(len(omega), np.pi * 0.98),   # near-trans omegas
+            rng.uniform(-2.5, 2.5, len(phi)),
+        ]).astype(np.float32)[None]
+        out = dihedral_backmapping(str(DATA / "asp7.pdb"), targets)
+        got_psi = np.asarray(compute_dihedrals(out, psi))[0]
+        got_phi = np.asarray(compute_dihedrals(out, phi))[0]
+        np.testing.assert_allclose(got_psi, targets[0, :len(psi)],
+                                   atol=5e-3)
+        np.testing.assert_allclose(
+            got_phi, targets[0, len(psi) + len(omega):], atol=5e-3)
+
+    def test_attached_loss_densifies_sparse_batches(self, tmp_path):
+        """An attached loss class on a sparse (NaN-padded) model must go
+        through the densifier like the built-in terms (no NaN loss)."""
+        import os
+
+        os.environ["ENCODERMAP_TESTING"] = "True"
+        try:
+            import encodermap_tpu as em
+            from encodermap_tpu.loss_classes import DihedralLoss
+
+            rng = np.random.default_rng(0)
+            F, n_res = 64, 5
+            n = 3 * n_res
+            cvs = {
+                "central_angles": rng.uniform(1.7, 2.4, (F, n - 2)).astype(
+                    np.float32),
+                "central_dihedrals": rng.uniform(
+                    -np.pi, np.pi, (F, n - 3)).astype(np.float32),
+                "central_cartesians": rng.uniform(0, 2, (F, n, 3)).astype(
+                    np.float32),
+                "central_distances": rng.uniform(
+                    0.12, 0.16, (F, n - 1)).astype(np.float32),
+                "side_dihedrals": rng.uniform(
+                    -np.pi, np.pi, (F, 4)).astype(np.float32),
+            }
+            cvs["side_dihedrals"][:32, 2:] = np.nan  # NaN-padded ensemble
+            p = em.ADCParameters(
+                main_path=str(tmp_path), n_steps=20, steps_per_scan=10,
+                batch_size=32, use_backbone_angles=True,
+                use_sidechains=True, seed=0)
+            emap = em.AngleDihedralCartesianEncoderMap(cvs, p)
+            assert emap.sparse
+            DihedralLoss(p).attach(emap)
+            hist = emap.train()
+            assert np.isfinite(hist["loss"]).all()
+            assert np.isfinite(hist["dihedral_loss_class"]).all()
+        finally:
+            os.environ.pop("ENCODERMAP_TESTING", None)
+
+    def test_large_label_lists_round_trip(self, tmp_path):
+        """>64KB of labels must survive save/load (HDF5 attr cap)."""
+        from encodermap_tpu.data.cvstore import CVCollection
+
+        c = CVCollection()
+        labels = [f"ATOM somelongprefix {i:06d} X Y Z" for i in range(4000)]
+        c.add("big", np.zeros((3, 4000), np.float32), labels)
+        p = tmp_path / "c.h5"
+        c.to_hdf5(p)
+        back = CVCollection.from_hdf5(p)
+        assert back.entry("big").labels == labels
+
+    def test_reserved_cv_names_rejected(self):
+        from encodermap_tpu.data.cvstore import CVCollection
+
+        c = CVCollection()
+        with pytest.raises(ValueError, match="reserved"):
+            c.add("my__indices", np.zeros((2, 2)))
+
+    @needs_data
+    def test_explicit_topology_object_wins_over_trajs(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.misc.backmapping_offline import mdtraj_backmapping
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        top = t.top
+        phi = np.asarray(top.indices_phi).reshape(-1, 4)
+        psi = np.asarray(top.indices_psi).reshape(-1, 4)
+        dih = np.zeros((1, len(phi) + len(psi)), np.float32)
+        out = mdtraj_backmapping(top=top, dihedrals=dih, trajs=t)
+        assert out.shape == (1, t.n_atoms, 3)
+        # mismatched explicit topology raises clearly
+        t2 = em.load(str(DATA / "glu7.pdb"))
+        with pytest.raises(ValueError, match="same structure"):
+            mdtraj_backmapping(top=t2.top, dihedrals=dih, trajs=t)
+
+    def test_missing_cd_bond_marks_unrotatable(self):
+        from encodermap_tpu.misc.backmapping_offline import near_and_far_masks
+
+        top = _mini_top([("ALA", 1, 0, ["A", "B", "C", "D"])])
+        # bond list misses C-D: the dihedral A-B-C-D can never reach its
+        # target by rotating about B-C, so it must be unrotatable
+        bonds = [(0, 1), (1, 2)]
+        masks, rotatable = near_and_far_masks(
+            top, np.asarray([[0, 1, 2, 3]]), bonds=bonds)
+        assert not rotatable[0]

@@ -56,15 +56,32 @@ def load_gro(path: Union[str, Path]) -> tuple[Topology, np.ndarray, Optional[np.
                 if cur_res is None or cur_res.resSeq != res_num or \
                         cur_res.name != res_name:
                     cur_res = top.add_residue(res_name, res_num, 0)
-                element = _guess_element(atom_name, "")
+                element = _guess_element(atom_name, "", res_name)
                 top.add_atom(atom_name, element, cur_res)
         built = True
         box_line = lines[i + 2 + n_atoms].split()
-        boxes.append([float(box_line[0]), float(box_line[1]),
-                      float(box_line[2])])
+        v = [float(x) for x in box_line]
+        if len(v) >= 9:
+            # triclinic box: v1x v2y v3z v1y v1z v2x v2z v3x v3y
+            # (GROMACS manual order) -> (3, 3) cell-vector rows
+            boxes.append([[v[0], v[3], v[4]],
+                          [v[5], v[1], v[6]],
+                          [v[7], v[8], v[2]]])
+        else:
+            boxes.append([v[0], v[1], v[2]])
         frames.append(coords)
         i += 3 + n_atoms
-    return top, np.stack(frames), np.asarray(boxes, np.float32)
+    boxes_arr = (
+        np.asarray(boxes, np.float32)
+        if all(np.ndim(b) == np.ndim(boxes[0]) for b in boxes)
+        # mixed ortho/triclinic frame boxes: promote lengths to diagonals
+        else np.stack([
+            np.diag(b).astype(np.float32) if np.ndim(b) == 1
+            else np.asarray(b, np.float32)
+            for b in boxes
+        ])
+    )
+    return top, np.stack(frames), boxes_arr
 
 
 class DCDReader:

@@ -116,9 +116,15 @@ _ELEMENT_MASSES = {
 }
 
 
-@dataclass
+@dataclass(eq=False)
 class Atom:
-    """One atom: name, element, and its residue."""
+    """One atom: name, element, and its residue.
+
+    ``eq=False``: identity comparison/hash — the generated value ``__eq__``
+    recurses Atom.residue -> Residue.atoms -> Atom... infinitely for
+    equal-valued atoms of DIFFERENT topologies, and kills hashability
+    (``set(res.atoms)``). Topology-level equality goes through
+    ``Topology._fingerprint`` instead."""
 
     index: int
     name: str
@@ -133,9 +139,10 @@ class Atom:
         return f"{self.residue.name}{self.residue.resSeq}-{self.name}"
 
 
-@dataclass
+@dataclass(eq=False)
 class Residue:
-    """One residue: name, sequence number, chain, and its atoms."""
+    """One residue: name, sequence number, chain, and its atoms
+    (``eq=False`` for the same recursion/hashability reasons as Atom)."""
 
     index: int
     name: str
@@ -218,12 +225,21 @@ class Topology:
                 dtype=np.int64,
             )
         if expr == "sidechain":
+            # backbone names across conventions: CHARMM amide HN, AMBER
+            # N-terminal H1-H3 / HT1-HT3, GLY's HA2/HA3, C-terminal
+            # OXT/OT1/OT2/OC1/OC2 — classifying those as "sidechain"
+            # put backbone protons into sidechain selections (wave 29)
+            backbone = {
+                "N", "CA", "C", "O", "H", "HA", "HN",
+                "H1", "H2", "H3", "HT1", "HT2", "HT3",
+                "HA2", "HA3",
+                "OXT", "OT1", "OT2", "OC1", "OC2",
+            }
             return np.array(
                 [
                     a.index
                     for a in self.atoms
-                    if a.residue.is_protein
-                    and a.name not in ("N", "CA", "C", "O", "H", "HA", "OXT")
+                    if a.residue.is_protein and a.name not in backbone
                 ],
                 dtype=np.int64,
             )

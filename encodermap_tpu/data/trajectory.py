@@ -363,17 +363,25 @@ class SingleTraj:
             self._xyz = self._file_xyz[idx]
             self._time = np.arange(len(idx), dtype=np.float32)
             # CRYST1 / gro box lines give per-frame box LENGTHS
-            # (orthorhombic); all-zero lines mean vacuum
+            # (orthorhombic) or (F, 3, 3) cell rows (triclinic);
+            # all-zero/singular cells mean vacuum
             box = getattr(self, "_file_box", None)
             if box is not None:
                 box = np.asarray(box, np.float32)
-                if box.ndim == 1:
-                    box = np.broadcast_to(box, (len(self._file_xyz), 3))
-                box = box[np.minimum(idx, len(box) - 1)]
-                if np.abs(box).min() < 1e-12:
-                    box = None
+                if box.ndim == 3:
+                    box = box[np.minimum(idx, len(box) - 1)]
+                    if np.abs(np.linalg.det(box)).min() < 1e-12:
+                        box = None
                 else:
-                    box = np.stack([np.diag(v) for v in box])
+                    if box.ndim == 1:
+                        box = np.broadcast_to(
+                            box, (len(self._file_xyz), 3)
+                        )
+                    box = box[np.minimum(idx, len(box) - 1)]
+                    if np.abs(box).min() < 1e-12:
+                        box = None
+                    else:
+                        box = np.stack([np.diag(v) for v in box])
             self._unitcell = box
         elif self.traj_file.endswith(".dcd"):
             from .formats import DCDReader
@@ -1085,7 +1093,10 @@ class SingleTraj:
         )
 
     def save_pdb(self, path: Union[str, Path]) -> None:
-        write_pdb(path, self.top, self.xyz, None)
+        # pass the (F, 3, 3) cell through: dropping it silently turned
+        # periodic systems non-periodic on a PDB round-trip (wave 29)
+        self.load()
+        write_pdb(path, self.top, self.xyz, self._unitcell)
 
     @property
     def traj(self) -> "SingleTraj":

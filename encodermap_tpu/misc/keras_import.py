@@ -95,12 +95,45 @@ def read_keras_dense_weights(path: Union[str, Path]) -> list[dict]:
         cfg = json.load(z.open("config.json"))
         import h5py
 
+        top = cfg.get("config", {})
+        layers_cfg = top.get("layers")
         with z.open("model.weights.h5") as f:
-            h = h5py.File(io.BytesIO(f.read()), "r")
-            out: list[dict] = []
-            # a model config is itself a layer-like dict; the top-level
-            # weights live under "layers"
-            _walk(cfg["config"]["layers"], h.get("layers"), "", out)
+            with h5py.File(io.BytesIO(f.read()), "r") as h:
+                out: list[dict] = []
+                if layers_cfg is not None:
+                    # functional/sequential model: the weights live under
+                    # "layers" with generic per-class keys mirroring the
+                    # config's layer list
+                    _walk(layers_cfg, h.get("layers"), "", out)
+                else:
+                    # subclassed model (the reference's base-EncoderMap
+                    # ``SequentialModel``, ``models/models.py:3283-3306``):
+                    # no top-level layer graph. Its weighted sublayers are
+                    # the serialized-submodel VALUES of get_config
+                    # ("encoder"/"decoder" Sequential stacks, optionally
+                    # "get_dense_model"), and the h5 tree keys each
+                    # submodel by its ATTRIBUTE name (``encoder_model``,
+                    # verified against in-image keras-3) — match config
+                    # key -> h5 group by name prefix.
+                    for key, val in top.items():
+                        if not (
+                            isinstance(val, dict)
+                            and "class_name" in val
+                            and isinstance(val.get("config"), dict)
+                        ):
+                            continue
+                        grp = None
+                        for hk in h:
+                            if hk == key or hk == f"{key}_model":
+                                grp = h[hk]
+                                break
+                        if grp is None or "layers" not in grp:
+                            continue
+                        name = val["config"].get("name", key)
+                        _walk(
+                            val["config"].get("layers", []),
+                            grp["layers"], name + "/", out,
+                        )
     if not out:
         raise ValueError(
             f"found no weighted layers in {path} — unsupported keras "
@@ -136,6 +169,13 @@ def keras_weights_to_pytree(
     at ``n_encoder`` layers. Shape chain consistency is verified."""
     enc = _indexed(denses, "Encoder")
     dec = _indexed(denses, "Decoder")
+    if enc is not None:
+        # the reference's subclassed SequentialModel names its bottleneck
+        # Dense "Latent" (``models/models.py:3152``) between Encoder_{k}
+        # and Decoder_0 — it is the last layer of this framework's
+        # encoder stack (the shape-chain check below verifies the splice)
+        latent = [d for d in denses if d["name"].split("/")[-1] == "Latent"]
+        enc = enc + latent
     if enc is None or dec is None:
         others = [d["name"] for d in denses
                   if "Sparse" in d["name"] or "dense_to_sparse" in d["name"]]

@@ -631,6 +631,11 @@ class ADCFunctionalModel:
             ),
         )
         self.sparse = bool(sparse)
+        # surface invalid multimer configs as the validator's clear
+        # ValueError here, not as an opaque parts[3] IndexError inside
+        # decode() (the trainer validates too, adc_autoencoder.py; direct
+        # gen_functional_model users must get the same check)
+        validate_multimer(self.p, self.shapes, sparse=self.sparse)
         if seed is None:
             seed = self.p.seed if self.p.seed is not None else 0
         self.params = init_params(

@@ -179,7 +179,7 @@ class SequentialModel:
     def encoder(self, x) -> Array:
         x = jnp.asarray(x, jnp.float32)
         if self.sparse:
-            x = densify(self.params, jnp.nan_to_num(x))
+            x = densify(self.params, x)  # densify zero-fills NaNs itself
         return encode(self.params, self.p, x)
 
     def decoder(self, z) -> Array:

@@ -18,8 +18,12 @@ topology are used when present (MD trajectories carry real protons —
 mdtraj always reconstructs instead; this is a deliberate accuracy-over-
 identical-output choice); otherwise H is reconstructed from the preceding
 carbonyl as ``H = N + 1.01 * (C_prev - O_prev)/|.|`` (the 1.01-Angstrom
-N-H length, pydssp's convention). Prolines and chain-initial residues
-donate nothing.
+N-H length, pydssp's convention). Prolines donate nothing. Chain-initial
+residues (no preceding carbonyl) donate only when they carry an explicit
+H — mdtraj/DSSP, which reconstruct exclusively, never let them donate;
+this follows from the same accuracy-over-identical-output choice (a real
+N-terminal proton can form a real H-bond) and is the behavior the
+inter-chain-bond tests pin.
 
 From the (frames, res, res) bond matrix the standard patterns are assigned
 with priority H > B > E > G > I > T > S:
@@ -111,14 +115,20 @@ def kabsch_sander_hbonds(
         return np.zeros((F, R, R), bool)
     if chain_break is None:
         chain_break = (
-            np.linalg.norm(c[:, :-1] - n[:, 1:], axis=-1).max(axis=0) > _CHAIN_BREAK
+            np.linalg.norm(c[:, :-1] - n[:, 1:], axis=-1) > _CHAIN_BREAK
         )
+    # per-FRAME breaks (DSSP/mdtraj evaluate geometry per frame — a
+    # single outlier frame must not break the chain in every frame);
+    # a static (R-1,) mask broadcasts
+    chain_break = np.broadcast_to(
+        np.asarray(chain_break, bool), (F, R - 1)
+    )
     # reconstructed amide H: 1.01 A from N, anti-parallel to previous carbonyl
     co = c[:, :-1] - o[:, :-1]
     co /= np.maximum(np.linalg.norm(co, axis=-1, keepdims=True), 1e-12)
     h_rec = np.full_like(n, np.nan)
     h_rec[:, 1:] = n[:, 1:] + 1.01 * co
-    h_rec[:, 1:][:, chain_break] = np.nan
+    h_rec[:, 1:][chain_break] = np.nan
     if h is not None:
         use = np.isfinite(h).all(axis=-1, keepdims=True)
         h_eff = np.where(use, h, h_rec)
@@ -143,9 +153,12 @@ def kabsch_sander_hbonds(
     hb[:, idx, idx] = False
     # a residue cannot accept from its own peptide-bond partner — but
     # table-adjacent residues across a chain break are NOT bonded, and a
-    # real inter-chain H-bond there must survive
-    bonded = ~np.asarray(chain_break, bool)
-    hb[:, idx[:-1][bonded], idx[1:][bonded]] = False
+    # real inter-chain H-bond there must survive (chain_break is now
+    # per-frame (F, R-1), so mask the (i, i+1) diagonal frame-wise)
+    bonded = ~chain_break  # (F, R - 1)
+    succ = np.zeros((F, R, R), bool)
+    succ[:, idx[:-1], idx[1:]] = bonded
+    hb &= ~succ
     # CA-CA proximity prefilter (DSSP uses 9 A)
     hb &= rdist(ca, ca) < 9.0
     return hb
@@ -153,16 +166,18 @@ def kabsch_sander_hbonds(
 
 def _assign(hb: np.ndarray, ca: np.ndarray, chain_id: np.ndarray) -> np.ndarray:
     """Pattern assignment from the H-bond matrix. Returns (F, R) of single
-    chars in {'H','B','E','G','I','T','S',' '}."""
+    chars in {'H','B','E','G','I','T','S',' '}. ``chain_id`` is per-frame
+    ``(F, R)`` (a static ``(R,)`` row broadcasts)."""
     F, R, _ = hb.shape
     ss = np.full((F, R), " ", dtype="<U1")
     if R < 3:
         return ss
+    chain_id = np.broadcast_to(np.asarray(chain_id), (F, R))
 
     def turn(nn):
         t = np.zeros((F, R), bool)
         if R > nn:
-            ok = chain_id[: R - nn] == chain_id[nn:]
+            ok = chain_id[:, : R - nn] == chain_id[:, nn:]
             t[:, : R - nn] = hb[:, np.arange(R - nn), np.arange(nn, R)] & ok
         return t
 
@@ -176,7 +191,7 @@ def _assign(hb: np.ndarray, ca: np.ndarray, chain_id: np.ndarray) -> np.ndarray:
             np.linalg.norm(u, axis=-1) * np.linalg.norm(v, axis=-1), 1e-12
         )
         bend = np.degrees(np.arccos(np.clip(cosk, -1.0, 1.0))) > 70.0
-        bend &= (chain_id[:-4] == chain_id[4:])[None, :]
+        bend &= chain_id[:, :-4] == chain_id[:, 4:]
         ss[:, 2:-2][bend] = "S"
 
     # ---- hydrogen-bonded turns: turn(i) marks residues i+1..i+n-1
@@ -214,9 +229,9 @@ def _assign(hb: np.ndarray, ca: np.ndarray, chain_id: np.ndarray) -> np.ndarray:
     nb = np.zeros_like(bridged)
     # ladder extension only along the SAME chain: a bridged last-residue
     # of chain A must not upgrade a bridged first-residue of chain B
-    same = chain_id[:-1] == chain_id[1:]
-    nb[:, 1:] |= bridged[:, :-1] & same[None, :]
-    nb[:, :-1] |= bridged[:, 1:] & same[None, :]
+    same = chain_id[:, :-1] == chain_id[:, 1:]
+    nb[:, 1:] |= bridged[:, :-1] & same
+    nb[:, :-1] |= bridged[:, 1:] & same
     ladder = bridged & nb
     ss[bridged] = "B"
     ss[ladder] = "E"
@@ -257,8 +272,12 @@ def compute_dssp(traj, simplified: bool = True) -> np.ndarray:
     if have.any():
         h[:, have] = xyz[:, h_idx[have]]
 
-    brk = np.linalg.norm(c[:, :-1] - n[:, 1:], axis=-1).max(axis=0) > _CHAIN_BREAK
-    chain_id = np.concatenate([[0], np.cumsum(brk)])
+    # per-frame chain breaks (a one-frame stretched/PBC-split bond must
+    # not suppress turns/ladders in every other frame)
+    brk = np.linalg.norm(c[:, :-1] - n[:, 1:], axis=-1) > _CHAIN_BREAK
+    chain_id = np.concatenate(
+        [np.zeros((F, 1), np.int64), np.cumsum(brk, axis=1)], axis=1
+    )
     hb = kabsch_sander_hbonds(
         n, ca, c, o, is_proline=is_pro, h=h, chain_break=brk
     )

@@ -195,7 +195,14 @@ class TrainerExtensions:
         if isinstance(metric_fn, type) and issubclass(
             metric_fn, EncoderMapBaseMetric
         ):
-            metric_fn = metric_fn(self.p)
+            # by keyword: the built-in classes (ADCClashMetric,
+            # ADCRMSDMetric) take distance_unit/name as their first
+            # positional — the reference's positional ``metric(self.p)``
+            # lands the Parameters object there and crashes/mislabels
+            try:
+                metric_fn = metric_fn(parameters=self.p)
+            except TypeError:
+                metric_fn = metric_fn(self.p)
         if isinstance(metric_fn, EncoderMapBaseMetric):
             metric = metric_fn
 

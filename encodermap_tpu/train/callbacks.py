@@ -210,6 +210,13 @@ class ImageCallback(Callback):
     def on_chunk_end(self, first_step: int, metrics: dict) -> None:
         if self.image_step <= 0:
             return  # <=0 disables image writing (ZeroDivision guard)
+        from ..parallel.distributed import is_primary
+
+        if not is_primary():
+            # pod training: one process renders/writes latent_{step}.png
+            # (same gate as CheckpointSaver; avoids N processes racing on
+            # the same file in a shared main_path)
+            return
         n = len(next(iter(metrics.values())))
         last = first_step + n
         due = (last // self.image_step) * self.image_step

@@ -254,5 +254,14 @@ class ADCRMSDMetric(AngleDihedralCartesianEncoderMapBaseMetric):
 
         pred = _pred_cartesians(y_pred)
         true = y_true[2] if isinstance(y_true, (tuple, list)) else y_true
-        w = jnp.asarray(_backbone_weights(int(pred.shape[1])))
+        if getattr(self.p, "reconstruct_sidechains", False):
+            # reconstruct mode backmaps ALL atoms (backbone + sidechain
+            # branches), so the N-CA-C mass triplet pattern would land on
+            # the wrong atoms — the reference's kabsch_tf tiles it
+            # regardless (callbacks/metrics.py:176-177, silently wrong
+            # there); uniform weights are the honest choice when atom
+            # identities are unknown at this layer
+            w = None
+        else:
+            w = jnp.asarray(_backbone_weights(int(pred.shape[1])))
         return jnp.mean(rmsd_op(true, pred, w))

@@ -310,6 +310,23 @@ class TestCallbacks:
         pngs = list(Path(tmp_path).glob("latent_*.png"))
         assert pngs, "ImageCallback produced no latent images"
 
+    def test_image_callback_primary_only(self, cube_data, tmp_path,
+                                         monkeypatch):
+        """Non-primary pod processes must not render/write images (same
+        gate as CheckpointSaver — otherwise N processes race on the same
+        latent_{step}.png in a shared main_path, wave 28)."""
+        from encodermap_tpu.train import callbacks as cb
+
+        monkeypatch.setattr(
+            "encodermap_tpu.parallel.distributed.is_primary", lambda: False
+        )
+        p = _small_params(tmp_path, n_steps=10, steps_per_scan=5)
+        emap = EncoderMap(p, cube_data)
+        emap.callbacks.append(cb.ImageCallback(emap, image_step=5,
+                                               data=cube_data[:100]))
+        emap.train()
+        assert not list(Path(tmp_path).glob("latent_*.png"))
+
     def test_early_stop_restores_best_weights(self, cube_data, tmp_path):
         import jax
 

@@ -166,6 +166,123 @@ class TestEncoderMapRoundTrip:
         )
 
 
+def _subclassed_twin(in_dim: int, seed: int = 0) -> tf.keras.Model:
+    """A SUBCLASSED twin mirroring the reference's base-EncoderMap
+    ``SequentialModel`` (``models/models.py:3283-3306``): no functional
+    layer graph — ``encoder_model``/``decoder_model`` Sequential
+    attributes whose bottleneck Dense is named ``Latent``
+    (``models.py:3152``), and a get_config carrying the serialized
+    submodels under ``encoder``/``decoder`` keys."""
+    import keras
+
+    ki = tf.keras.initializers.GlorotUniform(seed=seed)
+
+    class RefTwin(tf.keras.Model):
+        def __init__(self, **kw):
+            kw.pop("name", None)
+            super().__init__(**kw)
+            enc = [
+                tf.keras.layers.Dense(
+                    N_NEURONS[0], activation="tanh", name="Encoder_0",
+                    kernel_initializer=ki, input_shape=(in_dim,),
+                ),
+                tf.keras.layers.Dense(
+                    N_NEURONS[1], activation="tanh", name="Encoder_1",
+                    kernel_initializer=ki,
+                ),
+                tf.keras.layers.Dense(
+                    N_NEURONS[2], activation=None, name="Latent",
+                    kernel_initializer=ki,
+                ),
+            ]
+            self.encoder_model = tf.keras.Sequential(enc, name="Encoder")
+            dec_dims = N_NEURONS[-2::-1] + [in_dim]
+            dec = [
+                tf.keras.layers.Dense(
+                    n, activation=(act or None), name=f"Decoder_{i}",
+                    kernel_initializer=ki,
+                )
+                for i, (n, act) in enumerate(zip(dec_dims, ACTS[-2::-1]))
+            ]
+            self.decoder_model = tf.keras.Sequential(dec, name="Decoder")
+
+        def call(self, x):
+            return self.decoder_model(self.encoder_model(x))
+
+        def get_config(self):
+            c = super().get_config()
+            c.update({
+                "input_dim": in_dim,
+                "parameters": {"dummy": 1},
+                "sparse": False,
+                "encoder": keras.saving.serialize_keras_object(
+                    self.encoder_model),
+                "decoder": keras.saving.serialize_keras_object(
+                    self.decoder_model),
+                "get_dense_model": None,
+            })
+            return c
+
+    m = RefTwin()
+    m(tf.zeros((2, in_dim)))
+    return m
+
+
+class TestSubclassedReferenceModel:
+    """Genuine reference base-EncoderMap checkpoints are saved from a
+    SUBCLASSED model — config has no top-level 'layers', weights sit under
+    attribute-named h5 groups, and the bottleneck Dense is 'Latent'."""
+
+    def test_reads_subclassed_layout_with_latent(self, tmp_path):
+        m = _subclassed_twin(10, seed=2)
+        f = tmp_path / "saved_model_40.keras"
+        m.save(f)
+        denses = read_keras_dense_weights(f)
+        assert [d["name"] for d in denses] == [
+            "Encoder/Encoder_0", "Encoder/Encoder_1", "Encoder/Latent",
+            "Decoder/Decoder_0", "Decoder/Decoder_1", "Decoder/Decoder_2",
+        ]
+        params, step = import_keras_checkpoint(f)
+        assert step == 40
+        # the Latent layer must land as the LAST encoder layer
+        assert [l["kernel"].shape for l in params["encoder"]] == [
+            (10, 16), (16, 16), (16, 2)
+        ]
+        enc_denses = [l for l in m.encoder_model.layers
+                      if isinstance(l, tf.keras.layers.Dense)]
+        for ours, theirs in zip(params["encoder"], enc_denses):
+            np.testing.assert_array_equal(
+                ours["kernel"], theirs.kernel.numpy())
+
+    def test_from_checkpoint_subclassed(self, tmp_path):
+        import encodermap_tpu as em
+
+        in_dim = 10
+        data = np.random.default_rng(4).normal(
+            size=(16, in_dim)).astype(np.float32)
+        m = _subclassed_twin(in_dim, seed=9)
+        run = tmp_path / "run0"
+        run.mkdir()
+        m.save(run / "saved_model_60.keras")
+        em.Parameters(
+            main_path=str(run), n_neurons=N_NEURONS,
+            activation_functions=ACTS, periodicity=float("inf"),
+            current_training_step=60,
+        ).save(run / "parameters.json")
+        emap = em.EncoderMap.from_checkpoint(run, train_data=data)
+        assert int(emap.state.step) == 60
+        np.testing.assert_allclose(
+            emap.encode(data),
+            m.encoder_model(tf.convert_to_tensor(data)).numpy(),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            emap.decode(emap.encode(data)),
+            m(tf.convert_to_tensor(data)).numpy(),
+            atol=1e-5,
+        )
+
+
 class TestADCKerasImport:
     @pytest.mark.skipif(
         not Path("/root/reference/tests/data").exists(),

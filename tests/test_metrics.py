@@ -156,6 +156,36 @@ class TestADCMetrics:
         with pytest.raises(Exception, match="distance_unit"):
             ADCClashMetric(distance_unit="pm")
 
+    def test_add_metric_accepts_builtin_classes(self, cvs, tmp_path):
+        """The documented CLASS form ``emap.add_metric(ADCClashMetric)``
+        must instantiate with ``parameters=`` by keyword — the built-in
+        classes take distance_unit/name as their first positional (the
+        reference's positional ``metric(self.p)`` crashes there, wave 28)."""
+        p = _params(tmp_path, n_steps=2, steps_per_scan=2,
+                    use_backbone_angles=True)
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        emap.add_metric(ADCClashMetric)
+        emap.add_metric(ADCRMSDMetric)
+        history = emap.train()
+        assert np.isfinite(history["ADCClashMetric"]).all()
+        assert np.isfinite(history["ADCRMSDMetric"]).all()
+
+    def test_rmsd_uniform_weights_in_reconstruct_mode(self):
+        """reconstruct_sidechains puts ALL-atom coordinates at y_pred[2];
+        tiling the N-CA-C mass triplets over that layout misweights every
+        sidechain atom, so the metric must fall back to uniform weights
+        (documented divergence from the reference's kabsch_tf, wave 28)."""
+        from encodermap_tpu.ops.kabsch import rmsd as rmsd_op
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(4, 20, 3)).astype(np.float32)
+        b = a + rng.normal(scale=0.1, size=a.shape).astype(np.float32)
+        p = ADCParameters(reconstruct_sidechains=True)
+        m = ADCRMSDMetric(parameters=p)
+        got = float(m.update((None, None, a), (None, None, b)))
+        expected = float(jnp.mean(rmsd_op(jnp.asarray(a), jnp.asarray(b))))
+        assert got == pytest.approx(expected, rel=1e-6)
+
 
 class TestRmsdNumpy:
     def test_identical_is_zero(self):

@@ -160,6 +160,22 @@ def _multimer_params(tmp_path=None, **kw):
 
 
 class TestMultimerModel:
+    def test_model_factory_validates_config(self, rng):
+        """gen_functional_model must surface invalid multimer configs as
+        validate_multimer's clear ValueError, not as an opaque
+        decode-parts IndexError later (wave 28 — the trainer validated,
+        the factory did not)."""
+        p = _multimer_params(use_sidechains=False)
+        cvs = _dimer_cvs(rng, F=4)
+        shapes = (
+            (cvs["central_angles"].shape[1],),
+            (cvs["central_dihedrals"].shape[1],),
+            (cvs["central_cartesians"].shape[1], 3),
+            (cvs["central_distances"].shape[1],),
+        )
+        with pytest.raises(ValueError, match="use_sidechains"):
+            adc.gen_functional_model(shapes, p)
+
     def test_encoder_sees_pairwise_block(self, rng):
         p = _multimer_params()
         cvs = _dimer_cvs(rng, F=8)

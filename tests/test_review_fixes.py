@@ -3752,3 +3752,247 @@ class TestWave27OfflineBackmapLossesCVStore:
         masks, rotatable = near_and_far_masks(
             top, np.asarray([[0, 1, 2, 3]]), bonds=bonds)
         assert not rotatable[0]
+
+
+# ---------------------------------------------------------------------------
+# review wave 29: pdb/topology/dssp
+# ---------------------------------------------------------------------------
+
+
+class TestWave29PDB:
+    def _write(self, tmp_path, lines, name="x.pdb"):
+        f = tmp_path / name
+        f.write_text("\n".join(lines) + "\n")
+        return f
+
+    def _atom_line(self, serial, name, res, resseq, x, y, z, chain="A",
+                   hetatm=False):
+        rec = "HETATM" if hetatm else "ATOM  "
+        name_fmt = f" {name:<3s}" if len(name) < 4 else f"{name:<4s}"
+        return (f"{rec}{serial:5d} {name_fmt} {res:<4s}{chain}{resseq:4d}"
+                f"    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00")
+
+    def test_triclinic_cryst1_preserved(self, tmp_path):
+        """CRYST1 angles != 90 must yield a (F, 3, 3) cell, not a silently
+        orthorhombic box (wave 29)."""
+        from encodermap_tpu.data.pdb import load_pdb
+
+        f = self._write(tmp_path, [
+            "CRYST1   60.000   70.000   80.000  90.00 120.00  90.00 P 1",
+            self._atom_line(1, "N", "ALA", 1, 1.0, 2.0, 3.0),
+            self._atom_line(2, "CA", "ALA", 1, 2.0, 2.0, 3.0),
+            "END",
+        ])
+        top, xyz, cell = load_pdb(f)
+        assert cell is not None and cell.shape == (1, 3, 3)
+        v = cell[0]
+        # lengths survive
+        np.testing.assert_allclose(
+            np.linalg.norm(v, axis=-1), [6.0, 7.0, 8.0], atol=1e-4)
+        # beta = angle(v1, v3) = 120 degrees
+        cosb = np.dot(v[0], v[2]) / (
+            np.linalg.norm(v[0]) * np.linalg.norm(v[2]))
+        assert np.degrees(np.arccos(cosb)) == pytest.approx(120.0, abs=0.01)
+
+    def test_orthorhombic_cryst1_stays_lengths(self, tmp_path):
+        from encodermap_tpu.data.pdb import load_pdb
+
+        f = self._write(tmp_path, [
+            "CRYST1   60.000   70.000   80.000  90.00  90.00  90.00 P 1",
+            self._atom_line(1, "N", "ALA", 1, 1.0, 2.0, 3.0),
+            "END",
+        ])
+        _, _, cell = load_pdb(f)
+        assert cell.shape == (1, 3)
+        np.testing.assert_allclose(cell[0], [6.0, 7.0, 8.0], atol=1e-4)
+
+    def test_save_pdb_round_trips_box(self, tmp_path):
+        """save_pdb used to hardcode unitcell=None — a periodic system
+        silently went non-periodic on a PDB round-trip (wave 29)."""
+        from encodermap_tpu.data import SingleTraj
+        from encodermap_tpu.data.pdb import load_pdb, write_pdb
+        from encodermap_tpu.data.topology import Topology
+
+        top = Topology()
+        r = top.add_residue("ALA", 1, 0)
+        for n in ("N", "CA", "C"):
+            top.add_atom(n, n[0], r)
+        xyz = np.arange(9, dtype=np.float32).reshape(1, 3, 3) * 0.1
+        f1 = tmp_path / "in.pdb"
+        write_pdb(f1, top, xyz, unitcell=np.asarray([[4.0, 5.0, 6.0]]))
+        t = SingleTraj(f1)
+        t.load()
+        assert t.unitcell_vectors is not None
+        f2 = tmp_path / "out.pdb"
+        t.save_pdb(f2)
+        _, _, cell2 = load_pdb(f2)
+        assert cell2 is not None
+        np.testing.assert_allclose(
+            np.asarray(cell2[0]), [4.0, 5.0, 6.0], atol=1e-3)
+
+    def test_write_pdb_triclinic_cell_angles(self, tmp_path):
+        from encodermap_tpu.data.pdb import (
+            _cell_from_lengths_angles, load_pdb, write_pdb,
+        )
+        from encodermap_tpu.data.topology import Topology
+
+        top = Topology()
+        r = top.add_residue("ALA", 1, 0)
+        top.add_atom("CA", "C", r)
+        cell = _cell_from_lengths_angles((6.0, 7.0, 8.0), (90.0, 120.0, 90.0))
+        f = tmp_path / "tri.pdb"
+        write_pdb(f, top, np.zeros((1, 1, 3), np.float32),
+                  unitcell=cell[None])
+        _, _, cell2 = load_pdb(f)
+        np.testing.assert_allclose(np.asarray(cell2[0]), cell, atol=2e-3)
+
+    def test_ragged_model_tail_extra_atoms_trimmed(self, tmp_path):
+        from encodermap_tpu.data.pdb import load_pdb
+
+        f = self._write(tmp_path, [
+            "MODEL        1",
+            self._atom_line(1, "N", "ALA", 1, 1.0, 0.0, 0.0),
+            self._atom_line(2, "CA", "ALA", 1, 2.0, 0.0, 0.0),
+            "ENDMDL",
+            "MODEL        2",
+            self._atom_line(1, "N", "ALA", 1, 1.5, 0.0, 0.0),
+            self._atom_line(2, "CA", "ALA", 1, 2.5, 0.0, 0.0),
+            self._atom_line(3, "O", "HOH", 2, 9.0, 0.0, 0.0, hetatm=True),
+            "ENDMDL",
+            "END",
+        ])
+        top, xyz, _ = load_pdb(f)
+        assert xyz.shape == (2, 2, 3)
+        assert xyz[1, 0, 0] == pytest.approx(0.15)
+
+    def test_ragged_model_midchain_extra_atom_raises(self, tmp_path):
+        """A mid-chain extra atom positionally trimmed would pair every
+        later coordinate with the wrong atom — must raise (wave 29)."""
+        from encodermap_tpu.data.pdb import load_pdb
+
+        f = self._write(tmp_path, [
+            "MODEL        1",
+            self._atom_line(1, "N", "ALA", 1, 1.0, 0.0, 0.0),
+            self._atom_line(2, "CA", "ALA", 1, 2.0, 0.0, 0.0),
+            "ENDMDL",
+            "MODEL        2",
+            self._atom_line(1, "N", "ALA", 1, 1.5, 0.0, 0.0),
+            self._atom_line(2, "CB", "ALA", 1, 9.0, 0.0, 0.0),
+            self._atom_line(3, "CA", "ALA", 1, 2.5, 0.0, 0.0),
+            "ENDMDL",
+            "END",
+        ])
+        with pytest.raises(ValueError, match="mid-chain"):
+            load_pdb(f)
+
+    def test_heme_na_is_nitrogen_sodium_ion_is_na(self, tmp_path):
+        from encodermap_tpu.data.pdb import load_pdb
+
+        f = self._write(tmp_path, [
+            self._atom_line(1, "NA", "HEM", 1, 1.0, 0.0, 0.0, hetatm=True),
+            self._atom_line(2, "NA", "NA", 2, 5.0, 0.0, 0.0, hetatm=True),
+            "END",
+        ])
+        top, _, _ = load_pdb(f)
+        assert top.atoms[0].element == "N"   # heme pyrrole nitrogen
+        assert top.atoms[1].element == "NA"  # sodium ion residue
+
+    def test_gro_triclinic_box_line(self, tmp_path):
+        from encodermap_tpu.data.formats import load_gro
+
+        f = tmp_path / "tri.gro"
+        f.write_text(
+            "title\n"
+            "    1\n"
+            "    1ALA      N    1   0.100   0.200   0.300\n"
+            "   6.00000   6.50000   7.00000   0.00000   0.00000"
+            "   3.00000   0.00000   0.00000   0.00000\n"
+        )
+        _, _, box = load_gro(f)
+        assert box.shape == (1, 3, 3)
+        np.testing.assert_allclose(
+            box[0], [[6.0, 0, 0], [3.0, 6.5, 0], [0, 0, 7.0]], atol=1e-5)
+
+
+class TestWave29Topology:
+    def test_cross_topology_atom_equality_no_recursion(self):
+        BB = ["N", "CA", "C", "O"]
+        a = _mini_top([("ALA", 1, 0, BB)])
+        b = _mini_top([("ALA", 1, 0, BB)])
+        # value __eq__ on the dataclasses recursed Atom.residue ->
+        # Residue.atoms -> Atom... for cross-topology comparisons and
+        # killed hashability (wave 29: identity semantics)
+        assert a.atoms[0] == a.atoms[0]
+        assert a.atoms[0] != b.atoms[0]
+        assert len({*a.atoms, *b.atoms}) == 8
+        assert a.residues[0] != b.residues[0]
+        assert a == b  # Topology-level value equality still holds
+
+    def test_sidechain_selection_excludes_backbone_variants(self):
+        names = ["N", "CA", "C", "O", "HN", "H1", "HA2", "HA3",
+                 "OT1", "OT2", "CB", "HB1"]
+        top = _mini_top([("ALA", 1, 0, names)])
+        sel = top.select("sidechain")
+        got = {top.atoms[i].name for i in sel}
+        assert got == {"CB", "HB1"}
+
+
+class TestWave29DSSP:
+    def _helix(self, n_res, rng):
+        """Ideal-ish alpha-helix backbone (N, CA, C, O per residue)."""
+        import encodermap_tpu  # noqa: F401  (jax config)
+        t = np.arange(n_res) * 100.0 * np.pi / 180.0
+        ca = np.stack([2.3 * np.cos(t), 2.3 * np.sin(t),
+                       1.5 * np.arange(n_res)], axis=1)
+        return ca
+
+    def test_single_outlier_frame_does_not_break_all_frames(self):
+        from encodermap_tpu.ops.dssp import kabsch_sander_hbonds
+
+        rng = np.random.default_rng(0)
+        R, F = 8, 3
+        n = rng.normal(size=(1, R, 3)) * 3.0
+        n = np.repeat(n, F, axis=0)
+        ca = n + [1.0, 0, 0]
+        c = n + [2.0, 0, 0]
+        o = c + [0, 1.0, 0]
+        # frame 1: stretch the bond between residues 3 and 4 only there
+        n_broken = n.copy()
+        n_broken[1, 4:] += 50.0
+        ca_b, c_b, o_b = ca.copy(), c.copy(), o.copy()
+        ca_b[1, 4:] += 50.0
+        c_b[1, 4:] += 50.0
+        o_b[1, 4:] += 50.0
+        hb_all = kabsch_sander_hbonds(n_broken, ca_b, c_b, o_b)
+        hb_clean = kabsch_sander_hbonds(n[:1], ca[:1], c[:1], o[:1])
+        # frames 0 and 2 must be identical to the unbroken single-frame
+        # result — the old all-frame max() poisoned every frame
+        np.testing.assert_array_equal(hb_all[0], hb_clean[0])
+        np.testing.assert_array_equal(hb_all[2], hb_clean[0])
+
+    def test_chain_initial_donation_contract(self):
+        """Documented contract (module docstring): a chain-initial residue
+        donates ONLY via an explicit H (no preceding carbonyl to
+        reconstruct from) — without one it never donates."""
+        from encodermap_tpu.ops.dssp import kabsch_sander_hbonds
+
+        R = 4
+        base = np.arange(R, dtype=np.float64)[None, :, None] * [50.0, 0, 0]
+        n = np.zeros((1, R, 3)) + base
+        ca = n + [1.5, 0.0, 0.0]
+        c = n + [2.4, 0.5, 0.0]
+        o = n + [2.9, 1.6, 0.0]
+        # ideal H-bond geometry: CO of residue 2 accepts from NH of
+        # residue 0 (non-adjacent, so the peptide-partner exclusion and
+        # the CA prefilter don't interfere) — co-locate them
+        o[0, 2] = c[0, 2] + [0.0, 1.23, 0.0]
+        n[0, 0] = c[0, 2] + [0.0, 3.13, 0.0]
+        ca[0, 0] = n[0, 0] + [1.5, 0.0, 0.0]
+        h = np.full((1, R, 3), np.nan)
+        h[0, 0] = n[0, 0] - [0.0, 1.0, 0.0]
+        # with an explicit H residue 0 donates...
+        hb = kabsch_sander_hbonds(n, ca, c, o, h=h)
+        assert hb[0, 2, 0]
+        # ...without one it cannot (nothing to reconstruct from)
+        hb2 = kabsch_sander_hbonds(n, ca, c, o)
+        assert not hb2[0, :, 0].any()

@@ -15,7 +15,15 @@ from typing import Iterator, Optional, Union
 
 import numpy as np
 
-__all__ = ["CVEntry", "CVCollection"]
+__all__ = ["CVEntry", "CVCollection", "labels_bytes"]
+
+
+def labels_bytes(labels) -> np.ndarray:
+    """Labels -> bytes array for HDF5. A plain ``dtype="S"`` coercion
+    raises UnicodeEncodeError on any non-ASCII label (mid-write, after the
+    old group was already deleted); explicit UTF-8 round-trips through the
+    readers' default ``.decode()``."""
+    return np.asarray([str(l).encode("utf-8") for l in labels])
 
 
 class CVEntry:
@@ -112,7 +120,7 @@ class CVCollection:
             for k, e in self._entries.items():
                 ds = g.create_dataset(k, data=e.data)
                 if e.labels is not None:
-                    lab = np.asarray(e.labels, dtype="S")
+                    lab = labels_bytes(e.labels)
                     if lab.nbytes < 60_000:
                         ds.attrs["labels"] = lab
                     else:

@@ -16,8 +16,14 @@ from .topology import Topology
 __all__ = ["topology_to_json", "topology_from_json"]
 
 
-def topology_to_json(top: Topology) -> str:
-    """Serialize a Topology to the mdtraj HDF5 JSON schema."""
+def topology_to_json(top: Topology, bonds=None) -> str:
+    """Serialize a Topology to the mdtraj HDF5 JSON schema.
+
+    ``bonds``: optional ``[(i, j), ...]`` atom-index pairs for the
+    schema's bond list (mdtraj reads THIS field for connectivity — a
+    bond-less topology silently degrades bond-dependent selections and
+    visualization in external readers). The save sites pass
+    ``guess_bonds(top, xyz[0])``."""
     chains: dict[int, dict] = {}
     for res in top.residues:
         chain = chains.setdefault(
@@ -39,7 +45,10 @@ def topology_to_json(top: Topology) -> str:
             }
         )
     return json.dumps(
-        {"chains": [chains[k] for k in sorted(chains)], "bonds": []}
+        {
+            "chains": [chains[k] for k in sorted(chains)],
+            "bonds": [[int(a), int(b)] for a, b in (bonds or [])],
+        }
     )
 
 
@@ -73,4 +82,10 @@ def topology_from_json(text: str) -> Topology:
             cur_res = top.add_residue(res_name, res_seq, ci)
             cur_res_key = key
         top.add_atom(name, element.upper(), cur_res)
+    # keep the file's explicit connectivity available to callers (the
+    # geometry pipeline guesses bonds from coordinates, but the file's
+    # own list is the ground truth an mdtraj writer recorded)
+    top._file_bonds = [
+        (int(a), int(b)) for a, b in data.get("bonds", [])
+    ]
     return top

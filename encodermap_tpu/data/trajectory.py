@@ -34,6 +34,22 @@ CV_SHORTCUTS = (
 )
 
 
+def _bonds_for_save(top: Topology, xyz: np.ndarray):
+    """Connectivity for the mdtraj-schema topology JSON: a loaded file's
+    own bond list when present (ground truth an mdtraj writer recorded —
+    includes disulfides/custom bonds), otherwise distance-guessed from
+    frame 0. Never lets bond guessing fail a save."""
+    file_bonds = getattr(top, "_file_bonds", None)
+    if file_bonds:
+        return file_bonds
+    try:
+        from ..misc.backmapping_offline import guess_bonds
+
+        return guess_bonds(top, np.asarray(xyz)[0])
+    except Exception:
+        return []
+
+
 def _fetch_url_cached(url: str, cache_dir: str = "/tmp/em_url_cache") -> str:
     """Download ``url`` into a local cache (once) and return the path.
     Lets ``SingleTraj("https://files.rcsb.org/view/1GHC.pdb")`` work like
@@ -1052,7 +1068,11 @@ class SingleTraj:
                                  data=box.astype(np.float32))
             f.create_dataset(
                 "topology",
-                data=np.asarray([topology_to_json(self.top).encode()]),
+                data=np.asarray(
+                    [topology_to_json(
+                        self.top, bonds=_bonds_for_save(self.top, self.xyz)
+                    ).encode()]
+                ),
             )
             # custom residue definitions (unnatural AAs) survive round trips
             custom = getattr(self.top, "_custom_def_json", None)
@@ -2406,7 +2426,11 @@ class TrajEnsemble:
                     del g["topology"]
                 g.create_dataset(
                     "topology",
-                    data=np.asarray([topology_to_json(t.top).encode()]),
+                    data=np.asarray(
+                        [topology_to_json(
+                            t.top, bonds=_bonds_for_save(t.top, t.xyz)
+                        ).encode()]
+                    ),
                 )
                 g.attrs["traj_file"] = t.traj_file
                 g.attrs["common_str"] = t.common_str

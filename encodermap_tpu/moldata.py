@@ -5,6 +5,7 @@ attributes, for code written against the EncoderMap 2.x MolData API."""
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -20,9 +21,26 @@ class MolData:
     def __init__(self, trajs: Any, cache_path: str = "", top: Any = None) -> None:
         from .data.trajectory import SingleTraj, TrajEnsemble
 
+        if isinstance(trajs, (str, Path)):
+            trajs = [trajs]
+        if isinstance(trajs, (list, tuple)) and trajs and all(
+            isinstance(t, (str, Path)) for t in trajs
+        ):
+            # reference contract (``moldata.py:148-151``): a list of
+            # trajectory paths + the `top` argument builds the ensemble
+            # (the reference's own line references an undefined ``tops`` —
+            # the documented intent is the ``top`` parameter)
+            trajs = TrajEnsemble(list(trajs), tops=top)
+        elif top is not None:
+            raise ValueError(
+                "`top` is only used when `trajs` is a (list of) trajectory "
+                "path(s); pass pre-built SingleTraj/TrajEnsemble objects "
+                "with their own topology instead"
+            )
         if isinstance(trajs, SingleTraj):
             trajs = TrajEnsemble([trajs])
         self.trajs = trajs
+        self._cache_path = str(cache_path)
         # side_dihedrals must count as "needed" too: a chi-bearing traj
         # that arrives with only the four central CVs loaded would
         # otherwise silently get an (n, 0) sidedihedrals array (ADVICE r4).
@@ -40,7 +58,22 @@ class MolData:
         ):
             needed.append("side_dihedrals")
         if not all(k in trajs.CVs for k in needed):
-            trajs.load_CVs("all")
+            # reference contract: cache_path is an on-disk CV store
+            # (``moldata.py:160-163`` routes the featurization through
+            # ``load_CVs(..., directory=cache_path)``) — here: one
+            # ``<cv_name>.npy`` per CV, loaded instead of recomputing
+            cache = Path(cache_path) if cache_path else None
+            if cache is not None and all(
+                (cache / f"{k}.npy").exists() for k in needed
+            ):
+                for f in sorted(cache.glob("*.npy")):
+                    trajs.load_CVs(np.load(f), attr_name=f.stem)
+            if not all(k in trajs.CVs for k in needed):
+                trajs.load_CVs("all")
+                if cache is not None:
+                    cache.mkdir(parents=True, exist_ok=True)
+                    for k, v in trajs.CVs.items():
+                        np.save(cache / f"{k}.npy", np.asarray(v))
         cvs = trajs.CVs
         self.angles = np.asarray(cvs["central_angles"])
         self.dihedrals = np.asarray(cvs["central_dihedrals"])

@@ -531,20 +531,29 @@ def backmap_sidechains_fast(
         br_dy = sd_p * jnp.sin(phi)
 
     # -------- phase B: dihedral quaternions (planar frame)
-    # central: angle = target, axis heading = h_{i+1}
-    q_c = _axis_angle_quat(h[:, 1 : n_cdi + 1], central_dihedrals)
-    # prefix products C_i = q_0 (x) ... (x) q_i
-    C_c = jax.lax.associative_scan(_quat_mul, q_c, axis=1)  # (B, n_cdi, 4)
-
-    # backbone bond k (atoms k-1 -> k): rotated by C_{min(k-2, n_cdi-1)};
-    # bond 1 (atoms 0->1) unrotated.
     idquat = jnp.broadcast_to(
         jnp.asarray([1.0, 0, 0, 0], dtype), (B, 1, 4)
     )
-    bond_quat_idx = np.minimum(np.arange(2, nb) - 2, n_cdi - 1)
-    bb_bond_quats = jnp.concatenate(
-        [idquat, C_c[:, bond_quat_idx]], axis=1
-    )  # (B, nb-1, 4)
+    if n_cdi:
+        # central: angle = target, axis heading = h_{i+1}
+        q_c = _axis_angle_quat(h[:, 1 : n_cdi + 1], central_dihedrals)
+        # prefix products C_i = q_0 (x) ... (x) q_i
+        C_c = jax.lax.associative_scan(_quat_mul, q_c, axis=1)  # (B, n_cdi, 4)
+
+        # backbone bond k (atoms k-1 -> k): rotated by C_{min(k-2, n_cdi-1)};
+        # bond 1 (atoms 0->1) unrotated.
+        bond_quat_idx = np.minimum(np.arange(2, nb) - 2, n_cdi - 1)
+        bb_bond_quats = jnp.concatenate(
+            [idquat, C_c[:, bond_quat_idx]], axis=1
+        )  # (B, nb-1, 4)
+    else:
+        # single residue: no central dihedrals — index -1 into the empty
+        # prefix-product axis was an out-of-bounds gather (XLA clamps to
+        # unspecified values); every backbone bond is simply unrotated
+        C_c = jnp.zeros((B, 0, 4), dtype)
+        bb_bond_quats = jnp.broadcast_to(
+            jnp.asarray([1.0, 0, 0, 0], dtype), (B, nb - 1, 4)
+        )
 
     planar_bb_bonds = jnp.concatenate(
         [
@@ -579,11 +588,18 @@ def backmap_sidechains_fast(
         [int((~cmasks[:, br_col_start[bi]]).sum()) for bi in range(n_br)]
     )
     # C_central applied to the branch: product of the first `threshold` steps
-    C_thr = jnp.where(
-        (thresholds[:, None] > 0)[None, :, :],
-        C_c[:, np.maximum(thresholds - 1, 0)],
-        jnp.asarray([1.0, 0, 0, 0], dtype)[None, None, :],
-    )  # (B, n_br, 4)
+    if n_cdi:
+        C_thr = jnp.where(
+            (thresholds[:, None] > 0)[None, :, :],
+            C_c[:, np.maximum(thresholds - 1, 0)],
+            jnp.asarray([1.0, 0, 0, 0], dtype)[None, None, :],
+        )  # (B, n_br, 4)
+    else:
+        # no central dihedrals: indexing the empty prefix-product axis
+        # would be an OOB gather even under the where-guard
+        C_thr = jnp.broadcast_to(
+            jnp.asarray([1.0, 0, 0, 0], dtype), (B, n_br, 4)
+        )
 
     # side dihedral quats: per branch, step k (k = 0..v-1) axis heading
     # phi_k; angle = target (-pi for the first step of the branch)

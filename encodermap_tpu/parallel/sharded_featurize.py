@@ -77,8 +77,6 @@ class ShardedFeaturizer:
         run, slice_xyz = self._inner._get_runner()
         traj = self.traj
         n_frames = traj.n_frames
-        all_box = traj.unitcell_vectors
-        triclinic = all_box is not None and geom.boxes_are_triclinic(all_box)
         data_sharding = NamedSharding(self.mesh, P("dp"))
 
         pending = None
@@ -95,6 +93,15 @@ class ShardedFeaturizer:
             box = sub.unitcell_vectors
             box_host = (
                 np.asarray(box, np.float32) if box is not None else None
+            )
+            # triclinicity from the BLOCK's boxes: reading
+            # traj.unitcell_vectors up front would load() the whole
+            # trajectory into RAM, defeating the out-of-core streaming
+            # (wave 30); a mid-trajectory ortho->triclinic flip just
+            # retraces once
+            triclinic = (
+                box_host is not None
+                and geom.boxes_are_triclinic(box_host)
             )
             box_j = (
                 jax.device_put(box_host, data_sharding)
@@ -160,6 +167,46 @@ class ShardedFeaturizer:
 
         feats = self._inner.features
         n_frames = self.traj.n_frames
+        def _create_dsets(g, host_shapes_dtypes):
+            dsets = []
+            for f, name, (shape_tail, dtype) in zip(
+                feats, _cv_names(feats), host_shapes_dtypes
+            ):
+                d = g.create_dataset(
+                    name, shape=(n_frames,) + shape_tail,
+                    # native dtype: host CustomFeatures may emit
+                    # f64/int — CVCollection.to_hdf5 preserves it,
+                    # and the two documented-equivalent paths must
+                    # round-trip the same values
+                    dtype=dtype,
+                )
+                labels = (
+                    f.generic_describe() if ensemble else f.describe()
+                )
+                from ..data.cvstore import labels_bytes
+
+                lab = labels_bytes(labels)
+                if lab.nbytes < 60_000:
+                    d.attrs["labels"] = lab
+                else:
+                    # HDF5 64KB attribute cap (same convention as
+                    # CVCollection.to_hdf5's __labels sidecar)
+                    g.create_dataset(f"{name}__labels", data=lab)
+                # same sidecar metadata as CVCollection.to_hdf5 so
+                # the streaming path round-trips attrs (deg/rad
+                # homogeneity guard) and indices (CV-order
+                # backmapping) identically to get_output()
+                if (getattr(f, "deg", None) is not None
+                        and not getattr(f, "cossin", False)):
+                    d.attrs["attr_angle_units"] = (
+                        "deg" if f.deg else "rad"
+                    )
+                if f.indices is not None:
+                    g.create_dataset(f"{name}__indices",
+                                     data=f.indices)
+                dsets.append(d)
+            return dsets
+
         with h5py.File(path, "a") as fh:
             if group in fh:
                 del fh[group]
@@ -169,42 +216,19 @@ class ShardedFeaturizer:
             for results, pad in self._run_blocks():
                 host = self._to_host(results, pad)
                 if dsets is None:
-                    dsets = []
-                    for f, name, r in zip(feats, _cv_names(feats), host):
-                        d = g.create_dataset(
-                            name, shape=(n_frames,) + r.shape[1:],
-                            # native dtype: host CustomFeatures may emit
-                            # f64/int — CVCollection.to_hdf5 preserves it,
-                            # and the two documented-equivalent paths must
-                            # round-trip the same values
-                            dtype=r.dtype,
-                        )
-                        labels = (
-                            f.generic_describe() if ensemble else f.describe()
-                        )
-                        lab = np.asarray(labels, dtype="S")
-                        if lab.nbytes < 60_000:
-                            d.attrs["labels"] = lab
-                        else:
-                            # HDF5 64KB attribute cap (same convention as
-                            # CVCollection.to_hdf5's __labels sidecar)
-                            g.create_dataset(f"{name}__labels", data=lab)
-                        # same sidecar metadata as CVCollection.to_hdf5 so
-                        # the streaming path round-trips attrs (deg/rad
-                        # homogeneity guard) and indices (CV-order
-                        # backmapping) identically to get_output()
-                        if (getattr(f, "deg", None) is not None
-                                and not getattr(f, "cossin", False)):
-                            d.attrs["attr_angle_units"] = (
-                                "deg" if f.deg else "rad"
-                            )
-                        if f.indices is not None:
-                            g.create_dataset(f"{name}__indices",
-                                             data=f.indices)
-                        dsets.append(d)
+                    dsets = _create_dsets(
+                        g, [(r.shape[1:], r.dtype) for r in host]
+                    )
                 for d, r in zip(dsets, host):
                     d[row : row + len(r)] = r
                 row += len(host[0])
+            if dsets is None:
+                # zero-frame trajectory: still write the empty datasets +
+                # labels/attrs/indices so this path round-trips the same
+                # as get_output()'s (0, f.dimension) guard (wave 30)
+                _create_dsets(
+                    g, [((f.dimension,), np.float32) for f in feats]
+                )
         return str(path)
 
 

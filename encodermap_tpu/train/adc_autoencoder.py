@@ -498,19 +498,21 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
                 self.p.steps_per_scan,
                 seed=self.p.seed if self.p.seed is not None else 0,
             )
-        n = n_steps if n_steps is not None else self.p.n_steps
+        n = self._streaming_budget(n_steps)
+        if n <= 0:
+            if owned is not None:
+                owned.close()
+            return self.history
         try:
             history = run_streaming(self, source, n,
                                     sharding=self._streaming_sharding())
         finally:
             if owned is not None:
                 owned.close()
-        self.history = history
-        self.p.current_training_step = int(self.state.step)
-        if not self.read_only:
-            self.p.save(Path(self.p.main_path) / "parameters.json")
-            self.save()
-        return history
+        # _finish_streaming honors _streaming_nan_stop — the previous
+        # unconditional persist here saved NaN-diverged checkpoints
+        # (wave 30)
+        return self._finish_streaming(history)
 
     def train_for_references(self, subsample: int = 100, maxiter: int = 500
                              ) -> dict[str, float]:

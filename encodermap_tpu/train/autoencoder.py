@@ -240,6 +240,40 @@ class TrainerExtensions:
 
         return NamedSharding(mesh, P(None, "dp"))
 
+    def _streaming_budget(self, n_steps: Optional[int]) -> int:
+        """Steps to run: an explicit ``n_steps`` is steps-from-here;
+        ``None`` means ``p.n_steps`` as a GLOBAL budget, exactly like
+        ``train()`` — a restored model does not overshoot its schedules
+        (wave 30)."""
+        if n_steps is not None:
+            return int(n_steps)
+        start = int(self.state.step)
+        remaining = self.p.n_steps - start
+        if remaining <= 0:
+            print(
+                f"This model has already been trained for {start} steps. "
+                f"Increase p.n_steps to train further."
+            )
+        return remaining
+
+    def _finish_streaming(self, history: dict) -> dict:
+        """Persist after a streaming run — shared by the base and ADC
+        paths so the NaN-abort no-persist contract holds for both."""
+        self.history = history
+        if getattr(self, "_streaming_nan_stop", False):
+            # same contract as train(): keep parameters.json pointing at
+            # the last finite checkpoint instead of the diverged state
+            print(
+                "Not persisting the diverged state; the newest on-disk "
+                "checkpoint remains the last finite one."
+            )
+            return history
+        self.p.current_training_step = int(self.state.step)
+        if not self.read_only:
+            self.p.save(Path(self.p.main_path) / "parameters.json")
+            self.save()
+        return history
+
     def _custom_loss_terms(self, params, batch) -> dict:
         return {name: fn(params, batch) for name, fn in self.custom_losses}
 
@@ -665,23 +699,12 @@ class Autoencoder(TrainerExtensions):
         the mesh's dp axis (BASELINE config 5: streaming + data-parallel)."""
         from .core import run_streaming
 
-        n = n_steps if n_steps is not None else self.p.n_steps
+        n = self._streaming_budget(n_steps)
+        if n <= 0:
+            return self.history
         history = run_streaming(self, source, n,
                                 sharding=self._streaming_sharding())
-        self.history = history
-        if getattr(self, "_streaming_nan_stop", False):
-            # same contract as train(): keep parameters.json pointing at
-            # the last finite checkpoint instead of the diverged state
-            print(
-                "Not persisting the diverged state; the newest on-disk "
-                "checkpoint remains the last finite one."
-            )
-            return history
-        self.p.current_training_step = int(self.state.step)
-        if not self.read_only:
-            self.p.save(Path(self.p.main_path) / "parameters.json")
-            self.save()
-        return history
+        return self._finish_streaming(history)
 
     # ------------------------------------------------------------------ inference
     def _batched_apply(self, fn, data: np.ndarray, max_batch: int = 8192) -> np.ndarray:

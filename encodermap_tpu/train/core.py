@@ -229,7 +229,8 @@ class HDF5BatchSource:
         self.slab_frames = slab_frames
         self._h5 = h5py.File(path, "r")
         try:
-            if group and group in self._h5:
+            flat = bool(group) and group in self._h5
+            if flat:
                 # the explicitly-requested flat group wins — and is
                 # resolved BEFORE scanning traj_* names, so an unrelated
                 # top-level item like 'traj_joined' or a traj_0 DATASET
@@ -250,7 +251,7 @@ class HDF5BatchSource:
                     (k for k in self._h5 if _is_member(k)),
                     key=lambda k: int(k.split("_")[1]),
                 )
-            if group and group in self._h5:
+            if flat:
                 self._dset_groups = [
                     [self._h5[group][n] for n in self.cv_names]
                 ]
@@ -260,9 +261,7 @@ class HDF5BatchSource:
                     for k in traj_groups
                 ]
             else:
-                if group and group in self._h5:
-                    g = self._h5[group]
-                elif all(n in self._h5 for n in self.cv_names):
+                if all(n in self._h5 for n in self.cv_names):
                     # flat file with top-level datasets (the group kwarg
                     # default "CVs" must not hide them behind a KeyError)
                     g = self._h5
@@ -596,8 +595,12 @@ def run_streaming(autoencoder, source, n_steps: int, sharding=None,
                     stop = True
                     # same contract as train(): a NaN abort must not reach
                     # CheckpointSaver with the diverged parameters
-                    autoencoder._streaming_nan_stop = (
-                        type(cb).__name__ == "NaNInterrupt"
+                    # (isinstance, not the class NAME — a user's
+                    # NaNInterrupt subclass must keep the protection)
+                    from .callbacks import NaNInterrupt
+
+                    autoencoder._streaming_nan_stop = isinstance(
+                        cb, NaNInterrupt
                     )
                     break
             done += n

@@ -3996,3 +3996,235 @@ class TestWave29DSSP:
         # ...without one it cannot (nothing to reconstruct from)
         hb2 = kabsch_sander_hbonds(n, ca, c, o)
         assert not hb2[0, :, 0].any()
+
+
+# ---------------------------------------------------------------------------
+# review wave 30: streaming persist contract, sharded featurizer, h5 interop
+# ---------------------------------------------------------------------------
+
+
+class TestWave30Streaming:
+    def _adc(self, tmp_path, **kw):
+        import encodermap_tpu as em
+        from tests.test_adc import _params, synthetic_cvs
+
+        cvs = synthetic_cvs(np.random.default_rng(0), n_frames=64, n_res=4)
+        p = _params(tmp_path, n_steps=10, steps_per_scan=5, batch_size=16,
+                    **kw)
+        return em.AngleDihedralCartesianEncoderMap(cvs, p), cvs
+
+    def test_adc_finish_streaming_honors_nan_stop(self, tmp_path):
+        """The ADC override used to persist unconditionally — a
+        NaN-diverged streaming run saved parameters.json pointing at NaN
+        weights (wave 30: shared _finish_streaming guard)."""
+        adc, _ = self._adc(tmp_path)
+        before = adc.p.current_training_step
+        pj = Path(tmp_path) / "parameters.json"
+        if pj.exists():  # the constructor may have written it already
+            pj.unlink()
+        adc._streaming_nan_stop = True
+        adc._finish_streaming({"loss": [1.0]})
+        assert adc.p.current_training_step == before
+        assert not pj.exists()
+        adc._streaming_nan_stop = False
+        adc._finish_streaming({"loss": [1.0]})
+        assert pj.exists()
+
+    def test_streaming_budget_is_global_like_train(self, tmp_path):
+        """train() treats p.n_steps as a GLOBAL budget; train_streaming's
+        default must match so a restored model does not overshoot its
+        step-dependent schedules (wave 30)."""
+        import io
+        from contextlib import redirect_stdout
+
+        adc, cvs = self._adc(tmp_path)
+        adc.train()
+        assert int(adc.state.step) == 10
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            n = adc._streaming_budget(None)
+        assert n <= 0
+        assert "already been trained" in buf.getvalue()
+        # an EXPLICIT n_steps stays steps-from-here
+        assert adc._streaming_budget(7) == 7
+
+    def test_nan_interrupt_subclass_sets_flag(self, tmp_path):
+        """run_streaming must detect NaNInterrupt SUBCLASSES (isinstance,
+        not class-name equality) so user-extended interrupts keep the
+        no-persist protection (wave 30)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.train.callbacks import NaNInterrupt
+        from encodermap_tpu.train.core import run_streaming
+
+        class LoggingNaNInterrupt(NaNInterrupt):
+            def on_chunk_end(self, first_step, metrics):
+                return False  # simulate immediate divergence abort
+
+        data = np.random.default_rng(0).normal(size=(64, 6)).astype(
+            np.float32)
+        p = em.Parameters(main_path=str(tmp_path), n_steps=4,
+                          steps_per_scan=2, batch_size=8,
+                          periodicity=float("inf"))
+        emap = em.EncoderMap(p, data, read_only=True)
+        emap.callbacks.append(LoggingNaNInterrupt())
+
+        def source():
+            while True:
+                yield data[None, :8].repeat(2, axis=0)
+
+        run_streaming(emap, source(), 4)
+        assert getattr(emap, "_streaming_nan_stop", False)
+
+
+class TestWave30ShardedFeaturizer:
+    @needs_data
+    def test_run_blocks_does_not_full_load_parent(self):
+        """Reading traj.unitcell_vectors up front load()ed the ENTIRE
+        trajectory, defeating out-of-core streaming; blocks decide
+        triclinicity from their own boxes now (wave 30)."""
+        import encodermap_tpu as em
+        from encodermap_tpu.parallel.sharded_featurize import (
+            ShardedFeaturizer,
+        )
+
+        traj = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+
+        def _trap():
+            raise AssertionError(
+                "parent traj.load() called — full-trajectory materialize")
+
+        traj.load = _trap
+        sf = ShardedFeaturizer(traj, block_size=32)
+        sf._inner.add_backbone_torsions()
+        out = sf.get_output()
+        assert out["BackboneTorsionFeature"].shape[0] == traj.n_frames
+
+    def test_zero_frame_to_hdf5_round_trips(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.data.cvstore import CVCollection
+        from encodermap_tpu.parallel.sharded_featurize import (
+            ShardedFeaturizer,
+        )
+
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        traj = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))[0:0]
+        assert traj.n_frames == 0
+        sf = ShardedFeaturizer(traj, block_size=8)
+        sf._inner.add_backbone_torsions()
+        f = tmp_path / "zero.h5"
+        sf.to_hdf5(f)
+        back = CVCollection.from_hdf5(f)
+        e = back.entry("BackboneTorsionFeature")
+        assert e.data.shape[0] == 0
+        assert e.labels  # labels survived the zero-frame path
+
+    def test_non_ascii_labels_round_trip(self, tmp_path):
+        from encodermap_tpu.data.cvstore import CVCollection
+
+        c = CVCollection()
+        c.add("angstroms", np.zeros((2, 1), np.float32),
+              labels=["bond length (Å)"])
+        f = tmp_path / "l.h5"
+        c.to_hdf5(f)
+        back = CVCollection.from_hdf5(f)
+        assert back.entry("angstroms").labels == ["bond length (Å)"]
+
+
+class TestWave30H5Interop:
+    def test_topology_json_carries_bonds(self, tmp_path):
+        """The mdtraj-schema 'bonds' field was always [] — external
+        readers got no connectivity from our files (wave 30)."""
+        import json
+
+        import encodermap_tpu as em
+        from encodermap_tpu.data.mdtraj_h5 import (
+            topology_from_json, topology_to_json,
+        )
+
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        traj = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))[:2]
+        traj.load()
+        f = tmp_path / "t.h5"
+        traj.save(f)
+        import h5py
+
+        with h5py.File(f, "r") as fh:
+            data = json.loads(fh["topology"][0].decode())
+        assert len(data["bonds"]) > traj.n_atoms * 0.8  # covalent chain
+        # loader keeps the file's list available
+        top2 = topology_from_json(json.dumps(data))
+        assert top2._file_bonds == [tuple(b) for b in data["bonds"]]
+        # a topology loaded WITH file bonds re-saves them verbatim
+        assert json.loads(topology_to_json(
+            top2, bonds=top2._file_bonds))["bonds"] == data["bonds"]
+
+
+class TestWave30MolData:
+    @needs_data
+    def test_moldata_accepts_paths_and_top(self, tmp_path):
+        from encodermap_tpu.moldata import MolData
+
+        md = MolData([str(DATA / "asp7.xtc")], top=str(DATA / "asp7.pdb"))
+        assert md.dihedrals.shape[1] > 0
+        assert len(md) == md.cartesians.shape[0]
+
+    @needs_data
+    def test_moldata_cache_path_round_trips(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.moldata import MolData
+
+        cache = tmp_path / "cvcache"
+        t1 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        md1 = MolData(t1, cache_path=str(cache))
+        assert any(cache.glob("*.npy"))  # cache written
+        # second construction loads FROM the cache (no featurization):
+        # poison the featurizer path to prove it is not taken
+        t2 = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        ens = em.TrajEnsemble([t2])
+
+        md2 = MolData(ens, cache_path=str(cache))
+        np.testing.assert_array_equal(md1.dihedrals, md2.dihedrals)
+
+    def test_moldata_top_with_prebuilt_trajs_raises(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.moldata import MolData
+
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        with pytest.raises(ValueError, match="top"):
+            MolData(t, top="something.pdb")
+
+
+class TestWave30SidechainFast:
+    def test_single_residue_fast_matches_sequential(self):
+        """n_cdi == 0 (single residue) used to index -1 into the EMPTY
+        central prefix-product axis — an OOB gather with unspecified
+        results (wave 30: identity-rotation guard)."""
+        import jax.numpy as jnp
+
+        from encodermap_tpu.ops.backmap_sidechains import (
+            backmap_sidechains, backmap_sidechains_fast, make_spec,
+        )
+
+        rng = np.random.default_rng(0)
+        for info in ({1: 2}, {1: 0}):
+            spec = make_spec(info)
+            R = spec.n_residues
+            n_side = spec.n_sidechain_atoms
+            n_sdi = (spec.dihedral_quadruplets.shape[0]
+                     - spec.n_central_dihedrals)
+            B = 3
+
+            def arr(n, lo, hi):
+                return jnp.asarray(
+                    rng.uniform(lo, hi, size=(B, n)).astype(np.float32))
+
+            args = (arr(3 * R - 1, 0.12, 0.16), arr(3 * R - 2, 1.7, 2.2),
+                    arr(3 * R - 3, -3, 3), arr(n_side, 0.12, 0.16),
+                    arr(n_side, 1.7, 2.2), arr(n_sdi, -3, 3))
+            slow = np.asarray(backmap_sidechains(spec, *args))
+            fast = np.asarray(backmap_sidechains_fast(spec, *args))
+            np.testing.assert_allclose(fast, slow, atol=2e-3)

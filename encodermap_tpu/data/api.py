@@ -44,12 +44,19 @@ def load(
         if Path(trajs).suffix in (".h5", ".nc"):
             import h5py
 
+            if isinstance(tops, (list, tuple)):
+                tops = tops[0] if tops else None
             with h5py.File(trajs, "r") as f:
                 multi = any(k.startswith("traj_") for k in f)
             if multi:
                 out: Union[SingleTraj, TrajEnsemble] = (
                     TrajEnsemble.from_dataset(trajs)
                 )
+                if backend == "mdtraj":
+                    # same eager-load contract as the sequence branch
+                    # below — a corrupt member group must error HERE
+                    for t in out.trajs:
+                        t.load()
             else:
                 out = TrajEnsemble([SingleTraj(
                     trajs, tops, common_str=common_str or "",

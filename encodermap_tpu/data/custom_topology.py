@@ -54,6 +54,12 @@ class _PatchedTopology(Topology):
     def chi_table(self, n: int) -> dict[str, list[str]]:
         base = dict(CHI_ATOMS[f"chi{n}"])
         base.update(self._custom_chi.get(f"chi{n}", {}))
+        # not_CHIn deletions: accepted by from_custom_aas but previously
+        # consumed only for PHI/PSI/OMEGA — chi deletions were silently
+        # ignored (wave 32)
+        for kind, resname in self._not_dihedrals:
+            if kind == f"CHI{n}":
+                base.pop(resname, None)
         return base
 
     # NOTE: no indices_chi override — the base Topology.indices_chi already
@@ -162,7 +168,10 @@ class CustomTopology:
         return self
 
     @classmethod
-    def from_custom_aas(cls, top: Topology, custom: dict) -> "CustomTopology":
+    def from_custom_aas(
+        cls, top: Topology, custom: dict,
+        common_str: Optional[str] = None,
+    ) -> "CustomTopology":
         """Build from the reference's ``CustomAAsDict`` format
         (``trajinfo_utils.py:600-770``): ``{resname: (one_letter_code,
         {tables...})}`` or the simpler ``{resname: {"chi1": [...]}}``.
@@ -170,9 +179,19 @@ class CustomTopology:
         ``optional_bonds`` (atom-name pairs, ``-``/``+`` prefixes reach
         the previous/next residue), ``PHI``/``PSI``/``OMEGA`` overrides,
         ``not_PHI``-style deletions, and ``CHI1``..``CHI5``.
-        ``resname: None`` marks the residue as recognized without tables."""
+        ``resname: None`` marks the residue as recognized without tables.
+
+        A ``(common_str, resname)`` TUPLE key scopes its definition to
+        trajectories with that ``common_str`` (reference
+        ``trajinfo_utils.py:591-594``); pass the trajectory's
+        ``common_str`` to filter — with ``common_str=None`` tuple-keyed
+        entries apply unconditionally (no scoping context)."""
         ct = cls(top)
         for resname, val in dict(custom).items():
+            if isinstance(resname, tuple):
+                cs, resname = resname
+                if common_str is not None and cs != common_str:
+                    continue
             tables = val
             # yaml.safe_dump serializes the (code, tables) tuple as a
             # 2-element list; accept both spellings so to_yaml/from_yaml

@@ -361,7 +361,7 @@ class SingleTraj:
             self._time = time
             # vacuum trajectories store an all-zero box; a singular cell
             # would NaN the minimum-image convention downstream
-            if np.abs(np.linalg.det(box)).min() < 1e-12:
+            if box.size and np.abs(np.linalg.det(box)).min() < 1e-12:
                 box = None
             self._unitcell = box
         elif self.traj_file.endswith((".pdb", ".gro")):
@@ -386,7 +386,8 @@ class SingleTraj:
                 box = np.asarray(box, np.float32)
                 if box.ndim == 3:
                     box = box[np.minimum(idx, len(box) - 1)]
-                    if np.abs(np.linalg.det(box)).min() < 1e-12:
+                    if box.size and \
+                            np.abs(np.linalg.det(box)).min() < 1e-12:
                         box = None
                 else:
                     if box.ndim == 1:
@@ -394,7 +395,7 @@ class SingleTraj:
                             box, (len(self._file_xyz), 3)
                         )
                     box = box[np.minimum(idx, len(box) - 1)]
-                    if np.abs(box).min() < 1e-12:
+                    if box.size and np.abs(box).min() < 1e-12:
                         box = None
                     else:
                         box = np.stack([np.diag(v) for v in box])
@@ -967,7 +968,11 @@ class SingleTraj:
             ct._not_dihedrals = custom._not_dihedrals
             ct._protein_names = custom._protein_names
         else:
-            ct = CustomTopology.from_custom_aas(self.top, custom)
+            # (common_str, resname) tuple keys scope definitions to trajs
+            # with that common_str (reference trajinfo_utils.py:591-594)
+            ct = CustomTopology.from_custom_aas(
+                self.top, custom, common_str=self.common_str
+            )
         self._top = ct.apply()
         self._validate_strict_deletes()
 
@@ -2335,6 +2340,15 @@ class TrajEnsemble:
                 raise ValueError(
                     f"no alignment sequence for traj {t.basename!r} "
                     f"(have {sorted(maps)})"
+                )
+            if len(maps[key]) != t.n_residues:
+                # reference asserts this (features.py:3172-3177) — a
+                # same-named sequence from a different construct would
+                # silently land every label on wrong-homolog columns
+                raise ValueError(
+                    f"alignment sequence {key!r} has {len(maps[key])} "
+                    f"residues but traj {t.basename!r} has "
+                    f"{t.n_residues}; cannot use this alignment"
                 )
             t.clustal_w = maps[key]
 

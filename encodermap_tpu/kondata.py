@@ -118,6 +118,14 @@ def get_from_kondata(
             for url in _download_urls(dataset_name):
                 try:
                     urllib.request.urlretrieve(url, target)  # noqa: S310
+                    # an HTTP-200 error page (the RADAR API does this)
+                    # "succeeds" but is not a tar — treat it as a failed
+                    # source so the mirror URLs still get their turn
+                    if not tarfile.is_tarfile(target):
+                        raise OSError(
+                            f"{url} returned a non-tar body "
+                            f"({target.stat().st_size} bytes)"
+                        )
                     break
                 except Exception as e:  # try the next source
                     last_err = e

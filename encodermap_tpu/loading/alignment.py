@@ -89,6 +89,13 @@ def apply_alignment_to_labels(
         m = _RES_NUM_RE.search(lbl)
         if m:
             res_i = int(m.group(1))
+            if " PHI " in lbl:
+                # PHI ordinal i is the phi OF residue i+1 (the first
+                # residue has no phi) — the reference maps phi labels to
+                # the [1:] alignment columns (features.py:3178-3182);
+                # using residue i's column was off by one at every
+                # alignment gap boundary (wave 32)
+                res_i += 1
             col = res_to_col.get(res_i)
             if col is None:
                 col = max_col + res_i

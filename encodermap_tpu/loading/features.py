@@ -712,11 +712,27 @@ class GroupCOMFeature(Feature):
             from ..ops.kabsch import align_frames
 
             xyz = align_frames(xyz, self.ref)
-        outs = [
-            geom.compute_center_of_mass(xyz, g, jnp.asarray(m))
-            for g, m in zip(self.groups, self.masses)
-        ]
-        return jnp.concatenate(outs, axis=1)
+        # ONE flat gather + sorted segment reduction for ALL groups —
+        # a per-group Python loop emitted one small irregular gather per
+        # residue into the jitted program (158 ops on a 158-residue
+        # protein; the ResidueMinDistance rewrite avoids the same
+        # pattern). Static tables, built once at trace time.
+        G = len(self.groups)
+        flat_idx = np.concatenate(self.groups)
+        seg = np.repeat(np.arange(G, dtype=np.int64),
+                        [len(g) for g in self.groups])
+        w = np.concatenate(self.masses).astype(np.float32)
+        wsum = np.asarray(
+            [m.sum() for m in self.masses], np.float32
+        ).reshape(G, 1)
+        pts = xyz[:, jnp.asarray(flat_idx)]  # (F, N, 3)
+        weighted = (pts * jnp.asarray(w)[None, :, None]).transpose(1, 0, 2)
+        sums = jax.ops.segment_sum(
+            weighted, jnp.asarray(seg), num_segments=G,
+            indices_are_sorted=True,
+        )  # (G, F, 3)
+        coms = (sums / jnp.asarray(wsum)[:, :, None]).transpose(1, 0, 2)
+        return coms.reshape(xyz.shape[0], 3 * G)
 
 
 class ResidueCOMFeature(GroupCOMFeature):

@@ -131,9 +131,18 @@ class _FeatureList(list):
             self.append(f)
 
     def insert(self, index: int, feature) -> None:
-        if any(feature == f for f in self):
-            import warnings
+        import warnings
 
+        # same guards as append (the class contract: ALL growth paths
+        # funnel through them) — insert previously admitted 0-dim features
+        if getattr(feature, "dimension", None) == 0:
+            warnings.warn(
+                f"Given an empty feature (e.g. due to an empty/ineffective "
+                f"selection). Skipping it. Feature desc: "
+                f"{feature.describe()}"
+            )
+            return
+        if any(feature == f for f in self):
             warnings.warn(
                 f"Tried to re-add the same feature "
                 f"{feature.__class__.__name__}; skipping."
@@ -519,7 +528,11 @@ class SingleTrajFeaturizer:
             flush(pending)
 
         for f, name, parts in zip(feats, _cv_names(feats), blocks):
-            data = np.concatenate(parts, axis=0) if parts else np.zeros((0, 0))
+            # zero-frame trajs run no blocks: keep the FEATURE's width so
+            # labels match the data and ensemble alignment can broadcast
+            # (a (0, 0) placeholder crashed _align_2d, wave 31)
+            data = (np.concatenate(parts, axis=0) if parts
+                    else np.zeros((0, f.dimension), np.float32))
             # labels/indices come from the ORIGINAL features (topology-true
             # atom indices), only the compute used remapped copies
             labels = f.generic_describe() if ensemble else f.describe()
@@ -712,21 +725,30 @@ class EnsembleFeaturizer:
         )
         return lengths.pop()
 
+    def _keyed_cache(self, ensemble: bool) -> dict:
+        """The persistent (top-identity -> SingleTrajFeaturizer) cache for
+        the current recorded-call state. Shared by :meth:`_containers` AND
+        :meth:`apply` so repeated apply()/get_output() calls reuse the
+        replayed featurizers and their jitted runners instead of
+        re-tracing per call (wave 31); invalidated when add_* calls were
+        recorded since the last build."""
+        key = (len(self._calls), bool(ensemble))
+        if getattr(self, "_feat_cache_key", None) != key:
+            self._feat_cache: dict = {}
+            self._feat_cache_key = key
+        return self._feat_cache
+
     def _containers(self, ensemble: bool = False) -> dict:
         """Topology -> replayed :class:`SingleTrajFeaturizer` (the
         reference's ``feature_containers`` dict, ``featurizer.py:1521``).
         Rebuilt lazily whenever add_* calls were recorded since the last
         build (recorded-replay has no incremental container updates)."""
-        key = (len(self._calls), bool(ensemble))
-        if getattr(self, "_container_key", None) != key:
-            cache: dict = {}
-            out: dict = {}
-            for t in self.trajs:
-                feat = self._featurizer_for(t, cache, ensemble)
-                out.setdefault(t.top, feat)
-            self._container_cache = out
-            self._container_key = key
-        return self._container_cache
+        cache = self._keyed_cache(ensemble)
+        out: dict = {}
+        for t in self.trajs:
+            feat = self._featurizer_for(t, cache, ensemble)
+            out.setdefault(t.top, feat)
+        return out
 
     @property
     def feature_containers(self) -> dict:
@@ -810,7 +832,7 @@ class EnsembleFeaturizer:
         idle between trajs, ``VERDICT.md`` weak #7)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        cache: dict = {}
+        cache = self._keyed_cache(ensemble)  # reuse across apply() calls
 
         def prepare(traj):
             feat = self._featurizer_for(traj, cache, ensemble)
@@ -818,11 +840,19 @@ class EnsembleFeaturizer:
             return feat
 
         per_traj: list[CVCollection] = []
-        # one worker = a 2-stage pipeline; device work stays on this thread
+        trajs = list(self.trajs)
+        # one worker, ONE member ahead: submitting every member up front
+        # let the worker decode the whole ensemble's coordinates while the
+        # main thread was still on member 0 (unbounded prefetch — the
+        # entire dataset resident at once on out-of-core ensembles)
         with ThreadPoolExecutor(max_workers=1) as ex:
-            futures = [(t, ex.submit(prepare, t)) for t in self.trajs]
-            for traj, fut in futures:
-                feat = fut.result()
+            fut = ex.submit(prepare, trajs[0]) if trajs else None
+            for i, traj in enumerate(trajs):
+                cur, fut = fut, (
+                    ex.submit(prepare, trajs[i + 1])
+                    if i + 1 < len(trajs) else None
+                )
+                feat = cur.result()
                 per_traj.append(feat.get_output_for(traj, ensemble=ensemble))
 
         if not ensemble:

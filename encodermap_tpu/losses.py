@@ -28,6 +28,7 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
+from .ops.distances import periodic_distance as _periodic_distance
 from .ops.pallas_sigmoid import fused_or_reference
 from .parameters import ADCParameters, Parameters
 
@@ -53,13 +54,6 @@ __all__ = [
 ]
 
 Array = jax.Array
-
-
-def _periodic_distance(a: Array, b: Array, periodicity: float) -> Array:
-    d = jnp.abs(b - a)
-    if periodicity == float("inf"):
-        return d
-    return jnp.minimum(d, periodicity - d)
 
 
 def periodic_diff_cost(

@@ -121,23 +121,28 @@ def cluster_to_dict(
         [np.asarray(t._CVs.entry(col).data).ravel() for t in trajs.trajs]
     )
 
-    joined_per_top: dict = {}
+    from ..data.trajectory import TrajEnsemble
+
+    groups: dict = {}
     all_sup = []
     for t in trajs.trajs:
-        if t.top in joined_per_top:
-            ref = joined_per_top[t.top].get_single_frame(0)
-        else:
-            ref = t.get_single_frame(0)
+        grp = groups.get(t.top)
+        ref = grp[0].get_single_frame(0) if grp else t.get_single_frame(0)
         sup = t.superpose(
             ref, frame=0,
             atom_indices=t.top.select(align_string),
             ref_atom_indices=ref.top.select(ref_align_string),
         )
-        if t.top in joined_per_top:
-            joined_per_top[t.top] = joined_per_top[t.top].join(sup)
-        else:
-            joined_per_top[t.top] = sup
+        groups.setdefault(t.top, []).append(sup)
         all_sup.append(sup)
+    # ONE-SHOT ensemble helpers, not pairwise join()/stack(): each
+    # pairwise call rebuilt a merged ensemble and re-copied every
+    # accumulated frame — O(n^2) host time and peak memory on big
+    # clusters (wave 32)
+    joined_per_top = {
+        top: (lst[0] if len(lst) == 1 else TrajEnsemble(lst).traj_joined)
+        for top, lst in groups.items()
+    }
 
     out = {
         "ensemble": trajs,
@@ -145,16 +150,35 @@ def cluster_to_dict(
         "joined_per_top": joined_per_top,
     }
     if all(t.n_atoms == trajs.trajs[0].n_atoms for t in trajs.trajs):
-        joined = all_sup[0]
-        for s in all_sup[1:]:
-            joined = joined.join(s)
+        joined = (all_sup[0] if len(all_sup) == 1
+                  else TrajEnsemble(all_sup).traj_joined)
+        if base_traj is not None:
+            # reference contract (clustering.py:245-275): the cluster's
+            # coordinates are applied onto the PARENT trajectory's
+            # topology (e.g. the full-detail parent of stripped members)
+            if base_traj.n_atoms != joined.n_atoms:
+                raise ValueError(
+                    f"base_traj has {base_traj.n_atoms} atoms but the "
+                    f"cluster frames have {joined.n_atoms}; coordinates "
+                    f"cannot be applied"
+                )
+            from ..data.cvstore import CVCollection
+
+            host = base_traj._shallow_copy()
+            host._CVs = CVCollection()
+            host._xyz = joined.xyz
+            host._time = joined.time
+            host._unitcell = None
+            host._materialized = True
+            host._n_frames_file = len(joined.xyz)
+            host.index = None
+            joined = host
         out["joined"] = joined
         # stacked: one frame whose atoms are every frame's atoms
         frames = [
             s.get_single_frame(i) for s in all_sup for i in range(s.n_frames)
         ]
-        stacked = frames[0]
-        for f in frames[1:]:
-            stacked = stacked.stack(f)
+        stacked = (frames[0] if len(frames) == 1
+                   else TrajEnsemble(frames).stack())
         out["stacked"] = stacked
     return out

@@ -67,6 +67,8 @@ def boxes_are_triclinic(box) -> bool:
     diagonal is physically negligible and must not force the 27-image
     search."""
     b = np.asarray(box, np.float64)
+    if b.size == 0:  # zero-frame trajectories carry an empty box stack
+        return False
     off = b * (1.0 - np.eye(3))
     scale = np.max(np.abs(b)) or 1.0
     return bool(np.any(np.abs(off) > 1e-5 * scale))

@@ -117,11 +117,28 @@ class ParametersFramework:
         return cls(**kwargs)
 
     def save(self, path: Optional[Union[str, Path]] = None) -> str:
-        """Write parameters as JSON (or YAML if path ends in .yaml/.yml)."""
+        """Write parameters as JSON (or YAML if path ends in .yaml/.yml).
+
+        Reference parity (``parameters.py:237-246``): an existing file is
+        backed up to ``<stem>_back_<timestamp><ext>`` first (never silently
+        overwritten), and an unrecognized extension raises OSError."""
         if path is None:
             path = Path(self.main_path) / "parameters.json"
         path = Path(path)
+        ext = path.suffix.lstrip(".")
+        if ext not in ("json", "yaml", "yml"):
+            raise OSError(
+                f"Unrecognized extension .{ext} in path {path}. "
+                f"Please provide either '.json' or '.yaml'"
+            )
         path.parent.mkdir(parents=True, exist_ok=True)
+        if path.is_file():
+            import datetime
+
+            stamp = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+            path.rename(
+                path.with_name(f"{path.stem}_back_{stamp}{path.suffix}")
+            )
         d = self.to_dict()
         # JSON can't express inf; store as string sentinel
         if d.get("periodicity") == float("inf"):
@@ -261,6 +278,15 @@ class Parameters(ParametersFramework):
         self.dist_sig_parameters = _as_tuple(self.dist_sig_parameters)
         self.n_neurons = list(self.n_neurons)
         self.activation_functions = list(self.activation_functions)
+        if len(self.n_neurons) != len(self.activation_functions) - 1:
+            # reference raises at construction (``parameters.py:204-207``);
+            # without this, layer building zip-truncates and silently
+            # assigns wrong activations (e.g. tanh on the latent layer)
+            raise ValueError(
+                f"Length of `n_neurons` and `activation_functions` (-1) "
+                f"does not match: {self.n_neurons}, "
+                f"{self.activation_functions}"
+            )
 
 
 @dataclass

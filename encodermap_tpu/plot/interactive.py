@@ -91,9 +91,24 @@ class InteractivePlotting:
         if highd is None and autoencoder is not None:
             highd = getattr(autoencoder, "train_data", None)
             if isinstance(highd, (tuple, list)):
-                # ADC train data is a tuple of CV arrays; project the
-                # dihedral-family concatenation like encode() does
-                highd = None
+                # ADC train data is a tuple of CV arrays; keep the trained
+                # dihedral-family groups as the session's high-D data (the
+                # encoder-input concatenation — ADC encode() accepts this
+                # stacked matrix and splits it back into slots)
+                ap = getattr(autoencoder, "p", None)
+                groups = []
+                if getattr(ap, "use_backbone_angles", False):
+                    groups.append(np.asarray(highd[0]))
+                groups.append(np.asarray(highd[1]))
+                if getattr(ap, "use_sidechains", False) and len(highd) >= 5:
+                    groups.append(np.asarray(highd[4]))
+                if getattr(ap, "multimer_training", None) is not None or \
+                        getattr(ap, "reconstruct_sidechains", False):
+                    # these modes need the full tuple (cartesians included)
+                    # — encode(None) projects the model's own train data
+                    highd = None
+                else:
+                    highd = np.concatenate(groups, axis=1)
         lowd = lowd_data if lowd_data is not None else _cv("lowd")
         assert autoencoder is not None or (
             lowd is not None and highd is not None

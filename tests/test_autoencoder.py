@@ -52,7 +52,11 @@ class TestParameters:
         assert p2.periodicity == float("inf")
 
     def test_unknown_keys_dropped(self):
-        p = Parameters.from_dict({"n_neurons": [4, 2], "bogus_key": 1})
+        p = Parameters.from_dict({
+            "n_neurons": [4, 2],
+            "activation_functions": ["", "tanh", ""],
+            "bogus_key": 1,
+        })
         assert p.n_neurons == [4, 2]
         assert not hasattr(p, "bogus_key")
 

@@ -155,29 +155,33 @@ def _assert_grads_close(ours, theirs, rtol):
 
 
 CONFIGS = [
-    # (periodic, dist_sig_parameters, n_neurons, seed)
-    (False, (4.5, 12, 6, 1, 2, 6), [32, 32, 2], 0),      # defaults
-    (True, (4.5, 12, 6, 1, 2, 6), [32, 32, 2], 1),
-    (False, (3.1, 7.0, 4.0, 0.8, 1.3, 9.0), [16, 24, 2], 2),  # a != 2 etc.
-    (True, (6.2, 3.0, 2.5, 1.7, 4.0, 3.0), [24, 2], 3),
-    (False, (1.0, 2.0, 2.0, 1.0, 2.0, 2.0), [8, 8, 8, 2], 4),  # a == b
+    # (periodic, dist_sig_parameters, n_neurons, activations, seed)
+    (False, (4.5, 12, 6, 1, 2, 6), [32, 32, 2], None, 0),      # defaults
+    (True, (4.5, 12, 6, 1, 2, 6), [32, 32, 2], None, 1),
+    (False, (3.1, 7.0, 4.0, 0.8, 1.3, 9.0), [16, 24, 2], None, 2),  # a != 2
+    (True, (6.2, 3.0, 2.5, 1.7, 4.0, 3.0), [24, 2],
+     ["", "tanh", ""], 3),
+    (False, (1.0, 2.0, 2.0, 1.0, 2.0, 2.0), [8, 8, 8, 2],
+     ["", "tanh", "tanh", "tanh", ""], 4),  # a == b
 ]
 
 
 class TestGradientParity:
-    @pytest.mark.parametrize("periodic,sig,neurons,seed", CONFIGS)
+    @pytest.mark.parametrize("periodic,sig,neurons,acts,seed", CONFIGS)
     def test_full_loss_grad_wrt_params(
-        self, tf, ref_distances, periodic, sig, neurons, seed
+        self, tf, ref_distances, periodic, sig, neurons, acts, seed
     ):
         from encodermap_tpu import EncoderMap, Parameters
         from encodermap_tpu.models.sequential import layer_stack
 
+        kw = {} if acts is None else {"activation_functions": list(acts)}
         p = Parameters(
             main_path=f"/tmp/grad_parity_{seed}",
             periodicity=(2 * np.pi) if periodic else float("inf"),
             n_neurons=list(neurons),
             dist_sig_parameters=sig,
             seed=100 + seed,
+            **kw,
         )
         rng = np.random.default_rng(seed)
         if periodic:

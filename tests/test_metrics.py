@@ -37,7 +37,9 @@ class TestBaseMetricContract:
                 return jnp.asarray(0.0)
 
         p = Parameters(main_path=str(tmp_path), n_steps=10, steps_per_scan=5,
-                       batch_size=16, n_neurons=[8, 2], periodicity=float("inf"))
+                       batch_size=16, n_neurons=[8, 2],
+                       activation_functions=["", "tanh", ""],
+                       periodicity=float("inf"))
         data = np.random.default_rng(0).random((64, 6)).astype(np.float32)
         emap = EncoderMap(p, data, read_only=True)
         emap.add_metric(MyMetric)
@@ -57,7 +59,9 @@ class TestBaseMetricContract:
                 return jnp.mean(jnp.abs(y_true - y_pred))
 
         p = Parameters(main_path=str(tmp_path), n_steps=4, steps_per_scan=2,
-                       batch_size=8, n_neurons=[8, 2], periodicity=float("inf"))
+                       batch_size=8, n_neurons=[8, 2],
+                       activation_functions=["", "tanh", ""],
+                       periodicity=float("inf"))
         data = np.random.default_rng(1).random((32, 5)).astype(np.float32)
         emap = EncoderMap(p, data, read_only=True)
         emap.add_metric(ShapeMetric)

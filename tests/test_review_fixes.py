@@ -1746,6 +1746,7 @@ class TestWave9Fixes:
 
         data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
         p = em.Parameters(main_path=str(tmp_path), n_neurons=[8, 2],
+                          activation_functions=["", "tanh", ""],
                           periodicity=float("inf"), n_steps=2,
                           steps_per_scan=2, batch_size=16)
         emap = em.EncoderMap(p, data, read_only=True)
@@ -1763,6 +1764,7 @@ class TestWave9Fixes:
 
         data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
         p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          activation_functions=["", "tanh", ""],
                           periodicity=float("inf"), n_steps=20,
                           steps_per_scan=10, batch_size=16,
                           checkpoint_step=5, summary_step=100)
@@ -1782,6 +1784,7 @@ class TestWave9Fixes:
 
         data = np.random.default_rng(0).normal(size=(640, 6)).astype(np.float32)
         p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          activation_functions=["", "tanh", ""],
                           periodicity=float("inf"), n_steps=25,
                           steps_per_scan=10, batch_size=16, seed=0)
         emap = em.EncoderMap(p, data[:32])
@@ -1807,6 +1810,7 @@ class TestWave9Fixes:
 
         data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
         p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          activation_functions=["", "tanh", ""],
                           periodicity=float("inf"), n_steps=4,
                           steps_per_scan=2, batch_size=16)
         emap = em.EncoderMap(p, data, read_only=True)
@@ -1841,6 +1845,7 @@ class TestWave9Fixes:
 
         data = np.random.default_rng(0).normal(size=(64, 6)).astype(np.float32)
         p = em.Parameters(main_path=str(tmp_path / "run"), n_neurons=[8, 2],
+                          activation_functions=["", "tanh", ""],
                           periodicity=float("inf"), n_steps=4,
                           steps_per_scan=2, batch_size=16, summary_step=1)
         emap = em.EncoderMap(p, data)
@@ -3590,7 +3595,8 @@ class TestWave26ParallelMisc:
         from encodermap_tpu.loading.alignment import apply_alignment_to_labels
 
         res_to_col = {1: 3, 2: 5, 3: 9}  # residue 9 NOT covered
-        labels = ["CENTERDIH PHI   3", "CENTERDIH PHI   9"]
+        # PSI maps ordinal -> same residue (PHI shifts by one, wave 32)
+        labels = ["CENTERDIH PSI   3", "CENTERDIH PSI   9"]
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             out = apply_alignment_to_labels(labels, res_to_col)
@@ -4228,3 +4234,310 @@ class TestWave30SidechainFast:
             slow = np.asarray(backmap_sidechains(spec, *args))
             fast = np.asarray(backmap_sidechains_fast(spec, *args))
             np.testing.assert_allclose(fast, slow, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# review wave 31: parameters, featurizer pipeline, interactive session
+# ---------------------------------------------------------------------------
+
+
+class TestWave31Parameters:
+    def test_neuron_activation_length_mismatch_raises(self):
+        import encodermap_tpu as em
+
+        # reference raises at construction (parameters.py:204-207); the
+        # old silent zip-truncation put tanh on the latent layer
+        with pytest.raises(ValueError, match="activation_functions"):
+            em.Parameters(n_neurons=[128, 2])
+        with pytest.raises(ValueError, match="activation_functions"):
+            em.ADCParameters(n_neurons=[16, 16, 16, 2])
+        em.Parameters(n_neurons=[8, 2],
+                      activation_functions=["", "tanh", ""])  # consistent
+
+    def test_save_backs_up_existing_file(self, tmp_path):
+        import encodermap_tpu as em
+
+        p = em.Parameters(main_path=str(tmp_path))
+        f = p.save()
+        p.n_steps = 123
+        p.save()
+        backs = list(Path(tmp_path).glob("parameters_back_*.json"))
+        assert len(backs) == 1  # old file preserved, not overwritten
+        import json
+
+        assert json.loads(Path(f).read_text())["n_steps"] == 123
+
+    def test_save_unknown_extension_raises(self, tmp_path):
+        import encodermap_tpu as em
+
+        with pytest.raises(OSError, match="extension"):
+            em.Parameters(main_path=str(tmp_path)).save(tmp_path / "p.txt")
+
+
+class TestWave31Featurizer:
+    def test_feature_list_insert_skips_empty(self):
+        from encodermap_tpu.loading.featurizer import _FeatureList
+
+        class FakeFeat:
+            dimension = 0
+
+            def describe(self):
+                return []
+
+        fl = _FeatureList()
+        with pytest.warns(UserWarning, match="empty"):
+            fl.insert(0, FakeFeat())
+        assert len(fl) == 0
+
+    @needs_data
+    def test_zero_frame_featurize_keeps_width(self):
+        import encodermap_tpu as em
+
+        traj = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))[0:0]
+        traj.load_CV("central_dihedrals")
+        cv = np.asarray(traj.CVs["central_dihedrals"])
+        assert cv.shape[0] == 0 and cv.shape[1] > 0  # width preserved
+
+    @needs_data
+    def test_apply_reuses_featurizers_across_calls(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.loading.featurizer import EnsembleFeaturizer
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([t])
+        feat = EnsembleFeaturizer(trajs)
+        feat.add_backbone_torsions()
+        c1 = feat._containers()
+        feat.apply()
+        c2 = feat._containers()
+        # the same replayed featurizer objects (and their jitted runners)
+        # must be reused — a fresh build per call re-traced every program
+        assert list(c1.values())[0] is list(c2.values())[0]
+
+
+class TestWave31Losses:
+    def test_periodic_distance_single_sourced(self):
+        from encodermap_tpu import losses
+        from encodermap_tpu.ops import distances
+
+        assert losses._periodic_distance is distances.periodic_distance
+
+
+class TestWave31Interactive:
+    def test_adc_session_exposes_highd_data(self, tmp_path):
+        import encodermap_tpu as em
+        from encodermap_tpu.plot.interactive import InteractivePlotting
+        from tests.test_adc import _params, synthetic_cvs
+
+        cvs = synthetic_cvs(np.random.default_rng(0), n_frames=48, n_res=4)
+        p = _params(tmp_path, n_steps=2, steps_per_scan=2,
+                    use_backbone_angles=True, use_sidechains=True)
+        adc = em.AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        sess = InteractivePlotting(adc)
+        # the high-D data is the encoder-input concatenation, not None
+        assert sess.data is not None
+        exp = (cvs["central_angles"].shape[1]
+               + cvs["central_dihedrals"].shape[1]
+               + cvs["side_dihedrals"].shape[1])
+        assert sess.data.shape == (48, exp)
+        assert sess.latent.shape[0] == 48
+
+
+# ---------------------------------------------------------------------------
+# review wave 32: alignment, custom topology, kondata/api, clustering, COM
+# ---------------------------------------------------------------------------
+
+
+class TestWave32Alignment:
+    def test_phi_labels_map_to_next_residue_column(self):
+        """PHI ordinal i is the phi OF residue i+1; the reference maps phi
+        labels to the [1:] alignment columns (features.py:3178-3182) —
+        using residue i's column was off by one at gap boundaries."""
+        from encodermap_tpu.loading.alignment import (
+            apply_alignment_to_labels,
+        )
+
+        # alignment: residue 1 -> col 1, residue 2 -> col 4 (gap between)
+        res_to_col = {1: 1, 2: 4, 3: 5}
+        out = apply_alignment_to_labels(
+            ["CENTERDIH PSI 1", "CENTERDIH OMEGA 1", "CENTERDIH PHI 1"],
+            res_to_col,
+        )
+        assert out[0] == "CENTERDIH PSI 1"     # psi_1 = residue 1
+        assert out[1] == "CENTERDIH OMEGA 1"   # omega_1 = residue 1
+        assert out[2] == "CENTERDIH PHI 4"     # phi_1 = residue 2!
+
+    def test_alignment_residue_count_validated(self, tmp_path):
+        import encodermap_tpu as em
+
+        if not DATA.exists():
+            pytest.skip("reference data not mounted")
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([t])
+        # asp7 has 7 residues; a 3-residue sequence must be rejected
+        aln = f"CLUSTAL W\n\n{t.basename}  AD-A\n"
+        with pytest.raises(ValueError, match="residues"):
+            trajs.parse_clustal_w_alignment(aln)
+
+
+class TestWave32CustomTopology:
+    def test_tuple_keys_scope_by_common_str(self):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        BB = ["N", "CA", "C", "O"]
+        top = _mini_top([("XYZ", 1, 0, BB + ["CB", "CG", "CD"])])
+        custom = {("mutant", "XYZ"): {"CHI1": ["N", "CA", "CB", "CG"]}}
+        # matching common_str: definition applies
+        ct = CustomTopology.from_custom_aas(top, custom,
+                                            common_str="mutant")
+        assert "XYZ" in ct.apply().chi_table(1)
+        # non-matching: silently scoped out (reference
+        # trajinfo_utils.py:591-594)
+        ct2 = CustomTopology.from_custom_aas(top, custom,
+                                             common_str="wildtype")
+        assert "XYZ" not in ct2.apply().chi_table(1)
+
+    def test_not_chi_deletion_honored(self):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        BB = ["N", "CA", "C", "O"]
+        top = _mini_top([("ASP", 1, 0, BB + ["CB", "CG", "OD1"])])
+        n_before = len(top.indices_chi(2))
+        assert n_before == 1  # ASP has a chi2
+        ct = CustomTopology.from_custom_aas(
+            top, {"ASP": ("D", {"not_CHI2": True})}
+        )
+        patched = ct.apply()
+        assert len(patched.indices_chi(2)) == 0
+        assert len(patched.indices_chi(1)) == 1  # chi1 untouched
+
+
+class TestWave32KondataApi:
+    def test_non_tar_source_falls_through(self, tmp_path, monkeypatch):
+        """An HTTP-200 error page is not a tar — the next mirror must
+        still be tried instead of aborting the whole fetch."""
+        import io
+        import tarfile as tarmod
+        import urllib.request
+
+        import encodermap_tpu.kondata as kd
+
+        good_tar = tmp_path / "good.tar"
+        payload = tmp_path / "payload"
+        payload.mkdir()
+        (payload / "data.txt").write_text("hello")
+        with tarmod.open(good_tar, "w") as t:
+            t.add(payload, arcname="testds")
+
+        calls = []
+
+        def fake_retrieve(url, target):
+            calls.append(url)
+            if "bad" in url:
+                Path(target).write_text("<html>error</html>")
+            else:
+                Path(target).write_bytes(good_tar.read_bytes())
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        monkeypatch.setattr(
+            kd, "_download_urls",
+            lambda name: ["https://bad.example/x", "https://ok.example/x"],
+        )
+        out = kd.get_from_kondata(
+            "testds", str(tmp_path / "out"), mk_parentdir=True,
+            silence_overwrite_message=True,
+        )
+        assert len(calls) == 2  # fell through to the second source
+        assert (Path(out) / "data.txt").exists() or any(
+            Path(out).rglob("data.txt")
+        )
+
+    @needs_data
+    def test_load_h5_unwraps_tops_list(self, tmp_path):
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))[:2]
+        t.load()
+        f = tmp_path / "single.h5"
+        t.save(f)
+        # tops given as a LIST used to reach SingleTraj unconverted and
+        # stringify to a garbage "['top.pdb']" path
+        t2 = em.load(str(f), tops=[str(DATA / "asp7.pdb")])
+        assert t2.trajs[0].n_atoms == t.n_atoms
+
+    @needs_data
+    def test_load_ensemble_h5_backend_mdtraj_eager(self, tmp_path):
+        import encodermap_tpu as em
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))[:2]
+        trajs = em.TrajEnsemble([t])
+        trajs.load_CVs("all")
+        f = tmp_path / "ens.h5"
+        trajs.save(f)
+        out = em.load(str(f), backend="mdtraj")
+        # eager contract: coordinates already materialized at return
+        assert all(tt._xyz is not None for tt in out.trajs)
+
+
+class TestWave32Clustering:
+    @needs_data
+    def test_cluster_to_dict_base_traj_hosts_joined(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.misc.clustering import cluster_to_dict
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([t])
+        membership = np.full(t.n_frames, -1, np.int64)
+        membership[::2] = 0
+        trajs.load_CVs(membership, attr_name="cluster_membership")
+        cluster = trajs.cluster(0)
+        parent = t[:1]
+        parent.load()
+        d = cluster_to_dict(cluster, base_traj=parent)
+        joined = d["joined"]
+        assert joined.n_frames == cluster.n_frames
+        # the joined view is hosted on base_traj's topology object
+        assert joined.top is parent.top
+        np.testing.assert_allclose(
+            joined.xyz, d["stacked"].xyz.reshape(joined.n_frames, -1, 3),
+            atol=1e-6,
+        )
+
+    @needs_data
+    def test_cluster_to_dict_views_still_correct(self):
+        import encodermap_tpu as em
+        from encodermap_tpu.misc.clustering import cluster_to_dict
+
+        t = em.load(str(DATA / "asp7.xtc"), str(DATA / "asp7.pdb"))
+        trajs = em.TrajEnsemble([t])
+        membership = np.full(t.n_frames, -1, np.int64)
+        membership[:10] = 0
+        trajs.load_CVs(membership, attr_name="cluster_membership")
+        d = cluster_to_dict(trajs.cluster(0))
+        assert d["joined"].n_frames == 10
+        assert d["stacked"].n_frames == 1
+        assert d["stacked"].n_atoms == 10 * t.n_atoms
+        assert len(d["series"]) == 10
+
+
+class TestWave32COM:
+    def test_group_com_segment_matches_loop_oracle(self):
+        import jax.numpy as jnp
+
+        from encodermap_tpu.loading.features import GroupCOMFeature
+
+        BB = ["N", "CA", "C", "O"]
+        top = _mini_top([("ALA", 1, 0, BB + ["CB"]),
+                         ("GLY", 2, 0, BB)])
+        groups = [[0, 1, 2], [4, 5], [6, 7, 8]]
+        f = GroupCOMFeature(top, groups, mass_weighted=True)
+        rng = np.random.default_rng(0)
+        xyz = rng.normal(size=(5, top.n_atoms, 3)).astype(np.float32)
+        got = np.asarray(f.transform(jnp.asarray(xyz)))
+        # per-group numpy oracle
+        exp = []
+        for g, m in zip(f.groups, f.masses):
+            w = m / m.sum()
+            exp.append((xyz[:, g] * w[None, :, None]).sum(axis=1))
+        exp = np.concatenate(exp, axis=1)
+        np.testing.assert_allclose(got, exp.reshape(5, -1), atol=1e-5)

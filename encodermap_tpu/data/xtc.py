@@ -101,7 +101,9 @@ class XTCReader:
                         f"{self.n_frames} frames"
                     )
                 raw = np.where(raw)[0]
-            idx = np.asarray(raw, np.int64)
+            # a scalar integer (read(5)) is a natural call — a 0-d array
+            # died in len() with an obscure TypeError (wave 33)
+            idx = np.atleast_1d(np.asarray(raw, np.int64))
             if len(idx) and (
                 idx.min() < -self.n_frames or idx.max() >= self.n_frames
             ):

@@ -78,8 +78,12 @@ def guess_bonds(top: Topology, xyz: np.ndarray, tolerance: float = 1.3
             * tolerance
         ai, bi = np.nonzero(d < cutoff)
         for a, b in zip(atoms_here[ai], cand[bi]):
-            if b > a:
-                bonds.add((int(a), int(b)))
+            # normalize (min, max): the old `b > a` filter permanently
+            # dropped inter-residue bonds whose next-residue partner has
+            # a LOWER global index (interleaved/patched topologies) — the
+            # reverse direction is never re-tested (wave 33)
+            if a != b:
+                bonds.add((int(min(a, b)), int(max(a, b))))
     # disulfide-bridge pass: S-S pairs across any residue distance
     sulfurs = [a.index for a in top.atoms if a.element.upper() == "S"]
     for i, a in enumerate(sulfurs):
@@ -164,15 +168,20 @@ def near_and_far_masks(
 
 
 def _current_dihedral(xyz, quad):
+    # elementwise sum contractions, NOT jnp.dot: Mosaic's default matmul
+    # precision is 1-pass bf16 on TPU, which would land every measured
+    # dihedral ~1e-3 off and bias delta = target - current (same
+    # convention as ops/geometry.py's dihedral kernel; CPU hides this —
+    # default == full precision there)
     p0, p1, p2, p3 = (xyz[quad[0]], xyz[quad[1]], xyz[quad[2]], xyz[quad[3]])
     b0 = p0 - p1
     b1 = p2 - p1
     b2 = p3 - p2
     b1n = b1 / jnp.linalg.norm(b1)
-    v = b0 - jnp.dot(b0, b1n) * b1n
-    w = b2 - jnp.dot(b2, b1n) * b1n
-    x = jnp.dot(v, w)
-    y = jnp.dot(jnp.cross(b1n, v), w)
+    v = b0 - jnp.sum(b0 * b1n) * b1n
+    w = b2 - jnp.sum(b2 * b1n) * b1n
+    x = jnp.sum(v * w)
+    y = jnp.sum(jnp.cross(b1n, v) * w)
     return jnp.arctan2(y, x)
 
 
@@ -541,9 +550,22 @@ def mdtraj_backmapping(
         side_indices=side_indices,
     )
     if return_indices:
-        tables = {"dihedrals": quads}
+        # the docstring promises the tables ACTUALLY rotated:
+        # backmap_topology drops unrotatable rows (proline phi, ring /
+        # missing-bond dihedrals), so filter with the same mask instead
+        # of returning the pre-filter tables (wave 33)
+        seed = np.asarray(base_xyz, np.float32)
+        if seed.ndim == 3:
+            seed = seed[0]
+        all_quads = (
+            quads if side_indices is None
+            else np.vstack([quads, side_indices])
+        )
+        _, rotatable = near_and_far_masks(topology, all_quads, xyz=seed)
+        n_c = len(quads)
+        tables = {"dihedrals": quads[rotatable[:n_c]]}
         if side_indices is not None:
-            tables["side_dihedrals"] = side_indices
+            tables["side_dihedrals"] = side_indices[rotatable[n_c:]]
         return out, tables
     return out
 

@@ -234,7 +234,11 @@ class TopPage:
         if trajs is None:
             return []
         tops = self.options()
-        target = tops[index]
+        if not (0 <= int(index) < len(tops)):
+            # a still-mounted dropdown can fire with a stale value after
+            # an upload swapped the ensemble (wave 33)
+            return ["(topology selection out of date — re-select above)"]
+        target = tops[int(index)]
         for t in trajs:
             if str(t.top_file) == target:
                 return [

@@ -523,6 +523,27 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
             cartesian_cost_scale=1, angle_cost_scale=1, dihedral_cost_scale=1
         )
         angles, dihedrals, cartesians, distances = self.train_data[:4]
+        if self.p.reconstruct_sidechains:
+            # train_data[2] is the ALL-atom cartesians in this mode, but
+            # the dummy model backmaps the central chain only — the
+            # reference normalizes against central_cartesians
+            # (autoencoder.py:1835); mismatched widths crashed the
+            # cartesian loss at trace time (wave 33)
+            cvs = None
+            if isinstance(self.trajs, Mapping):
+                cvs = self.trajs
+            elif hasattr(self.trajs, "CVs"):
+                cvs = self.trajs.CVs
+            if cvs is None or "central_cartesians" not in cvs:
+                raise ValueError(
+                    "train_for_references with reconstruct_sidechains "
+                    "needs the 'central_cartesians' CV (the reference "
+                    "normalizes on the central chain, autoencoder.py:"
+                    "1835); load it with trajs.load_CVs('all')"
+                )
+            cartesians = np.asarray(cvs["central_cartesians"], np.float32)
+            if cartesians.ndim == 2:
+                cartesians = cartesians.reshape(len(cartesians), -1, 3)
         n = len(angles)
         nsteps = min(maxiter, max(1, n // self.p.batch_size))
 
@@ -530,11 +551,28 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
         mean_angles = jnp.asarray(np.nanmean(angles, 0, keepdims=True))
         mean_dihedrals = jnp.asarray(np.nanmean(dihedrals, 0, keepdims=True))
         mean_lengths = jnp.asarray(np.nanmean(distances, 0, keepdims=True))
-        gen_cartesians = backmap_op(
-            mean_lengths,
-            mean_angles,
-            mean_dihedrals,
-        )
+        multimer_lengths = adc.multimer_lengths_list(self.p)
+        if multimer_lengths:
+            # per-protein concatenated internals: ONE chain_in_plane over
+            # the concatenation trips its bond-count assertion — rebuild
+            # each protein and place the others at identity (the dummy
+            # model has no transform predictions) (wave 33)
+            from ..ops.backmap import backmap_multimer
+
+            eye = jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32),
+                (1, len(multimer_lengths) - 1, 4, 4),
+            )
+            gen_cartesians = backmap_multimer(
+                multimer_lengths, mean_lengths, mean_angles,
+                mean_dihedrals, eye,
+            )
+        else:
+            gen_cartesians = backmap_op(
+                mean_lengths,
+                mean_angles,
+                mean_dihedrals,
+            )
         gen_pd = adc.cartesian_pwd_slice(self.p, gen_cartesians)
 
         @jax.jit
@@ -653,6 +691,16 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
                 f"arrays"
             )
         if len(arrs) == 4:  # full CV tuple of a use_sidechains=False model
+            if self.p.use_sidechains:
+                # zero-padding the side slot would feed the encoder an
+                # input 2*n_side_dihedrals columns too narrow and die in
+                # a raw dot-shape error (wave 33)
+                raise ValueError(
+                    "this model trains on side_dihedrals — pass the full "
+                    "5-CV tuple (angles, dihedrals, cartesians, "
+                    "distances, side_dihedrals) or (angles, dihedrals, "
+                    "side_dihedrals)"
+                )
             return arrs + (z,)
         if len(arrs) == 3:  # (angles, dihedrals, side_dihedrals)
             return (arrs[0], arrs[1], z, z, arrs[2])
@@ -790,6 +838,12 @@ class AngleDihedralCartesianEncoderMap(TrainerExtensions):
                 dihedrals, side = decoded, None
             elif len(decoded) == 2:
                 dihedrals, side = decoded[1], None
+            elif self.p.reconstruct_sidechains:
+                # decode() returns (central_angles, central_dihedrals,
+                # side_ANGLES, side_dihedrals) in this mode — index 2 is
+                # angles; feeding them as chi targets tripped the
+                # quadruplet-count assertion (wave 33)
+                dihedrals, side = decoded[1], decoded[3]
             else:
                 dihedrals, side = decoded[1], decoded[2]
             return mdtraj_backmapping(

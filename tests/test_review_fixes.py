@@ -4541,3 +4541,202 @@ class TestWave32COM:
             exp.append((xyz[:, g] * w[None, :, None]).sum(axis=1))
         exp = np.concatenate(exp, axis=1)
         np.testing.assert_allclose(got, exp.reshape(5, -1), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# review wave 33: offline backmap, ADC special modes, dashboard, xtc
+# ---------------------------------------------------------------------------
+
+
+class TestWave33GuessBonds:
+    def test_lower_index_next_residue_partner_kept(self):
+        """The old `b > a` filter permanently dropped inter-residue bonds
+        whose next-residue partner has a LOWER global atom index
+        (interleaved topologies) — normalize to (min, max) instead."""
+        from encodermap_tpu.data.topology import Topology
+        from encodermap_tpu.misc.backmapping_offline import guess_bonds
+
+        top = Topology()
+        r1 = top.add_residue("ALA", 1, 0)
+        r2 = top.add_residue("ALA", 2, 0)
+        top.add_atom("C", "C", r1)    # idx 0 -- placed AFTER r2's N below
+        top.add_atom("N", "N", r2)    # idx 1
+        top.add_atom("CA", "C", r2)   # idx 2
+        top.add_atom("CA", "C", r1)   # idx 3 (res1 CA, HIGHER than r2's N)
+        # geometry: res1 CA(3)-C(0) bonded, C(0)-N(1) peptide, N(1)-CA(2)
+        xyz = np.asarray([
+            [0.15, 0.0, 0.0],   # 0 res1 C
+            [0.28, 0.0, 0.0],   # 1 res2 N
+            [0.42, 0.0, 0.0],   # 2 res2 CA
+            [0.0, 0.0, 0.0],    # 3 res1 CA
+        ], np.float32)
+        bonds = guess_bonds(top, xyz)
+        assert (0, 1) in bonds   # the C(res1, idx 0) - N(res2, idx 1) bond
+        assert (0, 3) in bonds
+        assert (1, 2) in bonds
+
+
+class TestWave33Dihedral:
+    def test_current_dihedral_matches_geometry_kernel(self):
+        import jax.numpy as jnp
+
+        from encodermap_tpu.misc.backmapping_offline import _current_dihedral
+        from encodermap_tpu.ops import geometry as geom
+
+        rng = np.random.default_rng(0)
+        xyz = rng.normal(size=(4, 3)).astype(np.float32)
+        quad = np.asarray([0, 1, 2, 3])
+        got = float(_current_dihedral(jnp.asarray(xyz), quad))
+        exp = float(np.asarray(geom.compute_dihedrals(
+            jnp.asarray(xyz[None]), quad[None]
+        ))[0, 0])
+        assert got == pytest.approx(exp, abs=1e-5)
+
+
+class TestWave33OfflineBackmap:
+    @needs_data
+    def test_return_indices_reflects_rotatable_filter(self):
+        """1am7 contains prolines: the returned tables must exclude the
+        unrotatable quadruplets that backmap_topology skips."""
+        import encodermap_tpu as em
+        from encodermap_tpu.misc.backmapping_offline import mdtraj_backmapping
+
+        t = em.load(str(DATA / "1am7_protein.pdb"))
+        top = t.top
+        phi = np.asarray(top.indices_phi, np.int64).reshape(-1, 4)
+        psi = np.asarray(top.indices_psi, np.int64).reshape(-1, 4)
+        n = len(phi) + len(psi)
+        dih = np.zeros((1, n), np.float32)
+        out, tables = mdtraj_backmapping(
+            top=str(DATA / "1am7_protein.pdb"), dihedrals=dih,
+            return_indices=True)
+        # prolines make some phi unrotatable -> filtered tables shrink
+        assert len(tables["dihedrals"]) < n
+        assert out.shape[1] == t.n_atoms
+
+
+class TestWave33ADCModes:
+    def test_reconstruct_generate_mdtraj_passes_side_dihedrals(self,
+                                                              tmp_path,
+                                                              monkeypatch):
+        import jax
+
+        from encodermap_tpu import ADCParameters
+        from encodermap_tpu.misc import backmapping_offline as bo
+        from encodermap_tpu.ops.backmap_sidechains import (
+            backmap_sidechains, make_spec,
+        )
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.test_sidechain_reconstruction import INFO, _random_inputs
+
+        rng = np.random.default_rng(2)
+        spec, inputs = _random_inputs(rng, INFO, B=32)
+        cd, ca, cdi, sd, sa, sdi = inputs
+        xyz = np.asarray(
+            jax.jit(lambda *a: backmap_sidechains(spec, *a))(*inputs))
+        cvs = {
+            "central_angles": ca, "central_dihedrals": cdi,
+            "all_cartesians": xyz, "central_distances": cd,
+            "side_angles": sa, "side_dihedrals": sdi, "side_distances": sd,
+        }
+        p = ADCParameters(
+            main_path=str(tmp_path), n_neurons=[16, 16, 2],
+            reconstruct_sidechains=True, sidechain_info=INFO,
+            use_backbone_angles=True, use_sidechains=True, seed=0,
+            batch_size=8,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        captured = {}
+
+        def fake_backmap(top=None, dihedrals=None,
+                         sidechain_dihedrals=None, trajs=None, **kw):
+            captured["dih"] = np.asarray(dihedrals)
+            captured["side"] = np.asarray(sidechain_dihedrals)
+            return np.zeros((len(dihedrals), 3, 3), np.float32)
+
+        monkeypatch.setattr(bo, "mdtraj_backmapping", fake_backmap)
+        lat = emap.encode()[:2]
+        emap.generate(lat, backend="mdtraj", top="dummy")
+        # decoded[2] is side ANGLES (width n_side_atoms); the chi targets
+        # must be decoded[3] (width n_side_dihedrals)
+        assert captured["side"].shape[1] == sdi.shape[1]
+        assert captured["dih"].shape[1] == cdi.shape[1]
+
+    def test_encode_four_tuple_on_sidechain_model_raises_clearly(self,
+                                                                 tmp_path):
+        import encodermap_tpu as em
+        from tests.test_adc import _params, synthetic_cvs
+
+        cvs = synthetic_cvs(np.random.default_rng(0), n_frames=32, n_res=4)
+        p = _params(tmp_path, use_backbone_angles=True, use_sidechains=True)
+        emap = em.AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        four = (cvs["central_angles"], cvs["central_dihedrals"],
+                cvs["central_cartesians"], cvs["central_distances"])
+        with pytest.raises(ValueError, match="side_dihedrals"):
+            emap.encode(four)
+
+    def test_train_for_references_multimer(self, tmp_path):
+        import encodermap_tpu as em
+        from tests.test_multimer import _dimer_cvs, _multimer_params
+
+        cvs = _dimer_cvs(np.random.default_rng(0), F=64)
+        p = _multimer_params(tmp_path, batch_size=16, seed=0)
+        emap = em.AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        means = emap.train_for_references(maxiter=3)
+        assert all(np.isfinite(v) for v in means.values())
+
+    def test_train_for_references_reconstruct(self, tmp_path):
+        import jax
+
+        from encodermap_tpu import ADCParameters
+        from encodermap_tpu.ops.backmap_sidechains import backmap_sidechains
+        from encodermap_tpu.train.adc_autoencoder import (
+            AngleDihedralCartesianEncoderMap,
+        )
+        from tests.test_sidechain_reconstruction import INFO, _random_inputs
+
+        rng = np.random.default_rng(1)
+        spec, inputs = _random_inputs(rng, INFO, B=48)
+        cd, ca, cdi, sd, sa, sdi = inputs
+        xyz = np.asarray(
+            jax.jit(lambda *a: backmap_sidechains(spec, *a))(*inputs))
+        n_bb = 3 * spec.n_residues
+        cvs = {
+            "central_angles": ca, "central_dihedrals": cdi,
+            "all_cartesians": xyz, "central_distances": cd,
+            "side_angles": sa, "side_dihedrals": sdi, "side_distances": sd,
+            "central_cartesians": xyz[:, :n_bb],
+        }
+        p = ADCParameters(
+            main_path=str(tmp_path), n_neurons=[16, 16, 2],
+            reconstruct_sidechains=True, sidechain_info=INFO,
+            use_backbone_angles=True, use_sidechains=True, seed=0,
+            batch_size=16,
+        )
+        emap = AngleDihedralCartesianEncoderMap(cvs, p, read_only=True)
+        means = emap.train_for_references(maxiter=3)
+        assert all(np.isfinite(v) for v in means.values())
+        # without central_cartesians the error is descriptive
+        cvs2 = {k: v for k, v in cvs.items() if k != "central_cartesians"}
+        emap2 = AngleDihedralCartesianEncoderMap(cvs2, p, read_only=True)
+        with pytest.raises(ValueError, match="central_cartesians"):
+            emap2.train_for_references(maxiter=1)
+
+
+class TestWave33Misc:
+    @needs_data
+    def test_xtc_reader_scalar_index(self):
+        from encodermap_tpu.data.xtc import XTCReader
+
+        r = XTCReader(str(DATA / "asp7.xtc"))
+        xyz, box, time, _ = r.read(5)
+        assert xyz.shape == (1, r.n_atoms, 3)
+
+    def test_dashboard_stale_top_index(self):
+        from encodermap_tpu.plot.dashboard import DashboardSession, TopPage
+
+        sess = DashboardSession()
+        page = TopPage(sess)
+        assert page.describe_top(7) == []  # no trajs at all -> []

@@ -135,7 +135,10 @@ def save_checkpoint(
         np.save(main_path / f"{prefix}_{step}.rng.npy", np.asarray(rng))
     if parameters is not None:
         parameters.current_training_step = int(step)
-        parameters.save(main_path / "parameters.json")
+        # backup=False: a periodic checkpoint only bumps
+        # current_training_step — one _back_ file per checkpoint would be
+        # clutter (the reference writes no parameters.json here at all)
+        parameters.save(main_path / "parameters.json", backup=False)
     return str(ckpt)
 
 

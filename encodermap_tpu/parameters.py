@@ -116,12 +116,16 @@ class ParametersFramework:
             )
         return cls(**kwargs)
 
-    def save(self, path: Optional[Union[str, Path]] = None) -> str:
+    def save(self, path: Optional[Union[str, Path]] = None,
+             backup: bool = True) -> str:
         """Write parameters as JSON (or YAML if path ends in .yaml/.yml).
 
         Reference parity (``parameters.py:237-246``): an existing file is
         backed up to ``<stem>_back_<timestamp><ext>`` first (never silently
-        overwritten), and an unrecognized extension raises OSError."""
+        overwritten), and an unrecognized extension raises OSError.
+        ``backup=False`` is for the trainer's periodic
+        ``current_training_step`` refreshes (the reference writes nothing
+        there — a backup per checkpoint would be pure clutter)."""
         if path is None:
             path = Path(self.main_path) / "parameters.json"
         path = Path(path)
@@ -132,7 +136,7 @@ class ParametersFramework:
                 f"Please provide either '.json' or '.yaml'"
             )
         path.parent.mkdir(parents=True, exist_ok=True)
-        if path.is_file():
+        if backup and path.is_file():
             import datetime
 
             stamp = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")

@@ -34,8 +34,6 @@ from __future__ import annotations
 
 import functools
 from math import pi
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -271,20 +269,9 @@ def _periodic_mean_abs_and_grad(y_true, y_pred, periodicity, scale):
     return cost, g
 
 
-def _sig(r, sig, a, b):
-    c = 2.0 ** (a / b) - 1.0
-    return 1.0 - (1.0 + c * (r / sig) ** a) ** (-b / a)
-
-
-def _dsig_over_r(r2, r, sig, a, b):
-    c = 2.0 ** (a / b) - 1.0
-    if a == 2:
-        return (b * c / sig**2) * (1.0 + c * r2 / sig**2) ** (-b / a - 1.0)
-    r_safe = jnp.where(r2 == 0.0, 1.0, r)
-    t = (r_safe / sig) ** a
-    # base (1 + c*t) matches the forward sigmoid (see pallas_train fix)
-    out = b * c * t * (1.0 + c * t) ** (-b / a - 1.0) / jnp.square(r_safe)
-    return jnp.where(r2 == 0.0, 0.0, out)
+# single-sourced with the fused kernel (ops/distances.py) so oracle and
+# kernel can never drift again (wave 34)
+from .distances import dsig_over_r as _dsig_over_r, sig_value as _sig
 
 
 def _batch_pairdist2_gram(x):

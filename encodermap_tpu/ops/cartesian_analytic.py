@@ -50,7 +50,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .distances import component_plane_dists, sqrt_guard
+from .distances import component_plane_dists
 
 __all__ = ["cartesian_cost_analytic", "input_row_gram", "MIN_ANALYTIC_ATOMS"]
 

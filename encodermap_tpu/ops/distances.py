@@ -84,6 +84,33 @@ def sigmoid(sig: float, a: float, b: float) -> Callable[[Array], Array]:
     return func
 
 
+def sig_value(r, sig, a, b):
+    """Sketch-map sigmoid on precomputed distances (array-in form of
+    :func:`sigmoid`). SINGLE-SOURCED here for the fused Pallas trainer and
+    the analytic-adjoint oracle — the wave-10 missing-c gradient bug had
+    to be fixed in two drifted copies; never fork this again."""
+    c = 2.0 ** (a / b) - 1.0
+    return 1.0 - (1.0 + c * (r / sig) ** a) ** (-b / a)
+
+
+def dsig_over_r(r2, r, sig, a, b):
+    """``s'(r)/r`` with the a==2 smooth form (no r=0 singularity) and a
+    general guarded form otherwise. ``r2`` is r**2 (exact zero on the
+    diagonal). Shared by ``ops/pallas_train.py`` and
+    ``ops/adc_adjoint.py`` (see :func:`sig_value`)."""
+    c = 2.0 ** (a / b) - 1.0
+    if a == 2:
+        base = 1.0 + c * r2 / sig**2
+        return (b * c / sig**2) * base ** (-b / a - 1.0)
+    r_safe = jnp.where(r2 == 0.0, 1.0, r)
+    t = (r_safe / sig) ** a
+    # base is (1 + c*t) — matching the forward sigmoid (a missing c here
+    # silently scaled gradients 2-4x for a != 2; cf.
+    # pallas_sigmoid._sig_prime)
+    out = b * c * t * (1.0 + c * t) ** (-b / a - 1.0) / jnp.square(r_safe)
+    return jnp.where(r2 == 0.0, 0.0, out)
+
+
 def _sigmoid_doctest():
     """
     Example:

@@ -35,8 +35,6 @@ clipvalue=1 ``autoencoder.py:741``.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,24 +67,10 @@ def _poly_atan2(s, c):
     return jnp.where(s < 0.0, -r, r)
 
 
-def _sig(r, sig, a, b):
-    c = 2.0 ** (a / b) - 1.0
-    return 1.0 - (1.0 + c * (r / sig) ** a) ** (-b / a)
-
-
-def _dsig_over_r(r2, r, sig, a, b):
-    """s'(r)/r with the a==2 smooth form (no r=0 singularity) and a general
-    guarded form otherwise. ``r2`` is r**2 (exact zero on the diagonal)."""
-    c = 2.0 ** (a / b) - 1.0
-    if a == 2:
-        base = 1.0 + c * r2 / sig**2
-        return (b * c / sig**2) * base ** (-b / a - 1.0)
-    r_safe = jnp.where(r2 == 0.0, 1.0, r)
-    t = (r_safe / sig) ** a
-    # base is (1 + c*t) — matching the forward sigmoid (a missing c here
-    # silently scaled gradients 2-4x for a != 2; cf. pallas_sigmoid._sig_prime)
-    out = b * c * t * (1.0 + c * t) ** (-b / a - 1.0) / jnp.square(r_safe)
-    return jnp.where(r2 == 0.0, 0.0, out)
+# single-sourced sigmoid value/derivative (ops/distances.py): the wave-10
+# missing-c gradient fix had to be applied to TWO drifted copies of these
+# — the kernel and its oracle must share one implementation (wave 34)
+from .distances import dsig_over_r as _dsig_over_r, sig_value as _sig
 
 
 def _pairdist2(x):
@@ -270,7 +254,9 @@ def hand_step(
 
 
 def fused_trainer_available(p, params, input_dim: int = 0) -> bool:
-    """Whether the fused kernel covers this configuration."""
+    """Whether the fused kernel covers this configuration (including the
+    parameter tree: sparse models carry a densifier the kernel's
+    split/join layout has no slot for)."""
     try:
         import jax
 
@@ -278,9 +264,16 @@ def fused_trainer_available(p, params, input_dim: int = 0) -> bool:
             return False
     except Exception:  # pragma: no cover
         return False
-    if p.periodicity != float("inf") and input_dim > 32:
-        # the in-kernel min-image pairwise loop is per-dimension; beyond
-        # ~32 dims the XLA path's fused broadcast is faster
+    if params is not None and "densifier" in params:
+        # the caller used to have to remember this check itself — a param
+        # tree the kernel can't represent must be rejected HERE (wave 34)
+        return False
+    if input_dim > 32:
+        # BOTH pairwise paths (_pairdist2 / the min-image variant) unroll
+        # one (B, B) broadcast per feature column — beyond ~32 dims the
+        # XLA path's single MXU Gram is faster and the static unroll
+        # costs a minutes-long remote Mosaic compile (wave 34: the gate
+        # was periodic-only, letting wide NON-periodic data through)
         return False
     acts = list(p.activation_functions)
     if acts[0] != "" or any(a != "tanh" for a in acts[1:-1]) or acts[-1] != "":
@@ -307,7 +300,7 @@ def _adam_update(p_, m, v, g, t, lr, b1=0.9, b2=0.999, eps=1e-7,
     return p_ - lr * mhat / (jnp.sqrt(vhat) + eps), m, v
 
 
-def _fused_kernel(step0_ref, batch_ref, *refs, n_tensors: int, dims: list,
+def _fused_kernel(step0_ref, batch_ref, *refs, n_tensors: int,
                   n_enc: int, hyper: dict):
     """One grid step = one optimizer step. ``refs`` layout:
     inputs  [param x n_tensors, mu x n_tensors, nu x n_tensors],
@@ -366,16 +359,10 @@ def _fused_kernel(step0_ref, batch_ref, *refs, n_tensors: int, dims: list,
     metrics_ref[pl.ds(pid, 1), :] = padded[None, :]
 
 
-def _compiler_params(scoped_vmem_kib: int | None = None):
+def _compiler_params():
     from jax.experimental.pallas import tpu as pltpu
 
-    flags = (
-        {"xla_tpu_scoped_vmem_limit_kib": scoped_vmem_kib}
-        if scoped_vmem_kib else None
-    )
-    return pltpu.CompilerParams(
-        dimension_semantics=("arbitrary",), flags=flags
-    )
+    return pltpu.CompilerParams(dimension_semantics=("arbitrary",))
 
 
 def fused_chunk(params_flat: list, mu_flat: list, nu_flat: list,
@@ -417,8 +404,7 @@ def fused_chunk(params_flat: list, mu_flat: list, nu_flat: list,
 
     step0_arr = jnp.full((1, 1), step0, jnp.float32)
     kernel = ft.partial(
-        _fused_kernel, n_tensors=n_tensors,
-        dims=[x.shape for x in params_flat], n_enc=n_enc, hyper=hyper,
+        _fused_kernel, n_tensors=n_tensors, n_enc=n_enc, hyper=hyper,
     )
     out = pl.pallas_call(
         kernel,

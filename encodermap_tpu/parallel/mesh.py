@@ -53,7 +53,14 @@ def make_mesh(
     devices = devices[:n_devices]
     if dp is None:
         dp = n_devices // tp
-    assert dp * tp == n_devices, f"{dp=} * {tp=} != {n_devices=}"
+    if dp * tp != n_devices:
+        # ValueError with guidance, like the device-count check above —
+        # a bare assert disappears under python -O and left a cryptic
+        # reshape error (wave 34)
+        raise ValueError(
+            f"dp={dp} * tp={tp} != n_devices={n_devices}; tp must divide "
+            f"the device count (or pass dp explicitly)"
+        )
     dev_array = np.asarray(devices).reshape(dp, tp)
     return Mesh(dev_array, axis_names=("dp", "tp"))
 

@@ -4740,3 +4740,51 @@ class TestWave33Misc:
         sess = DashboardSession()
         page = TopPage(sess)
         assert page.describe_top(7) == []  # no trajs at all -> []
+
+
+# ---------------------------------------------------------------------------
+# review wave 34: kernel gates and dead-code cleanups
+# ---------------------------------------------------------------------------
+
+
+class TestWave34KernelGates:
+    def test_fused_gate_rejects_wide_nonperiodic(self, monkeypatch):
+        """The width gate was periodic-only: wide NON-periodic data routed
+        into the fused kernel whose pairwise loop unrolls one (B,B)
+        broadcast per feature column (wave 34)."""
+        import jax
+
+        import encodermap_tpu as em
+        from encodermap_tpu.ops.pallas_train import fused_trainer_available
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        p = em.Parameters(periodicity=float("inf"))
+        assert fused_trainer_available(p, {}, input_dim=3)
+        assert not fused_trainer_available(p, {}, input_dim=190)
+        p2 = em.Parameters()  # periodic default
+        assert not fused_trainer_available(p2, {}, input_dim=190)
+
+    def test_fused_gate_rejects_densifier_params(self, monkeypatch):
+        import jax
+
+        import encodermap_tpu as em
+        from encodermap_tpu.ops.pallas_train import fused_trainer_available
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        p = em.Parameters(periodicity=float("inf"))
+        assert not fused_trainer_available(
+            p, {"encoder": [], "decoder": [], "densifier": {}}, input_dim=3)
+
+    def test_sigmoid_single_sourced(self):
+        from encodermap_tpu.ops import adc_adjoint, distances, pallas_train
+
+        assert pallas_train._sig is distances.sig_value
+        assert pallas_train._dsig_over_r is distances.dsig_over_r
+        assert adc_adjoint._sig is distances.sig_value
+        assert adc_adjoint._dsig_over_r is distances.dsig_over_r
+
+    def test_make_mesh_indivisible_tp_raises_valueerror(self):
+        from encodermap_tpu.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError, match="divide"):
+            make_mesh(tp=3)  # 8 virtual devices; 3 does not divide 8

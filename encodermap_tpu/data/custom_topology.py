@@ -29,8 +29,10 @@ __all__ = ["CustomTopology", "CustomAAsDict"]
 # The reference exports this typing alias at top level
 # (``/root/reference/encodermap/__init__.py:257``, defined in
 # ``encodermap/_typing.py:64-74``): the dict format accepted by
-# ``load_custom_topology``/``from_custom_aas`` — resname (or
-# (resname, common_str) tuple) -> None | (one_letter_code, None |
+# ``load_custom_topology``/``from_custom_aas`` — resname, a
+# ``(common_str, resname)`` tuple (scopes to trajs with that common_str),
+# or the resSeq-scoped ``"ASP-2"`` form (one specific residue) -> None |
+# (one_letter_code, None |
 # {"bonds"/"PHI"/"PSI"/"OMEGA"/"CHI1".."CHI5"/"delete_bonds"/
 # "optional_delete_bonds"/"not_..." : atom-name lists}).
 CustomAAsDict = dict[
@@ -56,10 +58,17 @@ class _PatchedTopology(Topology):
         base.update(self._custom_chi.get(f"chi{n}", {}))
         # not_CHIn deletions: accepted by from_custom_aas but previously
         # consumed only for PHI/PSI/OMEGA — chi deletions were silently
-        # ignored (wave 32)
+        # ignored (wave 32). A resSeq-scoped name ("ASP-2") inserts an
+        # EMPTY scoped entry, which chi_names_for_residue treats as a
+        # per-residue suppression
+        import re as _re
+
         for kind, resname in self._not_dihedrals:
             if kind == f"CHI{n}":
-                base.pop(resname, None)
+                if _re.search(r"-\d+$", resname):
+                    base[resname] = []
+                else:
+                    base.pop(resname, None)
         return base
 
     # NOTE: no indices_chi override — the base Topology.indices_chi already
@@ -69,7 +78,12 @@ class _PatchedTopology(Topology):
     def _override_quad(
         self, kind: str, prev, cur, nxt
     ) -> Optional[list[int]]:
-        names = self._dihedral_overrides.get((kind, cur.name))
+        # resSeq-scoped key ("ASP-2") wins over the residue-name key
+        names = self._dihedral_overrides.get(
+            (kind, f"{cur.name}-{cur.resSeq}")
+        )
+        if names is None:
+            names = self._dihedral_overrides.get((kind, cur.name))
         if names is None:
             return None
         quad = []
@@ -102,7 +116,9 @@ class _PatchedTopology(Topology):
             nxt = res[i + 1] if i + 1 < len(res) else None
             if nxt is not None and not self._peptide_bonded(cur, nxt):
                 nxt = None
-            if (kind, cur.name) in self._not_dihedrals:
+            if (kind, cur.name) in self._not_dihedrals or (
+                kind, f"{cur.name}-{cur.resSeq}"
+            ) in self._not_dihedrals:
                 continue
             quad = self._override_quad(kind, prev, cur, nxt)
             if quad is not None:
@@ -479,9 +495,16 @@ class CustomTopology:
     def apply(self) -> _PatchedTopology:
         """Build the patched Topology."""
         out = _PatchedTopology()
+
+        def _matches(table_name: str, res) -> bool:
+            # "ASP" matches every ASP; "ASP-2" (the reference's
+            # resSeq-scoped key form, trajinfo_utils.py:598-602) matches
+            # only the ASP with resSeq 2
+            return table_name in (res.name, f"{res.name}-{res.resSeq}")
+
         for res in self.top.residues:
             new_res = out.add_residue(res.name, res.resSeq, res.chain_index)
-            if res.name in self._protein_names:
+            if any(_matches(n, res) for n in self._protein_names):
                 # scoped to THIS topology's residues — never the global set
                 new_res._force_protein = True
             for a in res.atoms:
@@ -512,14 +535,14 @@ class CustomTopology:
         for entry in self._extra_bonds:
             res_name, a_name, b_name = entry
             for ri, res in enumerate(out.residues):
-                if res.name != res_name:
+                if not _matches(res_name, res):
                     continue
                 a, b = resolve(ri, a_name), resolve(ri, b_name)
                 if a is not None and b is not None:
                     out._extra_bonds.append((a.index, b.index))
         for res_name, a_name, b_name, strict in self._delete_bonds:
             for ri, res in enumerate(out.residues):
-                if res.name != res_name:
+                if not _matches(res_name, res):
                     continue
                 a, b = resolve(ri, a_name), resolve(ri, b_name)
                 if a is not None and b is not None:

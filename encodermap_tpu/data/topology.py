@@ -95,6 +95,18 @@ RESIDUE_VARIANTS = {
 }
 
 
+def chi_names_for_residue(table: dict, res) -> "list[str] | None":
+    """Chi atom names for a specific RESIDUE: an resSeq-scoped custom
+    entry ("ASP-2" — the reference's per-residue CustomAAsDict key form,
+    ``trajinfo_utils.py:598-602``) wins over the residue-name entry. An
+    EMPTY scoped entry marks a scoped deletion (``not_CHIn`` on one
+    residue) and suppresses the name-level chi."""
+    scoped = f"{res.name}-{res.resSeq}"
+    if scoped in table:
+        return table[scoped] or None
+    return chi_names_for(table, res.name)
+
+
 def chi_names_for(table: dict, resname: str):
     """Chi atom-name list for a residue, resolving variant names
     (HSD -> HIS etc.) and 4-letter forms — the SINGLE lookup used by
@@ -354,7 +366,7 @@ class Topology:
         table = self.chi_table(n)
         out = []
         for r in self._protein_residues():
-            names = chi_names_for(table, r.name)
+            names = chi_names_for_residue(table, r)
             if names is None:
                 continue
             atoms = [r.atom(nm) for nm in names]
@@ -390,7 +402,7 @@ class Topology:
         for i, r in enumerate(self._protein_residues(), start=1):
             count = 0
             for n in range(1, 6):
-                names = chi_names_for(self.chi_table(n), r.name)
+                names = chi_names_for_residue(self.chi_table(n), r)
                 if names and all(r.atom(nm) is not None for nm in names):
                     count += 1
             out[i] = count

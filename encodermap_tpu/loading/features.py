@@ -1132,12 +1132,12 @@ def _sidechain_sequence(residue, top: Optional[Topology] = None) -> list:
 
     ``top`` supplies the chi tables, so CustomTopology-patched topologies
     with unnatural residues are honored; falls back to standard CHI_ATOMS."""
-    from ..data.topology import chi_names_for
+    from ..data.topology import chi_names_for_residue
 
     atoms = {}
     for n in range(1, 6):
         table = top.chi_table(n) if top is not None else CHI_ATOMS[f"chi{n}"]
-        names = chi_names_for(table, residue.name)
+        names = chi_names_for_residue(table, residue)
         if not names:
             continue
         found = [residue.atom(nm) for nm in names]
@@ -1210,14 +1210,15 @@ class SideChainDihedrals(DihedralFeature):
         quads = []
         labels = []
         generic = []
-        from ..data.topology import chi_names_for
+        from ..data.topology import chi_names_for_residue
 
         prot = top._protein_residues()
         for ri, r in enumerate(prot, start=1):
             for n in range(1, 6):
-                # top.chi_table honors CustomTopology unnatural-AA entries;
-                # chi_names_for resolves HSD/CYX/... variant names
-                names = chi_names_for(top.chi_table(n), r.name)
+                # top.chi_table honors CustomTopology unnatural-AA entries
+                # (incl. "ASP-2" resSeq-scoped keys); chi_names_for
+                # resolves HSD/CYX/... variant names
+                names = chi_names_for_residue(top.chi_table(n), r)
                 if not names:
                     continue
                 atoms = [r.atom(nm) for nm in names]

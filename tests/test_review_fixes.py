@@ -4788,3 +4788,50 @@ class TestWave34KernelGates:
 
         with pytest.raises(ValueError, match="divide"):
             make_mesh(tp=3)  # 8 virtual devices; 3 does not divide 8
+
+
+class TestWave34ScopedResidueKeys:
+    """The reference's 'ASP-2' CustomAAsDict key form scopes a definition
+    to ONE residue (3-letter code + '-' + 1-based resSeq,
+    trajinfo_utils.py:598-602) — previously such keys never matched any
+    residue and were silently ignored."""
+
+    def _two_asp(self):
+        BB = ["N", "CA", "C", "O"]
+        side = ["CB", "CG", "OD1"]
+        return _mini_top([("ASP", 1, 0, BB + side),
+                          ("ASP", 2, 0, BB + side)])
+
+    def test_scoped_chi_addition(self):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top = self._two_asp()
+        # give ONLY residue 2 a custom chi3 (standard ASP has none)
+        ct = CustomTopology.from_custom_aas(
+            top, {"ASP-2": {"CHI3": ["CB", "CG", "OD1", "N"]}})
+        patched = ct.apply()
+        chi3 = patched.indices_chi(3)
+        assert len(chi3) == 1
+        # the quad belongs to residue 2's atoms
+        assert all(a >= top.n_atoms // 2 for a in chi3[0][:3])
+        # residue 1 untouched
+        assert len(patched.indices_chi(2)) == 2  # both ASPs keep chi2
+
+    def test_scoped_not_chi_deletion(self):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top = self._two_asp()
+        ct = CustomTopology.from_custom_aas(
+            top, {"ASP-2": {"not_CHI2": True}})
+        patched = ct.apply()
+        chi2 = patched.indices_chi(2)
+        assert len(chi2) == 1  # only residue 1's chi2 survives
+        assert all(a < top.n_atoms // 2 for a in chi2[0])
+
+    def test_scoped_not_phi(self):
+        from encodermap_tpu.data.custom_topology import CustomTopology
+
+        top = self._two_asp()
+        base_phi = len(CustomTopology(top).apply().indices_phi)
+        ct = CustomTopology.from_custom_aas(top, {"ASP-2": {"not_PHI": True}})
+        assert len(ct.apply().indices_phi) == base_phi - 1
